@@ -1,0 +1,100 @@
+"""ClauseFilter — keep rows matching a boolean s-expression over field
+equality atoms.
+
+Reference semantics (/root/reference/filter/clausefilter.go:143-282):
+  grammar    : clause := '(' ('and'|'or'|'not') clause* ')' | '(' field value ')'
+  empty text : keep everything (true)
+  '(and)'    : matches nothing (false)     [sic — see parseClauseSexp]
+  '(or)'     : matches everything (true)
+  '(and X)'  : X         (single-arg collapses to the argument)
+  atom       : byte-equality of field value against the literal
+
+The s-expression compiles to a single Catalyst ``Column`` expression, so
+short-circuiting, CNF conversion and predicate pushdown come from the
+optimizer instead of the reference's hand-rolled tree walk.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from baker_spark.operators.base import Operator, register
+
+
+def tokenize(text: str) -> list[str]:
+    return text.replace("(", " ( ").replace(")", " ) ").split()
+
+
+def _parse(tokens: list[str], pos: int):
+    """Recursive-descent parse -> (node, next_pos); node is a nested list."""
+    if tokens[pos] != "(":
+        return tokens[pos], pos + 1
+    pos += 1
+    children = []
+    while pos < len(tokens) and tokens[pos] != ")":
+        node, pos = _parse(tokens, pos)
+        children.append(node)
+    if pos >= len(tokens):
+        raise ValueError("unbalanced s-expression")
+    return children, pos + 1
+
+
+def parse_sexpr(text: str):
+    tokens = tokenize(text)
+    if not tokens:
+        return None
+    node, pos = _parse(tokens, 0)
+    if pos != len(tokens):
+        raise ValueError(f"trailing tokens in s-expression: {tokens[pos:]}")
+    return node
+
+
+def compile_clause(node, columns: list[str] | None = None) -> Column:
+    """Compile a parsed s-expression node to a Column predicate."""
+    if node is None:
+        return F.lit(True)
+    if not isinstance(node, list) or not node:
+        raise ValueError(f"bad clause node: {node!r}")
+    head = node[0]
+    args = node[1:]
+    if head == "and":
+        if not args:
+            return F.lit(False)  # clausefilter.go:151-156 — '(and)' is false
+        return reduce(lambda a, b: a & b, (compile_clause(a, columns) for a in args))
+    if head == "or":
+        if not args:
+            return F.lit(True)  # clausefilter.go:151-156 — '(or)' is true
+        return reduce(lambda a, b: a | b, (compile_clause(a, columns) for a in args))
+    if head == "not":
+        if len(args) != 1:
+            raise ValueError("'not' takes exactly one clause")
+        return ~compile_clause(args[0], columns)
+    # atom: (field value) — byte equality; empty field == null (baker fidelity)
+    if len(node) != 2 or isinstance(node[1], list) or isinstance(head, list):
+        raise ValueError(f"cannot interpret clause {node!r}")
+    field, value = head, node[1]
+    if columns is not None and field not in columns:
+        raise KeyError(f"no such field: {field}")
+    col = F.col(field)
+    if value == "":
+        return col.isNull() | (col == F.lit(""))
+    return F.coalesce(col, F.lit("")) == F.lit(value)
+
+
+@register
+class ClauseFilter(Operator):
+    name = "ClauseFilter"
+
+    def __init__(self, clause: str = ""):
+        self.clause = clause.strip()
+        self._ast = parse_sexpr(self.clause) if self.clause else None
+
+    def predicate(self, columns: list[str] | None = None) -> Column:
+        return compile_clause(self._ast, columns)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self._ast is None:
+            return df
+        return df.filter(self.predicate(df.columns))

@@ -1,0 +1,443 @@
+"""Pure column-expression row operators (SURVEY.md §2.2).
+
+Each mirrors a reference filter's semantics (citations inline) but is
+expressed as Catalyst ``Column`` expressions so predicate pushdown,
+filter collapsing and whole-stage codegen apply. All field writes emit
+StringType (the reference's records are untyped strings, empty == null,
+/root/reference/record.go:35-39).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from baker_spark.operators.base import Operator, is_empty, register
+
+
+def _s(col: Column) -> Column:
+    return col.cast("string")
+
+
+@register
+class ClearFields(Operator):
+    """Set listed fields to the empty string
+    (/root/reference/filter/clear_fields.go:10-56)."""
+
+    name = "ClearFields"
+
+    def __init__(self, fields: list[str]):
+        self.fields = list(fields)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.withColumns({f: F.lit("") for f in self.fields})
+
+
+@register
+class Concatenate(Operator):
+    """Concatenate source fields into target with optional 1-char
+    separator (/root/reference/filter/concatenate.go:11-82). Empty/null
+    fields contribute an empty slot (baker joins raw bytes)."""
+
+    name = "Concatenate"
+
+    def __init__(self, fields: list[str], target: str, separator: str = ""):
+        if len(separator) > 1:
+            raise ValueError("separator must be empty or a single char")
+        self.fields, self.target, self.separator = list(fields), target, separator
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        cols = [F.coalesce(F.col(f).cast("string"), F.lit("")) for f in self.fields]
+        out = F.concat_ws(self.separator, *cols) if self.separator else F.concat(*cols)
+        return df.withColumn(self.target, out)
+
+
+@register
+class ExpandList(Operator):
+    """Split source on a 1-char separator; map list index -> dst field
+    (/root/reference/filter/expand_list.go:112-132). Out-of-range indexes
+    and empty sources leave dst untouched."""
+
+    name = "ExpandList"
+
+    def __init__(self, source: str, fields: dict[str | int, str], separator: str = ";"):
+        self.source = source
+        self.fields = {int(i): dst for i, dst in fields.items()}
+        self.separator = separator
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import re
+
+        arr = F.split(F.col(self.source), re.escape(self.separator), -1)
+        updates = {}
+        for idx, dst in self.fields.items():
+            item = F.when(~is_empty(self.source), arr.getItem(idx))
+            prev = F.col(dst).cast("string") if dst in df.columns else F.lit("")
+            updates[dst] = F.coalesce(item, prev)
+        return df.withColumns(updates)
+
+
+@register
+class ExpandJSON(Operator):
+    """Extract JMESPath values from a JSON field into dst fields
+    (/root/reference/filter/expand_json.go:103-146). Numbers/strings are
+    written verbatim, booleans map to ``true_false_values``; missing
+    paths / bad JSON leave dst untouched.
+
+    Simple dotted paths compile to native ``get_json_object``; anything
+    else falls back to a vectorized jmespath pandas UDF.
+    """
+
+    name = "ExpandJSON"
+
+    def __init__(
+        self,
+        source: str,
+        fields: dict[str, str],
+        true_false_values: tuple[str, str] = ("true", "false"),
+    ):
+        self.source = source
+        self.fields = dict(fields)  # JMESPath -> dst field
+        self.tf = tuple(true_false_values)
+
+    @staticmethod
+    def _is_simple(path: str) -> bool:
+        return all(p.replace("_", "a").isalnum() for p in path.split("."))
+
+    def _native(self, path: str) -> Column:
+        raw = F.get_json_object(F.col(self.source), "$." + path)
+        if self.tf == ("true", "false"):
+            return raw
+        return (
+            F.when(raw == "true", F.lit(self.tf[0]))
+            .when(raw == "false", F.lit(self.tf[1]))
+            .otherwise(raw)
+        )
+
+    def _jmespath_udf(self, path: str) -> Column:
+        import jmespath
+
+        expr = jmespath.compile(path)
+        tf = self.tf
+
+        @F.pandas_udf("string")
+        def extract(s: pd.Series) -> pd.Series:
+            import json
+
+            def one(v):
+                if not v:
+                    return None
+                try:
+                    r = expr.search(json.loads(v))
+                except Exception:
+                    return None
+                if r is None:
+                    return None
+                if isinstance(r, bool):
+                    return tf[0] if r else tf[1]
+                if isinstance(r, (int, float, str)):
+                    return str(r)
+                return json.dumps(r)
+
+            return s.map(one)
+
+        return extract(F.col(self.source))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        updates = {}
+        for path, dst in self.fields.items():
+            val = self._native(path) if self._is_simple(path) else self._jmespath_udf(path)
+            prev = F.col(dst).cast("string") if dst in df.columns else F.lit("")
+            updates[dst] = F.coalesce(val, prev)
+        return df.withColumns(updates)
+
+
+#: Go time layout names -> Java datetime patterns (format_time.go:152-188).
+GO_LAYOUTS = {
+    "ANSIC": "EEE MMM d HH:mm:ss yyyy",
+    "UnixDate": "EEE MMM d HH:mm:ss zzz yyyy",
+    "RubyDate": "EEE MMM dd HH:mm:ss xx yyyy",
+    "RFC822": "dd MMM yy HH:mm zzz",
+    "RFC822Z": "dd MMM yy HH:mm xx",
+    "RFC850": "EEEE, dd-MMM-yy HH:mm:ss zzz",
+    "RFC1123": "EEE, dd MMM yyyy HH:mm:ss zzz",
+    "RFC1123Z": "EEE, dd MMM yyyy HH:mm:ss xx",
+    "RFC3339": "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "RFC3339Nano": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "Kitchen": "h:mma",
+    "Stamp": "MMM d HH:mm:ss",
+    "StampMilli": "MMM d HH:mm:ss.SSS",
+    "StampMicro": "MMM d HH:mm:ss.SSSSSS",
+    "DateTime": "yyyy-MM-dd HH:mm:ss",
+    "DateOnly": "yyyy-MM-dd",
+    "TimeOnly": "HH:mm:ss",
+}
+_EPOCH_FORMATS = {"unix", "unixms", "unixns"}
+
+
+@register
+class FormatTime(Operator):
+    """Parse src per named layout, format into dst; unparseable input
+    clears dst (/root/reference/filter/format_time.go:152-210)."""
+
+    name = "FormatTime"
+
+    def __init__(
+        self,
+        src_field: str,
+        dst_field: str,
+        src_format: str = "UnixDate",
+        dst_format: str = "unixms",
+    ):
+        self.src, self.dst = src_field, dst_field
+        self.src_format, self.dst_format = src_format, dst_format
+
+    def _parse(self, col: Column) -> Column:
+        fmt = self.src_format
+        if fmt in _EPOCH_FORMATS:
+            n = col.cast("long")
+            if fmt == "unix":
+                return F.timestamp_seconds(n)
+            if fmt == "unixms":
+                return F.timestamp_millis(n)
+            return F.timestamp_micros(F.floor(n / 1000).cast("long"))
+        return F.to_timestamp(col, GO_LAYOUTS.get(fmt, fmt))
+
+    def _format(self, ts: Column) -> Column:
+        fmt = self.dst_format
+        if fmt == "unix":
+            return _s(F.unix_timestamp(ts))
+        if fmt == "unixms":
+            return _s(F.unix_millis(ts))
+        if fmt == "unixns":
+            return _s(F.unix_micros(ts) * 1000)
+        return F.date_format(ts, GO_LAYOUTS.get(fmt, fmt))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out = self._format(self._parse(F.col(self.src)))
+        return df.withColumn(self.dst, F.coalesce(out, F.lit("")))
+
+
+@register
+class Hash(Operator):
+    """md5/sha256 of src into dst, hex or raw encoding
+    (/root/reference/filter/hash.go:67-96)."""
+
+    name = "Hash"
+
+    def __init__(self, src_field: str, dst_field: str, function: str = "md5", encoding: str = "hex"):
+        if function not in ("md5", "sha256"):
+            raise ValueError(f"unsupported hash function {function!r}")
+        if encoding not in ("hex", "raw", ""):
+            raise ValueError(f"unsupported encoding {encoding!r}")
+        self.src, self.dst, self.function, self.encoding = src_field, dst_field, function, encoding
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        col = F.col(self.src).cast("string")
+        hexed = F.md5(col) if self.function == "md5" else F.sha2(col, 256)
+        out = hexed if self.encoding == "hex" else F.unhex(hexed)
+        return df.withColumn(self.dst, out)
+
+
+@register
+class NotNull(Operator):
+    """Drop rows where any listed field is null/empty
+    (/root/reference/filter/notnull.go:10-62)."""
+
+    name = "NotNull"
+
+    def __init__(self, fields: list[str]):
+        self.fields = list(fields)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        pred = reduce(lambda a, b: a & b, (~is_empty(f) for f in self.fields))
+        return df.filter(pred)
+
+
+@register
+class PartialClone(Operator):
+    """Project to only the listed fields
+    (/root/reference/filter/partial_clone.go:9-57)."""
+
+    name = "PartialClone"
+
+    def __init__(self, fields: list[str]):
+        self.fields = list(fields)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.select(*self.fields)
+
+
+@register
+class RegexMatch(Operator):
+    """Keep rows where every field_i rlikes regex_i; invert drops them
+    (/root/reference/filter/regex_match.go:93-100: drop iff match==invert)."""
+
+    name = "RegexMatch"
+
+    def __init__(self, fields: list[str], regexs: list[str], invert_match: bool = False):
+        if len(fields) != len(regexs):
+            raise ValueError("Fields and Regexs must have the same length")
+        self.pairs = list(zip(fields, regexs))
+        self.invert = invert_match
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        match = reduce(
+            lambda a, b: a & b,
+            (F.coalesce(F.col(f).cast("string"), F.lit("")).rlike(rx) for f, rx in self.pairs),
+        )
+        return df.filter(~match if self.invert else match)
+
+
+@register
+class ReplaceFields(Operator):
+    """Copy src->dst pairs and constant value->dst pairs
+    (/root/reference/filter/replace_fields.go:10-113). ``copy_fields`` and
+    ``replace_fields`` are flat [a, b, a2, b2, ...] lists like the TOML."""
+
+    name = "ReplaceFields"
+
+    def __init__(self, copy_fields: list[str] | None = None, replace_fields: list[str] | None = None):
+        copy_fields = copy_fields or []
+        replace_fields = replace_fields or []
+        if len(copy_fields) % 2 or len(replace_fields) % 2:
+            raise ValueError("CopyFields/ReplaceFields need an even number of items")
+        self.copies = list(zip(copy_fields[::2], copy_fields[1::2]))
+        self.consts = list(zip(replace_fields[::2], replace_fields[1::2]))
+        dsts = [d for _, d in self.copies] + [d for _, d in self.consts]
+        if len(set(dsts)) != len(dsts):
+            raise ValueError("a destination field is used multiple times")
+        for s, d in self.copies:
+            if s == d:
+                raise ValueError(f"copying field {s} onto itself")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        updates: dict[str, Column] = {}
+        for src, dst in self.copies:
+            updates[dst] = F.col(src).cast("string")
+        for value, dst in self.consts:
+            updates[dst] = F.lit(value)
+        return df.withColumns(updates)
+
+
+@register
+class Slice(Operator):
+    """Byte-slice src[start:end) into dst, clamped
+    (/root/reference/filter/slice.go:9-87). Byte (not char) semantics are
+    preserved by slicing the UTF-8 encoding."""
+
+    name = "Slice"
+
+    def __init__(self, src: str, dst: str, start_idx: int = 0, end_idx: int | None = None):
+        if start_idx < 0 or (end_idx is not None and end_idx < start_idx):
+            raise ValueError("invalid slice bounds")
+        self.src, self.dst, self.start, self.end = src, dst, start_idx, end_idx
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        raw = F.encode(F.col(self.src).cast("string"), "UTF-8")
+        length = (self.end - self.start) if self.end is not None else (1 << 30)
+        sliced = F.substring(raw, self.start + 1, length)
+        return df.withColumn(self.dst, F.decode(sliced, "UTF-8"))
+
+
+@register
+class StringMatch(Operator):
+    """Drop rows whose field equals any of the strings; invert keeps only
+    matches (/root/reference/filter/string_match.go:63-82: drop iff
+    isMatchAny == !invert)."""
+
+    name = "StringMatch"
+
+    def __init__(self, field: str, strings: list[str], invert_match: bool = False):
+        if not strings:
+            raise ValueError("at least one string must be defined")
+        self.field, self.strings, self.invert = field, list(strings), invert_match
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        match = F.coalesce(F.col(self.field).cast("string"), F.lit("")).isin(self.strings)
+        return df.filter(match if self.invert else ~match)
+
+
+@register
+class Timestamp(Operator):
+    """Set field to processing-time epoch seconds
+    (/root/reference/filter/timestamp.go:11-52). ``fixed_time`` freezes the
+    clock for deterministic tests."""
+
+    name = "Timestamp"
+
+    def __init__(self, field: str, fixed_time: int | None = None):
+        self.field, self.fixed_time = field, fixed_time
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        col = (
+            F.lit(self.fixed_time)
+            if self.fixed_time is not None
+            else F.unix_timestamp(F.current_timestamp())
+        )
+        return df.withColumn(self.field, _s(col))
+
+
+def _parse_bound(value: str | None) -> int | None:
+    if not value or value == "no bound":
+        return None
+    if value == "now":
+        return int(datetime.now(tz=timezone.utc).timestamp())
+    dt = datetime.strptime(value, "%Y-%m-%d %H:%M:%S").replace(tzinfo=timezone.utc)
+    return int(dt.timestamp())
+
+
+@register
+class TimestampRange(Operator):
+    """Keep rows whose epoch field is in [start, end); non-integers drop
+    (/root/reference/filter/timestamp_range.go:12-105)."""
+
+    name = "TimestampRange"
+
+    def __init__(self, field: str, start_datetime: str | None = None, end_datetime: str | None = None):
+        self.field = field
+        self.start = _parse_bound(start_datetime)
+        self.end = _parse_bound(end_datetime)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        epoch = F.col(self.field).cast("long")  # non-numeric -> null -> dropped
+        pred = epoch.isNotNull()
+        if self.start is not None:
+            pred = pred & (epoch >= F.lit(self.start))
+        if self.end is not None:
+            pred = pred & (epoch < F.lit(self.end))
+        return df.filter(pred)
+
+
+@register
+class URLEscape(Operator):
+    """URL query-escape/unescape src into dst; failed unescape clears dst
+    (/root/reference/filter/url_escape.go:12-79)."""
+
+    name = "URLEscape"
+
+    def __init__(self, src_field: str, dst_field: str, unescape: bool = False):
+        self.src, self.dst, self.unescape = src_field, dst_field, unescape
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        col = F.col(self.src).cast("string")
+        out = F.try_url_decode(col) if self.unescape else F.url_encode(col)
+        return df.withColumn(self.dst, F.coalesce(out, F.lit("")))
+
+
+@register
+class URLParam(Operator):
+    """Extract one query parameter from a URL field; '' on any error
+    (/root/reference/filter/url_param.go:10-73)."""
+
+    name = "URLParam"
+
+    def __init__(self, src_field: str, dst_field: str, param: str):
+        self.src, self.dst, self.param = src_field, dst_field, param
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out = F.parse_url(F.col(self.src).cast("string"), F.lit("QUERY"), F.lit(self.param))
+        return df.withColumn(self.dst, F.coalesce(out, F.lit("")))

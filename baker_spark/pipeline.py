@@ -1,0 +1,62 @@
+"""Pipeline — the programmatic topology API.
+
+Mirrors the reference's library embedding path
+(/root/reference/bench_test.go:77-116: Components -> NewConfigFromToml ->
+NewTopologyFromConfig -> Start/Wait) as a declarative object:
+
+    Pipeline(source=ListSource(...), ops=[...], fields=[...], sink=...)
+        .dataframe(spark)   # unexecuted lineage (Catalyst is the IR)
+        .run(spark)         # executes the sink action
+
+Thread/channel boundaries of the reference (input -> filter chain ->
+sharded outputs, /root/reference/topology.go:230-289) map to Spark's
+stage boundaries: read tasks -> narrow transform stage -> optional
+repartition (iff sharding) -> write tasks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from baker_spark.operators.base import Operator, chain
+from baker_spark.operators.topology import Shard
+
+SourceLike = Any  # ListSource | DataFrame | Callable[[SparkSession], DataFrame]
+
+
+@dataclass
+class Pipeline:
+    source: SourceLike
+    ops: list[Operator] = field(default_factory=list)
+    fields: list[str] | None = None  # [output] fields=... projection
+    sharding: str | None = None  # [output] sharding=... key field
+    procs: int = 32  # [output] procs (config.go:205-212 default)
+    sink: Any | None = None
+
+    def _source_df(self, spark: SparkSession) -> DataFrame:
+        if isinstance(self.source, DataFrame):
+            return self.source
+        if callable(self.source):
+            return self.source(spark)
+        raise TypeError(f"unsupported source {type(self.source)}")
+
+    def dataframe(self, spark: SparkSession) -> DataFrame:
+        df = chain(self._source_df(spark), self.ops)
+        if self.sharding:
+            df = Shard(self.sharding, procs=self.procs).apply(df)
+        if self.fields:
+            df = df.select(*self.fields)
+        else:
+            # engine-internal metadata columns never reach the sink
+            # (baker's custom fields are invisible to serialize, logline.go:5-18)
+            df = df.drop(*[c for c in df.columns if c.startswith("_bk_")])
+        return df
+
+    def run(self, spark: SparkSession):
+        df = self.dataframe(spark)
+        if self.sink is None:
+            return df
+        return self.sink.write(df)

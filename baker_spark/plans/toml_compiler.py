@@ -1,0 +1,125 @@
+"""TOML topology -> Pipeline compiler.
+
+Accepts the reference's TOML shape (/root/reference/config.go:279-422):
+
+    [fields]            names=["a","b","c"]
+    [csv]               field_separator=","        # or "\\u001e"
+    [validation]        fieldname="^regex$"
+    [input]             name="List"
+    [input.config]      files=[...]
+    [[filter]]          name="ClauseFilter"
+    [filter.config]     Clause="..."
+    [output]            name="FileWriter" procs=N fields=[...] sharding="f"
+    [output.config]     PathString="..."
+
+Semantics preserved: ${ENV} expansion in the raw text (config.go:221-231),
+case-insensitive component names (config.go:300-351), unknown component
+rejection, field schema supplied externally — never inferred
+(config.go:427-468, duplicate names rejected like config.go:453-459).
+
+The compiled IR is a :class:`baker_spark.pipeline.Pipeline`; executing it
+builds DataFrame lineage, so Catalyst — not this compiler — performs the
+optimization the reference never had (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import os
+import tomllib
+
+from baker_spark.operators import create as create_operator
+from baker_spark.operators.topology import Validation
+from baker_spark.pipeline import Pipeline
+from baker_spark.sinks.filewriter import FileWriter
+from baker_spark.sinks.simple import Nop, OpLog, Recorder
+from baker_spark.sinks.sqlite import SQLiteWriter
+from baker_spark.sinks.stats import Stats
+from baker_spark.sources.list_source import ListSource
+
+DEFAULT_SEPARATOR = ","  # DefaultLogLineFieldSeparator (logline.go)
+
+
+def _snake_keys(cfg: dict) -> dict:
+    from baker_spark.operators.base import _snake
+
+    return {_snake(k): v for k, v in cfg.items()}
+
+
+def _build_input(section: dict, fields: list[str], separator: str):
+    name = section.get("name", "").lower()
+    cfg = _snake_keys(section.get("config", {}))
+    if name == "list":
+        return ListSource(
+            files=cfg.get("files", []),
+            fields=fields,
+            separator=separator,
+            match_path=cfg.get("match_path"),
+        )
+    raise ValueError(
+        f"unknown input {section.get('name')!r} (batch inputs: List; "
+        "streaming inputs live in baker_spark.streaming)"
+    )
+
+
+def _build_sink(section: dict, separator: str):
+    name = section.get("name", "").lower()
+    cfg = _snake_keys(section.get("config", {}))
+    if name == "filewriter":
+        path = cfg.get("path_string", cfg.get("pathstring", "_out"))
+        compression = "gzip" if path.endswith(".gz") else "zstd"
+        # the template's directory is the output dir; task files replace
+        # the {{.Index}}/{{.UUID}} parts of the reference template
+        out_dir = path if not os.path.splitext(path)[1] else path + ".d"
+        return FileWriter(path=out_dir, compression=compression, separator=separator)
+    if name == "nop":
+        return Nop()
+    if name == "oplog":
+        return OpLog()
+    if name == "recorder":
+        return Recorder()
+    if name == "stats":
+        return Stats(fields=cfg.get("fields", []), timestamp_field=cfg.get("timestamp_field"))
+    if name == "sqlite":
+        return SQLiteWriter(path=cfg.get("path_string", "out.sqlite3"), table=cfg.get("table_name", "records"))
+    raise ValueError(f"unknown output {section.get('name')!r}")
+
+
+def compile_toml(text: str, fields: list[str] | None = None) -> Pipeline:
+    text = os.path.expandvars(text)  # ${ENV} expansion (config.go:221-231)
+    doc = tomllib.loads(text)
+
+    names = fields or doc.get("fields", {}).get("names", [])
+    if not names:
+        raise ValueError("[fields] names=[...] (or fields=) is required")
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate field names")  # config.go:453-459
+
+    separator = doc.get("csv", {}).get("field_separator", DEFAULT_SEPARATOR)
+    if separator.startswith("\\u"):
+        separator = chr(int(separator[2:], 16))
+
+    source = _build_input(doc.get("input", {}), names, separator)
+
+    ops = []
+    validation = doc.get("validation", {})
+    if validation:
+        ops.append(Validation(validation))
+    for f in doc.get("filter", []):
+        ops.append(create_operator(f["name"], **f.get("config", {})))
+
+    out = doc.get("output", {})
+    sink = _build_sink(out, separator) if out else None
+
+    return Pipeline(
+        source=source,
+        ops=ops,
+        fields=out.get("fields") or None,
+        sharding=out.get("sharding") or None,
+        procs=int(out.get("procs", 32)),
+        sink=sink,
+    )
+
+
+def compile_toml_file(path: str, fields: list[str] | None = None) -> Pipeline:
+    with open(path) as fh:
+        return compile_toml(fh.read(), fields)

@@ -1,0 +1,72 @@
+"""SQLite sink (/root/reference/output/sqlite.go:15-44).
+
+Reference semantics preserved: all fields stored as TEXT columns, an
+optional raw serialized-record column (SQLiteRaw), Pre/PostRun SQL hooks,
+one transaction per file, shardable paths ({{.ShardId}} ->
+``shard-<partition_id>.sqlite3``).
+
+Scale note: writing SQLite is inherently single-writer-per-file, so each
+Spark partition writes its own shard file via ``foreachPartition`` —
+same-key->same-shard holds when the caller repartitions by the shard key
+first (Shard operator). ``single_file=True`` coalesces to one partition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class SQLiteWriter:
+    path: str  # may contain {shard} -> partition id
+    table: str = "records"
+    raw_column: bool = False  # SQLiteRaw variant: add serialized record BLOB
+    pre_run: list[str] = field(default_factory=list)
+    post_run: list[str] = field(default_factory=list)
+    journal_mode: str = "WAL"
+    vacuum: bool = False
+    single_file: bool = True
+
+    def write(self, df: DataFrame) -> None:
+        if self.raw_column:
+            cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+            df = df.withColumn("_record", F.concat_ws(",", *cols))
+        if self.single_file and "{shard}" not in self.path:
+            df = df.coalesce(1)
+
+        columns = df.columns
+        path, table = self.path, self.table
+        pre, post = list(self.pre_run), list(self.post_run)
+        journal, vacuum = self.journal_mode, self.vacuum
+
+        def write_partition(rows):
+            import sqlite3
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            rows = list(rows)
+            if not rows and "{shard}" in path:
+                return
+            conn = sqlite3.connect(path.replace("{shard}", str(pid)))
+            try:
+                conn.execute(f"PRAGMA journal_mode={journal}")
+                for sql in pre:
+                    conn.execute(sql)
+                col_defs = ", ".join(f'"{c}" TEXT' for c in columns)
+                conn.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({col_defs})')
+                placeholders = ",".join("?" * len(columns))
+                conn.executemany(
+                    f'INSERT INTO "{table}" VALUES ({placeholders})',
+                    [tuple(None if v is None else str(v) for v in r) for r in rows],
+                )
+                for sql in post:
+                    conn.execute(sql)
+                conn.commit()
+                if vacuum:
+                    conn.execute("VACUUM")
+            finally:
+                conn.close()
+
+        df.foreachPartition(write_partition)

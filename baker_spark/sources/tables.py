@@ -1,0 +1,67 @@
+"""Loader for the driver-provided synthetic tables (/root/testdata/sf*).
+
+The tables are parquet; ``events.ts`` is physically TIMESTAMP(NANOS) which
+Spark cannot read natively — we read it as a nanosecond long
+(``spark.sql.legacy.parquet.nanosAsLong``) and floor-truncate to micros,
+matching DuckDB's nanos->micros truncation so the correctness oracle
+compares bit-identical timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from baker_spark.session import configure
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: columns stored as TIMESTAMP(NANOS) in parquet, read back as long nanos.
+_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(col) == "bigint":
+            # floor-divide nanos->micros (DuckDB truncates identically)
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(
+                    F.floor(F.col(col) / F.lit(1000)).cast("long")
+                ).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view so operators can be used from SQL."""
+    tables = load_tables(spark, sf_dir, names)
+    for n, df in tables.items():
+        df.createOrReplaceTempView(n)
+    return tables

@@ -1,0 +1,216 @@
+"""Unit tests for the row-operator inventory, mirroring the reference's
+table-driven filter tests (SURVEY.md §5: feed tiny records through the
+operator, assert emitted count + field values)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from baker_spark import operators as ops
+from tests.conftest import rows_to_tuples
+
+
+def make_df(spark, rows, cols):
+    return spark.createDataFrame([Row(**dict(zip(cols, r))) for r in rows])
+
+
+@pytest.fixture(scope="module")
+def generic(spark):
+    # FIXTURES.md §3 'generic' schema
+    rows = [
+        ("abc", "def", "ghi", "1704067200", "https://x.com/a?p=1&q=two", '{"jfield1":"v1","n":123,"b":true}'),
+        ("abc", "zzz", "", "1704153600", "https://x.com/b?p=2", "a;b;c"),
+        ("xyz", "def", "ghi", "not_a_ts", "%%bad", '{"jfield1":"v2"}'),
+    ]
+    return make_df(spark, rows, ["f1", "f2", "f3", "ts", "url", "payload"])
+
+
+def test_clausefilter_atoms(spark, generic):
+    kept = ops.ClauseFilter("(f1 abc)").apply(generic)
+    assert kept.count() == 2
+    kept = ops.ClauseFilter("(and (f1 abc) (f2 def))").apply(generic)
+    assert kept.count() == 1
+    kept = ops.ClauseFilter("(or (f1 xyz) (f2 zzz))").apply(generic)
+    assert kept.count() == 2
+    kept = ops.ClauseFilter("(not (f1 abc))").apply(generic)
+    assert kept.count() == 1
+    # empty clause keeps everything; (and) nothing; (or) everything
+    assert ops.ClauseFilter("").apply(generic).count() == 3
+    assert ops.ClauseFilter("(and)").apply(generic).count() == 0
+    assert ops.ClauseFilter("(or)").apply(generic).count() == 3
+    # single-arg and collapses to the arg (clausefilter.go:157-163)
+    assert ops.ClauseFilter("(and (f1 abc))").apply(generic).count() == 2
+    # n-ary
+    assert ops.ClauseFilter("(and (f1 abc) (f2 def) (f3 ghi))").apply(generic).count() == 1
+
+
+def test_clear_and_replace(spark, generic):
+    out = ops.ClearFields(["f2"]).apply(generic)
+    assert [r.f2 for r in out.collect()] == ["", "", ""]
+    out = ops.ReplaceFields(copy_fields=["f1", "f3"], replace_fields=["K", "f2"]).apply(generic)
+    first = out.orderBy("ts").collect()[0]
+    assert first.f3 == first.f1 and first.f2 == "K"
+    with pytest.raises(ValueError):
+        ops.ReplaceFields(copy_fields=["f1"])
+    with pytest.raises(ValueError):
+        ops.ReplaceFields(copy_fields=["f1", "f1"])
+
+
+def test_concatenate(spark, generic):
+    out = ops.Concatenate(["f1", "f2"], target="cat", separator="-").apply(generic)
+    assert sorted(r.cat for r in out.collect()) == ["abc-def", "abc-zzz", "xyz-def"]
+    out = ops.Concatenate(["f1", "f3"], target="cat").apply(generic)
+    assert "abczzz" not in [r.cat for r in out.collect()]
+    assert sorted(r.cat for r in out.collect()) == ["abc", "abcghi", "xyzghi"]
+
+
+def test_expand_list(spark, generic):
+    out = ops.ExpandList(source="payload", fields={0: "e0", 2: "e2"}).apply(generic)
+    row = out.filter(F.col("payload") == "a;b;c").collect()[0]
+    assert row.e0 == "a" and row.e2 == "c"
+    # non-list payload: single element, index 2 out of range -> untouched ('')
+    row = out.filter(F.col("f1") == "xyz").collect()[0]
+    assert row.e0 == '{"jfield1":"v2"}' and row.e2 == ""
+
+
+def test_expand_json(spark, generic):
+    out = ops.ExpandJSON(source="payload", fields={"jfield1": "j1", "n": "jn", "b": "jb"}).apply(generic)
+    rows = {r.f1 + r.f2: r for r in out.collect()}
+    assert rows["abcdef"].j1 == "v1"
+    assert rows["abcdef"].jn == "123"
+    assert rows["abcdef"].jb == "true"
+    assert rows["abczzz"].j1 == ""  # not json -> untouched
+    # custom true/false mapping
+    out = ops.ExpandJSON(source="payload", fields={"b": "jb"}, true_false_values=("yes", "no")).apply(generic)
+    assert {r.jb for r in out.collect()} == {"yes", ""}
+
+
+def test_not_null_and_stringmatch(spark, generic):
+    assert ops.NotNull(["f3"]).apply(generic).count() == 2
+    assert ops.StringMatch(field="f1", strings=["abc"]).apply(generic).count() == 1
+    assert ops.StringMatch(field="f1", strings=["abc"], invert_match=True).apply(generic).count() == 2
+    with pytest.raises(ValueError):
+        ops.StringMatch(field="f1", strings=[])
+
+
+def test_regex_match(spark, generic):
+    kept = ops.RegexMatch(fields=["f1", "f2"], regexs=["^a", "def"]).apply(generic)
+    assert kept.count() == 1
+    inv = ops.RegexMatch(fields=["f1"], regexs=["^a"], invert_match=True).apply(generic)
+    assert inv.count() == 1
+
+
+def test_hash_and_slice(spark, generic):
+    import hashlib
+
+    out = ops.Hash(src_field="f1", dst_field="h", function="md5").apply(generic)
+    row = out.filter(F.col("f1") == "xyz").collect()[0]
+    assert row.h == hashlib.md5(b"xyz").hexdigest()
+    out = ops.Hash(src_field="f1", dst_field="h", function="sha256").apply(generic)
+    row = out.filter(F.col("f1") == "xyz").collect()[0]
+    assert row.h == hashlib.sha256(b"xyz").hexdigest()
+
+    out = ops.Slice(src="url", dst="s", start_idx=8, end_idx=13).apply(generic)
+    assert "x.com" in {r.s for r in out.collect()}
+    # clamped past end -> empty
+    out = ops.Slice(src="f1", dst="s", start_idx=100).apply(generic)
+    assert {r.s for r in out.collect()} == {""}
+
+
+def test_format_time(spark, generic):
+    out = ops.FormatTime(src_field="ts", dst_field="d", src_format="unix", dst_format="DateTime").apply(generic)
+    rows = {r.ts: r.d for r in out.collect()}
+    assert rows["1704067200"] == "2024-01-01 00:00:00"
+    assert rows["not_a_ts"] == ""  # parse error clears dst (format_time.go)
+    out = ops.FormatTime(src_field="ts", dst_field="d", src_format="unix", dst_format="unixms").apply(generic)
+    assert {r.d for r in out.collect()} == {"1704067200000", "1704153600000", ""}
+    # named Go layout round-trip
+    df2 = make_df(spark, [("2024-03-05T06:07:08Z",)], ["t"])
+    out = ops.FormatTime(src_field="t", dst_field="d", src_format="RFC3339", dst_format="unix").apply(df2)
+    assert out.collect()[0].d == "1709618828"
+
+
+def test_timestamp_range(spark, generic):
+    op = ops.TimestampRange(field="ts", start_datetime="2024-01-01 00:00:00", end_datetime="2024-01-02 00:00:00")
+    kept = op.apply(generic)
+    assert kept.count() == 1  # second row is exactly at the exclusive end
+    assert kept.collect()[0].ts == "1704067200"
+
+
+def test_url_ops(spark, generic):
+    out = ops.URLParam(src_field="url", dst_field="p", param="q").apply(generic)
+    vals = {r.f1 + r.f2: r.p for r in out.collect()}
+    assert vals["abcdef"] == "two" and vals["abczzz"] == "" and vals["xyzdef"] == ""
+    out = ops.URLEscape(src_field="f2", dst_field="e").apply(make_df(spark, [("a b&c",)], ["f2"]))
+    assert out.collect()[0].e == "a+b%26c"
+    out = ops.URLEscape(src_field="f2", dst_field="e", unescape=True).apply(
+        make_df(spark, [("a+b%26c",), ("%zz",)], ["f2"])
+    )
+    assert sorted(r.e for r in out.collect()) == ["", "a b&c"]
+
+
+def test_dedup(spark, generic):
+    out = ops.Dedup(fields=["f2"]).apply(generic)
+    assert out.count() == 2
+    out = ops.Dedup(fields=["f2"], order_by="f1").apply(generic)
+    assert sorted(r.f1 for r in out.collect()) == ["abc", "abc"]
+
+
+def test_external_match(spark, generic):
+    semi = ops.ExternalMatch(field_name="f1", values=["abc", "nope"], keep_on_match=True).apply(generic)
+    assert semi.count() == 2
+    anti = ops.ExternalMatch(field_name="f1", values=["abc", "nope"]).apply(generic)
+    assert anti.count() == 1
+
+
+def test_crypt_roundtrip(spark, generic):
+    from cryptography.fernet import Fernet
+
+    key = Fernet.generate_key()
+    enc = ops.Crypt(src_field="f1", dst_field="c", key=key).apply(generic)
+    dec = ops.Crypt(src_field="c", dst_field="plain", key=key, decrypt=True).apply(enc)
+    assert sorted(r.plain for r in dec.collect()) == ["abc", "abc", "xyz"]
+    # decrypting garbage drops the row (crypt.go: error -> no next())
+    bad = ops.Crypt(src_field="f1", dst_field="p", key=key, decrypt=True).apply(generic)
+    assert bad.count() == 0
+
+
+def test_partial_clone_and_select(spark, generic):
+    out = ops.PartialClone(fields=["f1", "f2"]).apply(generic)
+    assert out.columns == ["f1", "f2"]
+    out = ops.FieldSelect(fields=["f3"]).apply(generic)
+    assert out.columns == ["f3"]
+
+
+def test_timestamp_fixed(spark, generic):
+    out = ops.Timestamp(field="now", fixed_time=1234).apply(generic)
+    assert {r.now for r in out.collect()} == {"1234"}
+
+
+def test_validation(spark, generic):
+    v = ops.Validation({"f1": "^[a-z]+$", "ts": "^[0-9]+$"})
+    assert v.apply(generic).count() == 2
+    q = v.quarantine(generic).collect()
+    assert len(q) == 1 and q[0]._bk_invalid_field == "ts"
+    counts = rows_to_tuples(v.invalid_counts(generic))
+    assert counts == [("ts", 1)]
+
+
+def test_explode_fanout(spark, generic):
+    out = ops.Explode(source="payload", dst="item").apply(
+        generic.filter(F.col("payload") == "a;b;c")
+    )
+    assert sorted(r.item for r in out.collect()) == ["a", "b", "c"]
+
+
+def test_count_and_tag(spark, generic):
+    op = ops.CountAndTag(metric="m", field="f3", default_value="none")
+    counts = rows_to_tuples(op.tag_counts(generic))
+    assert counts == [("ghi", 2), ("none", 1)]
+    assert op.apply(generic).count() == 3
+
+
+def test_registry_create():
+    op = ops.create("stringmatch", Field="f1", Strings=["x"], InvertMatch=True)
+    assert isinstance(op, ops.StringMatch) and op.invert
+    with pytest.raises(KeyError):
+        ops.create("NoSuchFilter")

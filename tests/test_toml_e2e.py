@@ -1,0 +1,162 @@
+"""End-to-end TOML topology tests, mirroring the reference's golden e2e
+suite (/root/reference/e2e_test.go:20-86): run a TOML topology over the
+reference's own checked-in fixture and compare produced records.
+Comparison is order-insensitive (the reference doesn't guarantee global
+order with procs>1 either, /root/reference/config.go:47-53)."""
+
+import gzip
+import os
+
+from baker_spark.plans import compile_toml
+
+# same topology as /root/reference/testdata/advanced_csv_example.toml,
+# reading the reference's own zstd fixture
+ADVANCED_TOML = """
+[fields]
+names=["timestamp","source","target"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.zst"]
+
+[[filter]]
+name="ClauseFilter"
+
+    [filter.config]
+    Clause=\"\"\"(or (timestamp value5) (target value6))\"\"\"
+
+[output]
+name="FileWriter"
+procs=1
+
+    [output.config]
+    PathString="{out}/csv.gz"
+"""
+
+
+def _read_gz_dir(path):
+    lines = []
+    for name in os.listdir(path):
+        if name.endswith(".csv.gz"):
+            with gzip.open(os.path.join(path, name), "rt") as fh:
+                lines.extend(line.rstrip("\n") for line in fh if line.strip())
+    return sorted(lines)
+
+
+def test_advanced_csv_topology(spark, tmp_path):
+    pipeline = compile_toml(ADVANCED_TOML.format(out=tmp_path))
+    out_dir = pipeline.run(spark)
+    # reference golden (advanced_csv.golden): the two rows matching the clause
+    assert _read_gz_dir(out_dir) == [
+        "value4,value2,value6",
+        "value5,value2,value3",
+    ]
+
+
+def test_validation_topology(spark, tmp_path):
+    toml_text = """
+[fields]
+names=["timestamp","source","target"]
+
+[validation]
+timestamp="^value[0-9]+$"
+target="^value3$"
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.zst"]
+
+[output]
+name="FileWriter"
+
+    [output.config]
+    PathString="{out}/validated.csv.gz"
+""".format(out=tmp_path)
+    pipeline = compile_toml(toml_text)
+    out_dir = pipeline.run(spark)
+    assert _read_gz_dir(out_dir) == [
+        "value1,value2,value3",
+        "value1,value2,value3",
+        "value5,value2,value3",
+    ]
+
+
+def test_field_projection_and_sharding(spark, tmp_path):
+    toml_text = """
+[fields]
+names=["timestamp","source","target"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.zst"]
+
+[output]
+name="FileWriter"
+fields=["target","source"]
+sharding="target"
+procs=2
+
+    [output.config]
+    PathString="{out}/sharded.csv.gz"
+""".format(out=tmp_path)
+    out_dir = compile_toml(toml_text).run(spark)
+    assert _read_gz_dir(out_dir) == sorted(
+        ["value3,value2", "value3,value2", "value6,value2", "value3,value2"]
+    )
+
+
+def test_separator_0x1e(spark, tmp_path):
+    # /root/reference/testdata/advanced_csv_example_0x1e.toml
+    toml_text = """
+[csv]
+field_separator="\\u001e"
+
+[fields]
+names=["timestamp","source","target"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.0x1e.zst"]
+
+[[filter]]
+name="ClauseFilter"
+
+    [filter.config]
+    Clause=\"\"\"(or (timestamp value5) (target value6))\"\"\"
+
+[output]
+name="FileWriter"
+
+    [output.config]
+    PathString="{out}/0x1e.csv.gz"
+""".format(out=tmp_path)
+    out_dir = compile_toml(toml_text).run(spark)
+    sep = "\x1e"
+    assert _read_gz_dir(out_dir) == sorted(
+        [sep.join(["value4", "value2", "value6"]), sep.join(["value5", "value2", "value3"])]
+    )
+
+
+def test_env_var_expansion(spark, tmp_path):
+    os.environ["BAKER_TEST_INPUT"] = "/root/reference/testdata/input.csv.zst"
+    toml_text = """
+[fields]
+names=["timestamp","source","target"]
+[input]
+name="List"
+    [input.config]
+    files=["${BAKER_TEST_INPUT}"]
+[output]
+name="Recorder"
+"""
+    pipeline = compile_toml(toml_text)
+    records = pipeline.run(spark)
+    assert len(records) == 4
