@@ -1,0 +1,291 @@
+"""Deduplication family for document corpora.
+
+Four tiers, each the right tool at a different scale/fuzziness point:
+
+- exact:      md5(text) group-by — one shuffle on the hash
+- fingerprint: normalized-token md5 group-by — catches reorder/punct noise
+- minhash LSH: shingle -> k minhashes -> b bands -> bucket join — near-dup
+               pairs without the O(n^2) compare (VLDB-classic MinHash/LSH)
+- simhash:    32-bit sign-hash; banded candidate join + hamming filter
+
+Every hash is md5-derived (baker_spark.functions.hashing) so the DuckDB
+oracle reproduces results bit-for-bit. The reference's Dedup filter
+(/root/reference/filter/dedup.go) is the exact tier with a global
+in-memory set; these scale it out and add the fuzzy tiers.
+
+Scale notes (100 TB):
+- the LSH band join shuffles only (band, hash) pairs — k*b small ints per
+  doc, not the text; skewed buckets (boilerplate shingles) are capped by
+  AQE skew-join handling.
+- simhash banding guarantees recall for hamming <= bands-1 by pigeonhole
+  (3 errors across 4 bands leave one band intact) — so the banded join
+  plus hamming<=3 filter is *exactly* brute force, at a fraction of the
+  shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from baker_spark.datapipe.text import duck_word_shingles, word_shingles
+from baker_spark.functions.hashing import duck_md5_long, md5_long
+
+
+# ---------------------------------------------------------------- exact ----
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One survivor (min id) per distinct text; n_dups counts the group."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+        .select(id_col, "text_hash", "n_dups")
+    )
+
+
+def duck_exact_dedup(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+SELECT min({id_col}) AS {id_col}, md5({text_col}) AS text_hash, count(*) AS n_dups
+FROM {table} GROUP BY md5({text_col})
+"""
+
+
+# -------------------------------------------------------------- minhash ----
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """k md5-derived minhashes over distinct word n-gram shingles."""
+    shingled = (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s"))
+        .distinct()
+    )
+    aggs = [F.min(md5_long(F.col("s"), salt=str(i))).alias(f"m{i}") for i in range(k)]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing >= 1 LSH band.
+    With k=16, b=4 (r=4) the jaccard threshold is ~(1/b)^(1/r) ~= 0.7."""
+    r = k // bands
+    sig = minhash_signature(df, text_col, id_col, k, shingle_n)
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * r + j}").cast("string") for j in range(r)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("h"))
+        )
+    bands_df = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bh")
+    ).select(id_col, "bh.band", "bh.h")
+    a = bands_df.alias("a")
+    b_ = bands_df.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def duck_lsh_pairs(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> str:
+    r = k // bands
+    mins = ",\n  ".join(
+        f"min({duck_md5_long('s', salt=str(i))}) AS m{i}" for i in range(k)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, {b} AS band, "
+        f"md5(concat_ws(',', {', '.join(f'm{b * r + j}' for j in range(r))})) AS h FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT {id_col}, unnest({duck_word_shingles(text_col, shingle_n)}) AS s
+  FROM {table}
+),
+sig AS (SELECT {id_col}, {mins} FROM sh GROUP BY {id_col}),
+bands AS ({band_rows})
+SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.{id_col} < b.{id_col}
+"""
+
+
+# ------------------------------------------------------- n-gram jaccard ----
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold_c6: int = 800000,
+) -> DataFrame:
+    """Exact jaccard over shingle sets via an inverted-index join (only
+    pairs sharing a shingle are compared). jaccard emitted as floor(j*1e6)
+    so both engines agree exactly."""
+    sh = (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.floor(F.col("shared") * 1000000 / (F.col("na") + F.col("nb") - F.col("shared"))).cast("long")
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard_c6", jac)
+        .filter(F.col("jaccard_c6") >= threshold_c6)
+        .select("doc_a", "doc_b", "jaccard_c6")
+    )
+
+
+def duck_ngram_jaccard_pairs(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold_c6: int = 800000,
+) -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT {id_col}, unnest({duck_word_shingles(text_col, shingle_n)}) AS s
+  FROM {table}
+),
+sizes AS (SELECT {id_col}, count(*) AS n FROM sh GROUP BY {id_col}),
+shared AS (
+  SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.{id_col} < b.{id_col}
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(shared * 1000000 / (na.n + nb.n - shared)) AS BIGINT) AS jaccard_c6
+FROM shared
+JOIN sizes na ON na.{id_col} = doc_a
+JOIN sizes nb ON nb.{id_col} = doc_b
+WHERE floor(shared * 1000000 / (na.n + nb.n - shared)) >= {threshold_c6}
+"""
+
+
+# -------------------------------------------------------------- simhash ----
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit simhash over distinct words (md5-derived word hashes)."""
+    wordshash = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ", -1)).alias("w"))
+        .distinct()
+        .withColumn("h", md5_long(F.col("w"), nchars=8))  # 32-bit hash
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_bit = wordshash.groupBy(id_col).agg(*sums)
+    acc = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        acc = acc + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return per_bit.select(F.col(id_col), acc.alias("simhash"))
+
+
+def duck_simhash(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    h = duck_md5_long("w", nchars=8)
+    sums = ",\n  ".join(
+        f"sum(CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    acc = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH wh AS (
+  SELECT DISTINCT {id_col}, unnest(string_split({text_col}, ' ')) AS w FROM {table}
+),
+bits AS (SELECT {id_col}, {sums} FROM wh GROUP BY {id_col})
+SELECT {id_col}, CAST({acc} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Uses banded blocking (4 x 8-bit bands): by pigeonhole any pair within
+    hamming 3 shares an intact band, so the banded join + hamming filter
+    equals brute force while shuffling only (band, key) ints.
+    """
+    assert max_hamming <= 3, "banded blocking guarantees recall only for hamming <= bands-1"
+    sig = simhash(df, text_col, id_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def duck_simhash_pairs(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> str:
+    # oracle does the O(n^2) brute force — banded blocking is provably equal
+    base = duck_simhash(table, text_col, id_col)
+    return f"""
+WITH sim AS ({base})
+SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sim a JOIN sim b ON a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -1,0 +1,119 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All are pure Catalyst column expressions (JVM-side, codegen'd — no Python
+in the hot path) and have exact DuckDB oracle equivalents built from the
+same integer/md5 arithmetic (see baker_spark.functions.hashing).
+
+These extend the reference's row-operator family (Hash, Dedup,
+ExternalMatch — /root/reference/filter/) toward the document-pipeline
+operations a 100 TB text corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: tiny English stopword list shared by langid & quality scoring.
+EN_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for", "on", "that"]
+
+
+def words(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ", -1)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>; docs with < n words get
+    an empty array. Mirrors the classic shingling step of MinHash dedup."""
+    w = words(col)
+    count = F.size(w) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", F.slice(w, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duck_word_shingles(expr: str, n: int = 3) -> str:
+    """DuckDB list comprehension computing identical shingles."""
+    w = f"string_split({expr}, ' ')"
+    return (
+        f"[array_to_string(({w})[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({w}) - {n - 2})]"
+    )
+
+
+def token_counts(col: Column | str) -> tuple[Column, Column]:
+    """(whitespace token count, BPE-ish estimate ceil(chars/4)) — integer
+    arithmetic only, so cross-engine deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_ws = F.size(words(c))
+    n_bpe = F.floor((F.length(c) + F.lit(3)) / F.lit(4)).cast("long")
+    return n_ws, n_bpe
+
+
+def langid(col_name: str, stopwords: list[str] | None = None, threshold_pct: int = 5) -> Column:
+    """Heuristic language ID: 'en' iff stopword ratio > threshold_pct %.
+    Integer comparison (n_stop * 100 > n_words * pct) keeps it exact."""
+    sw = stopwords or EN_STOPWORDS
+    arr = ", ".join(f"'{s}'" for s in sw)
+    n_stop = F.expr(f"size(filter(split({col_name}, ' ', -1), x -> array_contains(array({arr}), x)))")
+    n_words = F.size(words(col_name))
+    return F.when(n_stop * 100 > n_words * threshold_pct, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def duck_langid(expr: str, stopwords: list[str] | None = None, threshold_pct: int = 5) -> str:
+    sw = stopwords or EN_STOPWORDS
+    arr = ", ".join(f"'{s}'" for s in sw)
+    w = f"string_split({expr}, ' ')"
+    return (
+        f"CASE WHEN len([x for x in {w} if x IN ({arr})]) * 100 > len({w}) * {threshold_pct} "
+        f"THEN 'en' ELSE 'unk' END"
+    )
+
+
+def quality_flags(col_name: str) -> dict[str, Column]:
+    """Quality-score components: word count, punctuation density, mean
+    word length (fixed-point), all integers -> deterministic."""
+    c = F.col(col_name)
+    n_words = F.size(words(c))
+    n_punct = F.regexp_count(c, F.lit(r"[.!?,;:]"))
+    n_chars = F.length(c)
+    mean_word_len_c2 = F.floor((n_chars - (n_words - 1)) * 100 / n_words).cast("long")
+    ok = (n_words >= 20) & (n_punct * 5 <= n_words) & (mean_word_len_c2.between(150, 1200))
+    return {
+        "n_words": n_words.cast("long"),
+        "n_punct": n_punct.cast("long"),
+        "mean_word_len_c2": mean_word_len_c2,
+        "quality_ok": ok,
+    }
+
+
+def duck_quality_sql(expr: str) -> dict[str, str]:
+    w = f"string_split({expr}, ' ')"
+    n_words = f"len({w})"
+    n_punct = f"len(regexp_extract_all({expr}, '[.!?,;:]'))"
+    mean = f"CAST(floor((length({expr}) - ({n_words} - 1)) * 100 / {n_words}) AS BIGINT)"
+    return {
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "n_punct": f"CAST({n_punct} AS BIGINT)",
+        "mean_word_len_c2": mean,
+        "quality_ok": (
+            f"({n_words} >= 20 AND {n_punct} * 5 <= {n_words} "
+            f"AND {mean} BETWEEN 150 AND 1200)"
+        ),
+    }
+
+
+def fingerprint(col_name: str) -> Column:
+    """OpenRefine-style key-collision fingerprint: lowercase, strip
+    non-alnum, sorted distinct words, md5. Catches reordered/near-identical
+    docs that exact dedup misses."""
+    cleaned = F.regexp_replace(F.lower(F.col(col_name)), r"[^a-z0-9 ]", " ")
+    toks = F.filter(F.split(cleaned, " ", -1), lambda x: x != "")
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
+def duck_fingerprint(expr: str) -> str:
+    cleaned = f"regexp_replace(lower({expr}), '[^a-z0-9 ]', ' ', 'g')"
+    toks = f"[x for x in string_split({cleaned}, ' ') if x <> '']"
+    return f"md5(array_to_string(list_sort(list_distinct({toks})), ' '))"

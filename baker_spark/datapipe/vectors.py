@@ -1,0 +1,194 @@
+"""Embedding similarity: cosine math, near-dup pairs, ANN top-k
+(brute-force baseline + LSH-bucketed scale path).
+
+Dot products are computed as a *sequential* fold over the array
+(zip_with + aggregate) in both engines, and cosine is emitted as
+floor(x*1e4) fixed-point, so Spark and the DuckDB oracle agree exactly.
+All math is JVM-side higher-order functions — no Python in the loop.
+
+Scale path: random-hyperplane LSH buckets (sign bits of dot(v, plane_j))
+turn the O(n^2) pair search / O(n) query scan into a per-bucket problem;
+planes are deterministic (seeded) so results are reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+EMBED_DIM = 64
+N_PLANES = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def duck_dot(a: str, b: str) -> str:
+    """DuckDB sequential dot product matching ``dot`` op-for-op
+    (1-based list indexing, left-to-right sum)."""
+    return f"list_sum([({a})[i] * ({b})[i] for i in range(1, len({a}) + 1)])"
+
+
+def duck_cosine(a: str, b: str) -> str:
+    return f"({duck_dot(a, b)} / (sqrt({duck_dot(a, a)}) * sqrt({duck_dot(b, b)})))"
+
+
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold_c4: int = 4500,
+) -> DataFrame:
+    """All-pairs cosine >= threshold (brute force baseline — the LSH
+    bucket variant below is the 100 TB path)."""
+    a = df.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    c4 = F.floor(cosine(F.col("va"), F.col("vb")) * 10000).cast("long")
+    return pairs.select("id_a", "id_b", c4.alias("cosine_c4")).filter(
+        F.col("cosine_c4") >= threshold_c4
+    )
+
+
+def duck_cosine_pairs(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold_c4: int = 4500,
+) -> str:
+    cos = duck_cosine("a.v", "b.v")
+    return f"""
+WITH e AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(floor(({cos}) * 10000) AS BIGINT) AS cosine_c4
+FROM e a JOIN e b ON a.id < b.id
+WHERE floor(({cos}) * 10000) >= {threshold_c4}
+"""
+
+
+def ann_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against one stored vector; deterministic
+    tie-break on id. The broadcast of the single query row means the scan
+    side never shuffles."""
+    q = df.filter(F.col(id_col) == query_id).select(as_double(vec_col).alias("qv"))
+    scored = df.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.floor(cosine(as_double(vec_col), F.col("qv")) * 10000).cast("long").alias("cosine_c4"),
+    )
+    return scored.orderBy(F.desc("cosine_c4"), F.col(id_col)).limit(k)
+
+
+def duck_ann_topk(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    cos = duck_cosine("e.v", "q.v")
+    return f"""
+WITH e AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+q AS (SELECT v FROM e WHERE id = {query_id})
+SELECT e.id AS {id_col}, CAST(floor(({cos}) * 10000) AS BIGINT) AS cosine_c4
+FROM e, q
+ORDER BY cosine_c4 DESC, e.id
+LIMIT {k}
+"""
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = EMBED_DIM, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes, rounded to 6 dp so their decimal
+    literals parse to identical doubles in both engines."""
+    rng = np.random.default_rng(seed)
+    return [[round(float(x), 6) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def lsh_buckets(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", planes: list[list[float]] | None = None
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign bits of dot(v, plane_j)."""
+    planes = planes or hyperplanes()
+    v = as_double(vec_col)
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x).cast("double") for x in plane])
+        bucket = bucket + F.when(dot(v, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def duck_lsh_buckets(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: list[list[float]] | None = None,
+) -> str:
+    planes = planes or hyperplanes()
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN {duck_dot(f'CAST({vec_col} AS DOUBLE[])', lit)} > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        )
+    total = " + ".join(terms)
+    return f"SELECT {id_col}, CAST({total} AS BIGINT) AS bucket FROM {table}"
+
+
+def ann_topk_bucketed(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN restricted to the query's LSH bucket — the IVF-style scale
+    path: the equi-join on bucket prunes the scan to ~n/2^planes rows."""
+    buckets = lsh_buckets(df, vec_col, id_col)
+    with_b = df.join(buckets, id_col)
+    qb = with_b.filter(F.col(id_col) == query_id).select(
+        F.col("bucket").alias("qbucket"), as_double(vec_col).alias("qv")
+    )
+    cands = with_b.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+    scored = cands.select(
+        F.col(id_col),
+        F.floor(cosine(as_double(vec_col), F.col("qv")) * 10000).cast("long").alias("cosine_c4"),
+    )
+    return scored.orderBy(F.desc("cosine_c4"), F.col(id_col)).limit(k)
+
+
+def duck_ann_topk_bucketed(
+    table: str = "embeddings", query_id: int = 0, k: int = 5, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> str:
+    cos = duck_cosine("e.v", "q.v")
+    buckets = duck_lsh_buckets(table, vec_col, id_col)
+    return f"""
+WITH b AS ({buckets}),
+e AS (SELECT t.{id_col} AS id, CAST(t.{vec_col} AS DOUBLE[]) AS v, b.bucket
+      FROM {table} t JOIN b ON b.{id_col} = t.{id_col}),
+q AS (SELECT v, bucket FROM e WHERE id = {query_id})
+SELECT e.id AS {id_col}, CAST(floor(({cos}) * 10000) AS BIGINT) AS cosine_c4
+FROM e JOIN q ON e.bucket = q.bucket
+ORDER BY cosine_c4 DESC, e.id
+LIMIT {k}
+"""

@@ -1,0 +1,304 @@
+"""Headline analytics queries — the aggregation/join/window/stats surface
+the Spark engine adds over the reference's record-at-a-time model (the
+reference's only aggregating sink is Stats, output/stats.go; everything
+else here comes from the DataFrame engine "for free" per SURVEY.md §2.6,
+but is part of this engine's query capability and the bench suite).
+
+Determinism: monetary aggregates run in exact DECIMAL(18,6) and are
+emitted as floor(x*10^k) BIGINT fixed-point (``*_c2`` cents / ``*_c6``
+micros — see functions/numeric.py for why doubles can't be compared
+across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from baker_spark.functions.numeric import cents, dec, micros
+from baker_spark.sinks.stats import Stats
+from baker_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------- flagship ---
+
+@query(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(floor(sum(CAST(l_quantity AS DECIMAL(18,6))) * 100) AS BIGINT) AS sum_qty_c2,
+       CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 100) AS BIGINT) AS sum_base_c2,
+       CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))) * 100) AS BIGINT) AS sum_disc_c2,
+       CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6)) * CAST(1 + l_tax AS DECIMAL(18,6))) * 100) AS BIGINT) AS sum_charge_c2,
+       CAST(floor(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000) AS BIGINT) // count(*) AS avg_qty_c6,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy two-key aggregation. The shipdate filter
+    and 8-column pruning push down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price = dec("l_quantity"), dec("l_extendedprice")
+    disc_price = price * dec(F.lit(1) - F.col("l_discount"))
+    charge = disc_price * dec(F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            cents(F.sum(qty)).alias("sum_qty_c2"),
+            cents(F.sum(price)).alias("sum_base_c2"),
+            cents(F.sum(disc_price)).alias("sum_disc_c2"),
+            cents(F.sum(charge)).alias("sum_charge_c2"),
+            F.expr(
+                "CAST(floor(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000) AS BIGINT) div count(*)"
+            ).alias("avg_qty_c6"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+SELECT o.o_orderkey,
+       CAST(floor(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l.l_discount AS DECIMAL(18,6))) * 100) AS BIGINT) AS revenue_c2,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue_c2 DESC, o.o_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    customer is broadcast (small side); lineitem never shuffles twice."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(cents(F.sum(revenue)).alias("revenue_c2"))
+        .select(
+            "o_orderkey",
+            "revenue_c2",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue_c2"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+SELECT n.n_name AS nation,
+       CAST(floor(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l.l_discount AS DECIMAL(18,6))) * 100) AS BIGINT) AS revenue_c2
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: snowflake join with all dims broadcast — only the
+    lineitem<->orders join shuffles."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == F.col("s_nationkey")))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(cents(F.sum(revenue)).alias("revenue_c2"))
+    )
+
+
+# ---------------------------------------------------------------- windows ---
+
+@query(
+    "q_topk_per_group",
+    """
+SELECT event_type, event_id, rn FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+)
+def q_topk_per_group(spark, sf_dir):
+    """Top-K per group via window — the canonical 'argmax per key'."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "rn")
+    )
+
+
+@query(
+    "q_session_windows",
+    """
+WITH t AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_sec
+  FROM events
+),
+s AS (
+  SELECT user_id, sec,
+         sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+)
+SELECT user_id, session_id, count(*) AS n_events, min(sec) AS session_start
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_session_windows(spark, sf_dir):
+    """Sessionization: lag + cumulative-sum gap detection (30 min gap)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    new_sess = F.when(
+        F.lag("sec").over(w).isNull() | ((F.col("sec") - F.lag("sec").over(w)) > 1800), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("session_id", F.sum(new_sess).over(ws))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("sec").alias("session_start"))
+    )
+
+
+# ------------------------------------------------------------------ stats ---
+
+@query(
+    "q_stats_sizes",
+    """
+WITH sized AS (
+  SELECT length(concat_ws(',', CAST(event_id AS VARCHAR), event_type, props)) AS size
+  FROM events
+)
+SELECT count(*) AS n, min(size) AS min_size, max(size) AS max_size,
+       CAST(floor(CAST(sum(size) AS DECIMAL(18,6)) * 1000000) AS BIGINT) // count(*) AS avg_size_c6
+FROM sized
+""",
+)
+def q_stats_sizes(spark, sf_dir):
+    """The Stats sink's record-size distribution (output/stats.go:41-101)
+    over the serialized string record."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string"), "event_type", "props"
+    )
+    size = F.length(F.concat_ws(",", *[F.col(c) for c in ev.columns])).alias("size")
+    return ev.select(size).agg(
+        F.count("*").alias("n"),
+        F.min("size").alias("min_size"),
+        F.max("size").alias("max_size"),
+        F.expr(
+            "CAST(floor(CAST(sum(size) AS DECIMAL(18,6)) * 1000000) AS BIGINT) div count(*)"
+        ).alias("avg_size_c6"),
+    )
+
+
+@query(
+    "q_stats_quantiles",
+    """
+SELECT quantile_cont(CAST(length(props) AS DOUBLE), [0.25, 0.5, 0.75]) AS q
+FROM events
+""",
+)
+def q_stats_quantiles(spark, sf_dir):
+    """Exact percentiles (integer inputs -> exact lerp in both engines);
+    at 100 TB the engine swaps in percentile_approx (same sketch family
+    as the reference's perks/quantile, output/stats.go:16)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.percentile(F.length("props").cast("double"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q")
+    )
+
+
+@query(
+    "q_field_frequency",
+    """
+WITH f AS (SELECT event_type AS value, count(*) AS n FROM events GROUP BY event_type)
+SELECT value, n, n * 1000000 // (SELECT sum(n) FROM f) AS share_c6 FROM f
+""",
+)
+def q_field_frequency(spark, sf_dir):
+    """Stats sink per-field frequency distribution + share of total
+    (window aggregate without partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    freq = ev.groupBy(F.col("event_type").alias("value")).agg(F.count("*").alias("n"))
+    total = Window.partitionBy()
+    return freq.select(
+        "value", "n", F.expr("n * 1000000").cast("long").alias("_num"), F.sum("n").over(total).alias("_den")
+    ).select("value", "n", F.expr("_num div _den").alias("share_c6"))
+
+
+@query(
+    "q_cube_rollup",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_rollup(spark, sf_dir):
+    """Grouping-set aggregation (cube) — part of the added SQL surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+        )
+    )

@@ -1,0 +1,394 @@
+"""One correctness query per reference row-operator (SURVEY.md §2.2/§2.5),
+run over the driver's synthetic tables with a DuckDB oracle each.
+
+Conventions:
+- every computed column is aliased identically in Spark and SQL
+- doubles never flow through aggregation (see functions/numeric.py)
+- processing-time / metadata operators reduce to oracle-checkable
+  invariants (e.g. "every row got a url") since DuckDB can't see them
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from baker_spark import operators as ops
+from baker_spark.functions.hashing import duck_md5_long, md5_long
+from baker_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _events_str(spark, sf_dir):
+    """events in the baker data model: string fields, plus a string epoch."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("user_id").cast("string").alias("user_id_s"),
+        F.unix_timestamp(F.col("ts")).cast("string").alias("epoch_s"),
+        F.col("props"),
+    )
+
+
+# ---------------------------------------------------------------- filters ---
+
+@query(
+    "op_clausefilter",
+    "SELECT event_id, event_type FROM events "
+    "WHERE (event_type = 'click' OR event_type = 'error') AND NOT event_type = 'view'",
+)
+def op_clausefilter(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    clause = "(and (or (event_type click) (event_type error)) (not (event_type view)))"
+    return ops.ClauseFilter(clause).apply(df)
+
+
+@query(
+    "op_clearfields",
+    "SELECT event_id, '' AS event_type, CAST(user_id AS VARCHAR) AS user_id_s FROM events",
+)
+def op_clearfields(spark, sf_dir):
+    df = _events_str(spark, sf_dir).select("event_id", "event_type", "user_id_s")
+    return ops.ClearFields(["event_type"]).apply(df)
+
+
+@query(
+    "op_concatenate",
+    "SELECT c_custkey, concat(c_name, '|', c_mktsegment) AS ck FROM customer",
+)
+def op_concatenate(spark, sf_dir):
+    df = load_table(spark, sf_dir, "customer")
+    out = ops.Concatenate(["c_name", "c_mktsegment"], target="ck", separator="|").apply(df)
+    return out.select("c_custkey", "ck")
+
+
+@query(
+    "op_countandtag",
+    "SELECT event_type AS tag, count(*) AS n FROM events GROUP BY event_type",
+)
+def op_countandtag(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return ops.CountAndTag(metric="events_by_type", field="event_type").tag_counts(df)
+
+
+@query("op_crypt", "SELECT doc_id, text FROM documents")
+def op_crypt(spark, sf_dir):
+    # encrypt -> decrypt roundtrip; Fernet IVs are random but decrypt
+    # restores the plaintext exactly (crypt.go: drop-on-error preserved)
+    key = b"8Llfjrs9NM32AsE9PIeaFIdCRp8cSTwwI_Hw2B9QLuo="
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = ops.Crypt(src_field="text", dst_field="ct", key=key).apply(df)
+    dec = ops.Crypt(src_field="ct", dst_field="text", key=key, decrypt=True).apply(
+        enc.drop("text")
+    )
+    return dec.select("doc_id", "text")
+
+
+@query(
+    "op_dedup",
+    "SELECT user_id, event_type, min(event_id) AS event_id "
+    "FROM events GROUP BY user_id, event_type",
+)
+def op_dedup(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+    out = ops.Dedup(fields=["user_id", "event_type"], order_by="event_id").apply(df)
+    return out.select("user_id", "event_type", "event_id")
+
+
+@query(
+    "op_expandjson",
+    "SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events",
+)
+def op_expandjson(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events").select("event_id", "props")
+    out = ops.ExpandJSON(source="props", fields={"k": "k_val"}).apply(df)
+    return out.select("event_id", "k_val")
+
+
+@query(
+    "op_expandlist",
+    "SELECT doc_id, split_part(text, ' ', 1) AS w0, split_part(text, ' ', 3) AS w2 "
+    "FROM documents",
+)
+def op_expandlist(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = ops.ExpandList(source="text", fields={0: "w0", 2: "w2"}, separator=" ").apply(df)
+    return out.select("doc_id", "w0", "w2")
+
+
+@query(
+    "op_externalmatch_semi",
+    "SELECT event_id, event_type FROM events WHERE event_type IN ('click', 'view')",
+)
+def op_externalmatch_semi(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return ops.ExternalMatch(
+        field_name="event_type", values=["click", "view"], keep_on_match=True
+    ).apply(df)
+
+
+@query(
+    "op_externalmatch_anti",
+    "SELECT event_id, event_type FROM events WHERE event_type NOT IN ('click', 'view')",
+)
+def op_externalmatch_anti(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return ops.ExternalMatch(field_name="event_type", values=["click", "view"]).apply(df)
+
+
+@query(
+    "op_formattime",
+    "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt, "
+    "CAST(CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS VARCHAR) AS ms FROM events",
+)
+def op_formattime(spark, sf_dir):
+    df = _events_str(spark, sf_dir)
+    out = ops.FormatTime(src_field="epoch_s", dst_field="dt", src_format="unix", dst_format="DateTime").apply(df)
+    out = ops.FormatTime(src_field="epoch_s", dst_field="ms", src_format="unix", dst_format="unixms").apply(out)
+    return out.select("event_id", "dt", "ms")
+
+
+@query(
+    "op_hash",
+    "SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256 FROM customer",
+)
+def op_hash(spark, sf_dir):
+    df = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = ops.Hash(src_field="c_name", dst_field="h_md5", function="md5").apply(df)
+    out = ops.Hash(src_field="c_name", dst_field="h_sha256", function="sha256").apply(out)
+    return out.select("c_custkey", "h_md5", "h_sha256")
+
+
+@query(
+    "op_metadata_url",
+    "SELECT 'events.parquet' AS file, count(*) AS n FROM events",
+)
+def op_metadata_url(spark, sf_dir):
+    # oracle-checkable invariant: every row carries its source file url
+    df = load_table(spark, sf_dir, "events")
+    out = ops.MetadataUrl(dst_field="src_url").apply(df)
+    return (
+        out.select(F.element_at(F.split(F.col("src_url"), "/"), -1).alias("file"))
+        .groupBy("file")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("op_metadata_lastmodified", "SELECT count(*) AS n_rows_with_mtime FROM events")
+def op_metadata_lastmodified(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    out = ops.MetadataLastModified(dst_field="mtime").apply(df)
+    return out.filter(F.col("mtime").cast("long") > 0).agg(
+        F.count("*").alias("n_rows_with_mtime")
+    )
+
+
+@query(
+    "op_notnull",
+    "SELECT doc_id, lang FROM documents WHERE text IS NOT NULL AND text <> ''",
+)
+def op_notnull(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return ops.NotNull(["text"]).apply(df).select("doc_id", "lang")
+
+
+@query("op_partialclone", "SELECT doc_id, lang FROM documents")
+def op_partialclone(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return ops.PartialClone(fields=["doc_id", "lang"]).apply(df)
+
+
+@query(
+    "op_regexmatch",
+    "SELECT doc_id FROM documents WHERE regexp_matches(text, 'spark') "
+    "AND regexp_matches(lang, '^(en|de)$')",
+)
+def op_regexmatch(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    out = ops.RegexMatch(fields=["text", "lang"], regexs=["spark", "^(en|de)$"]).apply(df)
+    return out.select("doc_id")
+
+
+@query(
+    "op_regexmatch_invert",
+    "SELECT doc_id FROM documents WHERE NOT (regexp_matches(text, 'spark') "
+    "AND regexp_matches(lang, '^(en|de)$'))",
+)
+def op_regexmatch_invert(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    out = ops.RegexMatch(
+        fields=["text", "lang"], regexs=["spark", "^(en|de)$"], invert_match=True
+    ).apply(df)
+    return out.select("doc_id")
+
+
+@query(
+    "op_replacefields",
+    "SELECT c_custkey, c_name AS name_copy, 'tagged' AS tag FROM customer",
+)
+def op_replacefields(spark, sf_dir):
+    df = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name").withColumn(
+        "name_copy", F.lit("")
+    ).withColumn("tag", F.lit(""))
+    out = ops.ReplaceFields(
+        copy_fields=["c_name", "name_copy"], replace_fields=["tagged", "tag"]
+    ).apply(df)
+    return out.select("c_custkey", "name_copy", "tag")
+
+
+@query("op_setstringfromurl", "SELECT 'events' AS tbl, count(*) AS n FROM events")
+def op_setstringfromurl(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    out = ops.SetStringFromURL(field="tbl", strings=["events", "orders"]).apply(df)
+    return out.groupBy("tbl").agg(F.count("*").alias("n"))
+
+
+@query("op_slice", "SELECT p_partkey, substr(p_name, 1, 8) AS sliced FROM part")
+def op_slice(spark, sf_dir):
+    df = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    out = ops.Slice(src="p_name", dst="sliced", start_idx=0, end_idx=8).apply(df)
+    return out.select("p_partkey", "sliced")
+
+
+@query(
+    "op_stringmatch",
+    "SELECT event_id, event_type FROM events WHERE event_type NOT IN ('click', 'view')",
+)
+def op_stringmatch(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return ops.StringMatch(field="event_type", strings=["click", "view"]).apply(df)
+
+
+@query(
+    "op_stringmatch_invert",
+    "SELECT event_id, event_type FROM events WHERE event_type IN ('click', 'view')",
+)
+def op_stringmatch_invert(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return ops.StringMatch(
+        field="event_type", strings=["click", "view"], invert_match=True
+    ).apply(df)
+
+
+@query("op_timestamp", "SELECT count(*) AS n FROM events")
+def op_timestamp(spark, sf_dir):
+    # processing-time field: oracle-checkable invariant (set and sane)
+    df = load_table(spark, sf_dir, "events")
+    out = ops.Timestamp(field="proc_ts").apply(df)
+    return out.filter(F.col("proc_ts").cast("long") > 1600000000).agg(
+        F.count("*").alias("n")
+    )
+
+
+_TR_START = int(datetime(2024, 1, 3, tzinfo=timezone.utc).timestamp())
+_TR_END = int(datetime(2024, 1, 6, tzinfo=timezone.utc).timestamp())
+
+
+@query(
+    "op_timestamprange",
+    f"SELECT event_id FROM events WHERE CAST(floor(epoch(ts)) AS BIGINT) >= {_TR_START} "
+    f"AND CAST(floor(epoch(ts)) AS BIGINT) < {_TR_END}",
+)
+def op_timestamprange(spark, sf_dir):
+    df = _events_str(spark, sf_dir)
+    out = ops.TimestampRange(
+        field="epoch_s", start_datetime="2024-01-03 00:00:00", end_datetime="2024-01-06 00:00:00"
+    ).apply(df)
+    return out.select("event_id")
+
+
+@query("op_urlescape", "SELECT doc_id, substr(text, 1, 40) AS roundtrip FROM documents")
+def op_urlescape(spark, sf_dir):
+    # encode -> decode roundtrip (DuckDB has no url_encode to compare against)
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("snippet")
+    )
+    enc = ops.URLEscape(src_field="snippet", dst_field="escaped").apply(df)
+    dec = ops.URLEscape(src_field="escaped", dst_field="roundtrip", unescape=True).apply(enc)
+    return dec.select("doc_id", "roundtrip")
+
+
+@query(
+    "op_urlparam",
+    "SELECT event_id, event_type AS ty FROM events",
+)
+def op_urlparam(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("https://ex.com/t?uid="),
+            F.col("user_id").cast("string"),
+            F.lit("&ty="),
+            F.col("event_type"),
+        ).alias("url"),
+    )
+    out = ops.URLParam(src_field="url", dst_field="ty", param="ty").apply(df)
+    return out.select("event_id", "ty")
+
+
+# ----------------------------------------------------- topology operators ---
+
+@query(
+    "op_validation",
+    "SELECT doc_id, lang FROM documents WHERE regexp_matches(lang, '^en$')",
+)
+def op_validation(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return ops.Validation({"lang": "^en$"}).apply(df)
+
+
+@query(
+    "op_validation_quarantine",
+    "SELECT 'lang' AS field, count(*) AS n FROM documents "
+    "WHERE NOT regexp_matches(lang, '^en$')",
+)
+def op_validation_quarantine(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return ops.Validation({"lang": "^en$"}).invalid_counts(df)
+
+
+@query(
+    "op_sharding",
+    f"SELECT {duck_md5_long('CAST(user_id AS VARCHAR)')} % 8 AS shard, "
+    "count(*) AS n FROM events GROUP BY 1",
+)
+def op_sharding(spark, sf_dir):
+    # deterministic shard assignment: same key -> same shard, cross-engine
+    df = load_table(spark, sf_dir, "events")
+    shard = F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(8)).alias("shard")
+    return df.groupBy(shard).agg(F.count("*").alias("n"))
+
+
+@query(
+    "op_explode",
+    "SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n FROM documents",
+)
+def op_explode(spark, sf_dir):
+    # record fan-out: one row per word; count equals total word count
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = ops.Explode(source="text", dst="word", separator=" ").apply(df)
+    return out.agg(F.count("*").alias("n"))
+
+
+@query(
+    "op_fieldselect",
+    "SELECT event_id, value FROM events WHERE event_type = 'purchase'",
+)
+def op_fieldselect(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    df = ops.ClauseFilter("(event_type purchase)").apply(df)
+    return ops.FieldSelect(fields=["event_id", "value"]).apply(df)

@@ -1,0 +1,164 @@
+"""LLM-training-data pipeline queries: dedup family, similarity search,
+text analysis, multimodal plumbing — each with a DuckDB oracle built on
+the identical md5/fixed-point arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from baker_spark.datapipe import dedup, multimodal, text, vectors
+from baker_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------------------ dedup ---
+
+@query("dp_dedup_exact", dedup.duck_exact_dedup())
+def dp_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dp_dedup_fingerprint",
+    f"""
+SELECT min(doc_id) AS doc_id, {text.duck_fingerprint('text')} AS fp, count(*) AS n_dups
+FROM documents GROUP BY {text.duck_fingerprint('text')}
+""",
+)
+def dp_dedup_fingerprint(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return (
+        df.groupBy(text.fingerprint("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups"))
+        .select("doc_id", "fp", "n_dups")
+    )
+
+
+@query("dp_minhash_lsh_pairs", dedup.duck_lsh_pairs())
+def dp_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("dp_ngram_jaccard_pairs", dedup.duck_ngram_jaccard_pairs())
+def dp_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("dp_simhash", dedup.duck_simhash())
+def dp_simhash(spark, sf_dir):
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query("dp_simhash_pairs", dedup.duck_simhash_pairs())
+def dp_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------- similarity ---
+
+@query("dp_cosine_pairs", vectors.duck_cosine_pairs())
+def dp_cosine_pairs(spark, sf_dir):
+    return vectors.cosine_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("dp_ann_topk", vectors.duck_ann_topk())
+def dp_ann_topk(spark, sf_dir):
+    return vectors.ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("dp_ann_lsh_buckets", vectors.duck_lsh_buckets())
+def dp_ann_lsh_buckets(spark, sf_dir):
+    return vectors.lsh_buckets(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("dp_ann_topk_bucketed", vectors.duck_ann_topk_bucketed())
+def dp_ann_topk_bucketed(spark, sf_dir):
+    return vectors.ann_topk_bucketed(load_table(spark, sf_dir, "embeddings"))
+
+
+# ----------------------------------------------------------- text analysis ---
+
+@query(
+    "dp_langid",
+    f"""
+SELECT doc_id, lang, {text.duck_langid('text')} AS pred_lang FROM documents
+""",
+)
+def dp_langid(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", "lang", text.langid("text").alias("pred_lang"))
+
+
+_QUALITY = text.duck_quality_sql("text")
+
+
+@query(
+    "dp_quality",
+    f"""
+SELECT doc_id, {_QUALITY['n_words']} AS n_words, {_QUALITY['n_punct']} AS n_punct,
+       {_QUALITY['mean_word_len_c2']} AS mean_word_len_c2,
+       {_QUALITY['quality_ok']} AS quality_ok
+FROM documents
+""",
+)
+def dp_quality(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    flags = text.quality_flags("text")
+    return df.select("doc_id", *[c.alias(n) for n, c in flags.items()])
+
+
+@query(
+    "dp_token_counts",
+    """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(floor((length(text) + 3) / 4) AS BIGINT) AS n_bpe_est
+FROM documents
+""",
+)
+def dp_token_counts(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    n_ws, n_bpe = text.token_counts("text")
+    return df.select("doc_id", n_ws.alias("n_ws_tokens"), n_bpe.alias("n_bpe_est"))
+
+
+@query(
+    "dp_fingerprint",
+    f"SELECT doc_id, {text.duck_fingerprint('text')} AS fp FROM documents",
+)
+def dp_fingerprint(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+# -------------------------------------------------------------- multimodal ---
+
+@query(
+    "dp_multimodal_decode",
+    """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+       CAST(strlen(text) % 640 AS INTEGER) AS width,
+       CAST((strlen(text) * 7) % 480 AS INTEGER) AS height,
+       'fake/v1' AS format
+FROM documents
+""",
+)
+def dp_multimodal_decode(spark, sf_dir):
+    """Binary-column plumbing: pack text as binary payload, decode via
+    mapInPandas (decode itself is a deterministic stub — no media libs in
+    this env; the Spark machinery is the real artifact)."""
+    df = load_table(spark, sf_dir, "documents")
+    packed = multimodal.with_binary_payload(df)
+    return multimodal.decode_media(packed)

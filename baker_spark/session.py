@@ -35,6 +35,44 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute baker_spark to the session's Python workers.
+
+    A session created by an external harness won't have this repo on the
+    workers' PYTHONPATH; pandas UDFs (Crypt, multimodal decode, jmespath
+    fallback) reference module functions, so the package must travel with
+    the job. addPyFile is the cluster-correct mechanism (works the same
+    on a 1000-executor cluster as on local[32])."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), f"baker_spark_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for name in files:
+                    if name.endswith(".py"):
+                        full = os.path.join(root, name)
+                        rel = os.path.join(
+                            "baker_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. Spark Connect sessions; UDF-free operators still work
+    _SHIPPED_SESSIONS.add(key)
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (e.g. one the
     correctness driver created). Never raises on read-only confs."""
@@ -43,6 +81,7 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass
+    _ship_package(spark)
     return spark
 
 
