@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from baker_spark.datapipe.text import duck_word_shingles, word_shingles
 from baker_spark.functions.hashing import duck_md5_long, md5_long
+from baker_spark.session import fan_out
 
 
 # ---------------------------------------------------------------- exact ----
@@ -54,10 +55,16 @@ FROM {table} GROUP BY md5({text_col})
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """k md5-derived minhashes over distinct word n-gram shingles."""
-    shingled = (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s"))
-        .distinct()
+    """k md5-derived minhashes over distinct word n-gram shingles.
+
+    Shingles are deduped with array_distinct *before* exploding (narrow,
+    JVM-side) so the whole signature costs a single shuffle: explode ->
+    map-side partial min -> groupBy(doc). A row-level distinct here would
+    add a full extra shuffle for no semantic gain (min ignores dups
+    anyway, but array_distinct keeps the exploded row count down)."""
+    shingled = fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
     )
     aggs = [F.min(md5_long(F.col("s"), salt=str(i))).alias(f"m{i}") for i in range(k)]
     return shingled.groupBy(id_col).agg(*aggs)
@@ -74,6 +81,10 @@ def lsh_pairs(
     """Candidate near-duplicate pairs: docs sharing >= 1 LSH band.
     With k=16, b=4 (r=4) the jaccard threshold is ~(1/b)^(1/r) ~= 0.7."""
     r = k // bands
+    # persist: the band table feeds both sides of the self-join; without
+    # it the shingle->md5 pipeline (the expensive part) runs twice.
+    # Signatures are (id + k longs) — tiny relative to the corpus even at
+    # 100 TB, the standard LSH materialization point.
     sig = minhash_signature(df, text_col, id_col, k, shingle_n)
     band_structs = []
     for b in range(bands):
@@ -81,9 +92,11 @@ def lsh_pairs(
         band_structs.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("h"))
         )
-    bands_df = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bh")
-    ).select(id_col, "bh.band", "bh.h")
+    bands_df = (
+        sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bh"))
+        .select(id_col, "bh.band", "bh.h")
+        .persist()
+    )
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
     return (
@@ -139,10 +152,13 @@ def ngram_jaccard_pairs(
     """Exact jaccard over shingle sets via an inverted-index join (only
     pairs sharing a shingle are compared). jaccard emitted as floor(j*1e6)
     so both engines agree exactly."""
-    sh = (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s"))
-        .distinct()
-    )
+    # persisted: feeds the size table and both sides of the inverted-index
+    # join (3 consumers). Spills to disk if the shingle table outgrows
+    # memory — at extreme scale prefer the minhash tier anyway.
+    sh = fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -195,12 +211,13 @@ SIMHASH_BITS = 32
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit simhash over distinct words (md5-derived word hashes)."""
-    wordshash = (
-        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ", -1)).alias("w"))
-        .distinct()
-        .withColumn("h", md5_long(F.col("w"), nchars=8))  # 32-bit hash
-    )
+    """32-bit simhash over distinct words (md5-derived word hashes).
+    Words are deduped narrow-side (array_distinct) so only one shuffle —
+    the groupBy(doc) — remains."""
+    wordshash = fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " ", -1))).alias("w"),
+    ).withColumn("h", md5_long(F.col("w"), nchars=8))  # 32-bit hash
     sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -242,7 +259,9 @@ def simhash_pairs(
     equals brute force while shuffling only (band, key) ints.
     """
     assert max_hamming <= 3, "banded blocking guarantees recall only for hamming <= bands-1"
-    sig = simhash(df, text_col, id_col)
+    # persist: both sides of the band self-join read the signature; see
+    # lsh_pairs — signatures are tiny (id + 1 long) at any corpus scale.
+    sig = simhash(df, text_col, id_col).persist()
     bands = sig.select(
         F.col(id_col),
         F.col("simhash"),

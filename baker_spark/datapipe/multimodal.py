@@ -50,7 +50,11 @@ def decode_media(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
             out.insert(0, id_col, pdf[id_col].values)
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(decode_batches, DECODE_SCHEMA)
+    from baker_spark.session import fan_out
+
+    # decode is per-row expensive: make sure every core gets a partition
+    src = fan_out(df.select(id_col, payload_col))
+    return src.mapInPandas(decode_batches, DECODE_SCHEMA)
 
 
 def resize_stub(df: DataFrame, payload_col: str = "payload", max_bytes: int = 1024) -> DataFrame:

@@ -85,6 +85,18 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def fan_out(df, multiple: int = 1):
+    """Repartition ONLY when the scan produced fewer splits than the
+    cluster has slots (small files, single row-group parquet). On a real
+    cluster reading 100 TB the condition is false and this is a no-op —
+    no gratuitous shuffle; locally it unlocks all cores for
+    compute-heavy-per-row operators (minhash, simhash, UDF decode)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * multiple
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(app: str = "baker_spark", cpus: int | None = None) -> SparkSession:
     cpus = cpus or default_parallelism()
     builder = (

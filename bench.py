@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "records_per_sec": ...}
+
+The suite covers the engine's three workload families:
+- the reference's own shape: a record-at-a-time filter topology over the
+  string-cast lineitem (compare against BASELINE.md's 178k rec/s per
+  8 vCPU published number — here it's parquet->chain->gzip csv)
+- analytics: scan-agg (q1), broadcast joins (q3/q5), windows
+- document pipeline: exact + minhash-LSH dedup, simhash pairs, ANN top-k
+
+Each query is forced with a noop write (full materialization, no driver
+collect). A warmup action absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from baker_spark import operators as ops  # noqa: E402
+from baker_spark.queries import all_queries  # noqa: E402
+from baker_spark.session import fan_out, get_spark  # noqa: E402
+from baker_spark.sources.tables import load_table  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_topk_per_group",
+    "q_session_windows",
+    "q_cube_rollup",
+    "dp_dedup_exact",
+    "dp_minhash_lsh_pairs",
+    "dp_simhash_pairs",
+    "dp_ann_topk",
+    "dp_token_counts",
+]
+
+
+def baker_chain(spark, sf_dir):
+    """The reference's published topology shape: string records through a
+    filter chain to compressed files (README.md:111-120). lineitem rows
+    stand in for the ~4.5 KB log lines."""
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))  # ≈ [filterchain] procs
+    df = li.select(*[F.col(c).cast("string").alias(c) for c in li.columns])
+    chain = [
+        ops.ClauseFilter("(or (l_returnflag A) (l_returnflag N))"),
+        ops.NotNull(["l_orderkey", "l_partkey"]),
+        ops.RegexMatch(fields=["l_linenumber"], regexs=["^[0-9]+$"]),
+        ops.Concatenate(["l_orderkey", "l_linenumber"], target="line_id", separator="-"),
+        ops.Hash(src_field="line_id", dst_field="line_hash", function="md5"),
+        ops.TimestampRange(
+            field="l_quantity", start_datetime=None, end_datetime=None
+        ),  # parse-to-long predicate
+    ]
+    return ops.chain(df, chain)
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("baker_spark_bench")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    # warmup: JVM, codegen, parquet footer caches
+    load_table(spark, sf_dir, "lineitem").limit(1000).count()
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+
+    n_lineitem = load_table(spark, sf_dir, "lineitem").count()
+    out_dir = tempfile.mkdtemp(prefix="baker_bench_out_")
+    t0 = time.perf_counter()
+    # full reference topology analog: read -> filter chain -> gzip csv files
+    (
+        baker_chain(spark, sf_dir)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("quote", "")
+        .csv(os.path.join(out_dir, "csv_gz"))
+    )
+    timings["baker_filter_chain"] = round(time.perf_counter() - t0, 3)
+    records_per_sec = int(n_lineitem / timings["baker_filter_chain"])
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # best-of-2: the first run pays plan compilation/codegen; steady-state
+    # throughput is what the 100 TB projection needs
+    for name in BENCH_QUERIES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(queries[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "records_per_sec": records_per_sec,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
