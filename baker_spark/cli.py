@@ -1,0 +1,106 @@
+"""Command-line entry point — the analog of the reference's MainCLI
+(/root/reference/baker_cli.go:29-...): run a TOML topology, print
+component help, list components, or explain the physical plan.
+
+    python -m baker_spark run topology.toml
+    python -m baker_spark explain topology.toml
+    python -m baker_spark help ClauseFilter
+    python -m baker_spark list
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import sys
+
+
+def _registry():
+    from baker_spark.operators import REGISTRY
+
+    return REGISTRY
+
+
+def cmd_list() -> int:
+    print("Operators (filters):")
+    for name, cls in sorted(_registry().items()):
+        doc = (inspect.getdoc(cls) or "").splitlines()
+        print(f"  {cls.name:24s} {doc[0] if doc else ''}")
+    print("\nInputs: List (batch), FileStream/Rate (baker_spark.streaming)")
+    print("Outputs: FileWriter, Stats, SQLite, DynamoDB, Nop, OpLog, Recorder")
+    return 0
+
+
+def cmd_help(component: str) -> int:
+    cls = _registry().get(component.lower())
+    if cls is None:
+        print(f"unknown component {component!r}", file=sys.stderr)
+        return 1
+    print(f"### {cls.name}\n")
+    print(inspect.getdoc(cls) or "(no help)")
+    sig = inspect.signature(cls.__init__)
+    print("\nKeys:")
+    for p in list(sig.parameters.values())[1:]:
+        default = "" if p.default is inspect.Parameter.empty else f" (default: {p.default!r})"
+        print(f"  {p.name}{default}")
+    return 0
+
+
+def _compile(path: str):
+    from baker_spark.plans import compile_toml_file
+
+    return compile_toml_file(path)
+
+
+def cmd_run(path: str, cpus: int | None) -> int:
+    from baker_spark.session import get_spark
+
+    pipeline = _compile(path)
+    spark = get_spark("baker_spark_cli", cpus=cpus)
+    try:
+        result = pipeline.run(spark)
+        if result is not None and not isinstance(result, (str, list, dict, int)):
+            result.show(20, truncate=False)  # sink-less topology: show rows
+        elif result is not None:
+            print(result)
+    finally:
+        spark.stop()
+    return 0
+
+
+def cmd_explain(path: str) -> int:
+    from baker_spark.session import get_spark
+
+    pipeline = _compile(path)
+    spark = get_spark("baker_spark_explain", cpus=2)
+    try:
+        pipeline.dataframe(spark).explain("formatted")
+    finally:
+        spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="baker_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    run_p = sub.add_parser("run", help="run a TOML topology")
+    run_p.add_argument("toml")
+    run_p.add_argument("--cpus", type=int, default=None)
+    exp_p = sub.add_parser("explain", help="print the physical plan of a topology")
+    exp_p.add_argument("toml")
+    help_p = sub.add_parser("help", help="help for a component")
+    help_p.add_argument("component")
+    sub.add_parser("list", help="list registered components")
+
+    args = parser.parse_args(argv)
+    if args.cmd == "run":
+        return cmd_run(args.toml, args.cpus)
+    if args.cmd == "explain":
+        return cmd_explain(args.toml)
+    if args.cmd == "help":
+        return cmd_help(args.component)
+    return cmd_list()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

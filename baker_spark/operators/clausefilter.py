@@ -85,6 +85,10 @@ def compile_clause(node, columns: list[str] | None = None) -> Column:
 
 @register
 class ClauseFilter(Operator):
+    """Keep rows matching a boolean s-expression over field equality
+    atoms: (and ...) (or ...) (not ...) (field value); empty clause keeps
+    everything (/root/reference/filter/clausefilter.go:14-77)."""
+
     name = "ClauseFilter"
 
     def __init__(self, clause: str = ""):

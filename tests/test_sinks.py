@@ -1,0 +1,104 @@
+"""Sink tests: Stats report, SQLite writer, DynamoDB batching logic
+(with a fake client — mirrors the reference's sqsiface/s3iface fakes,
+SURVEY.md §5)."""
+
+import sqlite3
+
+from pyspark.sql import Row
+
+from baker_spark.sinks.dynamodb import DynamoDBWriter, write_batches
+from baker_spark.sinks.sqlite import SQLiteWriter
+from baker_spark.sinks.stats import Stats
+
+
+def test_stats_report(spark):
+    df = spark.createDataFrame(
+        [Row(f1="a", ts="100"), Row(f1="a", ts="200"), Row(f1="b", ts="300")]
+    )
+    stats = Stats(fields=["f1"], timestamp_field="ts", exact=True, quantiles=[0.5])
+    report = stats.write(df)
+    assert report["sizes"]["n"] == 3
+    freq = {r["value"]: r["n"] for r in report["freq:f1"]}
+    assert freq == {"a": 2, "b": 1}
+    assert report["times"]["min_ts"] == 100 and report["times"]["max_ts"] == 300
+    assert report["times"]["ts_quantiles"] == [200.0]
+
+
+def test_sqlite_writer(spark, tmp_path):
+    db = str(tmp_path / "out.sqlite3")
+    df = spark.createDataFrame([Row(a="1", b="x"), Row(a="2", b="y")])
+    SQLiteWriter(path=db, table="t", post_run=["CREATE INDEX idx_a ON t(a)"]).write(df)
+    con = sqlite3.connect(db)
+    rows = sorted(con.execute("SELECT a, b FROM t").fetchall())
+    assert rows == [("1", "x"), ("2", "y")]
+    # post-run hook executed
+    assert con.execute("SELECT count(*) FROM sqlite_master WHERE name='idx_a'").fetchone()[0] == 1
+    con.close()
+
+
+def test_sqlite_raw_column(spark, tmp_path):
+    db = str(tmp_path / "raw.sqlite3")
+    df = spark.createDataFrame([Row(a="1", b="x")])
+    SQLiteWriter(path=db, table="t", raw_column=True).write(df)
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT _record FROM t").fetchone()[0] == "1,x"
+    con.close()
+
+
+class FakeDynamo:
+    """Fake batch_write_item: records requests, fails the first batch once
+    (exercises the UnprocessedItems retry path, dyndb.go:366-389)."""
+
+    def __init__(self, fail_first=False):
+        self.items = []
+        self.calls = 0
+        self.fail_first = fail_first
+
+    def batch_write_item(self, RequestItems):
+        self.calls += 1
+        (table, puts), = RequestItems.items()
+        if self.fail_first and self.calls == 1:
+            # process none, return everything unprocessed
+            return {"UnprocessedItems": {table: puts}}
+        self.items.extend(p["PutRequest"]["Item"] for p in puts)
+        return {"UnprocessedItems": {}}
+
+
+def test_dynamodb_batching_and_types():
+    rows = [{"pk": str(i), "n_col": str(i * 2)} for i in range(60)]
+    client = FakeDynamo()
+    stats = write_batches(
+        rows, table="t", columns=["pk", "n_col"], types=["s", "n"], clients=[client]
+    )
+    assert stats["written"] == 60
+    assert client.calls == 3  # 25 + 25 + 10
+    assert client.items[0] == {"pk": {"S": "0"}, "n_col": {"N": "0"}}
+
+
+def test_dynamodb_dup_pk_skip_and_retry():
+    rows = [{"pk": "same"}, {"pk": "same"}, {"pk": "other"}]
+    client = FakeDynamo(fail_first=True)
+    stats = write_batches(rows, table="t", columns=["pk"], types=["s"], clients=[client])
+    assert stats["skipped_dup_pk"] == 1
+    assert stats["retries"] == 1
+    assert stats["written"] == 2
+
+
+def test_dynamodb_writer_with_fake_client(spark):
+    df = spark.createDataFrame([Row(pk="a", v="1"), Row(pk="b", v="2")]).coalesce(1)
+    collected = []
+
+    class Holder(FakeDynamo):
+        def batch_write_item(self, RequestItems):
+            r = super().batch_write_item(RequestItems)
+            collected.extend(self.items)
+            return r
+
+    writer = DynamoDBWriter(
+        table="t", columns=["s:pk", "s:v"], client_factory=lambda regions: [Holder()]
+    )
+    writer.write(df)
+    # foreachPartition runs on executors; rows reached the fake client
+    # (collected is driver-side only in local mode, so just assert no error
+    # and the column validation path)
+    assert writer._names == ["pk", "v"] and writer._types == ["s", "s"]

@@ -1,0 +1,117 @@
+"""Streaming (daemon-mode) tests: file-arrival source through the batch
+operator chain, streaming dedup with watermark, windowed counts.
+``processAllAvailable`` drives the stream to completion synchronously."""
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from baker_spark import operators as ops
+from baker_spark.streaming.daemon import (
+    FileStreamSource,
+    StreamingDedup,
+    StreamingPipeline,
+    windowed_counts,
+)
+
+
+def _write_csv(path, rows):
+    with open(path, "w") as fh:
+        fh.write("\n".join(rows) + "\n")
+
+
+def test_file_stream_with_operator_chain(spark, tmp_path):
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    _write_csv(src_dir / "a.csv", ["1,click,u1", "2,view,u2", "3,click,u3"])
+
+    pipe = StreamingPipeline(
+        source=FileStreamSource(str(src_dir), fields=["id", "etype", "user"]),
+        ops=[
+            ops.ClauseFilter("(etype click)"),
+            ops.Hash(src_field="user", dst_field="uh", function="md5"),
+        ],
+        fields=["id", "etype", "uh"],
+    )
+    q = pipe.start_memory(spark, "stream_out")
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT id, etype FROM stream_out").collect()}
+        assert got == {("1", "click"), ("3", "click")}
+
+        # daemon behavior: a newly arriving file is picked up incrementally
+        _write_csv(src_dir / "b.csv", ["4,click,u4"])
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) n FROM stream_out").collect()[0].n
+        assert n == 3
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_and_gz(spark, tmp_path):
+    src_dir = tmp_path / "gz_in"
+    src_dir.mkdir()
+    with gzip.open(src_dir / "a.csv.gz", "wt") as fh:
+        fh.write("2024-01-01 00:00:00,k1\n2024-01-01 00:00:00,k1\n2024-01-01 00:01:00,k2\n")
+
+    pipe = StreamingPipeline(
+        source=FileStreamSource(str(src_dir), fields=["ts", "key"]),
+        ops=[],
+    )
+    df = pipe.dataframe(spark).withColumn("ts", F.col("ts").cast("timestamp"))
+    dedup = StreamingDedup(fields=["key"], event_time_col="ts").apply(df)
+    q = dedup.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        keys = sorted(r.key for r in spark.sql("SELECT key FROM dedup_out").collect())
+        assert keys == ["k1", "k2"]
+    finally:
+        q.stop()
+
+
+def test_windowed_counts(spark, tmp_path):
+    src_dir = tmp_path / "win_in"
+    src_dir.mkdir()
+    _write_csv(
+        src_dir / "a.csv",
+        [
+            "2024-01-01 00:00:30,click",
+            "2024-01-01 00:01:30,click",
+            "2024-01-01 00:07:00,view",
+        ],
+    )
+    src = FileStreamSource(str(src_dir), fields=["ts", "etype"])
+    df = src.dataframe(spark).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_counts(df, "ts", window="5 minutes", group_cols=["etype"])
+    q = agg.writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT etype, n FROM win_out ORDER BY etype").collect()
+        assert [(r.etype, r.n) for r in rows] == [("click", 2), ("view", 1)]
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_reuses_batch_sink(spark, tmp_path):
+    from baker_spark.sinks.simple import Nop
+
+    src_dir = tmp_path / "fb_in"
+    src_dir.mkdir()
+    _write_csv(src_dir / "a.csv", ["1,x", "2,y"])
+
+    class CollectSink:
+        rows = []
+
+        def write(self, df):
+            self.rows.extend(tuple(r) for r in df.collect())
+
+    sink = CollectSink()
+    pipe = StreamingPipeline(source=FileStreamSource(str(src_dir), fields=["id", "v"]))
+    q = pipe.start_foreach_batch(spark, sink, checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        assert sorted(sink.rows) == [("1", "x"), ("2", "y")]
+    finally:
+        q.stop()
+    assert isinstance(Nop(), object)  # batch sinks importable for streaming reuse
