@@ -1,0 +1,140 @@
+"""Metrics & per-second stats — the reference publishes pipeline stats
+every second (read/written/error counts, per-filter drops,
+/root/reference/stats.go:51-218) through a pluggable metrics client
+(metrics.go:12-84) with a Datadog backend (metrics/datadog/).
+
+Spark equivalents wired here:
+
+- ``observe()`` named metrics on DataFrames (CountAndTag uses this) are
+  collected by a ``QueryExecutionListener`` for free during real actions
+- ``StatsDumper`` samples the status tracker once per second and emits a
+  one-line progress string — the analog of the reference's console dump
+  (testdata/TestStatsDumper.stdout.golden shape)
+- ``MetricsClient`` is the pluggable protocol; ``LogMetrics`` prints,
+  ``StatsdMetrics`` speaks plain UDP statsd (the protocol Datadog's agent
+  ingests) with no external dependency
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+from dataclasses import dataclass, field
+
+
+class MetricsClient:
+    """Protocol mirror of the reference's metrics.Client (metrics.go)."""
+
+    def gauge(self, name: str, value: float, tags: list[str] | None = None) -> None: ...
+
+    def delta_count(self, name: str, delta: int, tags: list[str] | None = None) -> None: ...
+
+    def histogram(self, name: str, value: float, tags: list[str] | None = None) -> None: ...
+
+
+@dataclass
+class LogMetrics(MetricsClient):
+    lines: list[str] = field(default_factory=list)
+    echo: bool = False
+
+    def _emit(self, kind, name, value, tags):
+        line = f"{kind} {name}={value} tags={tags or []}"
+        self.lines.append(line)
+        if self.echo:
+            print(line)
+
+    def gauge(self, name, value, tags=None):
+        self._emit("gauge", name, value, tags)
+
+    def delta_count(self, name, delta, tags=None):
+        self._emit("count", name, delta, tags)
+
+    def histogram(self, name, value, tags=None):
+        self._emit("histogram", name, value, tags)
+
+
+@dataclass
+class StatsdMetrics(MetricsClient):
+    """Dependency-free statsd/Datadog-agent emitter (UDP, fire-and-forget
+    like the reference's Datadog client)."""
+
+    host: str = "127.0.0.1"
+    port: int = 8125
+    prefix: str = "baker_spark."
+
+    def __post_init__(self):
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def _send(self, payload: str, tags):
+        if tags:
+            payload += "|#" + ",".join(tags)
+        try:
+            self._sock.sendto(payload.encode(), (self.host, self.port))
+        except OSError:
+            pass  # metrics must never take the pipeline down
+
+    def gauge(self, name, value, tags=None):
+        self._send(f"{self.prefix}{name}:{value}|g", tags)
+
+    def delta_count(self, name, delta, tags=None):
+        self._send(f"{self.prefix}{name}:{delta}|c", tags)
+
+    def histogram(self, name, value, tags=None):
+        self._send(f"{self.prefix}{name}:{value}|h", tags)
+
+
+class StatsDumper:
+    """Per-second pipeline stats line (stats.go:197-218 prints one line a
+    second with records/sec and totals). Samples Spark's status tracker;
+    start()/stop() bracket an action."""
+
+    def __init__(self, spark, client: MetricsClient | None = None, interval: float = 1.0):
+        self.spark = spark
+        self.client = client or LogMetrics(echo=True)
+        self.interval = interval
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _loop(self):
+        tracker = self.spark.sparkContext.statusTracker()
+        t0 = time.time()
+        while not self._stop.wait(self.interval):
+            active = tracker.getActiveJobsIds()
+            stages = tracker.getActiveStageIds()
+            elapsed = int(time.time() - t0)
+            self.client.gauge("active_jobs", len(active))
+            self.client.gauge("active_stages", len(stages))
+            if isinstance(self.client, LogMetrics):
+                self.client.lines.append(
+                    f"Stats: 1s[{len(active)} jobs {len(stages)} stages] "
+                    f"tot[{elapsed}s elapsed]"
+                )
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=2)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def collect_observations(ops: list) -> dict:
+    """Gather CountAndTag observed counters after an action — the free
+    side-channel the reference publishes per-filter stats through
+    (api.go FilterStats / stats.go NumProcessedLines)."""
+    out = {}
+    for op in ops:
+        getter = getattr(op, "metric_value", None)
+        if callable(getter):
+            out[op.metric] = getter()
+    return out

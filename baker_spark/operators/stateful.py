@@ -105,6 +105,7 @@ class CountAndTag(Operator):
 
     def __init__(self, metric: str, field: str, default_value: str = "unknown"):
         self.metric, self.field, self.default = metric, field, default_value
+        self.observation = None  # set per apply(); .get after an action
 
     def tag_column(self) -> Column:
         return F.coalesce(F.nullif(F.col(self.field).cast("string"), F.lit("")), F.lit(self.default)).alias("tag")
@@ -113,10 +114,17 @@ class CountAndTag(Operator):
         return df.groupBy(self.tag_column()).agg(F.count("*").alias("n"))
 
     def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Observation
+
         try:
-            return df.observe(self.metric, F.count(F.lit(1)).alias("count"))
+            self.observation = Observation()
+            return df.observe(self.observation, F.count(F.lit(1)).alias("count"))
         except Exception:
-            return df  # observation name reuse in one plan — metric skipped
+            return df  # e.g. streaming DataFrames — metric skipped
+
+    def metric_value(self) -> dict:
+        """Observed counters after an action ran (free — no extra pass)."""
+        return self.observation.get if self.observation is not None else {}
 
 
 @register

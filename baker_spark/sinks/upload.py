@@ -1,0 +1,63 @@
+"""Upload stage (/root/reference/upload/s3.go:22-52).
+
+The reference's S3 upload watches a staging directory that FileWriter
+rotates files into and pushes them to s3://bucket/prefix with retries.
+On Spark this stage is usually UNNECESSARY: ``df.write`` targets
+``s3a://`` directly with committer-based atomicity, so the idiomatic
+topology writes straight to the destination (SURVEY.md §2.4).
+
+``S3Upload`` exists for the one real use left — post-hoc copying of
+sink-produced local artifacts (e.g. per-shard SQLite files) — and is a
+driver-side hook, not a distributed job. boto3 is not bundled in this
+environment; a client (or any callable uploader) is injected, and the
+retry/drain semantics of the reference are preserved.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+
+@dataclass
+class S3Upload:
+    source_base_path: str
+    bucket: str
+    prefix: str = ""
+    retries: int = 3
+    #: upload_fn(local_path, bucket, key) — injected (boto3's upload_file
+    #: has this exact signature via functools.partial)
+    upload_fn: Callable[[str, str, str], None] | None = None
+
+    def _default_upload(self):
+        try:
+            import boto3  # type: ignore
+        except ImportError as e:  # pragma: no cover — boto3 absent here
+            raise RuntimeError("boto3 not installed; pass upload_fn=") from e
+        client = boto3.client("s3")
+        return lambda path, bucket, key: client.upload_file(path, bucket, key)
+
+    def run(self) -> list[str]:
+        """Scan the staging dir and upload everything, with retries
+        (upload/s3.go:126-187,234-287). Returns uploaded keys."""
+        upload = self.upload_fn or self._default_upload()
+        uploaded = []
+        for root, _dirs, files in os.walk(self.source_base_path):
+            for name in sorted(files):
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.source_base_path)
+                key = os.path.join(self.prefix, rel) if self.prefix else rel
+                delay = 0.1
+                for attempt in range(self.retries + 1):
+                    try:
+                        upload(full, self.bucket, key)
+                        uploaded.append(key)
+                        break
+                    except Exception:
+                        if attempt == self.retries:
+                            raise
+                        time.sleep(delay)
+                        delay *= 2
+        return uploaded
