@@ -159,7 +159,7 @@ def q5_local_supplier_volume(spark, sf_dir):
 @query(
     "q_topk_per_group",
     """
-SELECT event_type, event_id, rn FROM (
+SELECT event_type, event_id, CAST(rn AS INTEGER) AS rn FROM (
   SELECT event_type, event_id,
          row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
   FROM events
@@ -187,8 +187,8 @@ WITH t AS (
 ),
 s AS (
   SELECT user_id, sec,
-         sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
-             OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM t
 )
 SELECT user_id, session_id, count(*) AS n_events, min(sec) AS session_start
@@ -225,7 +225,8 @@ WITH sized AS (
   SELECT length(concat_ws(',', CAST(event_id AS VARCHAR), event_type, props)) AS size
   FROM events
 )
-SELECT count(*) AS n, min(size) AS min_size, max(size) AS max_size,
+SELECT count(*) AS n, CAST(min(size) AS INTEGER) AS min_size,
+       CAST(max(size) AS INTEGER) AS max_size,
        CAST(floor(CAST(sum(size) AS DECIMAL(18,6)) * 1000000) AS BIGINT) // count(*) AS avg_size_c6
 FROM sized
 """,
@@ -268,7 +269,7 @@ def q_stats_quantiles(spark, sf_dir):
     "q_field_frequency",
     """
 WITH f AS (SELECT event_type AS value, count(*) AS n FROM events GROUP BY event_type)
-SELECT value, n, n * 1000000 // (SELECT sum(n) FROM f) AS share_c6 FROM f
+SELECT value, n, CAST(n * 1000000 // (SELECT sum(n) FROM f) AS BIGINT) AS share_c6 FROM f
 """,
 )
 def q_field_frequency(spark, sf_dir):

@@ -89,17 +89,20 @@ def main() -> None:
 
     n_lineitem = load_table(spark, sf_dir, "lineitem").count()
     out_dir = tempfile.mkdtemp(prefix="baker_bench_out_")
-    t0 = time.perf_counter()
-    # full reference topology analog: read -> filter chain -> gzip csv files
-    (
-        baker_chain(spark, sf_dir)
-        .write.mode("overwrite")
-        .option("compression", "gzip")
-        .option("quote", "")
-        .csv(os.path.join(out_dir, "csv_gz"))
-    )
-    timings["baker_filter_chain"] = round(time.perf_counter() - t0, 3)
-    records_per_sec = int(n_lineitem / timings["baker_filter_chain"])
+    best = float("inf")
+    for i in range(2):
+        t0 = time.perf_counter()
+        # full reference topology analog: read -> filter chain -> gzip csv
+        (
+            baker_chain(spark, sf_dir)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .option("quote", "")
+            .csv(os.path.join(out_dir, f"csv_gz_{i}"))
+        )
+        best = min(best, time.perf_counter() - t0)
+    timings["baker_filter_chain"] = round(best, 3)
+    records_per_sec = int(n_lineitem / best)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # best-of-2: the first run pays plan compilation/codegen; steady-state
