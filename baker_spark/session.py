@@ -23,6 +23,9 @@ RUNTIME_CONFS = {
     # baker semantics: malformed values become empty/null, never errors
     # (e.g. TimestampRange drops non-integer epochs, timestamp_range.go:92)
     "spark.sql.ansi.enabled": "false",
+    # Slice cuts bytes, not chars (slice.go:13-16): decoding a cut
+    # mid-sequence must yield replacement chars, not an error
+    "spark.sql.legacy.codingErrorAction": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

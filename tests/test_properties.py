@@ -1,0 +1,100 @@
+"""Property-based tests: operator semantics vs direct Python models.
+The reference has no fuzz suite (SURVEY.md §5) — this goes beyond it.
+Batched: each example builds one small DataFrame and compares whole-
+result sets, keeping Spark round-trips per example to one job."""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+from baker_spark import operators as ops
+from baker_spark.operators.clausefilter import compile_clause, parse_sexpr
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+token = st.sampled_from(["a", "b", "cc", "dd", ""])
+
+
+@st.composite
+def clauses(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        field = draw(st.sampled_from(["f1", "f2"]))
+        value = draw(st.sampled_from(["a", "b", "cc", "zz"]))
+        return ["atom", field, value]
+    op = draw(st.sampled_from(["and", "or", "not"]))
+    n = 1 if op == "not" else draw(st.integers(0, 3))
+    return [op] + [draw(clauses(depth=depth + 1)) for _ in range(n)]
+
+
+def to_sexpr(node):
+    if node[0] == "atom":
+        return f"({node[1]} {node[2]})"
+    return "(" + node[0] + "".join(" " + to_sexpr(c) for c in node[1:]) + ")"
+
+
+def eval_model(node, rec):
+    """Python model of clausefilter.go:251-282."""
+    if node[0] == "atom":
+        return rec.get(node[1], "") == node[2]
+    if node[0] == "and":
+        return all(eval_model(c, rec) for c in node[1:]) if len(node) > 1 else False
+    if node[0] == "or":
+        return any(eval_model(c, rec) for c in node[1:]) if len(node) > 1 else True
+    return not eval_model(node[1], rec)
+
+
+@given(clause=clauses(), rows=st.lists(st.tuples(token, token), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_clausefilter_matches_model(spark, clause, rows):
+    text = to_sexpr(clause)
+    df = spark.createDataFrame([Row(f1=a, f2=b) for a, b in rows])
+    got = sorted(tuple(r) for r in ops.ClauseFilter(text).apply(df).collect())
+    want = sorted((a, b) for a, b in rows if eval_model(clause, {"f1": a, "f2": b}))
+    assert got == want, f"clause={text}"
+
+
+@given(
+    rows=st.lists(
+        st.text(alphabet=st.characters(codec="utf-8", exclude_characters="\x00"), max_size=20),
+        min_size=1,
+        max_size=6,
+    ),
+    start=st.integers(0, 12),
+    length=st.integers(0, 12),
+)
+@settings(**SETTINGS)
+def test_slice_matches_byte_model(spark, rows, start, length):
+    end = start + length
+    df = spark.createDataFrame([Row(s=v) for v in rows])
+    out = ops.Slice(src="s", dst="d", start_idx=start, end_idx=end).apply(df)
+    got = sorted((r.s, r.d) for r in out.collect())
+    want = sorted(
+        (v, v.encode()[start:end].decode("utf-8", errors="replace")) for v in rows
+    )
+    assert got == want
+
+
+@given(epochs=st.lists(st.integers(0, 4_000_000_000), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_format_time_roundtrip(spark, epochs):
+    df = spark.createDataFrame([Row(ts=str(e)) for e in epochs])
+    out = ops.FormatTime(src_field="ts", dst_field="dt", src_format="unix", dst_format="DateTime").apply(df)
+    out = ops.FormatTime(src_field="dt", dst_field="back", src_format="DateTime", dst_format="unix").apply(out)
+    assert sorted((r.ts, r.back) for r in out.collect()) == sorted((str(e), str(e)) for e in epochs)
+
+
+@given(
+    rows=st.lists(st.tuples(token, token), min_size=1, max_size=8),
+    strings=st.lists(st.sampled_from(["a", "b", "cc", "zz"]), min_size=1, max_size=3),
+    invert=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_stringmatch_matches_model(spark, rows, strings, invert):
+    df = spark.createDataFrame([Row(f1=a, f2=b) for a, b in rows])
+    out = ops.StringMatch(field="f1", strings=strings, invert_match=invert).apply(df)
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted((a, b) for a, b in rows if (a in strings) == invert)
+    assert got == want

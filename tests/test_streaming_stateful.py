@@ -1,0 +1,57 @@
+"""Custom stateful streaming operator tests (applyInPandasWithState)."""
+
+from baker_spark.streaming.daemon import FileStreamSource
+from baker_spark.streaming.stateful import running_counter, session_aggregator
+
+
+def _write(path, rows):
+    path.write_text("\n".join(rows) + "\n")
+
+
+def test_running_counter_across_batches(spark, tmp_path):
+    src = tmp_path / "rc_in"
+    src.mkdir()
+    _write(src / "a.csv", ["u1,10", "u1,5", "u2,1"])
+
+    df = FileStreamSource(str(src), fields=["user", "amount"]).dataframe(spark)
+    counted = running_counter(df, key_col="user", value_col="amount")
+    q = counted.writeStream.format("memory").queryName("rc_out").outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user: (r.running_count, r.running_sum)
+            for r in spark.sql("SELECT * FROM rc_out").collect()
+        }
+        assert got == {"u1": (2, 15.0), "u2": (1, 1.0)}
+
+        # second batch: state carries over between micro-batches
+        _write(src / "b.csv", ["u1,100"])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT running_count, running_sum FROM rc_out WHERE user='u1' ORDER BY running_count DESC"
+        ).collect()
+        assert (rows[0].running_count, rows[0].running_sum) == (3, 115.0)
+    finally:
+        q.stop()
+
+
+def test_session_aggregator_gap_split(spark, tmp_path):
+    src = tmp_path / "sa_in"
+    src.mkdir()
+    # two sessions for u1 within one batch (gap > 1800s between them)
+    _write(src / "a.csv", ["u1,1000", "u1,1100", "u1,9000", "u2,50"])
+
+    df = FileStreamSource(str(src), fields=["user", "sec"]).dataframe(spark)
+    sessions = session_aggregator(df, key_col="user", ts_col="sec", gap_seconds=1800)
+    q = sessions.writeStream.format("memory").queryName("sa_out").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r.user, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM sa_out").collect()
+        }
+        # the first u1 session closed because 9000 - 1100 > 1800;
+        # the second u1 session and u2's stay open in state
+        assert rows == {("u1", 1000, 1100, 2)}
+    finally:
+        q.stop()
