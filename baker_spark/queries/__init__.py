@@ -8,12 +8,12 @@ and ``ORACLES: dict[name, sql]``; this package aggregates them for
 
 from __future__ import annotations
 
-from baker_spark.queries import analytics, baker_ops, datapipe_queries
+from baker_spark.queries import analytics, baker_ops, datapipe_queries, extended
 
 
 def all_queries() -> dict:
     out = {}
-    for mod in (baker_ops, analytics, datapipe_queries):
+    for mod in (baker_ops, analytics, datapipe_queries, extended):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
@@ -23,6 +23,6 @@ def all_queries() -> dict:
 
 def all_oracles() -> dict:
     out = {}
-    for mod in (baker_ops, analytics, datapipe_queries):
+    for mod in (baker_ops, analytics, datapipe_queries, extended):
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,199 @@
+"""Extended analytics: as-of join, set operations, pivot, range join,
+IVF centroid assignment — operators beyond both the reference and plain
+group-by SQL, each expressed Spark-first with a DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from baker_spark.datapipe.vectors import as_double, cosine, duck_cosine
+from baker_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@query(
+    "q_asof_join",
+    """
+WITH purchases AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, v.sec AS last_view_sec
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND v.sec <= p.sec
+""",
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join — Spark has no native one (pyspark guide: bucketize or
+    merge_asof). This implementation COMPOSES existing ops instead of
+    dropping to Python: union both sides, one window pass per key carries
+    the latest 'view' timestamp forward onto each 'purchase' row. One
+    shuffle total, scales like any windowed aggregation.
+
+    Tie semantics: a view at exactly the purchase second counts (<=),
+    matching DuckDB ASOF. Window ordering is (sec, is_purchase, event_id)
+    so ties order views before purchases deterministically."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec"), "event_type"
+    )
+    both = ev.filter(F.col("event_type").isin("purchase", "view")).withColumn(
+        "is_purchase", (F.col("event_type") == "purchase").cast("int")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_sec = F.when(F.col("is_purchase") == 0, F.col("sec"))
+    carried = both.withColumn("last_view_sec", F.last(view_sec, ignorenulls=True).over(w))
+    return carried.filter(F.col("is_purchase") == 1).select(
+        "event_id", "user_id", "last_view_sec"
+    )
+
+
+@query(
+    "q_set_ops",
+    """
+SELECT 'both' AS tag, CAST(user_id AS BIGINT) AS uid FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT 'only_purchase' AS tag, CAST(user_id AS BIGINT) AS uid FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+""",
+)
+def q_set_ops(spark, sf_dir):
+    """Set operations (intersect / except / union) — absent from the
+    reference (SURVEY.md §2.6), native here."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    e = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = p.intersect(e).select(F.lit("both").alias("tag"), F.col("user_id").alias("uid"))
+    only = p.subtract(e).select(  # EXCEPT has set semantics, not exceptAll
+        F.lit("only_purchase").alias("tag"), F.col("user_id").alias("uid")
+    )
+    return both.unionAll(only)
+
+
+@query(
+    "q_pivot",
+    """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase
+FROM events GROUP BY user_id
+""",
+)
+def q_pivot(spark, sf_dir):
+    """Pivot with explicit values (no extra pass to discover columns —
+    the two-phase auto-pivot would scan twice at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .count()
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("click"),
+            F.coalesce("view", F.lit(0)).alias("view"),
+            F.coalesce("purchase", F.lit(0)).alias("purchase"),
+        )
+    )
+
+
+@query(
+    "q_range_join",
+    """
+WITH buckets(lo, hi, label) AS (
+  VALUES (0.0, 5.0, 'low'), (5.0, 15.0, 'mid'), (15.0, 1e9, 'high')
+)
+SELECT b.label, count(*) AS n
+FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.label
+""",
+)
+def q_range_join(spark, sf_dir):
+    """Range (theta) join against a tiny bucket table — broadcast turns
+    it into a per-row scan of 3 ranges, no shuffle of the fact side."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.sparkSession.createDataFrame(
+        [(0.0, 5.0, "low"), (5.0, 15.0, "mid"), (15.0, 1e9, "high")],
+        ["lo", "hi", "label"],
+    )
+    return (
+        ev.join(
+            F.broadcast(buckets),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _centroid_ids(k: int = 8) -> list[int]:
+    return list(range(k))
+
+
+@query(
+    "dp_ivf_assign",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         CAST(floor(({duck_cosine('e.v', 'c.cv')}) * 10000) AS BIGINT) AS sim_c4
+  FROM e, c
+),
+ranked AS (
+  SELECT vec_id, cid, sim_c4,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim_c4 DESC, cid) AS rn
+  FROM scored
+)
+SELECT vec_id, cid AS centroid_id, sim_c4 FROM ranked WHERE rn = 1
+""",
+)
+def dp_ivf_assign(spark, sf_dir):
+    """IVF-style coarse quantization: assign every vector to its nearest
+    of k seed centroids (here: the first 8 stored vectors — a real system
+    would k-means them; assignment mechanics are identical). The centroid
+    table is broadcast; at 100 TB this is one scan, no shuffle, and the
+    resulting centroid_id is the partition key for IVF-bucketed ANN."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    c = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cid",
+        F.floor(cosine(F.col("v"), F.col("cv")) * 10000).cast("long").alias("sim_c4"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim_c4"), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("centroid_id"), "sim_c4")
+    )
