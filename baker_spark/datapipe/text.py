@@ -104,6 +104,58 @@ def duck_quality_sql(expr: str) -> dict[str, str]:
     }
 
 
+def repetition_stats(col_name: str, n: int = 3) -> dict[str, Column]:
+    """Within-document repetition: distinct vs total n-gram shingles.
+    High repetition (boilerplate, generated spam) is a standard LLM
+    training-data removal signal. Fixed-point ratio keeps it exact."""
+    sh = word_shingles(col_name, n)
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    ratio = F.when(total > 0, F.floor((total - distinct) * 1000000 / total)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    return {
+        "n_shingles": total.cast("long"),
+        "n_distinct": distinct.cast("long"),
+        "rep_ratio_c6": ratio,
+    }
+
+
+def duck_repetition_sql(expr: str, n: int = 3) -> dict[str, str]:
+    sh = duck_word_shingles(expr, n)
+    total = f"len({sh})"
+    distinct = f"len(list_distinct({sh}))"
+    return {
+        "n_shingles": f"CAST({total} AS BIGINT)",
+        "n_distinct": f"CAST({distinct} AS BIGINT)",
+        "rep_ratio_c6": (
+            f"CAST(CASE WHEN {total} > 0 THEN floor(({total} - {distinct}) * 1000000 / {total}) "
+            f"ELSE 0 END AS BIGINT)"
+        ),
+    }
+
+
+def chunks(col_name: str, size: int = 32, step: int = 24) -> Column:
+    """Token-window chunking with overlap (size-step tokens) — the
+    document->training-sample split. Returns array<string> of chunks;
+    chunk i covers words [i*step+1, i*step+size]."""
+    w = words(col_name)
+    n = F.size(w)
+    n_chunks = F.floor((n - 1) / F.lit(step)) + 1
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * step + 1, size)),
+    )
+
+
+def duck_chunks(expr: str, size: int = 32, step: int = 24) -> str:
+    w = f"string_split({expr}, ' ')"
+    return (
+        f"[array_to_string(({w})[(i * {step} + 1):(i * {step} + {size})], ' ') "
+        f"for i in range(0, CAST(floor((len({w}) - 1) / {step}) AS BIGINT) + 1)]"
+    )
+
+
 def fingerprint(col_name: str) -> Column:
     """OpenRefine-style key-collision fingerprint: lowercase, strip
     non-alnum, sorted distinct words, md5. Catches reordered/near-identical

@@ -142,6 +142,43 @@ def dp_fingerprint(spark, sf_dir):
     return df.select("doc_id", text.fingerprint("text").alias("fp"))
 
 
+_REP = text.duck_repetition_sql("text")
+
+
+@query(
+    "dp_repetition",
+    f"""
+SELECT doc_id, {_REP['n_shingles']} AS n_shingles, {_REP['n_distinct']} AS n_distinct,
+       {_REP['rep_ratio_c6']} AS rep_ratio_c6
+FROM documents
+""",
+)
+def dp_repetition(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    stats = text.repetition_stats("text")
+    return df.select("doc_id", *[c.alias(n) for n, c in stats.items()])
+
+
+@query(
+    "dp_chunking",
+    f"""
+WITH c AS (
+  SELECT doc_id, unnest({text.duck_chunks('text')}) AS chunk,
+         generate_subscripts({text.duck_chunks('text')}, 1) - 1 AS chunk_idx
+  FROM documents
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk FROM c
+""",
+)
+def dp_chunking(spark, sf_dir):
+    """Document -> overlapping token-window training samples (32-word
+    chunks, 8-word overlap); posexplode keeps the chunk index."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", F.posexplode(text.chunks("text")).alias("chunk_idx", "chunk")
+    )
+
+
 # -------------------------------------------------------------- multimodal ---
 
 @query(
