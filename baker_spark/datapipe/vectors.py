@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
+from baker_spark.session import fan_out
+
 EMBED_DIM = 64
 N_PLANES = 8
 
@@ -56,9 +58,12 @@ def cosine_pairs(
 ) -> DataFrame:
     """All-pairs cosine >= threshold (brute force baseline — the LSH
     bucket variant below is the 100 TB path)."""
-    a = df.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    # the O(n^2) side must be pre-split: a broadcast nested-loop join
+    # inherits the LEFT side's partitioning, and a single-file scan would
+    # run the whole quadratic compare on one core
+    a = fan_out(df).select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     c4 = F.floor(cosine(F.col("va"), F.col("vb")) * 10000).cast("long")
     return pairs.select("id_a", "id_b", c4.alias("cosine_c4")).filter(
         F.col("cosine_c4") >= threshold_c4
@@ -92,7 +97,7 @@ def ann_topk(
     tie-break on id. The broadcast of the single query row means the scan
     side never shuffles."""
     q = df.filter(F.col(id_col) == query_id).select(as_double(vec_col).alias("qv"))
-    scored = df.crossJoin(F.broadcast(q)).select(
+    scored = fan_out(df).crossJoin(F.broadcast(q)).select(
         F.col(id_col),
         F.floor(cosine(as_double(vec_col), F.col("qv")) * 10000).cast("long").alias("cosine_c4"),
     )
@@ -129,6 +134,7 @@ def lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign bits of dot(v, plane_j)."""
     planes = planes or hyperplanes()
+    df = fan_out(df)  # 8 plane-dots per row: split the scan across cores
     v = as_double(vec_col)
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):

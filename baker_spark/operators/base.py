@@ -50,11 +50,21 @@ def _snake(key: str) -> str:
 
 def create(name: str, **config) -> Operator:
     """Instantiate an operator by (case-insensitive) name with TOML-style
-    CamelCase or snake_case config keys."""
+    CamelCase or snake_case config keys. Unknown keys are rejected like
+    the reference's config decode (config.go:404-406)."""
     cls = REGISTRY.get(name.lower())
     if cls is None:
         raise KeyError(f"unknown operator {name!r}; known: {sorted(REGISTRY)}")
-    return cls(**{_snake(k): v for k, v in config.items()})
+    kwargs = {_snake(k): v for k, v in config.items()}
+    try:
+        return cls(**kwargs)
+    except TypeError as e:
+        import inspect
+
+        valid = [p for p in inspect.signature(cls.__init__).parameters if p != "self"]
+        raise ValueError(
+            f"bad config for {cls.name}: {e}; valid keys: {valid}"
+        ) from e
 
 
 def is_empty(col: Column | str) -> Column:

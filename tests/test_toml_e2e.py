@@ -160,3 +160,11 @@ name="Recorder"
     pipeline = compile_toml(toml_text)
     records = pipeline.run(spark)
     assert len(records) == 4
+
+
+def test_bad_operator_config_rejected(spark):
+    import pytest
+    from baker_spark.operators import create
+
+    with pytest.raises(ValueError, match="valid keys"):
+        create("StringMatch", Field="f1", Strings=["x"], NoSuchKey=1)
