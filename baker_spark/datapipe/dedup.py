@@ -205,6 +205,84 @@ WHERE floor(shared * 1000000 / (na.n + nb.n - shared)) >= {threshold_c6}
 """
 
 
+# ------------------------------------------------------------- clusters ----
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-dup pairs into connected components; every doc gets a
+    cluster_id = min doc id in its component (singletons cluster with
+    themselves) and is_canonical marks the one survivor per cluster — the
+    standard final step of corpus dedup (keep where is_canonical).
+
+    Iterative min-label propagation: labels only ever decrease, so
+    sum(label) is a monotone convergence witness — one cheap agg action
+    per round instead of a change-count join. Rounds needed = component
+    diameter, which for near-dup clusters (star/clique shaped) is 2-3.
+    Per round the moving data is (id, label) longs — never the text —
+    and localCheckpoint truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        msgs = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("id")).alias("is_canonical"),
+    )
+
+
+def duck_dedup_clusters(
+    pairs_sql: str | None = None, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """Recursive-CTE oracle: propagate each label to neighbors (pruned to
+    labels smaller than the target — the component min always survives the
+    prune), then min per node."""
+    pairs_sql = pairs_sql or duck_lsh_pairs(table=table, id_col=id_col)
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT {id_col}, {id_col} FROM {table}
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id WHERE r.label < e.dst
+)
+SELECT id AS {id_col}, min(label) AS cluster_id, min(label) = id AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
 # -------------------------------------------------------------- simhash ----
 
 SIMHASH_BITS = 32

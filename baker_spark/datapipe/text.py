@@ -156,6 +156,41 @@ def duck_chunks(expr: str, size: int = 32, step: int = 24) -> str:
     )
 
 
+#: scrub patterns, ordered — URLs first (they may contain '@' and digit
+#: runs), then emails, then long digit runs (ids/phones). Each pattern is
+#: valid and identically-greedy in both Java regex (Spark) and RE2-style
+#: (DuckDB), which is what makes the oracle exact.
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^ ]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("longnum", r"[0-9]{7,}", "<NUM>"),
+]
+
+
+def scrub(col_name: str) -> dict[str, Column]:
+    """PII/noise redaction for training corpora: replace URLs, emails and
+    long digit runs with typed placeholder tokens, and count each kind
+    (the counts feed quality filtering — a doc that is mostly URLs is
+    boilerplate). Pure regexp_replace chain: JVM-side, no UDF."""
+    out: dict[str, Column] = {}
+    c: Column = F.col(col_name)
+    for name, pat, repl in SCRUB_PATTERNS:
+        out[f"n_{name}"] = F.regexp_count(c, F.lit(pat)).cast("long")
+        c = F.regexp_replace(c, pat, repl)
+    out["clean_text"] = c
+    return out
+
+
+def duck_scrub_sql(expr: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    e = expr
+    for name, pat, repl in SCRUB_PATTERNS:
+        out[f"n_{name}"] = f"CAST(len(regexp_extract_all({e}, '{pat}')) AS BIGINT)"
+        e = f"regexp_replace({e}, '{pat}', '{repl}', 'g')"
+    out["clean_text"] = e
+    return out
+
+
 def fingerprint(col_name: str) -> Column:
     """OpenRefine-style key-collision fingerprint: lowercase, strip
     non-alnum, sorted distinct words, md5. Catches reordered/near-identical

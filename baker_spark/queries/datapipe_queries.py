@@ -66,6 +66,16 @@ def dp_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@query("dp_dedup_clusters", dedup.duck_dedup_clusters())
+def dp_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: connected components over the
+    minhash-LSH candidate pairs (iterative min-label propagation; the
+    oracle is a recursive CTE), canonical survivor = min doc per
+    component — the final keep/drop decision of corpus dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(docs, dedup.lsh_pairs(docs))
+
+
 # ------------------------------------------------------------- similarity ---
 
 @query("dp_cosine_pairs", vectors.duck_cosine_pairs())
@@ -140,6 +150,23 @@ def dp_token_counts(spark, sf_dir):
 def dp_fingerprint(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+_SCRUB = text.duck_scrub_sql("text")
+
+
+@query(
+    "dp_scrub",
+    f"""
+SELECT doc_id, {_SCRUB['n_url']} AS n_url, {_SCRUB['n_email']} AS n_email,
+       {_SCRUB['n_longnum']} AS n_longnum, {_SCRUB['clean_text']} AS clean_text
+FROM documents
+""",
+)
+def dp_scrub(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    cols = text.scrub("text")
+    return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
 _REP = text.duck_repetition_sql("text")

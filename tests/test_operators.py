@@ -214,3 +214,30 @@ def test_registry_create():
     assert isinstance(op, ops.StringMatch) and op.invert
     with pytest.raises(KeyError):
         ops.create("NoSuchFilter")
+
+
+def test_dedup_clusters(spark):
+    from baker_spark.datapipe.dedup import dedup_clusters
+
+    docs = make_df(spark, [(i,) for i in range(1, 8)], ["doc_id"])
+    # chain 1-2-3 merges transitively; 4-5 pairs; 6,7 singletons
+    pairs = make_df(spark, [(1, 2), (2, 3), (4, 5)], ["doc_a", "doc_b"])
+    out = rows_to_tuples(dedup_clusters(docs, pairs))
+    assert out == [
+        (1, 1, True), (2, 1, False), (3, 1, False),
+        (4, 4, True), (5, 4, False),
+        (6, 6, True), (7, 7, True),
+    ]
+
+
+def test_scrub(spark):
+    from baker_spark.datapipe.text import scrub
+
+    df = make_df(
+        spark,
+        [("see https://ex.com/x?id=12345678 or mail a.b@ex.co id 123456789 ok",)],
+        ["text"],
+    )
+    row = df.select(*[c.alias(n) for n, c in scrub("text").items()]).collect()[0]
+    assert (row.n_url, row.n_email, row.n_longnum) == (1, 1, 1)
+    assert row.clean_text == "see <URL> or mail <EMAIL> id <NUM> ok"
