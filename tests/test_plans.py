@@ -1,0 +1,74 @@
+"""Physical-plan regression tests — the 100 TB guarantees are plan
+properties, not timings, so they are asserted directly:
+
+- predicate pushdown + column pruning reach the parquet scans
+- dimension joins broadcast (a sort-merge join on region/nation/customer
+  would shuffle the fact table at scale)
+- operator chains stay inside whole-stage codegen (no Python in the path)
+
+These mirror the manual `.explain("formatted")` audit; a change that
+silently plants a shuffle or un-prunes a scan fails here, long before a
+benchmark would notice at local scale.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+import bench
+from baker_spark.queries import all_queries
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    q = all_queries()
+
+    def plan(name):
+        df = bench.baker_chain(spark, SF_DIR) if name == "baker_filter_chain" else q[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    return plan
+
+
+def test_q1_pushdown_and_pruning(plans):
+    p = plans("q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p  # date filter reached the scan
+    assert "l_comment" not in p  # unused wide column pruned from ReadSchema
+    # (codegen ids are absent from pre-execution AQE plans; codegen
+    # coverage is implied by the operators being pure Column expressions)
+
+
+def test_join_queries_broadcast_not_shuffle(plans):
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume"):
+        p = plans(name)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name  # dims must never shuffle the fact side
+        assert "CartesianProduct" not in p, name
+
+
+def test_q3_scan_pruned_to_join_columns(plans):
+    p = plans("q3_shipping_priority")
+    # lineitem: 16 columns, the query needs 4
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double,l_shipdate" in p
+
+
+def test_filter_chain_pushdown(plans):
+    p = plans("baker_filter_chain")
+    assert "IsNotNull(l_orderkey)" in p  # NotNull op pushed through the string cast
+    assert "SortMergeJoin" not in p and "Exchange" in p  # only the fan_out repartition
+
+
+def test_lsh_join_is_hash_not_cartesian(plans):
+    p = plans("dp_minhash_lsh_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p  # band-key equi-join, not a theta join
+
+
+def test_ann_scan_prunes_to_vec_columns(plans):
+    p = plans("dp_ann_topk")
+    assert "EqualTo(vec_id,0)" in p  # query-row lookup pushed to the scan
