@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from baker_spark.functions.numeric import cents, dec, micros
+from baker_spark.functions.numeric import DEC, cents, dec, micros
 from baker_spark.sinks.stats import Stats
 from baker_spark.sources.tables import load_table
 
@@ -302,4 +302,63 @@ def q_cube_rollup(spark, sf_dir):
             F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
             "n",
         )
+    )
+
+
+@query(
+    "q_window_funcs",
+    """
+SELECT event_id, user_id,
+       CAST(floor((CAST(value AS DECIMAL(18,6)) -
+                   coalesce(lag(CAST(value AS DECIMAL(18,6)))
+                            OVER (PARTITION BY user_id ORDER BY event_id), 0)) * 100)
+            AS BIGINT) AS delta_c2,
+       CAST(floor(sum(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100)
+            AS BIGINT) AS moving3_c2,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq
+FROM events
+""",
+)
+def q_window_funcs(spark, sf_dir):
+    """Ordered-window surface: lag delta, 3-row moving sum, row_number —
+    one shuffle on user_id serves all three frames (same partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    w3 = w.rowsBetween(-2, 0)
+    v = dec("value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        cents(v - F.coalesce(F.lag(v).over(w), F.lit(0).cast(DEC))).alias("delta_c2"),
+        cents(F.sum(v).over(w3)).alias("moving3_c2"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+@query(
+    "q_salted_agg",
+    """
+SELECT event_type, count(*) AS n,
+       CAST(floor(sum(CAST(value AS DECIMAL(18,6))) * 100) AS BIGINT) AS sum_value_c2
+FROM events GROUP BY event_type
+""",
+)
+def q_salted_agg(spark, sf_dir):
+    """Skew-resistant two-phase aggregation: partial agg on
+    (key, salt = event_id % 16) spreads a hot key over 16 reducers, the
+    final agg combines 16 tiny partials. Provably equal to the direct
+    groupBy (the oracle IS the direct groupBy) — decimal sums are exact,
+    so regrouping cannot change the result. This is the salting pattern
+    for 100 TB hot-key distributions; Spark's AQE skew handling covers
+    joins but not aggregations, hence the explicit variant."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "_salt")
+        .agg(F.count("*").alias("pn"), F.sum(dec("value")).alias("psum"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), cents(F.sum("psum")).alias("sum_value_c2")
     )

@@ -115,3 +115,15 @@ def test_foreach_batch_reuses_batch_sink(spark, tmp_path):
     finally:
         q.stop()
     assert isinstance(Nop(), object)  # batch sinks importable for streaming reuse
+
+
+def test_queue_connectors_fail_with_clear_error(spark):
+    from baker_spark.streaming import KafkaSource, KinesisSource
+
+    for src in (KafkaSource("localhost:9092", "t"), KinesisSource("stream")):
+        try:
+            src.dataframe(spark)
+        except RuntimeError as e:
+            assert "connector jar" in str(e)
+        else:  # pragma: no cover - jar actually present
+            pass
