@@ -35,6 +35,10 @@ class Pipeline:
     sharding: str | None = None  # [output] sharding=... key field
     procs: int = 32  # [output] procs (config.go:205-212 default)
     sink: Any | None = None
+    #: [upload] stage — driver-side hook run after the sink completes
+    #: (the reference's uploader drains after outputs close,
+    #: topology.go:302-314); None for the idiomatic direct-to-s3a write
+    upload: Any | None = None
 
     def _source_df(self, spark: SparkSession) -> DataFrame:
         if isinstance(self.source, DataFrame):
@@ -59,4 +63,7 @@ class Pipeline:
         df = self.dataframe(spark)
         if self.sink is None:
             return df
-        return self.sink.write(df)
+        result = self.sink.write(df)
+        if self.upload is not None:
+            self.upload.run()
+        return result

@@ -30,10 +30,12 @@ import tomllib
 from baker_spark.operators import create as create_operator
 from baker_spark.operators.topology import Validation
 from baker_spark.pipeline import Pipeline
+from baker_spark.sinks.dynamodb import DynamoDBWriter
 from baker_spark.sinks.filewriter import FileWriter
 from baker_spark.sinks.simple import Nop, OpLog, Recorder
 from baker_spark.sinks.sqlite import SQLiteWriter
 from baker_spark.sinks.stats import Stats
+from baker_spark.sinks.upload import S3Upload
 from baker_spark.sources.list_source import ListSource
 
 DEFAULT_SEPARATOR = ","  # DefaultLogLineFieldSeparator (logline.go)
@@ -81,7 +83,29 @@ def _build_sink(section: dict, separator: str):
         return Stats(fields=cfg.get("fields", []), timestamp_field=cfg.get("timestamp_field"))
     if name == "sqlite":
         return SQLiteWriter(path=cfg.get("path_string", "out.sqlite3"), table=cfg.get("table_name", "records"))
+    if name == "dynamodb":
+        # output/dyndb.go:20-31 config keys: Regions, Table, Columns
+        return DynamoDBWriter(
+            table=cfg["table"],
+            columns=cfg["columns"],
+            regions=cfg.get("regions", ["us-west-2"]),
+            max_writes_per_sec=int(cfg.get("max_writes_per_sec", 0)),
+        )
     raise ValueError(f"unknown output {section.get('name')!r}")
+
+
+def _build_upload(section: dict):
+    name = section.get("name", "").lower()
+    cfg = _snake_keys(section.get("config", {}))
+    if name == "s3":
+        # upload/s3.go:22-52 config keys: SourceBasePath, Bucket, Prefix
+        return S3Upload(
+            source_base_path=cfg.get("source_base_path", "_out"),
+            bucket=cfg["bucket"],
+            prefix=cfg.get("prefix", ""),
+            retries=int(cfg.get("retries", 3)),
+        )
+    raise ValueError(f"unknown upload {section.get('name')!r}")
 
 
 def compile_toml(text: str, fields: list[str] | None = None) -> Pipeline:
@@ -109,6 +133,7 @@ def compile_toml(text: str, fields: list[str] | None = None) -> Pipeline:
 
     out = doc.get("output", {})
     sink = _build_sink(out, separator) if out else None
+    upload = doc.get("upload", {})
 
     return Pipeline(
         source=source,
@@ -117,6 +142,7 @@ def compile_toml(text: str, fields: list[str] | None = None) -> Pipeline:
         sharding=out.get("sharding") or None,
         procs=int(out.get("procs", 32)),
         sink=sink,
+        upload=_build_upload(upload) if upload else None,
     )
 
 

@@ -168,3 +168,58 @@ def test_bad_operator_config_rejected(spark):
 
     with pytest.raises(ValueError, match="valid keys"):
         create("StringMatch", Field="f1", Strings=["x"], NoSuchKey=1)
+
+
+def test_dynamodb_sink_from_toml():
+    from baker_spark.plans import compile_toml
+    from baker_spark.sinks.dynamodb import DynamoDBWriter
+
+    p = compile_toml(
+        """
+[fields]
+name_list=["k","v"]
+names=["k","v"]
+[input]
+name="List"
+[input.config]
+files=[]
+[output]
+name="DynamoDB"
+[output.config]
+Table="t"
+Columns=["s:k", "n:v"]
+Regions=["us-east-1"]
+MaxWritesPerSec=100
+"""
+    )
+    assert isinstance(p.sink, DynamoDBWriter)
+    assert p.sink.table == "t" and p.sink.regions == ["us-east-1"]
+    assert p.sink.max_writes_per_sec == 100
+
+
+def test_upload_stage_from_toml(spark, tmp_path):
+    from baker_spark.plans import compile_toml
+
+    toml_text = f"""
+[fields]
+names=["source","value","target"]
+[input]
+name="List"
+[input.config]
+files=["/root/reference/testdata/input.csv.zst"]
+[output]
+name="FileWriter"
+[output.config]
+PathString="{tmp_path}/staged/out.csv.gz"
+[upload]
+name="S3"
+[upload.config]
+SourceBasePath="{tmp_path}/staged"
+Bucket="bkt"
+Prefix="pre"
+"""
+    pipeline = compile_toml(toml_text)
+    sent = []
+    pipeline.upload.upload_fn = lambda path, bucket, key: sent.append((bucket, key))
+    pipeline.run(spark)
+    assert sent and all(b == "bkt" and k.startswith("pre/") for b, k in sent)
