@@ -226,3 +226,63 @@ def dp_multimodal_decode(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     packed = multimodal.with_binary_payload(df)
     return multimodal.decode_media(packed)
+
+
+# ---------------------------------------------------------- full pipeline ---
+
+_P_SCRUB = text.duck_scrub_sql("text")
+_P_CLEAN = _P_SCRUB["clean_text"]
+_P_Q = text.duck_quality_sql("clean_text")
+
+
+@query(
+    "dp_corpus_pipeline",
+    f"""
+WITH cleaned AS (
+  SELECT doc_id, {_P_CLEAN} AS clean_text FROM documents
+),
+flagged AS (
+  SELECT doc_id, clean_text, {text.duck_langid('clean_text')} AS lang,
+         CAST(floor((length(clean_text) + 3) / 4) AS BIGINT) AS n_bpe
+  FROM cleaned WHERE {_P_Q['quality_ok']}
+),
+survivors AS (
+  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+         arg_min(n_bpe, doc_id) AS n_bpe, count(*) AS n_dups
+  FROM flagged GROUP BY {text.duck_fingerprint('clean_text')}
+)
+SELECT lang, count(*) AS n_docs, sum(n_bpe) AS total_bpe_tokens,
+       CAST(sum(n_dups) - count(*) AS BIGINT) AS n_removed
+FROM survivors GROUP BY lang
+""",
+)
+def dp_corpus_pipeline(spark, sf_dir):
+    """The end-to-end training-corpus pipeline in one lineage:
+    scrub (PII/noise) -> quality gate -> fingerprint dedup (canonical =
+    min doc id, deterministic via min_by) -> per-language corpus stats.
+    Two shuffles total (dedup groupBy + final groupBy); everything before
+    them is narrow column work fused into one codegen stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.select("doc_id", text.scrub("text")["clean_text"].alias("clean_text"))
+    qf = text.quality_flags("clean_text")
+    n_bpe = text.token_counts("clean_text")[1]
+    flagged = (
+        cleaned.filter(qf["quality_ok"])
+        .select(
+            "doc_id",
+            "clean_text",
+            text.langid("clean_text").alias("lang"),
+            n_bpe.alias("n_bpe"),
+        )
+    )
+    survivors = flagged.groupBy(text.fingerprint("clean_text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_bpe", "doc_id").alias("n_bpe"),
+        F.count("*").alias("n_dups"),
+    )
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        (F.sum("n_dups") - F.count("*")).cast("long").alias("n_removed"),
+    )

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dp_ann_topk",
     "dp_token_counts",
     "dp_scrub",
+    "dp_corpus_pipeline",
 ]
 
 #: best-of-N: run 1 pays plan compilation + whole-stage codegen, run 2
