@@ -98,3 +98,59 @@ def test_stringmatch_matches_model(spark, rows, strings, invert):
     got = sorted(tuple(r) for r in out.collect())
     want = sorted((a, b) for a, b in rows if (a in strings) == invert)
     assert got == want
+
+
+# ------------------------------------------------------ oracle foundation ---
+
+text_strat = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="'\\\x00"),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(values=st.lists(text_strat, min_size=1, max_size=6, unique=True))
+@settings(**SETTINGS)
+def test_md5_long_cross_engine(spark, values):
+    """md5_long (Spark) == duck_md5_long (DuckDB) on arbitrary strings —
+    the identity every dedup/LSH oracle in the repo depends on."""
+    import duckdb
+
+    from baker_spark.functions.hashing import duck_md5_long, md5_long
+
+    df = spark.createDataFrame([Row(s=v) for v in values])
+    got = {r.s: r.h for r in df.select("s", md5_long("s").alias("h")).collect()}
+    con = duckdb.connect()
+    for v in values:
+        expected = con.execute(
+            f"SELECT {duck_md5_long('?::VARCHAR')}", [v]
+        ).fetchone()[0]
+        assert got[v] == expected, v
+    con.close()
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "x", ""]), min_size=0, max_size=7).map(" ".join),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+    n=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_word_shingles_cross_engine(spark, docs, n):
+    """word_shingles (Spark) == duck_word_shingles (DuckDB), including the
+    short-doc empty-array edge."""
+    import duckdb
+
+    from baker_spark.datapipe.text import duck_word_shingles, word_shingles
+
+    df = spark.createDataFrame([Row(t=d) for d in docs])
+    got = {r.t: r.sh for r in df.select("t", word_shingles("t", n).alias("sh")).collect()}
+    con = duckdb.connect()
+    for d in docs:
+        sql = f"SELECT {duck_word_shingles('?::VARCHAR', n)}"
+        expected = con.execute(sql, [d] * sql.count("?")).fetchone()[0]
+        assert got[d] == expected, (d, n)
+    con.close()
