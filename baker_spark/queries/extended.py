@@ -197,3 +197,32 @@ def dp_ivf_assign(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("centroid_id"), "sim_c4")
     )
+
+
+@query(
+    "q_unpivot",
+    """
+SELECT user_id, metric, CAST(n AS BIGINT) AS n FROM (
+  SELECT user_id,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+  FROM events GROUP BY user_id
+) UNPIVOT (n FOR metric IN (click, view))
+""",
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot (melt) — wide metrics back to long form. Narrow operation:
+    no shuffle beyond the feeding aggregation (DuckDB UNPIVOT drops NULL
+    rows; counts here are never NULL so the engines agree)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .count()
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("click"),
+            F.coalesce("view", F.lit(0)).alias("view"),
+        )
+    )
+    return wide.unpivot("user_id", ["click", "view"], "metric", "n")
