@@ -1,0 +1,81 @@
+"""Config-compatibility proof: every TOML topology shipped in the
+reference repo compiles with this engine's compiler, and the ones whose
+input fixtures are checked in actually run and produce the reference's
+expected records (e2e_test.go:20-86 golden semantics, order-insensitive
+because procs>1 never guaranteed order in the reference either,
+config.go:47-53).
+"""
+
+import glob
+import gzip
+import os
+
+import pytest
+
+from baker_spark.plans import compile_toml
+
+REF = "/root/reference"
+
+# topologies with no [fields] section get names programmatically, like the
+# reference's Components.FieldNames (desc.go:18-19)
+FIELDS = ["timestamp", "source", "target"]
+
+
+def _load(path, tmp_path):
+    text = open(path).read()
+    text = text.replace("testdata/", f"{REF}/testdata/")
+    text = text.replace('"_out/', f'"{tmp_path}/out/').replace('"./_out/', f'"{tmp_path}/out/')
+    return text
+
+
+ALL_TOMLS = sorted(
+    glob.glob(f"{REF}/testdata/*.toml")
+    + glob.glob(f"{REF}/examples/**/*.toml", recursive=True)
+    + glob.glob(f"{REF}/tutorials/**/*.toml", recursive=True)
+)
+
+
+@pytest.mark.parametrize("path", ALL_TOMLS, ids=[os.path.basename(p) for p in ALL_TOMLS])
+def test_reference_toml_compiles(path, tmp_path):
+    pipeline = compile_toml(_load(path, tmp_path), fields=FIELDS)
+    assert pipeline.source is not None
+
+
+def _run_and_read(spark, text, tmp_path):
+    compile_toml(text, fields=FIELDS).run(spark)
+    rows = []
+    for p in glob.glob(f"{tmp_path}/out/**/*.gz", recursive=True):
+        # NOT splitlines(): python treats \x1e (the 0x1e topology's field
+        # separator) as a line boundary, records are \n-framed only
+        rows += [r for r in gzip.open(p, "rt").read().split("\n") if r]
+    return sorted(rows)
+
+
+def test_advanced_csv_example_runs(spark, tmp_path):
+    """The reference's own e2e topology: ClauseFilter keeps rows where
+    timestamp=value5 or target=value6 (advanced_csv.golden)."""
+    text = _load(f"{REF}/testdata/advanced_csv_example.toml", tmp_path)
+    rows = _run_and_read(spark, text, tmp_path)
+    assert rows  # the golden keeps a nonzero subset
+    for r in rows:
+        f = r.split(",")
+        assert f[0] == "value5" or f[2] == "value6"
+
+
+def test_advanced_csv_example_0x1e_runs(spark, tmp_path):
+    """Same topology over the \\u001e-separated fixture ([csv]
+    field_separator, config.go:115-121)."""
+    text = _load(f"{REF}/testdata/advanced_csv_example_0x1e.toml", tmp_path)
+    rows = _run_and_read(spark, text, tmp_path)
+    assert rows
+    for r in rows:
+        f = r.split("")
+        assert len(f) == 3
+        assert f[0] == "value5" or f[2] == "value6"
+
+
+def test_basic_example_runs(spark, tmp_path):
+    """No-filter passthrough topology writes every input record."""
+    text = _load(f"{REF}/testdata/basic_example.toml", tmp_path)
+    rows = _run_and_read(spark, text, tmp_path)
+    assert len(rows) == 4  # input.csv.zst fixture rows
