@@ -226,3 +226,90 @@ def q_unpivot(spark, sf_dir):
         )
     )
     return wide.unpivot("user_id", ["click", "view"], "metric", "n")
+
+
+_IVF_NPROBE = 2
+_IVF_K = 10
+_IVF_QUERY = 42
+
+
+@query(
+    "dp_ivf_topk",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_IVF_QUERY}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY floor(({duck_cosine('e.v', 'c.cv')}) * 10000) DESC, c.cid
+           ) AS rn
+    FROM e, c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (
+             ORDER BY floor(({duck_cosine('c.cv', 'q.qv')}) * 10000) DESC, c.cid
+           ) AS rn
+    FROM c, q
+  ) WHERE rn <= {_IVF_NPROBE}
+)
+SELECT e.vec_id, CAST(floor(({duck_cosine('e.v', 'q.qv')}) * 10000) AS BIGINT) AS cosine_c4
+FROM e
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN probes p ON p.cid = a.cid
+CROSS JOIN q
+ORDER BY cosine_c4 DESC, e.vec_id
+LIMIT {_IVF_K}
+""",
+)
+def dp_ivf_topk(spark, sf_dir):
+    """IVF ANN search: rank the 8 coarse centroids against the query,
+    probe the best nprobe=2 cells, exact-score only the vectors assigned
+    there (~nprobe/k_cells of the corpus) — the standard recall/cost
+    dial. Centroids and the query row are broadcast; the only shuffle is
+    the assignment argmax, which a real deployment materializes once
+    (like dp_ivf_assign) and reuses across every query."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    c = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    q = e.filter(F.col("vec_id") == _IVF_QUERY).select(F.col("v").alias("qv"))
+
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "cid",
+        F.floor(cosine(F.col("v"), F.col("cv")) * 10000).cast("long").alias("sim_c4"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim_c4"), F.col("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+    wq = Window.partitionBy().orderBy(
+        F.desc(F.floor(cosine(F.col("cv"), F.col("qv")) * 10000)), F.col("cid")
+    )
+    probes = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("cid")
+    )
+
+    cands = e.join(assign, "vec_id").join(F.broadcast(probes), "cid")
+    return (
+        cands.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.floor(cosine(F.col("v"), F.col("qv")) * 10000).cast("long").alias("cosine_c4"),
+        )
+        .orderBy(F.desc("cosine_c4"), "vec_id")
+        .limit(_IVF_K)
+    )
