@@ -286,3 +286,25 @@ def dp_corpus_pipeline(spark, sf_dir):
         F.sum("n_bpe").alias("total_bpe_tokens"),
         (F.sum("n_dups") - F.count("*")).cast("long").alias("n_removed"),
     )
+
+
+_EMB_PAIRS = f"""
+SELECT id_a AS doc_a, id_b AS doc_b FROM ({vectors.duck_cosine_pairs(threshold_c4=4500)})
+"""
+
+
+@query(
+    "dp_embedding_dedup",
+    dedup.duck_dedup_clusters(pairs_sql=_EMB_PAIRS, table="embeddings", id_col="vec_id"),
+)
+def dp_embedding_dedup(spark, sf_dir):
+    """Embedding-space dedup: connected components over cosine>=0.45
+    near-dup pairs, canonical = min vec_id per cluster. The pair source
+    here is the brute-force compare (exact, fine at this SF); at corpus
+    scale swap in the LSH-bucketed pair generator — the cluster/survivor
+    machinery is identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = vectors.cosine_pairs(emb).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return dedup.dedup_clusters(emb, pairs, id_col="vec_id")
