@@ -290,23 +290,27 @@ SIMHASH_BITS = 32
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit simhash over distinct words (md5-derived word hashes).
-    Words are deduped narrow-side (array_distinct) so only one shuffle —
-    the groupBy(doc) — remains."""
-    wordshash = fan_out(df).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " ", -1))).alias("w"),
-    ).withColumn("h", md5_long(F.col("w"), nchars=8))  # 32-bit hash
-    sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    per_bit = wordshash.groupBy(id_col).agg(*sums)
+
+    Fully narrow: the distinct word-hash array and all 32 bit-sums are
+    per-row array folds (transform + aggregate), so computing signatures
+    over the whole corpus needs NO shuffle at all — the old
+    explode -> groupBy(doc) formulation moved (doc, 32 partials) through
+    an exchange that this version simply doesn't have. Integer sums are
+    order-independent, so the result is bit-identical."""
+    hashes = F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ", -1)),
+        lambda w: md5_long(w, nchars=8),  # 32-bit word hash
+    )
+    def bit_merge(j):
+        return lambda s, h: s + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     acc = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        acc = acc + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return per_bit.select(F.col(id_col), acc.alias("simhash"))
+        bit_sum = F.aggregate(hashes, F.lit(0), bit_merge(j))
+        acc = acc + F.when(bit_sum > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return fan_out(df).select(F.col(id_col), acc.alias("simhash"))
 
 
 def duck_simhash(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
