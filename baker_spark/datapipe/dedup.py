@@ -57,17 +57,22 @@ def minhash_signature(
 ) -> DataFrame:
     """k md5-derived minhashes over distinct word n-gram shingles.
 
-    Shingles are deduped with array_distinct *before* exploding (narrow,
-    JVM-side) so the whole signature costs a single shuffle: explode ->
-    map-side partial min -> groupBy(doc). A row-level distinct here would
-    add a full extra shuffle for no semantic gain (min ignores dups
-    anyway, but array_distinct keeps the exploded row count down)."""
-    shingled = fan_out(df).select(
+    Fully narrow: each minhash is a per-row array_min over the shingle
+    array — computing all signatures over the corpus shuffles NOTHING
+    (the former explode -> groupBy(doc) formulation exchanged one row per
+    doc; min over a set is the same either way). Docs with < n words have
+    no shingles and are excluded, exactly like rows that never came out
+    of the old explode (and like unnest in the DuckDB oracle)."""
+
+    def salted(i):
+        return lambda s: md5_long(s, salt=str(i))
+
+    shingles = F.array_distinct(word_shingles(text_col, shingle_n))
+    sig = fan_out(df).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
+        *[F.array_min(F.transform(shingles, salted(i))).alias(f"m{i}") for i in range(k)],
     )
-    aggs = [F.min(md5_long(F.col("s"), salt=str(i))).alias(f"m{i}") for i in range(k)]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return sig.filter(F.col("m0").isNotNull())
 
 
 def lsh_pairs(
