@@ -157,14 +157,19 @@ def ngram_jaccard_pairs(
     """Exact jaccard over shingle sets via an inverted-index join (only
     pairs sharing a shingle are compared). jaccard emitted as floor(j*1e6)
     so both engines agree exactly."""
-    # persisted: feeds the size table and both sides of the inverted-index
-    # join (3 consumers). Spills to disk if the shingle table outgrows
-    # memory — at extreme scale prefer the minhash tier anyway.
+    # persisted: feeds both sides of the inverted-index join. Spills to
+    # disk if the shingle table outgrows memory — at extreme scale prefer
+    # the minhash tier anyway.
     sh = fan_out(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
     ).persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    # set sizes come narrow from the array itself — the former
+    # groupBy(id).count() re-shuffled what F.size already knows per row
+    sizes = df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(word_shingles(text_col, shingle_n))).alias("n"),
+    )
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -362,3 +362,20 @@ def q_salted_agg(spark, sf_dir):
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"), cents(F.sum("psum")).alias("sum_value_c2")
     )
+
+
+@query(
+    "q_stats_timestamps",
+    """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_bucket,
+       count(*) AS n
+FROM events GROUP BY 1
+""",
+)
+def q_stats_timestamps(spark, sf_dir):
+    """The Stats sink's timestamp distribution (output/stats.go:165-231):
+    per-hour record counts — one map-side-combined shuffle on the
+    hour bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    return ev.groupBy(bucket.alias("hour_bucket")).agg(F.count("*").alias("n"))
