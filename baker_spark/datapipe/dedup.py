@@ -228,13 +228,16 @@ def dedup_clusters(
     themselves) and is_canonical marks the one survivor per cluster — the
     standard final step of corpus dedup (keep where is_canonical).
 
-    Iterative min-label propagation: labels only ever decrease, so
-    sum(label) is a monotone convergence witness — one cheap agg action
-    per round instead of a change-count join. Rounds needed = component
-    diameter, which for near-dup clusters (star/clique shaped) is 2-3.
-    Per round the moving data is (id, label) longs — never the text —
-    and localCheckpoint truncates the growing lineage so round N's plan
-    does not replay rounds 1..N-1.
+    Iterative min-label propagation over ONLY the pair-connected
+    subgraph — near-dup graphs are tiny relative to the corpus, so the
+    per-round state is |nodes in pairs|, not |docs|; the untouched
+    majority joins back at the end as singleton clusters via one
+    anti-join. Labels only ever decrease, so sum(label) is a monotone
+    convergence witness — one cheap agg action per round instead of a
+    change-count join. Rounds needed = component diameter (2-3 for
+    star/clique shaped dup clusters); per round the moving data is
+    (id, label) longs — never the text — and localCheckpoint truncates
+    the growing lineage so round N's plan does not replay rounds 1..N-1.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -242,7 +245,9 @@ def dedup_clusters(
         .persist()
     )
     labels = (
-        df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
@@ -261,11 +266,21 @@ def dedup_clusters(
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select(
+    clustered = labels.select(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("id")).alias("is_canonical"),
     )
+    singletons = (
+        df.select(id_col)
+        .join(clustered.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(True).alias("is_canonical"),
+        )
+    )
+    return clustered.union(singletons)
 
 
 def duck_dedup_clusters(
