@@ -66,3 +66,61 @@ def resize_stub(df: DataFrame, payload_col: str = "payload", max_bytes: int = 10
         return s.map(lambda b: None if b is None else b[:max_bytes])
 
     return df.withColumn(payload_col, truncate(F.col(payload_col)))
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    every: int = 4,
+) -> DataFrame:
+    """Video frame sampling plumbing: binary payload -> every Nth
+    fixed-size window as its own row (posexplode keeps the frame index).
+    The stub 'decoder' slices byte windows; a real one yields encoded
+    frames via pyav. Row explosion happens JVM-side after the pandas UDF
+    returns array<binary>, so batch shape stays Arrow-friendly."""
+
+    @F.pandas_udf("array<binary>")
+    def frames(s: pd.Series) -> pd.Series:
+        def cut(b):
+            if b is None:
+                return []
+            all_frames = [b[i : i + frame_bytes] for i in range(0, len(b), frame_bytes)]
+            return all_frames[::every]
+
+        return s.map(cut)
+
+    from baker_spark.session import fan_out
+
+    src = fan_out(df.select(id_col, payload_col))
+    return src.select(
+        F.col(id_col), F.posexplode(frames(F.col(payload_col))).alias("frame_idx", "frame")
+    )
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", dim: int = 8
+) -> DataFrame:
+    """Feature extraction plumbing: binary payload -> fixed-dim
+    array<float>. Stub derives features from byte sums over stripes (a
+    real extractor runs a vision/audio model per Arrow batch); output
+    column is directly consumable by datapipe.vectors (cosine / LSH /
+    IVF)."""
+
+    @F.pandas_udf(f"array<float>")
+    def feats(s: pd.Series) -> pd.Series:
+        def vec(b):
+            if b is None:
+                return [0.0] * dim
+            return [float(sum(b[j::dim]) % 997) for j in range(dim)]
+
+        return s.map(vec)
+
+    from baker_spark.session import fan_out
+
+    src = fan_out(df.select(id_col, payload_col))
+    return src.select(F.col(id_col), feats(F.col(payload_col)).alias("features"))

@@ -241,3 +241,18 @@ def test_scrub(spark):
     row = df.select(*[c.alias(n) for n, c in scrub("text").items()]).collect()[0]
     assert (row.n_url, row.n_email, row.n_longnum) == (1, 1, 1)
     assert row.clean_text == "see <URL> or mail <EMAIL> id <NUM> ok"
+
+
+def test_multimodal_frame_sample_and_features(spark):
+    from baker_spark.datapipe import multimodal
+
+    df = make_df(spark, [(1, "x" * 300), (2, "y" * 10), (3, None)], ["doc_id", "text"])
+    packed = multimodal.with_binary_payload(df.fillna({"text": ""}))
+    frames = multimodal.frame_sample(packed, frame_bytes=64, every=2)
+    rows = rows_to_tuples(frames.select("doc_id", "frame_idx"))
+    # doc 1: 300 bytes -> 5 windows -> every 2nd = 3 frames; doc 2: 1; doc 3 (empty): 0
+    assert [r[0] for r in rows] == [1, 1, 1, 2]
+    feats = multimodal.extract_features(packed).collect()
+    assert all(len(r.features) == 8 for r in feats)
+    by_id = {r.doc_id: r.features for r in feats}
+    assert by_id[1] != by_id[2]  # different payloads -> different features
