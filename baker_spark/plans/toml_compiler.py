@@ -37,6 +37,7 @@ from baker_spark.sinks.sqlite import SQLiteWriter
 from baker_spark.sinks.stats import Stats
 from baker_spark.sinks.upload import S3Upload
 from baker_spark.sources.list_source import ListSource
+from baker_spark.sources.structured import JsonLinesSource, ParquetSource
 
 DEFAULT_SEPARATOR = ","  # DefaultLogLineFieldSeparator (logline.go)
 
@@ -57,9 +58,17 @@ def _build_input(section: dict, fields: list[str], separator: str):
             separator=separator,
             match_path=cfg.get("match_path"),
         )
+    if name == "jsonlines":
+        return JsonLinesSource(
+            files=cfg.get("files", []), fields=fields, match_path=cfg.get("match_path")
+        )
+    if name == "parquet":
+        return ParquetSource(
+            files=cfg.get("files", []), fields=fields or None, match_path=cfg.get("match_path")
+        )
     raise ValueError(
-        f"unknown input {section.get('name')!r} (batch inputs: List; "
-        "streaming inputs live in baker_spark.streaming)"
+        f"unknown input {section.get('name')!r} (batch inputs: List, "
+        "JsonLines, Parquet; streaming inputs live in baker_spark.streaming)"
     )
 
 
@@ -113,7 +122,8 @@ def compile_toml(text: str, fields: list[str] | None = None) -> Pipeline:
     doc = tomllib.loads(text)
 
     names = fields or doc.get("fields", {}).get("names", [])
-    if not names:
+    input_name = doc.get("input", {}).get("name", "").lower()
+    if not names and input_name != "parquet":  # parquet is self-describing
         raise ValueError("[fields] names=[...] (or fields=) is required")
     if len(set(names)) != len(names):
         raise ValueError("duplicate field names")  # config.go:453-459

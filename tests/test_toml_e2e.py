@@ -223,3 +223,46 @@ Prefix="pre"
     pipeline.upload.upload_fn = lambda path, bucket, key: sent.append((bucket, key))
     pipeline.run(spark)
     assert sent and all(b == "bkt" and k.startswith("pre/") for b, k in sent)
+
+
+def test_jsonlines_source(spark, tmp_path):
+    import gzip as _gzip
+
+    from baker_spark.plans import compile_toml
+
+    p = tmp_path / "docs.jsonl.gz"
+    with _gzip.open(p, "wt") as fh:
+        fh.write('{"id": "1", "text": "hello world", "junk": 9}\n')
+        fh.write('{"id": "2", "text": "drop me"}\n')
+    toml_text = f"""
+[fields]
+names=["id","text"]
+[input]
+name="JsonLines"
+[input.config]
+files=["{p}"]
+[[filter]]
+name="StringMatch"
+[filter.config]
+Field="text"
+Strings=["drop me"]
+[output]
+name="Recorder"
+"""
+    records = compile_toml(toml_text).run(spark)
+    assert [tuple(r) for r in records] == [("1", "hello world")]
+
+
+def test_parquet_source(spark, tmp_path):
+    from baker_spark.plans import compile_toml
+
+    toml_text = """
+[input]
+name="Parquet"
+[input.config]
+files=["/root/testdata/sf0.001/region.parquet"]
+[output]
+name="Recorder"
+"""
+    records = compile_toml(toml_text).run(spark)
+    assert len(records) == 5  # region has 5 rows at every SF
