@@ -415,3 +415,61 @@ SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
 FROM sim a JOIN sim b ON a.{id_col} < b.{id_col}
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# ------------------------------------------------------ LSH + verification ----
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold_c6: int = 600000,
+) -> DataFrame:
+    """The scalable near-dup pipeline shape: cheap LSH candidate
+    generation, then exact jaccard ONLY on candidates (prune -> verify).
+    The quadratic compare never happens; the verify join touches
+    |candidates| pairs, each bringing its two shingle sets computed
+    narrowly at the scan."""
+    cands = lsh_pairs(df, text_col, id_col, k, bands, shingle_n)
+    sets_ = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    a = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sha"))
+    b = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("shb"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jac = F.floor(inter * 1000000 / union).cast("long")
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jaccard_c6"))
+        .filter(F.col("jaccard_c6") >= threshold_c6)
+    )
+
+
+def duck_lsh_verified_pairs(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold_c6: int = 600000,
+) -> str:
+    pairs = duck_lsh_pairs(table, text_col, id_col, k, bands, shingle_n)
+    sh = f"list_distinct({duck_word_shingles(text_col, shingle_n)})"
+    return f"""
+WITH cands AS ({pairs}),
+sets_ AS (SELECT {id_col}, {sh} AS sh FROM {table})
+SELECT c.doc_a, c.doc_b,
+       CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000 /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jaccard_c6
+FROM cands c
+JOIN sets_ a ON a.{id_col} = c.doc_a
+JOIN sets_ b ON b.{id_col} = c.doc_b
+WHERE floor(len(list_intersect(a.sh, b.sh)) * 1000000 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= {threshold_c6}
+"""

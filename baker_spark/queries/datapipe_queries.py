@@ -308,3 +308,9 @@ def dp_embedding_dedup(spark, sf_dir):
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     return dedup.dedup_clusters(emb, pairs, id_col="vec_id")
+
+
+@query("dp_lsh_verified_pairs", dedup.duck_lsh_verified_pairs())
+def dp_lsh_verified_pairs(spark, sf_dir):
+    """Prune -> verify: exact jaccard computed only on LSH candidates."""
+    return dedup.lsh_verified_pairs(load_table(spark, sf_dir, "documents"))
