@@ -111,7 +111,7 @@ def extract_features(
     column is directly consumable by datapipe.vectors (cosine / LSH /
     IVF)."""
 
-    @F.pandas_udf(f"array<float>")
+    @F.pandas_udf("array<float>")
     def feats(s: pd.Series) -> pd.Series:
         def vec(b):
             if b is None:

@@ -379,3 +379,31 @@ def q_stats_timestamps(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
     return ev.groupBy(bucket.alias("hour_bucket")).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_anti_join",
+    """
+SELECT o.o_orderkey, o.o_orderpriority
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > TIMESTAMP '1998-08-01 00:00:00'
+)
+  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+""",
+)
+def q_anti_join(spark, sf_dir):
+    """Fact-fact left_anti: 1998 orders with nothing shipped after
+    Aug 1998. Both sides prune at the scan (date pushdown); the anti
+    join shuffles only the filtered keys."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-08-01 00:00:00").cast("timestamp_ntz")
+    )
+    return o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_orderpriority")
