@@ -154,3 +154,40 @@ def test_word_shingles_cross_engine(spark, docs, n):
         expected = con.execute(sql, [d] * sql.count("?")).fetchone()[0]
         assert got[d] == expected, (d, n)
     con.close()
+
+
+scrub_word = st.sampled_from(
+    [
+        "see", "a.b@ex.co", "bob@x", "@", "http://x.io/p?q=1", "https://y",
+        "1234567", "123456", "mail.me", "a@b.cdef", "...", "x9y",
+    ]
+)
+
+
+@given(docs=st.lists(st.lists(scrub_word, min_size=0, max_size=8).map(" ".join), min_size=1, max_size=5, unique=True))
+@settings(**SETTINGS)
+def test_scrub_cross_engine(spark, docs):
+    """scrub (Spark/Java regex) == duck_scrub_sql (DuckDB/RE2-style) on
+    adversarial URL/email/number fragments."""
+    import duckdb
+
+    from baker_spark.datapipe.text import duck_scrub_sql, scrub
+
+    df = spark.createDataFrame([Row(t=d) for d in docs])
+    cols = scrub("t")
+    got = {
+        r.t: (r.n_url, r.n_email, r.n_longnum, r.clean_text)
+        for r in df.select("t", *[c.alias(n) for n, c in cols.items()]).collect()
+    }
+    con = duckdb.connect()
+    # $1 positional params: the patterns themselves contain '?', which
+    # would corrupt qmark-style parameter counting
+    sqls = duck_scrub_sql("$1::VARCHAR")
+    for d in docs:
+        sql = (
+            f"SELECT {sqls['n_url']} AS u, {sqls['n_email']} AS e, "
+            f"{sqls['n_longnum']} AS n, {sqls['clean_text']} AS c"
+        )
+        row = con.execute(sql, [d]).fetchone()
+        assert got[d] == row, d
+    con.close()
