@@ -147,7 +147,11 @@ class StreamingPipeline:
         """Production path: every micro-batch goes through a *batch* sink
         (FileWriter/SQLite/DynamoDB), so one sink implementation serves
         both modes — mirroring how the reference reuses output components
-        across one-shot and daemon topologies."""
+        across one-shot and daemon topologies.
+
+        File-based sinks must use mode="append": each micro-batch is a
+        separate write call, and the batch-default overwrite would clobber
+        every batch but the last (see examples/streaming_topology.py)."""
 
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
             batch_sink.write(batch_df)

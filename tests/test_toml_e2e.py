@@ -266,3 +266,26 @@ name="Recorder"
 """
     records = compile_toml(toml_text).run(spark)
     assert len(records) == 5  # region has 5 rows at every SF
+
+
+def test_unknown_components_rejected():
+    import pytest as _pytest
+
+    from baker_spark.plans import compile_toml
+
+    base = """
+[fields]
+names=["a"]
+[input]
+name="%s"
+[input.config]
+files=[]
+"""
+    with _pytest.raises(ValueError, match="unknown input"):
+        compile_toml(base % "NoSuchInput")
+    with _pytest.raises(ValueError, match="unknown output"):
+        compile_toml(base % "List" + '[output]\nname="NoSuchOutput"\n')
+    with _pytest.raises(ValueError, match="unknown upload"):
+        compile_toml(base % "List" + '[upload]\nname="NoSuchUpload"\n[upload.config]\nBucket="b"\n')
+    with _pytest.raises(ValueError, match="duplicate"):
+        compile_toml('[fields]\nnames=["a","a"]\n[input]\nname="List"\n[input.config]\nfiles=[]\n')
