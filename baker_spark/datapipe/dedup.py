@@ -273,7 +273,9 @@ def dedup_clusters(
     )
     singletons = (
         df.select(id_col)
-        .join(clustered.select(id_col), id_col, "left_anti")
+        # the clustered-id table is |nodes in pairs| — tiny next to the
+        # corpus, so the anti-join must broadcast it, never sort-merge
+        .join(F.broadcast(clustered.select(id_col)), id_col, "left_anti")
         .select(
             F.col(id_col),
             F.col(id_col).alias("cluster_id"),
@@ -440,7 +442,13 @@ def lsh_verified_pairs(
     )
     a = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sha"))
     b = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("shb"))
-    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    # LSH pruning makes |cands| << |corpus| by construction, so the
+    # candidate side is broadcast at each step and the shingle-set table
+    # is only ever scanned, never shuffled. (If candidates outgrew
+    # broadcast range the bands are too loose — tighten r, don't drop
+    # the hint.)
+    with_a = a.join(F.broadcast(cands), "doc_a")
+    joined = b.join(F.broadcast(with_a), "doc_b")
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
     jac = F.floor(inter * 1000000 / union).cast("long")

@@ -1,0 +1,68 @@
+"""Catalog-wide physical-plan audit: explain every queries() entry and
+flag scale anti-patterns before they cost anything at 100 TB.
+
+Usage: python tools/plan_audit.py [sf_dir]
+
+Flags:
+- CARTESIAN: CartesianProduct anywhere (never acceptable)
+- SMJ: SortMergeJoin (fine for fact-fact; suspicious when a side is tiny)
+- EXCH>N: more than N shuffle exchanges (broadcast exchanges excluded)
+- PYUDF: row-wise Python UDF in the plan (BatchEvalPython); Arrow-batched
+  pandas UDFs (ArrowEvalPython) are reported separately and are fine
+  where semantics require Python
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from baker_spark import get_spark  # noqa: E402
+
+MAX_EXCHANGES = 8
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    qs = E.queries()
+    bad = 0
+    for name in sorted(qs):
+        try:
+            p = plan_of(qs[name](spark, sf))
+        except Exception as e:  # noqa: BLE001 — iterative queries run jobs at build time
+            print(f"{name:28s} (not statically plannable: {type(e).__name__})")
+            continue
+        flags = []
+        if "CartesianProduct" in p:
+            flags.append("CARTESIAN")
+        if "SortMergeJoin" in p:
+            flags.append("SMJ")
+        n_exch = p.count("Exchange") - p.count("BroadcastExchange")
+        if n_exch > MAX_EXCHANGES:
+            flags.append(f"EXCH>{MAX_EXCHANGES}({n_exch})")
+        if "BatchEvalPython" in p:
+            flags.append("PYUDF")
+        arrow = " arrow-udf" if "ArrowEvalPython" in p or "MapInPandas" in p else ""
+        status = "FLAG " + ",".join(flags) if flags else "ok"
+        if flags:
+            bad += 1
+        print(f"{name:28s} {status}  exchanges={n_exch} bhj={p.count('BroadcastHashJoin')}{arrow}")
+    print(f"\n{bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
