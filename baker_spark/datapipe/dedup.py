@@ -179,9 +179,11 @@ def ngram_jaccard_pairs(
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     jac = F.floor(F.col("shared") * 1000000 / (F.col("na") + F.col("nb") - F.col("shared"))).cast("long")
+    # shared-pair table << corpus: broadcast it so the size table is
+    # scanned, not shuffled, at each enrichment join
+    with_a = na.join(F.broadcast(shared), "doc_a")
     return (
-        shared.join(na, "doc_a")
-        .join(nb, "doc_b")
+        nb.join(F.broadcast(with_a), "doc_b")
         .withColumn("jaccard_c6", jac)
         .filter(F.col("jaccard_c6") >= threshold_c6)
         .select("doc_a", "doc_b", "jaccard_c6")
