@@ -7,7 +7,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import Row, functions as F
 
 from baker_spark import operators as ops
-from baker_spark.operators.clausefilter import compile_clause, parse_sexpr
+
 
 SETTINGS = dict(
     max_examples=12,
