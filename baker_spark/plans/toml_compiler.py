@@ -136,7 +136,10 @@ def compile_toml(text: str, fields: list[str] | None = None) -> Pipeline:
 
     ops = []
     validation = doc.get("validation", {})
-    if validation:
+    # [general] dont_validate_fields skips validation even when
+    # [validation] is configured (config.go:102-103)
+    skip_validation = doc.get("general", {}).get("dont_validate_fields", False)
+    if validation and not skip_validation:
         ops.append(Validation(validation))
     for f in doc.get("filter", []):
         ops.append(create_operator(f["name"], **f.get("config", {})))

@@ -289,3 +289,23 @@ files=[]
         compile_toml(base % "List" + '[upload]\nname="NoSuchUpload"\n[upload.config]\nBucket="b"\n')
     with _pytest.raises(ValueError, match="duplicate"):
         compile_toml('[fields]\nnames=["a","a"]\n[input]\nname="List"\n[input.config]\nfiles=[]\n')
+
+
+def test_dont_validate_fields(spark):
+    from baker_spark.plans import compile_toml
+    from baker_spark.operators.topology import Validation
+
+    base = """
+[fields]
+names=["a","b"]
+%s
+[validation]
+a="^[0-9]+$"
+[input]
+name="List"
+[input.config]
+files=[]
+"""
+    assert any(isinstance(o, Validation) for o in compile_toml(base % "").ops)
+    skipped = compile_toml(base % "[general]\ndont_validate_fields=true\n")
+    assert not any(isinstance(o, Validation) for o in skipped.ops)
