@@ -314,3 +314,47 @@ def dp_embedding_dedup(spark, sf_dir):
 def dp_lsh_verified_pairs(spark, sf_dir):
     """Prune -> verify: exact jaccard computed only on LSH candidates."""
     return dedup.lsh_verified_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_JK = 16
+
+
+@query(
+    "dp_minhash_jaccard_est",
+    f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({text.duck_word_shingles('text', 3)}) AS s
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min({dedup.duck_md5_long('s', salt=str(i))}) AS m{i}" for i in range(16))}
+  FROM sh GROUP BY doc_id
+),
+pairs AS ({dedup.duck_lsh_pairs()})
+SELECT p.doc_a, p.doc_b,
+       CAST(({" + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(16))})
+            * 1000000 // 16 AS BIGINT) AS jaccard_est_c6
+FROM pairs p
+JOIN sig a ON a.doc_id = p.doc_a
+JOIN sig b ON b.doc_id = p.doc_b
+""",
+)
+def dp_minhash_jaccard_est(spark, sf_dir):
+    """Sketch-based jaccard estimate: fraction of agreeing minhashes
+    over LSH candidate pairs — the O(k) similarity check that replaces
+    exact set intersection when the shingle sets are too big to move.
+    Signatures are computed once (narrow) and broadcast-joined to the
+    (small, pruned) candidate list."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(docs)
+    cands = dedup.lsh_pairs(docs)
+    a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(_JK)])
+    b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(_JK)])
+    agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_JK))
+    with_a = a.join(F.broadcast(cands), "doc_a")
+    est = F.lit(1000000 // _JK).cast("long") * agree  # exact: 1e6/16 divides evenly
+    return (
+        b.join(F.broadcast(with_a), "doc_b")
+        .select("doc_a", "doc_b", est.cast("long").alias("jaccard_est_c6"))
+    )

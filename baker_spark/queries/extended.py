@@ -313,3 +313,28 @@ def dp_ivf_topk(spark, sf_dir):
         .orderBy(F.desc("cosine_c4"), "vec_id")
         .limit(_IVF_K)
     )
+
+
+@query(
+    "q_scalar_subquery",
+    """
+SELECT p_brand, count(*) AS n_large
+FROM part
+WHERE p_size > (SELECT CAST(floor(avg(p_size)) AS BIGINT) FROM part)
+GROUP BY p_brand
+""",
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar-subquery shape: parts larger than the average size, by
+    brand. The single-row aggregate is broadcast into the scan filter —
+    two passes over part, no wide shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    avg_size = p.agg(
+        F.floor(F.avg("p_size")).cast("long").alias("avg_size")
+    )
+    return (
+        p.crossJoin(F.broadcast(avg_size))
+        .filter(F.col("p_size") > F.col("avg_size"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_large"))
+    )
