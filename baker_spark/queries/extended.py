@@ -338,3 +338,29 @@ def q_scalar_subquery(spark, sf_dir):
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_large"))
     )
+
+
+@query(
+    "q_grouping_sets",
+    """
+SELECT coalesce(event_type, 'ALL') AS et,
+       coalesce(CAST(user_id AS VARCHAR), 'ALL') AS uid,
+       count(*) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id), ())
+""",
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets (distinct from cube: only the requested
+    combinations aggregate — one shuffle computes all three)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS et,
+               coalesce(CAST(user_id AS STRING), 'ALL') AS uid,
+               count(*) AS n
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    )
