@@ -164,3 +164,32 @@ class StreamingPipeline:
         if trigger_seconds:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         return writer.start()
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int = 0,
+    upper_s: int = 300,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: match right-side events that occur
+    within [lower_s, upper_s] seconds after the left event, per key.
+
+    Both sides are watermarked so the state store can evict rows once
+    they can no longer match — the join condition's time bounds are what
+    let Spark compute that eviction horizon (unbounded stream-stream
+    joins grow state forever, the same failure mode as the reference's
+    dedup set). The reference cannot express this at all (SURVEY.md
+    §2.6: no joins between record streams)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts] + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return lw.join(rw, cond).drop(rw[on])

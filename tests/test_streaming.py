@@ -127,3 +127,41 @@ def test_queue_connectors_fail_with_clear_error(spark):
             assert "connector jar" in str(e)
         else:  # pragma: no cover - jar actually present
             pass
+
+
+def test_interval_join(spark, tmp_path):
+    """Stream-stream interval join: purchase matches click within 60 s."""
+    from pyspark.sql import functions as F
+
+    from baker_spark.streaming.daemon import FileStreamSource, interval_join
+
+    ldir, rdir = tmp_path / "clicks", tmp_path / "buys"
+    ldir.mkdir(), rdir.mkdir()
+
+    clicks = FileStreamSource(path=str(ldir), fields=["user", "ts"])(spark).select(
+        F.col("user"), F.col("ts").cast("timestamp").alias("click_ts")
+    )
+    buys = FileStreamSource(path=str(rdir), fields=["buyer", "ts"])(spark).select(
+        F.col("buyer").alias("user"), F.col("ts").cast("timestamp").alias("buy_ts")
+    )
+    joined = interval_join(
+        clicks, buys, on="user", left_ts="click_ts", right_ts="buy_ts",
+        lower_s=0, upper_s=60,
+    )
+    q = (
+        joined.select("user", "click_ts", "buy_ts")
+        .writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .start()
+    )
+    (ldir / "c.csv").write_text(
+        "alice,2024-01-01 00:00:00\nbob,2024-01-01 00:05:00\n"
+    )
+    (rdir / "b.csv").write_text(
+        "alice,2024-01-01 00:00:30\nbob,2024-01-01 00:10:00\n"  # bob too late
+    )
+    q.processAllAvailable()
+    rows = spark.sql("SELECT user FROM ivj").collect()
+    q.stop()
+    assert [r.user for r in rows] == ["alice"]
