@@ -79,3 +79,39 @@ def test_basic_example_runs(spark, tmp_path):
     text = _load(f"{REF}/testdata/basic_example.toml", tmp_path)
     rows = _run_and_read(spark, text, tmp_path)
     assert len(rows) == 4  # input.csv.zst fixture rows
+
+
+def test_validation_example_matches_reference_golden(spark, tmp_path):
+    """The reference's validation e2e (examples/validation/main.go inline
+    TOML) against its checked-in golden (testdata/validation.csv.gz.golden):
+    regexes keep exactly the rows the reference kept."""
+    toml_text = f"""
+[fields]
+names=["timestamp", "source", "target"]
+
+[validation]
+timestamp="^value[0-9]+$"
+target="value3"
+
+[input]
+name = "List"
+
+[input.config]
+files=["{REF}/testdata/input.csv.zst"]
+
+[output]
+name = "FileWriter"
+procs=1
+
+[output.config]
+PathString="{tmp_path}/out/output.csv.gz"
+"""
+    rows = _run_and_read(spark, toml_text, tmp_path)
+    golden = sorted(
+        r
+        for r in gzip.open(f"{REF}/testdata/validation.csv.gz.golden", "rt")
+        .read()
+        .split("\n")
+        if r
+    )
+    assert rows == golden
