@@ -51,27 +51,29 @@ def _run_and_read(spark, text, tmp_path):
     return sorted(rows)
 
 
+def _golden(name):
+    # the reference's goldens are the gzip files themselves (diffed
+    # byte-wise in e2e_test.go; we compare decompressed, order-free)
+    return sorted(
+        r for r in gzip.open(f"{REF}/testdata/{name}", "rt").read().split("\n") if r
+    )
+
+
 def test_advanced_csv_example_runs(spark, tmp_path):
-    """The reference's own e2e topology: ClauseFilter keeps rows where
-    timestamp=value5 or target=value6 (advanced_csv.golden)."""
+    """The reference's own e2e topology vs its checked-in golden
+    (e2e_test.go:37-41): ClauseFilter keeps rows where timestamp=value5
+    or target=value6."""
     text = _load(f"{REF}/testdata/advanced_csv_example.toml", tmp_path)
     rows = _run_and_read(spark, text, tmp_path)
-    assert rows  # the golden keeps a nonzero subset
-    for r in rows:
-        f = r.split(",")
-        assert f[0] == "value5" or f[2] == "value6"
+    assert rows == _golden("advanced_csv.golden")
 
 
 def test_advanced_csv_example_0x1e_runs(spark, tmp_path):
     """Same topology over the \\u001e-separated fixture ([csv]
-    field_separator, config.go:115-121)."""
+    field_separator, config.go:115-121) vs its golden."""
     text = _load(f"{REF}/testdata/advanced_csv_example_0x1e.toml", tmp_path)
     rows = _run_and_read(spark, text, tmp_path)
-    assert rows
-    for r in rows:
-        f = r.split("")
-        assert len(f) == 3
-        assert f[0] == "value5" or f[2] == "value6"
+    assert rows == _golden("advanced_csv_0x1e.golden")
 
 
 def test_basic_example_runs(spark, tmp_path):
