@@ -41,3 +41,40 @@ def test_sharding_colocates_keys(spark, tmp_path):
     assert city_to_files
     for city, files in city_to_files.items():
         assert len(files) == 1, f"city {city} split across {files}"
+
+
+def test_cli_run_subprocess(tmp_path):
+    """The console entry point end-to-end in a fresh interpreter —
+    the exact invocation a migrating baker user runs first."""
+    import subprocess
+    import sys as _sys
+
+    toml = tmp_path / "t.toml"
+    toml.write_text(f"""
+[fields]
+names=["timestamp","source","target"]
+[input]
+name="List"
+[input.config]
+files=["/root/reference/testdata/input.csv.zst"]
+[[filter]]
+name="NotNull"
+[filter.config]
+Fields=["timestamp"]
+[output]
+name="FileWriter"
+[output.config]
+PathString="{tmp_path}/out/o.csv.gz"
+""")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    proc = subprocess.run(
+        [_sys.executable, "-m", "baker_spark", "run", str(toml), "--cpus", "2"],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        capture_output=True,
+        text=True,
+        timeout=180,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out_files = glob.glob(f"{tmp_path}/out/**/*.gz", recursive=True)
+    assert out_files
