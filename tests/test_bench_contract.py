@@ -1,0 +1,30 @@
+"""bench.py driver contract: one JSON line with the agreed keys."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_contract_json():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    doc = json.loads(line)
+    assert doc["unit"] == "sec" and doc["value"] > 0
+    assert doc["sf"] == 0.001
+    assert doc["records_per_sec"] > 0
+    assert set(doc["queries"]) >= {"baker_filter_chain", "q1_pricing_summary", "dp_corpus_pipeline"}
+    assert all(v >= 0 for v in doc["queries"].values())
