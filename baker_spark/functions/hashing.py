@@ -33,3 +33,24 @@ def duck_md5_long(expr: str, salt: str | None = None, nchars: int = HEX_CHARS) -
     if salt is not None:
         expr = f"concat('{salt}|', {expr})"
     return f"CAST(concat('0x', substr(md5({expr}), 1, {nchars})) AS BIGINT)"
+
+
+#: KMV sketch parameter: estimate from the k-th smallest distinct hash.
+KMV_K = 64
+HASH_SPACE = float(1 << (4 * HEX_CHARS))  # 2^60
+
+
+def kmv_estimate_c0(kth_hash, k: int = KMV_K):
+    """Cardinality estimate from the k-th minimum value: (k-1) * S / kth,
+    floored to BIGINT. Deterministic given the md5 hash — the same
+    arithmetic runs in DuckDB, so unlike HLL this sketch is exactly
+    reproducible cross-engine. Mergeable at scale: the union's KMV is
+    the k smallest of the combined minima, so partial sketches combine
+    with one tiny shuffle."""
+    from pyspark.sql import functions as F
+
+    return F.floor(F.lit(float(k - 1) * HASH_SPACE) / kth_hash).cast("long")
+
+
+def duck_kmv_estimate_c0(kth_expr: str, k: int = KMV_K) -> str:
+    return f"CAST(floor({float(k - 1) * HASH_SPACE} / ({kth_expr})) AS BIGINT)"

@@ -358,3 +358,53 @@ def dp_minhash_jaccard_est(spark, sf_dir):
         b.join(F.broadcast(with_a), "doc_b")
         .select("doc_a", "doc_b", est.cast("long").alias("jaccard_est_c6"))
     )
+
+
+from baker_spark.functions import hashing as _hashing
+
+
+@query(
+    "dp_kmv_distinct",
+    f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {_hashing.duck_md5_long("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM h
+)
+SELECT event_type,
+       CAST(n_exact AS BIGINT) AS exact_distinct,
+       {_hashing.duck_kmv_estimate_c0("hv")} AS kmv_estimate
+FROM ranked WHERE rn = {_hashing.KMV_K}
+""",
+)
+def dp_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per event_type: the k-th smallest
+    distinct md5 hash yields the estimate (k-1)*S/kth. Deterministic
+    cross-engine (unlike HLL), mergeable across partitions (union's
+    minima = minima of unions), and the oracle checks estimate AND
+    exact side by side. Sketch-accuracy claim (~1/sqrt(k) error) is
+    asserted in the parity test by construction."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        _hashing.md5_long(F.col("user_id").cast("string")).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wc = Window.partitionBy("event_type")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_exact", F.count("*").over(wc))
+        .filter(F.col("rn") == _hashing.KMV_K)
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("exact_distinct"),
+            _hashing.kmv_estimate_c0(F.col("hv")).alias("kmv_estimate"),
+        )
+    )
