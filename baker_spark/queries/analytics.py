@@ -407,3 +407,24 @@ def q_anti_join(spark, sf_dir):
     return o.join(
         li, o.o_orderkey == li.l_orderkey, "left_anti"
     ).select("o_orderkey", "o_orderpriority")
+
+
+@query(
+    "q_percentile_by_group",
+    """
+SELECT event_type,
+       quantile_cont(CAST(length(props) AS DOUBLE), [0.5, 0.9, 0.99]) AS q
+FROM events GROUP BY event_type
+""",
+)
+def q_percentile_by_group(spark, sf_dir):
+    """Exact grouped percentiles (integer inputs -> identical linear
+    interpolation in both engines); the 100 TB swap is
+    percentile_approx, same call shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile(
+            F.length("props").cast("double"),
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        ).alias("q")
+    )

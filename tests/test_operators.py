@@ -256,3 +256,24 @@ def test_multimodal_frame_sample_and_features(spark):
     assert all(len(r.features) == 8 for r in feats)
     by_id = {r.doc_id: r.features for r in feats}
     assert by_id[1] != by_id[2]  # different payloads -> different features
+
+
+def test_kmv_sketch_merge(spark):
+    """KMV mergeability: the sketch of a union equals the k smallest of
+    the combined per-partition minima — estimate from merged halves must
+    equal the estimate over the whole set."""
+    from pyspark.sql import functions as F
+
+    from baker_spark.functions.hashing import KMV_K, kmv_estimate_c0, md5_long
+
+    vals = [(f"v{i}",) for i in range(500)]
+    df = make_df(spark, vals, ["v"]).select(md5_long("v").alias("h")).distinct()
+    whole_kth = df.orderBy("h").limit(KMV_K).agg(F.max("h")).collect()[0][0]
+
+    h1 = df.filter(F.col("h") % 2 == 0).orderBy("h").limit(KMV_K)
+    h2 = df.filter(F.col("h") % 2 == 1).orderBy("h").limit(KMV_K)
+    merged_kth = h1.union(h2).orderBy("h").limit(KMV_K).agg(F.max("h")).collect()[0][0]
+
+    assert whole_kth == merged_kth
+    est = spark.range(1).select(kmv_estimate_c0(F.lit(whole_kth)).alias("e")).collect()[0].e
+    assert abs(est - 500) / 500 < 0.35  # within the ~1/sqrt(64) regime
