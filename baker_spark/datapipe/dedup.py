@@ -483,3 +483,72 @@ JOIN sets_ b ON b.{id_col} = c.doc_b
 WHERE floor(len(list_intersect(a.sh, b.sh)) * 1000000 /
             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= {threshold_c6}
 """
+
+
+# -------------------------------------------------------- decontamination ----
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with a benchmark/eval set — the standard leakage check before
+    training. The benchmark shingle set is distinct'd and broadcast
+    (eval sets are tiny next to a 100 TB corpus), so the corpus is
+    scanned once: explode -> broadcast semi-probe -> count per doc.
+    Returns every input doc with its hit count and a contaminated flag.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s")
+        )
+        .distinct()
+    )
+    doc_sh = fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def duck_decontaminate(
+    table: str = "documents",
+    bench_filter: str = "doc_id < 20",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> str:
+    sh = duck_word_shingles(text_col, shingle_n)
+    return f"""
+WITH bench_sh AS (
+  SELECT DISTINCT unnest({sh}) AS s FROM {table} WHERE {bench_filter}
+),
+doc_sh AS (
+  SELECT DISTINCT {id_col}, unnest({sh}) AS s FROM {table} WHERE NOT ({bench_filter})
+),
+hits AS (
+  SELECT d.{id_col}, count(*) AS n_hits
+  FROM doc_sh d JOIN bench_sh b ON d.s = b.s
+  GROUP BY d.{id_col}
+)
+SELECT t.{id_col} AS {id_col}, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT {id_col} FROM {table} WHERE NOT ({bench_filter})) t
+LEFT JOIN hits h ON h.{id_col} = t.{id_col}
+"""

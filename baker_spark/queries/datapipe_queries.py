@@ -408,3 +408,13 @@ def dp_kmv_distinct(spark, sf_dir):
             _hashing.kmv_estimate_c0(F.col("hv")).alias("kmv_estimate"),
         )
     )
+
+
+@query("dp_decontaminate", dedup.duck_decontaminate())
+def dp_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: docs 0-19 stand in for the benchmark;
+    every other doc is flagged if it shares a 5-gram with them."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    rest = docs.filter(F.col("doc_id") >= 20)
+    return dedup.decontaminate(rest, bench)
