@@ -3,14 +3,16 @@ The reference has no fuzz suite (SURVEY.md §5) — this goes beyond it.
 Batched: each example builds one small DataFrame and compares whole-
 result sets, keeping Spark round-trips per example to one job."""
 
+import os
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import Row, functions as F
 
 from baker_spark import operators as ops
 
-
+#: BAKER_FUZZ_EXAMPLES=200 pytest tests/test_properties.py -> intensive run
 SETTINGS = dict(
-    max_examples=12,
+    max_examples=int(os.environ.get("BAKER_FUZZ_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
