@@ -40,3 +40,31 @@ class Recorder:
     def write(self, df: DataFrame) -> list:
         self.records = df.collect()
         return self.records
+
+
+@dataclass
+class WebSocketSink:
+    """Push selected fields to connected WebSocket clients
+    (/root/reference/output/websocket.go:12-77 — a dev tool: the
+    reference broadcasts every record to all clients from the process).
+
+    The transport is injected (``send_fn`` receives one JSON line per
+    record) so the sink is testable without a server; wire it to
+    ``websockets.broadcast`` or any push channel in production. Rows
+    stream through ``toLocalIterator`` — one partition at a time on the
+    driver, never a full collect — matching the reference's
+    record-at-a-time push. In daemon mode pass this sink to
+    ``StreamingPipeline.start_foreach_batch``."""
+
+    send_fn: object  # Callable[[str], None]
+    fields: list[str] | None = None
+    sent: int = 0
+
+    def write(self, df: DataFrame) -> int:
+        import json
+
+        cols = self.fields or df.columns
+        for row in df.select(*cols).toLocalIterator():
+            self.send_fn(json.dumps(dict(zip(cols, row)), default=str))
+            self.sent += 1
+        return self.sent

@@ -102,3 +102,18 @@ def test_dynamodb_writer_with_fake_client(spark):
     # (collected is driver-side only in local mode, so just assert no error
     # and the column validation path)
     assert writer._names == ["pk", "v"] and writer._types == ["s", "s"]
+
+
+def test_websocket_sink(spark):
+    from pyspark.sql import Row
+
+    from baker_spark.sinks.simple import WebSocketSink
+
+    df = spark.createDataFrame([Row(a="x", b=1), Row(a="y", b=2)])
+    pushed = []
+    sink = WebSocketSink(send_fn=pushed.append, fields=["a"])
+    n = sink.write(df)
+    assert n == 2
+    import json
+
+    assert sorted(json.loads(p)["a"] for p in pushed) == ["x", "y"]
