@@ -117,3 +117,40 @@ PathString="{tmp_path}/out/output.csv.gz"
         if r
     )
     assert rows == golden
+
+
+def test_sharding_example_on_reference_fixture(spark, tmp_path):
+    """The reference's sharding example (examples/sharding/main.go:
+    customer records sharded by age across 10 procs): same age must
+    never appear in two different output files — the shard%procs pinning
+    guarantee (topology.go:341-347) over their actual fixture."""
+    toml_text = f"""
+[fields]
+names=["id", "first_name", "last_name", "age", "street", "city", "dollar"]
+
+[input]
+name="List"
+
+[input.config]
+files=["{REF}/testdata/customers_random.input.csv.zst"]
+
+[output]
+name="FileWriter"
+sharding="age"
+procs=10
+
+[output.config]
+PathString="{tmp_path}/out/shard.csv.gz"
+"""
+    compile_toml(toml_text).run(spark)
+    age_to_files: dict[str, set] = {}
+    n_rows = 0
+    for p in glob.glob(f"{tmp_path}/out/**/*.gz", recursive=True):
+        for line in gzip.open(p, "rt"):
+            if not line.strip():
+                continue
+            n_rows += 1
+            age = line.split(",")[3]
+            age_to_files.setdefault(age, set()).add(p)
+    assert n_rows > 0
+    assert all(len(files) == 1 for files in age_to_files.values())
