@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from baker_spark.datapipe.text import duck_word_shingles, word_shingles
 from baker_spark.functions.hashing import duck_md5_long, md5_long
-from baker_spark.session import fan_out
+from baker_spark.session import fan_out, managed_persist
 
 
 # ---------------------------------------------------------------- exact ----
@@ -97,10 +97,9 @@ def lsh_pairs(
         band_structs.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("h"))
         )
-    bands_df = (
+    bands_df = managed_persist(
         sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bh"))
         .select(id_col, "bh.band", "bh.h")
-        .persist()
     )
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
@@ -160,10 +159,12 @@ def ngram_jaccard_pairs(
     # persisted: feeds both sides of the inverted-index join. Spills to
     # disk if the shingle table outgrows memory — at extreme scale prefer
     # the minhash tier anyway.
-    sh = fan_out(df).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
-    ).persist()
+    sh = managed_persist(
+        fan_out(df).select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
+        )
+    )
     # set sizes come narrow from the array itself — the former
     # groupBy(id).count() re-shuffled what F.size already knows per row
     sizes = df.select(
@@ -372,7 +373,7 @@ def simhash_pairs(
     assert max_hamming <= 3, "banded blocking guarantees recall only for hamming <= bands-1"
     # persist: both sides of the band self-join read the signature; see
     # lsh_pairs — signatures are tiny (id + 1 long) at any corpus scale.
-    sig = simhash(df, text_col, id_col).persist()
+    sig = managed_persist(simhash(df, text_col, id_col))
     bands = sig.select(
         F.col(id_col),
         F.col("simhash"),

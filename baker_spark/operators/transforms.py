@@ -203,7 +203,10 @@ class FormatTime(Operator):
                 return F.timestamp_seconds(n)
             if fmt == "unixms":
                 return F.timestamp_millis(n)
-            return F.timestamp_micros(F.floor(n / 1000).cast("long"))
+            # BIGINT `div`, not `/`: ns epochs exceed double's exact range
+            return F.timestamp_micros(
+                F.expr(f"CAST(`{self.src}` AS BIGINT) div 1000")
+            )
         return F.to_timestamp(col, GO_LAYOUTS.get(fmt, fmt))
 
     def _format(self, ts: Column) -> Column:

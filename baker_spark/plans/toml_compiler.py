@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import tomllib
+import warnings
 
 from baker_spark.operators import create as create_operator
 from baker_spark.operators.topology import Validation
@@ -77,7 +78,19 @@ def _build_sink(section: dict, separator: str):
     cfg = _snake_keys(section.get("config", {}))
     if name == "filewriter":
         path = cfg.get("path_string", cfg.get("pathstring", "_out"))
-        compression = "gzip" if path.endswith(".gz") else "zstd"
+        # reference semantics (filewriter.go:257): gzip unless the path
+        # says .zst/.zstd. This Spark build's CSV writer has no zstd
+        # codec (available: bzip2/deflate/gzip/lz4/snappy), so .zst
+        # paths transparently substitute gzip with a warning instead of
+        # failing at write time.
+        if path.endswith((".zst", ".zstd")):
+            warnings.warn(
+                f"FileWriter path {path!r} requests zstd, which this "
+                "Spark build's CSV writer does not support; writing gzip "
+                "instead",
+                stacklevel=2,
+            )
+        compression = "gzip"
         # the template's directory is the output dir; task files replace
         # the {{.Index}}/{{.UUID}} parts of the reference template
         out_dir = path if not os.path.splitext(path)[1] else path + ".d"

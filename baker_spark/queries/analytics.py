@@ -251,17 +251,26 @@ def q_stats_sizes(spark, sf_dir):
 @query(
     "q_stats_quantiles",
     """
-SELECT quantile_cont(CAST(length(props) AS DOUBLE), [0.25, 0.5, 0.75]) AS q
+SELECT CAST(floor(quantile_cont(CAST(length(props) AS DOUBLE), 0.25) * 1000000) AS BIGINT) AS p25_c6,
+       CAST(floor(quantile_cont(CAST(length(props) AS DOUBLE), 0.50) * 1000000) AS BIGINT) AS p50_c6,
+       CAST(floor(quantile_cont(CAST(length(props) AS DOUBLE), 0.75) * 1000000) AS BIGINT) AS p75_c6
 FROM events
 """,
 )
 def q_stats_quantiles(spark, sf_dir):
-    """Exact percentiles (integer inputs -> exact lerp in both engines);
-    at 100 TB the engine swaps in percentile_approx (same sketch family
-    as the reference's perks/quantile, output/stats.go:16)."""
+    """Exact quartiles as scalar *_c6 fixed-point columns (never DOUBLE
+    arrays in oracle-checked output — functions/numeric.py convention).
+    Quarters are binary-exact fractions, so the lerp over integer lengths
+    is exact in both engines and floor(x*1e6) agrees bit-for-bit. At
+    100 TB the engine swaps in percentile_approx (same sketch family as
+    the reference's perks/quantile, output/stats.go:16)."""
     ev = load_table(spark, sf_dir, "events")
+    x = F.length("props").cast("double")
     return ev.agg(
-        F.percentile(F.length("props").cast("double"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q")
+        *[
+            micros(F.percentile(x, F.lit(q))).alias(f"p{n}_c6")
+            for q, n in [(0.25, 25), (0.5, 50), (0.75, 75)]
+        ]
     )
 
 
@@ -409,22 +418,57 @@ def q_anti_join(spark, sf_dir):
     ).select("o_orderkey", "o_orderpriority")
 
 
+def _duck_grouped_pct(k: int) -> str:
+    """Integer-exact lerp quantile at q=k/100 over ranked (rn, n, x):
+    lo = (n-1)*k div 100, frac = (n-1)*k mod 100,
+    micros = x[lo]*1e6 + frac*(x[lo+1]-x[lo])*1e4 — pure BIGINT math."""
+    lo = f"((n - 1) * {k}) // 100"
+    lo_v = f"max(CASE WHEN rn = {lo} THEN x END)"
+    hi_v = f"coalesce(max(CASE WHEN rn = ({lo}) + 1 THEN x END), {lo_v})"
+    return (
+        f"CAST({lo_v} * 1000000 + max(((n - 1) * {k}) % 100)"
+        f" * ({hi_v} - {lo_v}) * 10000 AS BIGINT) AS p{k}_c6"
+    )
+
+
 @query(
     "q_percentile_by_group",
-    """
-SELECT event_type,
-       quantile_cont(CAST(length(props) AS DOUBLE), [0.5, 0.9, 0.99]) AS q
-FROM events GROUP BY event_type
+    f"""
+WITH v AS (
+  SELECT event_type, CAST(length(props) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY length(props)) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, {_duck_grouped_pct(50)}, {_duck_grouped_pct(90)}, {_duck_grouped_pct(99)}
+FROM v GROUP BY event_type
 """,
 )
 def q_percentile_by_group(spark, sf_dir):
-    """Exact grouped percentiles (integer inputs -> identical linear
-    interpolation in both engines); the 100 TB swap is
-    percentile_approx, same call shape."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile(
-            F.length("props").cast("double"),
-            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
-        ).alias("q")
+    """Grouped p50/p90/p99 as scalar *_c6 fixed-point, computed as exact
+    order statistics in pure integer arithmetic (rank the values per
+    group, lerp between ranks lo=(n-1)*k div 100 and lo+1 scaled by
+    frac=(n-1)*k mod 100) — q=0.9/0.99 are not binary-exact, so
+    double-lerp engines can disagree in the last ulp; integer math
+    cannot. One shuffle (the event_type window) serves rank, count and
+    the final groupBy; the 100 TB swap is percentile_approx."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.length("props").cast("long").alias("x")
     )
+    w = Window.partitionBy("event_type").orderBy("x")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "x",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+
+    def pct(k: int):
+        lo = F.expr(f"((n - 1) * {k}) div 100")
+        lo_v = F.max(F.when(F.col("rn") == lo, F.col("x")))
+        hi_v = F.coalesce(F.max(F.when(F.col("rn") == lo + 1, F.col("x"))), lo_v)
+        frac = F.max(F.expr(f"((n - 1) * {k}) % 100"))
+        return (lo_v * 1000000 + frac * (hi_v - lo_v) * 10000).cast("long").alias(f"p{k}_c6")
+
+    return ranked.groupBy("event_type").agg(pct(50), pct(90), pct(99))

@@ -88,6 +88,32 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: DataFrames persisted by operator builders (LSH band tables, shingle
+#: inverted indexes, ...). A query's caches must outlive its build — the
+#: caller runs the action later — so they are released lazily: the NEXT
+#: query build (load_table -> release_caches) drops them. Bounded
+#: exposure instead of leak-forever; 50-query sweeps and best-of-3 bench
+#: runs hold at most one query's caches at a time.
+_MANAGED_CACHES: list = []
+
+
+def managed_persist(df):
+    """persist(MEMORY_AND_DISK) + register for release at next query build."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _MANAGED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    while _MANAGED_CACHES:
+        try:
+            _MANAGED_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
 def fan_out(df, multiple: int = 1):
     """Repartition ONLY when the scan produced fewer splits than the
     cluster has slots (small files, single row-group parquet). On a real

@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from baker_spark.session import configure
+from baker_spark.session import configure, release_caches
 
 TABLE_NAMES = [
     "region",
@@ -38,15 +38,21 @@ def default_sf_dir() -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
+    # every registered query loads its tables before building: releasing
+    # here bounds operator caches (LSH band tables etc.) to one query's
+    # lifetime instead of accumulating across catalog sweeps
+    release_caches()
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
-            # floor-divide nanos->micros (DuckDB truncates identically)
+            # integer-divide nanos->micros (DuckDB truncates identically);
+            # `div` keeps the math in BIGINT — `/` would round-trip through
+            # DOUBLE, whose 2^53 exact range ns epochs (~1.8e18) exceed
             df = df.withColumn(
                 col,
-                F.timestamp_micros(
-                    F.floor(F.col(col) / F.lit(1000)).cast("long")
-                ).cast("timestamp_ntz"),
+                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast(
+                    "timestamp_ntz"
+                ),
             )
     return df
 
