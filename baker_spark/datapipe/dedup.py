@@ -27,8 +27,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from baker_spark.datapipe.text import duck_word_shingles, word_shingles
-from baker_spark.functions.hashing import duck_md5_long, md5_long
+from baker_spark.datapipe.text import duck_word_shingles, word_shingles, words
+from baker_spark.functions.hashing import (
+    affine_hash,
+    duck_affine_hash,
+    duck_md5_long,
+    md5_long,
+    minhash_params,
+)
 from baker_spark.session import fan_out, managed_persist
 
 
@@ -55,24 +61,38 @@ FROM {table} GROUP BY md5({text_col})
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """k md5-derived minhashes over distinct word n-gram shingles.
+    """k minhashes over word n-gram shingles.
 
-    Fully narrow: each minhash is a per-row array_min over the shingle
-    array — computing all signatures over the corpus shuffles NOTHING
-    (the former explode -> groupBy(doc) formulation exchanged one row per
-    doc; min over a set is the same either way). Docs with < n words have
-    no shingles and are excluded, exactly like rows that never came out
-    of the old explode (and like unnest in the DuckDB oracle)."""
+    Shape: explode shingles -> one codegen'd md5 per shingle -> hash
+    aggregate with k partial-min columns. Spark's higher-order
+    array functions (transform/array_min) run INTERPRETED — a per-row
+    narrow formulation avoids the exchange but evaluates ~50x slower
+    per element — while explode + min() is whole-stage-codegen end to
+    end, and min's map-side partial aggregation means the exchange
+    carries only k longs per (doc, partition), not the shingles. No
+    array_distinct either: min over duplicates equals min over the
+    distinct set, so the dedup work (and the oracle's SELECT DISTINCT)
+    is irrelevant here. Docs with < n words have no shingle rows and
+    drop out of the groupBy, exactly like unnest in the DuckDB oracle.
 
-    def salted(i):
-        return lambda s: md5_long(s, salt=str(i))
-
-    shingles = F.array_distinct(word_shingles(text_col, shingle_n))
-    sig = fan_out(df).select(
+    The k hash functions are a Carter-Wegman universal family over ONE
+    32-bit md5-derived base hash per shingle: minhash_i =
+    min((a_i*h + b_i) mod P) — k times fewer digests than salted
+    re-hashing, and the maps are pairwise independent so the LSH
+    (1/b)^(1/r) threshold analysis holds (correlated families like
+    h1+i*h2 double hashing inflate band collisions)."""
+    base = fan_out(df).select(F.col(id_col), words(text_col).alias("_w"))
+    sh = base.select(
         F.col(id_col),
-        *[F.array_min(F.transform(shingles, salted(i))).alias(f"m{i}") for i in range(k)],
+        F.explode(word_shingles(F.col("_w"), shingle_n, split=False)).alias("_s"),
     )
-    return sig.filter(F.col("m0").isNotNull())
+    h = sh.select(F.col(id_col), md5_long("_s", nchars=8).alias("_h"))
+    return h.groupBy(id_col).agg(
+        *[
+            F.min(affine_hash(F.col("_h"), a, b)).alias(f"m{i}")
+            for i, (a, b) in enumerate(minhash_params(k))
+        ]
+    )
 
 
 def lsh_pairs(
@@ -82,6 +102,7 @@ def lsh_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing >= 1 LSH band.
     With k=16, b=4 (r=4) the jaccard threshold is ~(1/b)^(1/r) ~= 0.7."""
@@ -89,8 +110,11 @@ def lsh_pairs(
     # persist: the band table feeds both sides of the self-join; without
     # it the shingle->md5 pipeline (the expensive part) runs twice.
     # Signatures are (id + k longs) — tiny relative to the corpus even at
-    # 100 TB, the standard LSH materialization point.
-    sig = minhash_signature(df, text_col, id_col, k, shingle_n)
+    # 100 TB, the standard LSH materialization point. A caller that also
+    # needs the signatures passes its (persisted) sig to avoid a third
+    # recompute.
+    if sig is None:
+        sig = minhash_signature(df, text_col, id_col, k, shingle_n)
     band_structs = []
     for b in range(bands):
         cols = [F.col(f"m{b * r + j}").cast("string") for j in range(r)]
@@ -125,7 +149,8 @@ def duck_lsh_pairs(
 ) -> str:
     r = k // bands
     mins = ",\n  ".join(
-        f"min({duck_md5_long('s', salt=str(i))}) AS m{i}" for i in range(k)
+        f"min({duck_affine_hash('h32', a, b)}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(k))
     )
     band_rows = "\nUNION ALL\n".join(
         f"SELECT {id_col}, {b} AS band, "
@@ -137,7 +162,8 @@ WITH sh AS (
   SELECT DISTINCT {id_col}, unnest({duck_word_shingles(text_col, shingle_n)}) AS s
   FROM {table}
 ),
-sig AS (SELECT {id_col}, {mins} FROM sh GROUP BY {id_col}),
+hp AS (SELECT {id_col}, {duck_md5_long('s', nchars=8)} AS h32 FROM sh),
+sig AS (SELECT {id_col}, {mins} FROM hp GROUP BY {id_col}),
 bands AS ({band_rows})
 SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.{id_col} < b.{id_col}
@@ -321,26 +347,30 @@ SIMHASH_BITS = 32
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit simhash over distinct words (md5-derived word hashes).
 
-    Fully narrow: the distinct word-hash array and all 32 bit-sums are
-    per-row array folds (transform + aggregate), so computing signatures
-    over the whole corpus needs NO shuffle at all — the old
-    explode -> groupBy(doc) formulation moved (doc, 32 partials) through
-    an exchange that this version simply doesn't have. Integer sums are
-    order-independent, so the result is bit-identical."""
-    hashes = F.transform(
-        F.array_distinct(F.split(F.col(text_col), " ", -1)),
-        lambda w: md5_long(w, nchars=8),  # 32-bit word hash
+    Shape: explode distinct words -> one codegen'd md5 per word ->
+    hash aggregate with 32 partial bit-sums -> assemble bits. Spark's
+    higher-order array folds (F.aggregate) run interpreted, so the
+    narrow per-row formulation evaluates ~50x slower per element than
+    this codegen pipeline; the exchange carries 32 ints per
+    (doc, partition) thanks to sum's map-side partial aggregation.
+    Integer sums are order-independent, so the result is bit-identical
+    to the per-row fold and to the DuckDB oracle."""
+    wh = fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words(text_col))).alias("_word"),
+    ).select(F.col(id_col), md5_long("_word", nchars=8).alias("_h"))
+    bit_sums = wh.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    def bit_merge(j):
-        return lambda s, h: s + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
     acc = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        bit_sum = F.aggregate(hashes, F.lit(0), bit_merge(j))
-        acc = acc + F.when(bit_sum > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return fan_out(df).select(F.col(id_col), acc.alias("simhash"))
+        acc = acc + F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bit_sums.select(F.col(id_col), acc.alias("simhash"))
 
 
 def duck_simhash(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:

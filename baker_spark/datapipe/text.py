@@ -22,10 +22,13 @@ def words(col: Column | str) -> Column:
     return F.split(c, " ", -1)
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
+def word_shingles(col: Column | str, n: int = 3, split: bool = True) -> Column:
     """Word n-gram shingles as an array<string>; docs with < n words get
-    an empty array. Mirrors the classic shingling step of MinHash dedup."""
-    w = words(col)
+    an empty array. Mirrors the classic shingling step of MinHash dedup.
+    ``split=False`` treats ``col`` as an already-split word array (project
+    the words once, then shingle — avoids re-splitting in every
+    reference)."""
+    w = words(col) if split else (F.col(col) if isinstance(col, str) else col)
     count = F.size(w) - (n - 1)
     return F.when(
         count >= 1,

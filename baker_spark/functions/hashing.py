@@ -35,6 +35,40 @@ def duck_md5_long(expr: str, salt: str | None = None, nchars: int = HEX_CHARS) -
     return f"CAST(concat('0x', substr(md5({expr}), 1, {nchars})) AS BIGINT)"
 
 
+#: Carter-Wegman universal-hash family for minhash: one 32-bit md5-derived
+#: base hash per element, then k independent affine maps
+#: ``(a_i * h + b_i) mod P`` with the Mersenne prime P = 2^31 - 1 (the
+#: classic linear-congruential minhash permutation, e.g. ekzhu/datasketch).
+#: Bounds make every intermediate fit BIGINT in Spark AND DuckDB:
+#: a < 2^31, h < 2^32 -> a*h + b < 2^63. a*h wraps the modulus ~2^32
+#: times, so the k maps genuinely scramble the element order — a modulus
+#: near a*h_max (e.g. 2^61-1 with a 32-bit h) wraps at most once, leaving
+#: the map near-monotone in h and every minhash picking the same argmin.
+#: Unlike salted re-hashing this costs ONE digest per element; the maps
+#: are pairwise independent, so LSH band-agreement probabilities follow
+#: the standard (1/b)^(1/r) threshold analysis.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) constants: 1 <= a < P, 0 <= b < P."""
+    params = []
+    for i in range(k):
+        a = ((2654435761 * (i + 1)) ^ (40503 * i * i * i)) % (MINHASH_P - 1) + 1
+        b = (11400714819323198485 * (i + 1) + 2654435769 * i) % MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def affine_hash(h: Column, a: int, b: int) -> Column:
+    """Spark: (a*h + b) mod P over a 32-bit base hash column."""
+    return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def duck_affine_hash(h_expr: str, a: int, b: int) -> str:
+    return f"(({a} * {h_expr} + {b}) % {MINHASH_P})"
+
+
 #: KMV sketch parameter: estimate from the k-th smallest distinct hash.
 KMV_K = 64
 HASH_SPACE = float(1 << (4 * HEX_CHARS))  # 2^60

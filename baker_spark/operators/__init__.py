@@ -10,7 +10,9 @@ from baker_spark.operators.base import (  # noqa: F401
     REGISTRY,
     chain,
     create,
+    hoist_predicates,
     is_empty,
+    prefilter,
     register,
 )
 from baker_spark.operators.clausefilter import ClauseFilter  # noqa: F401

@@ -22,9 +22,28 @@ from pyspark.sql import Column, DataFrame, functions as F
 class Operator:
     """A declarative row-operator. Subclasses set ``name`` (the TOML
     component name, matched case-insensitively like the reference,
-    /root/reference/config.go:300-351) and implement ``apply``."""
+    /root/reference/config.go:300-351) and implement ``apply``.
+
+    Hoisting metadata (used by :func:`prefilter` to push pure predicates
+    above an engine-inserted shuffle barrier such as ``fan_out``):
+
+    - ``keep_predicate()`` — for side-effect-free predicate operators,
+      the keep-condition as a Column over STRING views of the fields it
+      reads (so it evaluates identically on a natively-typed scan and on
+      the all-string record frame); ``None`` for everything else.
+    - ``reads`` — fields the predicate reads (None = unknown).
+    - ``writes`` — fields the operator writes; ``None`` means unknown
+      (treated as a hoisting barrier), ``[]`` means pure predicate.
+    """
 
     name: str = ""
+    #: fields written by this operator; None = unknown (barrier for hoisting)
+    writes: list[str] | None = None
+    #: fields read by the keep-predicate; None = not a hoistable predicate
+    reads: list[str] | None = None
+
+    def keep_predicate(self) -> Column | None:
+        return None
 
     def apply(self, df: DataFrame) -> DataFrame:
         raise NotImplementedError
@@ -76,4 +95,36 @@ def is_empty(col: Column | str) -> Column:
 def chain(df: DataFrame, ops: list[Operator]) -> DataFrame:
     for op in ops:
         df = op.apply(df)
+    return df
+
+
+def hoist_predicates(ops: list[Operator]) -> list[Column]:
+    """Keep-predicates that may legally run BEFORE the chain.
+
+    Walk the chain in order, tracking which fields earlier operators
+    write. A pure predicate hoists iff it reads none of them (predicates
+    commute with each other; re-evaluating one later is idempotent, so
+    the unchanged chain can still run afterwards). An operator with
+    unknown writes is a barrier — nothing after it hoists. This mirrors
+    what Catalyst's PushDownPredicates does, but across the engine's own
+    fan-out/repartition barrier, which Catalyst must not cross."""
+    preds: list[Column] = []
+    written: set[str] = set()
+    for op in ops:
+        kp = op.keep_predicate()
+        if kp is not None and op.reads is not None and not (set(op.reads) & written):
+            preds.append(kp)
+        if op.writes is None:
+            break
+        written |= set(op.writes)
+    return preds
+
+
+def prefilter(df: DataFrame, ops: list[Operator]) -> DataFrame:
+    """Apply the chain's hoistable predicates to ``df`` (typically the
+    natively-typed scan) so a following ``fan_out``/``repartition``
+    shuffles only surviving rows. The full chain still runs after the
+    barrier — its predicates then drop nothing, cheaply."""
+    for p in hoist_predicates(ops):
+        df = df.filter(p)
     return df

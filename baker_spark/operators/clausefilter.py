@@ -71,16 +71,32 @@ def compile_clause(node, columns: list[str] | None = None) -> Column:
         if len(args) != 1:
             raise ValueError("'not' takes exactly one clause")
         return ~compile_clause(args[0], columns)
-    # atom: (field value) — byte equality; empty field == null (baker fidelity)
+    # atom: (field value) — byte equality; empty field == null (baker
+    # fidelity). The string cast makes the atom evaluate identically on a
+    # natively-typed scan (predicate hoisting) and the all-string frame.
     if len(node) != 2 or isinstance(node[1], list) or isinstance(head, list):
         raise ValueError(f"cannot interpret clause {node!r}")
     field, value = head, node[1]
     if columns is not None and field not in columns:
         raise KeyError(f"no such field: {field}")
-    col = F.col(field)
+    col = F.col(field).cast("string")
     if value == "":
         return col.isNull() | (col == F.lit(""))
     return F.coalesce(col, F.lit("")) == F.lit(value)
+
+
+def clause_fields(node) -> list[str]:
+    """Atom field names referenced by a parsed s-expression."""
+    if node is None:
+        return []
+    if isinstance(node, list) and node and node[0] in ("and", "or", "not"):
+        out: list[str] = []
+        for child in node[1:]:
+            out.extend(clause_fields(child))
+        return out
+    if isinstance(node, list) and len(node) == 2:
+        return [node[0]]
+    return []
 
 
 @register
@@ -90,13 +106,20 @@ class ClauseFilter(Operator):
     everything (/root/reference/filter/clausefilter.go:14-77)."""
 
     name = "ClauseFilter"
+    writes: list[str] = []
 
     def __init__(self, clause: str = ""):
         self.clause = clause.strip()
         self._ast = parse_sexpr(self.clause) if self.clause else None
+        self.reads = sorted(set(clause_fields(self._ast)))
 
     def predicate(self, columns: list[str] | None = None) -> Column:
         return compile_clause(self._ast, columns)
+
+    def keep_predicate(self) -> Column | None:
+        if self._ast is None:
+            return None  # empty clause keeps everything — nothing to hoist
+        return self.predicate()
 
     def apply(self, df: DataFrame) -> DataFrame:
         if self._ast is None:

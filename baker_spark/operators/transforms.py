@@ -31,6 +31,7 @@ class ClearFields(Operator):
 
     def __init__(self, fields: list[str]):
         self.fields = list(fields)
+        self.writes = list(fields)
 
     def apply(self, df: DataFrame) -> DataFrame:
         return df.withColumns({f: F.lit("") for f in self.fields})
@@ -48,6 +49,7 @@ class Concatenate(Operator):
         if len(separator) > 1:
             raise ValueError("separator must be empty or a single char")
         self.fields, self.target, self.separator = list(fields), target, separator
+        self.writes = [target]
 
     def apply(self, df: DataFrame) -> DataFrame:
         cols = [F.coalesce(F.col(f).cast("string"), F.lit("")) for f in self.fields]
@@ -67,6 +69,7 @@ class ExpandList(Operator):
         self.source = source
         self.fields = {int(i): dst for i, dst in fields.items()}
         self.separator = separator
+        self.writes = list(self.fields.values())
 
     def apply(self, df: DataFrame) -> DataFrame:
         import re
@@ -102,6 +105,7 @@ class ExpandJSON(Operator):
         self.source = source
         self.fields = dict(fields)  # JMESPath -> dst field
         self.tf = tuple(true_false_values)
+        self.writes = list(self.fields.values())
 
     @staticmethod
     def _is_simple(path: str) -> bool:
@@ -194,6 +198,7 @@ class FormatTime(Operator):
     ):
         self.src, self.dst = src_field, dst_field
         self.src_format, self.dst_format = src_format, dst_format
+        self.writes = [dst_field]
 
     def _parse(self, col: Column) -> Column:
         fmt = self.src_format
@@ -232,6 +237,7 @@ class Hash(Operator):
     name = "Hash"
 
     def __init__(self, src_field: str, dst_field: str, function: str = "md5", encoding: str = "hex"):
+        self.writes = [dst_field]
         if function not in ("md5", "sha256"):
             raise ValueError(f"unsupported hash function {function!r}")
         if encoding not in ("hex", "raw", ""):
@@ -251,13 +257,19 @@ class NotNull(Operator):
     (/root/reference/filter/notnull.go:10-62)."""
 
     name = "NotNull"
+    writes: list[str] = []
 
     def __init__(self, fields: list[str]):
         self.fields = list(fields)
+        self.reads = list(fields)
+
+    def keep_predicate(self) -> Column:
+        return reduce(
+            lambda a, b: a & b, (~is_empty(_s(F.col(f))) for f in self.fields)
+        )
 
     def apply(self, df: DataFrame) -> DataFrame:
-        pred = reduce(lambda a, b: a & b, (~is_empty(f) for f in self.fields))
-        return df.filter(pred)
+        return df.filter(self.keep_predicate())
 
 
 @register
@@ -266,6 +278,9 @@ class PartialClone(Operator):
     (/root/reference/filter/partial_clone.go:9-57)."""
 
     name = "PartialClone"
+    #: only drops columns; a later predicate reading a surviving field
+    #: sees it unchanged, so this is no hoisting barrier
+    writes: list[str] = []
 
     def __init__(self, fields: list[str]):
         self.fields = list(fields)
@@ -280,19 +295,24 @@ class RegexMatch(Operator):
     (/root/reference/filter/regex_match.go:93-100: drop iff match==invert)."""
 
     name = "RegexMatch"
+    writes: list[str] = []
 
     def __init__(self, fields: list[str], regexs: list[str], invert_match: bool = False):
         if len(fields) != len(regexs):
             raise ValueError("Fields and Regexs must have the same length")
         self.pairs = list(zip(fields, regexs))
         self.invert = invert_match
+        self.reads = list(fields)
 
-    def apply(self, df: DataFrame) -> DataFrame:
+    def keep_predicate(self) -> Column:
         match = reduce(
             lambda a, b: a & b,
             (F.coalesce(F.col(f).cast("string"), F.lit("")).rlike(rx) for f, rx in self.pairs),
         )
-        return df.filter(~match if self.invert else match)
+        return ~match if self.invert else match
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.filter(self.keep_predicate())
 
 
 @register
@@ -316,6 +336,7 @@ class ReplaceFields(Operator):
         for s, d in self.copies:
             if s == d:
                 raise ValueError(f"copying field {s} onto itself")
+        self.writes = dsts
 
     def apply(self, df: DataFrame) -> DataFrame:
         updates: dict[str, Column] = {}
@@ -335,6 +356,7 @@ class Slice(Operator):
     name = "Slice"
 
     def __init__(self, src: str, dst: str, start_idx: int = 0, end_idx: int | None = None):
+        self.writes = [dst]
         if start_idx < 0 or (end_idx is not None and end_idx < start_idx):
             raise ValueError("invalid slice bounds")
         self.src, self.dst, self.start, self.end = src, dst, start_idx, end_idx
@@ -353,15 +375,20 @@ class StringMatch(Operator):
     isMatchAny == !invert)."""
 
     name = "StringMatch"
+    writes: list[str] = []
 
     def __init__(self, field: str, strings: list[str], invert_match: bool = False):
         if not strings:
             raise ValueError("at least one string must be defined")
         self.field, self.strings, self.invert = field, list(strings), invert_match
+        self.reads = [field]
+
+    def keep_predicate(self) -> Column:
+        match = F.coalesce(F.col(self.field).cast("string"), F.lit("")).isin(self.strings)
+        return match if self.invert else ~match
 
     def apply(self, df: DataFrame) -> DataFrame:
-        match = F.coalesce(F.col(self.field).cast("string"), F.lit("")).isin(self.strings)
-        return df.filter(match if self.invert else ~match)
+        return df.filter(self.keep_predicate())
 
 
 @register
@@ -374,6 +401,7 @@ class Timestamp(Operator):
 
     def __init__(self, field: str, fixed_time: int | None = None):
         self.field, self.fixed_time = field, fixed_time
+        self.writes = [field]
 
     def apply(self, df: DataFrame) -> DataFrame:
         col = (
@@ -399,20 +427,27 @@ class TimestampRange(Operator):
     (/root/reference/filter/timestamp_range.go:12-105)."""
 
     name = "TimestampRange"
+    writes: list[str] = []
 
     def __init__(self, field: str, start_datetime: str | None = None, end_datetime: str | None = None):
         self.field = field
         self.start = _parse_bound(start_datetime)
         self.end = _parse_bound(end_datetime)
+        self.reads = [field]
 
-    def apply(self, df: DataFrame) -> DataFrame:
-        epoch = F.col(self.field).cast("long")  # non-numeric -> null -> dropped
+    def keep_predicate(self) -> Column:
+        # via string so the predicate is identical on a natively-typed
+        # scan and on the all-string record frame (ParseInt semantics)
+        epoch = _s(F.col(self.field)).cast("long")  # non-numeric -> null -> dropped
         pred = epoch.isNotNull()
         if self.start is not None:
             pred = pred & (epoch >= F.lit(self.start))
         if self.end is not None:
             pred = pred & (epoch < F.lit(self.end))
-        return df.filter(pred)
+        return pred
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.filter(self.keep_predicate())
 
 
 @register
@@ -424,6 +459,7 @@ class URLEscape(Operator):
 
     def __init__(self, src_field: str, dst_field: str, unescape: bool = False):
         self.src, self.dst, self.unescape = src_field, dst_field, unescape
+        self.writes = [dst_field]
 
     def apply(self, df: DataFrame) -> DataFrame:
         col = F.col(self.src).cast("string")
@@ -439,6 +475,7 @@ class URLParam(Operator):
     name = "URLParam"
 
     def __init__(self, src_field: str, dst_field: str, param: str):
+        self.writes = [dst_field]
         self.src, self.dst, self.param = src_field, dst_field, param
 
     def apply(self, df: DataFrame) -> DataFrame:

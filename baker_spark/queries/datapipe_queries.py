@@ -326,10 +326,13 @@ WITH sh AS (
   SELECT DISTINCT doc_id, unnest({text.duck_word_shingles('text', 3)}) AS s
   FROM documents
 ),
+hp AS (
+  SELECT doc_id, {dedup.duck_md5_long('s', nchars=8)} AS h32 FROM sh
+),
 sig AS (
   SELECT doc_id,
-         {", ".join(f"min({dedup.duck_md5_long('s', salt=str(i))}) AS m{i}" for i in range(16))}
-  FROM sh GROUP BY doc_id
+         {", ".join(f"min({dedup.duck_affine_hash('h32', a, b)}) AS m{i}" for i, (a, b) in enumerate(dedup.minhash_params(16)))}
+  FROM hp GROUP BY doc_id
 ),
 pairs AS ({dedup.duck_lsh_pairs()})
 SELECT p.doc_a, p.doc_b,
@@ -344,11 +347,14 @@ def dp_minhash_jaccard_est(spark, sf_dir):
     """Sketch-based jaccard estimate: fraction of agreeing minhashes
     over LSH candidate pairs — the O(k) similarity check that replaces
     exact set intersection when the shingle sets are too big to move.
-    Signatures are computed once (narrow) and broadcast-joined to the
-    (small, pruned) candidate list."""
+    The signature aggregate is computed ONCE and persisted; the band
+    table and both compare sides read it from cache instead of
+    re-running the shingle->md5->agg pipeline three times."""
+    from baker_spark.session import managed_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(docs)
-    cands = dedup.lsh_pairs(docs)
+    sig = managed_persist(dedup.minhash_signature(docs))
+    cands = dedup.lsh_pairs(docs, sig=sig)
     a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(_JK)])
     b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(_JK)])
     agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_JK))

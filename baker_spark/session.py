@@ -137,7 +137,11 @@ def get_spark(app: str = "baker_spark", cpus: int | None = None) -> SparkSession
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.shuffle.compress", "true")
-        .config("spark.io.compression.codec", "zstd")
+        # lz4 (Spark's default) for shuffle/spill blocks: measurably
+        # faster than zstd on the serial-scan -> wide-shuffle path here,
+        # and the right ratio/speed point for intra-cluster traffic too;
+        # zstd stays where ratio matters (parquet output above)
+        .config("spark.io.compression.codec", "lz4")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -60,9 +60,13 @@ N_RUNS = 3
 def baker_chain(spark, sf_dir):
     """The reference's published topology shape: string records through a
     filter chain to compressed files (README.md:111-120). lineitem rows
-    stand in for the ~4.5 KB log lines."""
-    li = fan_out(load_table(spark, sf_dir, "lineitem"))  # ≈ [filterchain] procs
-    df = li.select(*[F.col(c).cast("string").alias(c) for c in li.columns])
+    stand in for the ~4.5 KB log lines.
+
+    The scan is a single parquet row group (serial task), so the chain's
+    pure predicates are hoisted above the fan-out shuffle
+    (ops.prefilter): only surviving rows are exchanged, and the filters
+    evaluate inside the scan stage where Catalyst wants them. The
+    unchanged chain still runs wide after the shuffle."""
     chain = [
         ops.ClauseFilter("(or (l_returnflag A) (l_returnflag N))"),
         ops.NotNull(["l_orderkey", "l_partkey"]),
@@ -73,6 +77,10 @@ def baker_chain(spark, sf_dir):
             field="l_quantity", start_datetime=None, end_datetime=None
         ),  # parse-to-long predicate
     ]
+    li = load_table(spark, sf_dir, "lineitem")
+    li = ops.prefilter(li, chain)  # predicates run at the (native) scan
+    li = fan_out(li)  # ≈ [filterchain] procs — shuffles only survivors
+    df = li.select(*[F.col(c).cast("string").alias(c) for c in li.columns])
     return ops.chain(df, chain)
 
 

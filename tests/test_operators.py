@@ -277,3 +277,50 @@ def test_kmv_sketch_merge(spark):
     assert whole_kth == merged_kth
     est = spark.range(1).select(kmv_estimate_c0(F.lit(whole_kth)).alias("e")).collect()[0].e
     assert abs(est - 500) / 500 < 0.35  # within the ~1/sqrt(64) regime
+
+
+def test_predicate_hoisting(spark):
+    """prefilter + unchanged chain == chain alone, on a natively-typed
+    frame (the fan_out pushdown path); predicates reading a field a
+    transform writes must NOT hoist; unknown ops are barriers."""
+    native = spark.createDataFrame(
+        [(1, "A", 10), (2, "N", 0), (3, "R", 7), (4, "A", None)],
+        "id int, flag string, qty int",
+    )
+    chain = [
+        ops.ClauseFilter("(or (flag A) (flag N))"),
+        ops.Concatenate(["id", "flag"], target="tag", separator="-"),
+        ops.StringMatch(field="tag", strings=["1-A"], invert_match=False),
+        ops.NotNull(["qty"]),
+    ]
+    # tag is written by Concatenate -> StringMatch must not hoist;
+    # ClauseFilter and NotNull do
+    hoisted = ops.hoist_predicates(chain)
+    assert len(hoisted) == 2
+
+    def run(df):
+        return sorted(
+            r.id for r in ops.chain(
+                df.select(*[F.col(c).cast("string").alias(c) for c in df.columns]),
+                chain,
+            ).collect()
+        )
+
+    plain = run(native)
+    pre = sorted(
+        r.id
+        for r in ops.chain(
+            ops.prefilter(native, chain).select(
+                *[F.col(c).cast("string").alias(c) for c in native.columns]
+            ),
+            chain,
+        ).collect()
+    )
+    assert plain == pre == ["2"]
+
+    # a stateful op (Dedup) is a barrier: nothing after it hoists
+    barrier_chain = [
+        ops.Dedup(fields=["flag"]),
+        ops.NotNull(["qty"]),
+    ]
+    assert len(ops.hoist_predicates(barrier_chain)) == 0
