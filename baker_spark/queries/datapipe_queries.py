@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from baker_spark.datapipe import dedup, multimodal, text, vectors
+from baker_spark.session import fan_out
 from baker_spark.sources.tables import load_table
 
 QUERIES: dict = {}
@@ -424,3 +425,120 @@ def dp_decontaminate(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") < 20)
     rest = docs.filter(F.col("doc_id") >= 20)
     return dedup.decontaminate(rest, bench)
+
+
+# ------------------------------------------------------- corpus statistics ---
+
+@query(
+    "dp_vocab_topk",
+    """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, count(*) AS cf, count(DISTINCT doc_id) AS df
+FROM w GROUP BY word
+ORDER BY cf DESC, word LIMIT 100
+""",
+)
+def dp_vocab_topk(spark, sf_dir):
+    """Vocabulary building: top-100 words by collection frequency, with
+    document frequency alongside (the df side of tf-idf; idf's log stays
+    with the consumer — doubles don't hash-compare across engines).
+    Scale shape: explode -> hash aggregate with map-side combine (the
+    exchange carries one row per distinct word per partition, not one
+    per token), then TakeOrderedAndProject — top-k per partition, merge
+    at the driver; total order (cf desc, word) makes the cut
+    deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = fan_out(docs).select(
+        "doc_id", F.explode(text.words("text")).alias("word")
+    )
+    return (
+        w.groupBy("word")
+        .agg(F.count("*").alias("cf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("cf"), F.asc("word"))
+        .limit(100)
+    )
+
+
+@query(
+    "dp_bigram_topk",
+    f"""
+WITH b AS (
+  SELECT doc_id, unnest({text.duck_word_shingles('text', 2)}) AS bigram FROM documents
+)
+SELECT bigram, count(*) AS cf FROM b GROUP BY bigram
+ORDER BY cf DESC, bigram LIMIT 100
+""",
+)
+def dp_bigram_topk(spark, sf_dir):
+    """Top-100 word bigrams — n-gram LM counts / collocation mining over
+    the corpus; same explode -> partial-agg -> top-k shape as the
+    vocabulary query."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = fan_out(docs).select(
+        "doc_id", F.split(F.col("text"), " ", -1).alias("_w")
+    ).select(
+        "doc_id",
+        F.explode(text.word_shingles(F.col("_w"), 2, split=False)).alias("bigram"),
+    )
+    return (
+        b.groupBy("bigram")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
+#: per-language keep-rates (percent) for the stratified sampling demo.
+_STRATA_RATES = {"en": 80, "de": 50, "fr": 50}
+_STRATA_DEFAULT = 25
+
+
+@query(
+    "dp_sample_stratified",
+    f"""
+SELECT doc_id, lang FROM documents
+WHERE {_hashing.duck_md5_long("CAST(doc_id AS VARCHAR)")} % 100 <
+      CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
+      ELSE {_STRATA_DEFAULT} END
+""",
+)
+def dp_sample_stratified(spark, sf_dir):
+    """Deterministic stratified corpus sampling: keep a per-language
+    fraction chosen by hash(doc_id) mod 100 — reproducible across runs,
+    engines and cluster sizes (unlike rand()-based sampling), fully
+    narrow (no shuffle, filter pushes to the scan), and stable under
+    re-partitioning — the properties corpus subsampling at 100 TB needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    expr = None
+    for k, v in _STRATA_RATES.items():
+        cond = (F.col("lang") == k, F.lit(v))
+        expr = F.when(*cond) if expr is None else expr.when(*cond)
+    rate = expr.otherwise(F.lit(_STRATA_DEFAULT))
+    keep = _hashing.md5_long(F.col("doc_id").cast("string")) % 100 < rate
+    return docs.filter(keep).select("doc_id", "lang")
+
+
+@query(
+    "dp_lang_mix_weights",
+    """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS weight_sqrt_c6
+FROM documents GROUP BY lang
+""",
+)
+def dp_lang_mix_weights(spark, sf_dir):
+    """Temperature-mixing statistics per language: doc/token counts and
+    the alpha=0.5 sampling weight sqrt(n_docs) as fixed-point micros.
+    IEEE-754 sqrt is correctly rounded in both engines, so unlike
+    pow/log it hash-compares exactly; normalization (dividing by the
+    sum) is left to the consumer because a cross-partition double sum
+    is order-dependent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(text.words("text"))).cast("long").alias("n_tokens"),
+        F.floor(F.sqrt(F.count("*").cast("double")) * 1000000)
+        .cast("long")
+        .alias("weight_sqrt_c6"),
+    )

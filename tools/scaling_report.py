@@ -1,0 +1,122 @@
+"""Empirical scaling evidence: run the bench suite at every available
+scale factor and report per-query wall time plus the fitted scaling
+exponent between consecutive SFs.
+
+At 100x more data a linearly-scaling query grows its work 100x but its
+wall time ideally much less (more partitions to parallelize). Locally —
+same core count at each SF — wall time growth directly exposes the work
+exponent: exponent ~1 = linear (scan/agg), ~2 = quadratic (a pair join
+that will not survive 100 TB). The point of the report is a regression
+guard: any query whose exponent drifts toward 2 gets flagged before it
+matters.
+
+Usage: python tools/scaling_report.py [--sfs sf0.001,sf0.01,sf0.1]
+Writes SCALING.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from baker_spark import get_spark  # noqa: E402
+from baker_spark.queries import all_queries  # noqa: E402
+from baker_spark.sources.tables import load_table  # noqa: E402
+
+TESTDATA = "/root/testdata"
+
+#: the bench suite plus the pairwise/iterative operators whose scaling
+#: behavior is the interesting part.
+REPORT_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_topk_per_group",
+    "q_session_windows",
+    "q_cube_rollup",
+    "q_percentile_by_group",
+    "dp_dedup_exact",
+    "dp_minhash_lsh_pairs",
+    "dp_lsh_verified_pairs",
+    "dp_simhash_pairs",
+    "dp_dedup_clusters",
+    "dp_ann_topk",
+    "dp_vocab_topk",
+    "dp_corpus_pipeline",
+]
+
+#: queries whose work is inherently pairwise on candidate sets — an
+#: exponent above 1 at tiny SFs is expected noise there, not a smell.
+PAIRWISE = {"dp_minhash_lsh_pairs", "dp_lsh_verified_pairs", "dp_simhash_pairs", "dp_dedup_clusters"}
+
+N_RUNS = 2
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sfs = ["sf0.001", "sf0.01", "sf0.1"]
+    for arg in sys.argv[1:]:
+        if arg.startswith("--sfs="):
+            sfs = arg.split("=", 1)[1].split(",")
+    sfs = [s for s in sfs if os.path.isdir(os.path.join(TESTDATA, s))]
+    spark = get_spark("baker_spark_scaling")
+    queries = all_queries()
+
+    # warmup
+    load_table(spark, os.path.join(TESTDATA, sfs[0]), "lineitem").limit(100).count()
+
+    results: dict[str, dict[str, float]] = {}
+    for sf in sfs:
+        sf_dir = os.path.join(TESTDATA, sf)
+        for name in REPORT_QUERIES:
+            best = float("inf")
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                force(queries[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(name, {})[sf] = best
+            print(f"{sf} {name}: {best:.3f}s", flush=True)
+
+    lines = [
+        "# SCALING — bench suite wall time vs scale factor",
+        "",
+        "Best-of-%d per cell on local[%s]; `exp` fits t ~ sf^exp between the"
+        % (N_RUNS, os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count())),
+        "largest SF pair. Fixed per-job overhead dominates small SFs, which",
+        "*understates* data-dependent growth there — the last column is the",
+        "honest one. exp <= ~1: linear (scan/agg/top-k shapes). Pairwise",
+        "operators (marked *) grow with candidate count, not corpus size;",
+        "their guard is the LSH/banding prune keeping candidates sparse.",
+        "",
+        "| query | " + " | ".join(sfs) + " | exp(last pair) |",
+        "|---|" + "---|" * (len(sfs) + 1),
+    ]
+    for name in REPORT_QUERIES:
+        row = results[name]
+        cells = [f"{row[sf]:.2f}s" for sf in sfs]
+        if len(sfs) >= 2:
+            a, b = sfs[-2], sfs[-1]
+            ratio_sf = float(b[2:]) / float(a[2:])
+            exp = math.log(row[b] / row[a]) / math.log(ratio_sf)
+            exp_s = f"{exp:.2f}"
+        else:
+            exp_s = "n/a"
+        mark = "\\*" if name in PAIRWISE else ""
+        lines.append(f"| {name}{mark} | " + " | ".join(cells) + f" | {exp_s} |")
+    lines.append("")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
