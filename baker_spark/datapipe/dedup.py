@@ -25,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from baker_spark.datapipe.text import duck_word_shingles, word_shingles, words
 from baker_spark.functions.hashing import (
@@ -179,41 +179,115 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold_c6: int = 800000,
 ) -> DataFrame:
-    """Exact jaccard over shingle sets via an inverted-index join (only
-    pairs sharing a shingle are compared). jaccard emitted as floor(j*1e6)
-    so both engines agree exactly."""
-    # persisted: feeds both sides of the inverted-index join. Spills to
-    # disk if the shingle table outgrows memory — at extreme scale prefer
-    # the minhash tier anyway.
+    """Exact jaccard >= t pairs over shingle sets via ALL-PAIRS PREFIX
+    FILTERING (Bayardo et al. WWW'07; Vernica et al. SIGMOD'10 is the
+    MapReduce formulation this mirrors).
+
+    A naive inverted-index self-join compares every doc pair sharing ANY
+    shingle — on a repetitive corpus that is nearly all pairs, and the
+    threshold only applies after the quadratic blowup. Prefix filtering
+    makes the exactness cheap: order each doc's shingles globally by
+    (rarity, shingle); if J(A,B) >= t then |A intersect B| >=
+    ceil(t*|A|), so A and B MUST share an element inside their first
+    |X| - ceil(t*|X|) + 1 shingles. Only those prefixes are indexed —
+    the self-join touches the rarest slice of each set, candidates
+    shrink by orders of magnitude, and NO qualifying pair can be missed
+    (unlike LSH pruning, which is probabilistic). Candidates are then
+    verified with one exact jaccard over the full sets, fetched for
+    candidate docs only via a broadcast semi-join.
+
+    Shuffle ledger: shingle-frequency agg (map-side combined), one
+    doc_id window for prefix ranks, the prefix self-join, candidate
+    distinct — each moving a fraction of the corpus; the full text never
+    moves."""
+    # set size _n travels with each exploded row (narrow, from the array
+    # itself) instead of a second count-window over the shuffle
+    arr = F.array_distinct(word_shingles(text_col, shingle_n))
     sh = managed_persist(
-        fan_out(df).select(
-            F.col(id_col),
-            F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
-        )
+        fan_out(df)
+        .select(F.col(id_col), arr.alias("_arr"))
+        .select(F.col(id_col), F.size("_arr").alias("_n"), F.explode("_arr").alias("s"))
     )
-    # set sizes come narrow from the array itself — the former
-    # groupBy(id).count() re-shuffled what F.size already knows per row
-    sizes = df.select(
+    # global canonical order = (document frequency asc, shingle) —
+    # rarest first, standard for prefix filtering. The frequency table
+    # is an aggregate of sh; AQE picks broadcast vs shuffle join by its
+    # actual size (corpus-dependent), so no hint here.
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("_dfs"))
+    w_rank = Window.partitionBy(id_col).orderBy("_dfs", "s")
+    ranked = sh.join(dfreq, "s").select(
         F.col(id_col),
-        F.size(F.array_distinct(word_shingles(text_col, shingle_n))).alias("n"),
+        "s",
+        "_n",
+        F.row_number().over(w_rank).alias("_rn"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
+    # prefix length |X| - ceil(t*|X|) + 1, in exact integer arithmetic
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("_n")
+        - F.expr(f"(({threshold_c6} * _n) + 999999) div 1000000")
+        + F.lit(1)
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.floor(F.col("shared") * 1000000 / (F.col("na") + F.col("nb") - F.col("shared"))).cast("long")
-    # shared-pair table << corpus: broadcast it so the size table is
-    # scanned, not shuffled, at each enrichment join
-    with_a = na.join(F.broadcast(shared), "doc_a")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    na, nb_ = F.col("a._n"), F.col("b._n")
+    rna, rnb = F.col("a._rn"), F.col("b._rn")
+    # PPJoin-style pruning inside the join condition, all in exact
+    # integer arithmetic (multiplicative forms — no division, so no
+    # float-rounding completeness holes):
+    # - size filter: t*|A| <= |B| and t*|B| <= |A|
+    # - positional filter: overlap still reachable from this match
+    #   position, 1 + min(|A|-rn_a, |B|-rn_b) >= ceil(t/(1+t)*(|A|+|B|))
+    tc, one = threshold_c6, 1000000
+    size_ok = (nb_ * one >= na * tc) & (na * one >= nb_ * tc)
+    reach = F.lit(1) + F.least(na - rna, nb_ - rnb)
+    pos_ok = reach * (one + tc) >= (na + nb_) * tc
+    cands = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & size_ok
+            & pos_ok,
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(df, cands, text_col, id_col, shingle_n, threshold_c6)
+
+
+def _verify_jaccard(
+    df: DataFrame,
+    cands: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    threshold_c6: int,
+) -> DataFrame:
+    """Exact-jaccard verification of candidate pairs: fetch shingle sets
+    for candidate docs only (broadcast semi-prune — the candidate list is
+    small by construction of the pruning step), intersect, threshold."""
+    cands = managed_persist(cands)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sets_ = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    a = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sha"))
+    b = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("shb"))
+    # broadcast only the array-free pair list; the array-carrying
+    # enrichment result stays partitioned (broadcasting rows that drag
+    # whole shingle arrays through the driver is the expensive mistake)
+    with_a = a.join(F.broadcast(cands), "doc_a")
+    joined = with_a.join(b, "doc_b")
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jac = F.floor(inter * 1000000 / union).cast("long")
     return (
-        nb.join(F.broadcast(with_a), "doc_b")
-        .withColumn("jaccard_c6", jac)
+        joined.select("doc_a", "doc_b", jac.alias("jaccard_c6"))
         .filter(F.col("jaccard_c6") >= threshold_c6)
-        .select("doc_a", "doc_b", "jaccard_c6")
     )
 
 
@@ -464,31 +538,13 @@ def lsh_verified_pairs(
     threshold_c6: int = 600000,
 ) -> DataFrame:
     """The scalable near-dup pipeline shape: cheap LSH candidate
-    generation, then exact jaccard ONLY on candidates (prune -> verify).
-    The quadratic compare never happens; the verify join touches
-    |candidates| pairs, each bringing its two shingle sets computed
-    narrowly at the scan."""
+    generation, then exact jaccard ONLY on candidates (prune -> verify,
+    shared with the prefix-filter join via _verify_jaccard). Unlike
+    ngram_jaccard_pairs' prefix filter, LSH pruning is probabilistic —
+    a pair can miss every band — so this trades completeness for a
+    candidate set that does not depend on shingle-frequency skew."""
     cands = lsh_pairs(df, text_col, id_col, k, bands, shingle_n)
-    sets_ = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
-    )
-    a = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sha"))
-    b = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("shb"))
-    # LSH pruning makes |cands| << |corpus| by construction, so the
-    # candidate side is broadcast at each step and the shingle-set table
-    # is only ever scanned, never shuffled. (If candidates outgrew
-    # broadcast range the bands are too loose — tighten r, don't drop
-    # the hint.)
-    with_a = a.join(F.broadcast(cands), "doc_a")
-    joined = b.join(F.broadcast(with_a), "doc_b")
-    inter = F.size(F.array_intersect("sha", "shb"))
-    union = F.size("sha") + F.size("shb") - inter
-    jac = F.floor(inter * 1000000 / union).cast("long")
-    return (
-        joined.select("doc_a", "doc_b", jac.alias("jaccard_c6"))
-        .filter(F.col("jaccard_c6") >= threshold_c6)
-    )
+    return _verify_jaccard(df, cands, text_col, id_col, shingle_n, threshold_c6)
 
 
 def duck_lsh_verified_pairs(
