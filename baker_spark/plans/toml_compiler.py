@@ -69,8 +69,50 @@ def _build_input(section: dict, fields: list[str], separator: str):
         )
     raise ValueError(
         f"unknown input {section.get('name')!r} (batch inputs: List, "
-        "JsonLines, Parquet; streaming inputs live in baker_spark.streaming)"
+        "JsonLines, Parquet; daemon inputs: SQS, Kinesis, KCL, TCP)"
     )
+
+
+#: the reference's daemon inputs (never exit; SURVEY.md §2.1) — these
+#: compile to a StreamingPipeline instead of a batch Pipeline.
+STREAMING_INPUTS = {"sqs", "kinesis", "kcl", "tcp"}
+
+
+def _build_streaming_input(section: dict, fields: list[str], separator: str):
+    from baker_spark.streaming.connectors import KinesisSource, SocketSource
+    from baker_spark.streaming.daemon import FileStreamSource
+
+    name = section.get("name", "").lower()
+    cfg = _snake_keys(section.get("config", {}))
+    if name == "sqs":
+        # input/sqs.go:25-39 polls queues for S3-path notifications and
+        # streams those files; Structured Streaming's file source IS that
+        # pattern (discover-new-files, process-once, checkpoint) — `path`
+        # is the watched location (s3a://bucket/prefix on a cluster)
+        if "path" not in cfg:
+            raise ValueError(
+                "SQS input needs config Path (the watched directory/bucket "
+                "prefix; Spark's file-arrival discovery replaces the queue)"
+            )
+        return FileStreamSource(
+            path=cfg["path"],
+            fields=fields,
+            separator=separator,
+            max_files_per_trigger=cfg.get("max_files_per_trigger"),
+        )
+    if name in ("kinesis", "kcl"):
+        # input/kinesis.go:20-26 / input/kcl.go:27-49: StreamName +
+        # AWSRegion; KCL's InitialPosition maps to startingposition, its
+        # DynamoDB lease/checkpoint table to the query checkpoint dir
+        return KinesisSource(
+            stream_name=cfg["stream_name"],
+            region=cfg.get("aws_region", "us-west-2"),
+            starting_position=cfg.get("initial_position", "LATEST"),
+        )
+    # tcp — input/tcp.go:20-28 (":6000" listener)
+    addr = cfg.get("listen_address", ":6000")
+    host, _, port = addr.rpartition(":")
+    return SocketSource(host=host or "localhost", port=int(port))
 
 
 def _build_sink(section: dict, separator: str):
@@ -130,13 +172,18 @@ def _build_upload(section: dict):
     raise ValueError(f"unknown upload {section.get('name')!r}")
 
 
-def compile_toml(text: str, fields: list[str] | None = None) -> Pipeline:
+def compile_toml(text: str, fields: list[str] | None = None):
+    """Compile a reference-shaped TOML topology. Batch inputs yield a
+    :class:`Pipeline`; daemon inputs (SQS/Kinesis/KCL/TCP) yield a
+    :class:`baker_spark.streaming.daemon.StreamingPipeline`."""
     text = os.path.expandvars(text)  # ${ENV} expansion (config.go:221-231)
     doc = tomllib.loads(text)
 
     names = fields or doc.get("fields", {}).get("names", [])
     input_name = doc.get("input", {}).get("name", "").lower()
-    if not names and input_name != "parquet":  # parquet is self-describing
+    # parquet is self-describing; kinesis/tcp sources carry their own
+    # (value/data) schema until a parse step applies the field mapping
+    if not names and input_name not in ("parquet", "kinesis", "kcl", "tcp"):
         raise ValueError("[fields] names=[...] (or fields=) is required")
     if len(set(names)) != len(names):
         raise ValueError("duplicate field names")  # config.go:453-459
@@ -145,7 +192,11 @@ def compile_toml(text: str, fields: list[str] | None = None) -> Pipeline:
     if separator.startswith("\\u"):
         separator = chr(int(separator[2:], 16))
 
-    source = _build_input(doc.get("input", {}), names, separator)
+    streaming = input_name in STREAMING_INPUTS
+    if streaming:
+        source = _build_streaming_input(doc.get("input", {}), names, separator)
+    else:
+        source = _build_input(doc.get("input", {}), names, separator)
 
     ops = []
     validation = doc.get("validation", {})
@@ -160,6 +211,22 @@ def compile_toml(text: str, fields: list[str] | None = None) -> Pipeline:
     out = doc.get("output", {})
     sink = _build_sink(out, separator) if out else None
     upload = doc.get("upload", {})
+
+    if streaming:
+        from baker_spark.operators.topology import Shard
+        from baker_spark.streaming.daemon import StreamingPipeline
+
+        if out.get("sharding"):
+            # same-key -> same-worker holds per micro-batch via the
+            # repartition (topology.go:341-347); operators run on the
+            # repartitioned stream exactly like the batch path
+            ops.append(Shard(out["sharding"], procs=int(out.get("procs", 32))))
+        return StreamingPipeline(
+            source=source,
+            ops=ops,
+            fields=out.get("fields") or None,
+            sink=sink,
+        )
 
     return Pipeline(
         source=source,

@@ -33,13 +33,16 @@ class OpLog:
 
 @dataclass
 class Recorder:
-    """Collect records in memory for assertions (test sink)."""
+    """Collect records in memory for assertions (test sink). Appends on
+    every write like the reference's outputtest Recorder — under a
+    streaming foreachBatch each micro-batch accumulates."""
 
     records: list = field(default_factory=list)
 
     def write(self, df: DataFrame) -> list:
-        self.records = df.collect()
-        return self.records
+        batch = df.collect()
+        self.records.extend(batch)
+        return batch
 
 
 @dataclass

@@ -115,11 +115,30 @@ def windowed_counts(
 
 @dataclass
 class StreamingPipeline:
-    """Daemon topology: streaming source -> operator chain -> sink."""
+    """Daemon topology: streaming source -> operator chain -> sink.
+
+    ``sink`` (optional) is a *batch* sink object (FileWriter, SQLite,
+    DynamoDB, Recorder) applied per micro-batch by :meth:`start` — one
+    sink implementation serves one-shot and daemon topologies, like the
+    reference's shared output components."""
 
     source: Callable[[SparkSession], DataFrame]
     ops: list[Operator] = field(default_factory=list)
     fields: list[str] | None = None
+    sink: object | None = None
+
+    def start(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        trigger_seconds: int | None = None,
+    ):
+        """Run the daemon with the compiled sink (foreachBatch)."""
+        if self.sink is None:
+            raise ValueError("topology has no [output]; use start_memory for dev")
+        return self.start_foreach_batch(
+            spark, self.sink, checkpoint_dir, trigger_seconds
+        )
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
         df = chain(self.source(spark), self.ops)
