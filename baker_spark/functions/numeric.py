@@ -40,6 +40,22 @@ def micros(col: Column) -> Column:
     return F.floor(col * F.lit(1000000)).cast("long")
 
 
+def c2_long(col: Column | str) -> Column:
+    """Exact integer cents of a 2-dp money DOUBLE column:
+    round(x*100) as BIGINT. A 2-dp value stored in double sits within
+    ~1e-11 of the true decimal, so x*100 is within 1e-9 of an integer —
+    rounding recovers it exactly (no tie cases exist), and aggregation
+    proceeds in BIGINT, which Tungsten sums ~2-3x faster than
+    DECIMAL(18,6). Use only on columns known to carry <= 2 fractional
+    digits; `dec()` is the general path."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def duck_c2_long(expr: str) -> str:
+    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+
+
 def duck_dec(expr: str) -> str:
     return f"CAST({expr} AS DECIMAL(18,6))"
 
