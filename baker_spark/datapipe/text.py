@@ -56,10 +56,16 @@ def token_counts(col: Column | str) -> tuple[Column, Column]:
 
 def langid(col_name: str, stopwords: list[str] | None = None, threshold_pct: int = 5) -> Column:
     """Heuristic language ID: 'en' iff stopword ratio > threshold_pct %.
-    Integer comparison (n_stop * 100 > n_words * pct) keeps it exact."""
+    Integer comparison (n_stop * 100 > n_words * pct) keeps it exact.
+
+    The stopword count is a codegen'd regexp_count with zero-width
+    lookarounds — exactly "token == stopword" over space-split tokens
+    (matches can't overlap: stopwords contain no spaces and the
+    boundaries aren't consumed). The previous size(filter(split(...)))
+    form evaluated an interpreted lambda per word."""
     sw = stopwords or EN_STOPWORDS
-    arr = ", ".join(f"'{s}'" for s in sw)
-    n_stop = F.expr(f"size(filter(split({col_name}, ' ', -1), x -> array_contains(array({arr}), x)))")
+    rx = "(?<=^| )(" + "|".join(sw) + ")(?= |$)"
+    n_stop = F.regexp_count(F.col(col_name), F.lit(rx))
     n_words = F.size(words(col_name))
     return F.when(n_stop * 100 > n_words * threshold_pct, F.lit("en")).otherwise(F.lit("unk"))
 
