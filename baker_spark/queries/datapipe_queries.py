@@ -557,3 +557,62 @@ def dp_lang_mix_weights(spark, sf_dir):
         .cast("long")
         .alias("weight_sqrt_c6"),
     )
+
+
+_PACK_BUDGET = 512  # BPE-estimate tokens per packed training sequence
+_PACK_STREAMS = 16
+
+
+@query(
+    "dp_sequence_packing",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(floor((length(text) + 3) / 4) AS BIGINT) AS n_tok,
+         {_hashing.duck_md5_long("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tok, h % {_PACK_STREAMS} AS stream,
+         sum(n_tok) OVER (PARTITION BY h % {_PACK_STREAMS} ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, CAST(stream AS BIGINT) AS stream,
+       CAST(stream * 1000000 + (cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST((cum - n_tok) % {_PACK_BUDGET} AS BIGINT) AS offset_in_seq
+FROM s
+""",
+)
+def dp_sequence_packing(spark, sf_dir):
+    """Pack documents into ~fixed-token training sequences: docs are
+    dealt into S deterministic streams by hash, each stream greedily
+    fills sequences by a running token sum (window), and
+    seq_id = stream * 1e6 + cum_tokens div budget. Deterministic
+    (md5-ordered, pure integer arithmetic — reproducible across engines
+    and cluster sizes) and scalable: streams are the parallelism unit,
+    each stream's window state is one running sum, and S grows with the
+    cluster at 100 TB. The per-doc start offset inside its sequence
+    comes out of the same window pass."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        text.token_counts("text")[1].alias("n_tok"),
+        _hashing.md5_long(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("stream", F.col("h") % _PACK_STREAMS)
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = t.withColumn("cum", F.sum("n_tok").over(w))
+    return s.select(
+        "doc_id",
+        F.col("stream").cast("long").alias("stream"),
+        F.expr(f"stream * 1000000 + (cum - n_tok) div {_PACK_BUDGET}")
+        .cast("long")
+        .alias("seq_id"),
+        F.expr(f"(cum - n_tok) % {_PACK_BUDGET}").cast("long").alias("offset_in_seq"),
+    )
