@@ -137,3 +137,55 @@ def session_aggregator(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def ttl_dedup(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    ttl_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming Dedup with an explicit event-time TTL on state.
+
+    The reference's Dedup keeps every key forever and OOMs by design
+    (/root/reference/filter/dedup.go:14-21); the watermark variant
+    (streaming.daemon.StreamingDedup) bounds state but ties eviction to
+    the watermark delay. This operator gives the third policy real
+    pipelines want: a key suppresses duplicates only for ``ttl_seconds``
+    of EVENT time — a re-occurrence later than the TTL is treated as
+    fresh (the "re-crawl after 30 days is new content" semantic).
+
+    State per key: last emitted event-time (epoch seconds). A batch's
+    rows for one key are processed in event-time order; a row passes iff
+    no emission for the key happened within the trailing TTL window.
+    Emits passing rows (append semantics).
+    """
+
+    out_schema = f"{key_col} string, {ts_col} long"
+    state_schema = "last_emit long"
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(x) for x in pdf[ts_col])
+        ts.sort()
+        (last_emit,) = state.get if state.exists else (None,)
+        out: list[int] = []
+        for t in ts:
+            if last_emit is None or t - last_emit >= ttl_seconds:
+                out.append(t)
+                last_emit = t
+        if last_emit is not None:
+            state.update((last_emit,))
+        if out:
+            yield pd.DataFrame({key_col: [key[0]] * len(out), ts_col: out})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

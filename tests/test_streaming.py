@@ -233,3 +233,38 @@ InitialPosition="TRIM_HORIZON"
     tcp = compile_toml('[input]\nname="TCP"\n[input.config]\nListenAddress=":7100"\n')
     assert isinstance(tcp.source, SocketSource)
     assert tcp.source.port == 7100
+
+
+def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
+    """Graceful stop + restart from the same checkpoint continues where
+    the stream left off — the engine's equivalent of KCL's lease/
+    checkpoint table (input/kcl.go:27-49) and the reference's SIGINT
+    drain: already-processed files are not re-emitted."""
+    from baker_spark.sinks.simple import Recorder
+    from baker_spark.streaming.daemon import FileStreamSource, StreamingPipeline
+
+    src = tmp_path / "resume_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "resume_ckpt")
+    _write_csv(src / "a.csv", ["1,x", "2,y"])
+
+    def run_once():
+        rec = Recorder()
+        pipe = StreamingPipeline(
+            source=FileStreamSource(str(src), fields=["id", "v"]),
+            ops=[],
+            sink=rec,
+        )
+        q = pipe.start(spark, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {r["id"] for r in rec.records}
+
+    assert run_once() == {"1", "2"}
+
+    # new file arrives while the daemon is down; a restarted query sees
+    # ONLY it
+    _write_csv(src / "b.csv", ["3,z"])
+    assert run_once() == {"3"}

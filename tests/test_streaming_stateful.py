@@ -55,3 +55,40 @@ def test_session_aggregator_gap_split(spark, tmp_path):
         assert rows == {("u1", 1000, 1100, 2)}
     finally:
         q.stop()
+
+
+def test_ttl_dedup(spark, tmp_path):
+    """A key passes once per TTL window of event time: duplicates inside
+    the window drop, a later re-occurrence is fresh; state persists
+    across micro-batches."""
+    from baker_spark.streaming.stateful import ttl_dedup
+
+    src = tmp_path / "ttl_in"
+    src.mkdir()
+    (src / "a.csv").write_text("k1,100\nk1,200\nk2,100\n")
+
+    from baker_spark.streaming.daemon import FileStreamSource
+    from pyspark.sql import functions as F
+
+    stream = FileStreamSource(str(src), fields=["key", "ts"]).dataframe(spark)
+    stream = stream.withColumn("ts", F.col("ts").cast("long"))
+    q = (
+        ttl_dedup(stream, "key", "ts", ttl_seconds=1000)
+        .writeStream.format("memory")
+        .queryName("ttl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.key, r.ts) for r in spark.sql("SELECT * FROM ttl_out").collect()}
+        # k1@200 is within 1000s of k1@100 -> dropped
+        assert got == {("k1", 100), ("k2", 100)}
+
+        # next batch: k1@900 still inside TTL, k1@1500 is fresh
+        (src / "b.csv").write_text("k1,900\nk1,1500\n")
+        q.processAllAvailable()
+        got = {(r.key, r.ts) for r in spark.sql("SELECT * FROM ttl_out").collect()}
+        assert got == {("k1", 100), ("k2", 100), ("k1", 1500)}
+    finally:
+        q.stop()
