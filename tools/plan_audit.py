@@ -17,6 +17,7 @@ from __future__ import annotations
 import contextlib
 import io
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -24,10 +25,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as E  # noqa: E402
 from baker_spark import get_spark  # noqa: E402
 
-# Pre-execution plans re-print the full lineage of a .persist()'d branch
-# on every consumer (the InMemoryRelation isn't materialized yet), so
-# self-joins over persisted tables double-count their upstream shuffles.
 MAX_EXCHANGES = 12
+
+
+def _n_nodes(plan: str, op: str) -> int:
+    """Count DISTINCT physical operators named ``op``: the formatted
+    tree re-prints a .persist()'d branch under every consumer, but each
+    operator gets one numbered '(NN) Op' header — counting unique ids
+    matches what actually executes."""
+    return len(set(re.findall(rf"^\((\d+)\) {op}\b", plan, re.M)))
 
 
 def plan_of(df) -> str:
@@ -53,7 +59,8 @@ def main() -> int:
             flags.append("CARTESIAN")
         if "SortMergeJoin" in p:
             flags.append("SMJ")
-        n_exch = p.count("Exchange") - p.count("BroadcastExchange")
+        n_exch = _n_nodes(p, "Exchange")
+        n_bhj = _n_nodes(p, "BroadcastHashJoin")
         if n_exch > MAX_EXCHANGES:
             flags.append(f"EXCH>{MAX_EXCHANGES}({n_exch})")
         if "BatchEvalPython" in p:
@@ -62,7 +69,7 @@ def main() -> int:
         status = "FLAG " + ",".join(flags) if flags else "ok"
         if flags:
             bad += 1
-        print(f"{name:28s} {status}  exchanges={n_exch} bhj={p.count('BroadcastHashJoin')}{arrow}")
+        print(f"{name:28s} {status}  exchanges={n_exch} bhj={n_bhj}{arrow}")
     print(f"\n{bad} flagged")
     return 1 if bad else 0
 
