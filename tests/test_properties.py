@@ -193,3 +193,56 @@ def test_scrub_cross_engine(spark, docs):
         row = con.execute(sql, [d]).fetchone()
         assert got[d] == row, d
     con.close()
+
+
+def test_prefix_filter_jaccard_completeness(spark):
+    """The All-Pairs prefix filter + PPJoin size/positional pruning must
+    find EXACTLY the brute-force jaccard >= t pairs (completeness is a
+    theorem; this guards the integer filter arithmetic on random
+    corpora, including threshold-straddling near-duplicates)."""
+    import itertools
+    import random
+
+    from baker_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(20260813)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        docs = []
+        base = [rng.choice(vocab) for _ in range(rng.randint(3, 24))]
+        for i in range(24):
+            if rng.random() < 0.5 and len(base) >= 3:
+                # near-duplicate of base with light edits -> pairs that
+                # straddle the 0.8 threshold
+                d = list(base)
+                for _ in range(rng.randint(0, 3)):
+                    pos = rng.randrange(len(d))
+                    d[pos] = rng.choice(vocab)
+                docs.append(" ".join(d))
+            else:
+                docs.append(
+                    " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20)))
+                )
+
+        def shingles(text):
+            w = text.split(" ")
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        expected = set()
+        sets_ = [shingles(d) for d in docs]
+        for a, b in itertools.combinations(range(len(docs)), 2):
+            union = len(sets_[a] | sets_[b])
+            if union == 0:
+                continue
+            inter = len(sets_[a] & sets_[b])
+            if inter * 1000000 // union >= 800000:
+                expected.add((a, b, inter * 1000000 // union))
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=d) for i, d in enumerate(docs)]
+        )
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard_c6)
+            for r in ngram_jaccard_pairs(df).collect()
+        }
+        assert got == expected, f"trial {trial}: {got ^ expected}"
