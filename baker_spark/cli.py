@@ -52,12 +52,27 @@ def _compile(path: str):
     return compile_toml_file(path)
 
 
-def cmd_run(path: str, cpus: int | None) -> int:
+def cmd_run(path: str, cpus: int | None, checkpoint: str | None = None) -> int:
     from baker_spark.session import get_spark
+    from baker_spark.streaming.daemon import StreamingPipeline
 
     pipeline = _compile(path)
     spark = get_spark("baker_spark_cli", cpus=cpus)
     try:
+        if isinstance(pipeline, StreamingPipeline):
+            # daemon topology: runs until interrupted, like the
+            # reference's SIGINT drain (topology.go:282-288); the
+            # checkpoint dir makes a restart resume, not reprocess
+            import tempfile
+
+            ckpt = checkpoint or tempfile.mkdtemp(prefix="baker_spark_ckpt_")
+            print(f"daemon topology started (checkpoint: {ckpt}); Ctrl-C to stop")
+            query = pipeline.start(spark, ckpt)
+            try:
+                query.awaitTermination()
+            except KeyboardInterrupt:
+                query.stop()
+            return 0
         result = pipeline.run(spark)
         if result is not None and not isinstance(result, (str, list, dict, int)):
             result.show(20, truncate=False)  # sink-less topology: show rows
@@ -86,6 +101,9 @@ def main(argv: list[str] | None = None) -> int:
     run_p = sub.add_parser("run", help="run a TOML topology")
     run_p.add_argument("toml")
     run_p.add_argument("--cpus", type=int, default=None)
+    run_p.add_argument(
+        "--checkpoint", default=None, help="checkpoint dir for daemon topologies"
+    )
     exp_p = sub.add_parser("explain", help="print the physical plan of a topology")
     exp_p.add_argument("toml")
     help_p = sub.add_parser("help", help="help for a component")
@@ -94,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
 
     args = parser.parse_args(argv)
     if args.cmd == "run":
-        return cmd_run(args.toml, args.cpus)
+        return cmd_run(args.toml, args.cpus, args.checkpoint)
     if args.cmd == "explain":
         return cmd_explain(args.toml)
     if args.cmd == "help":
