@@ -254,3 +254,74 @@ FROM e JOIN q ON e.bucket = q.bucket
 ORDER BY cosine_c4 DESC, e.id
 LIMIT {k}
 """
+
+
+def cosine_pairs_bucketed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold_c4: int = 4500,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Near-dup pairs restricted to an LSH bucket — the fully
+    distributed 100 TB path for embedding dedup.
+
+    ``cosine_pairs`` ships the whole quantized matrix to every task
+    (fine for a rerank set, wrong for a corpus); here random-hyperplane
+    buckets partition the data and applyInPandas runs the exact int64
+    matmul kernel WITHIN each bucket — no driver collect, state bounded
+    by the largest bucket, parallelism = number of buckets (add planes
+    to split further). Recall follows the hyperplane-LSH collision
+    probability (1 - theta/pi per plane); candidates this generator
+    yields carry the same exact quantized cosine_c4 as the brute-force
+    kernel, so downstream thresholds/clustering behave identically."""
+    import pandas as pd
+
+    buckets = lsh_buckets(df, vec_col, id_col, planes)
+    q = (
+        df.join(buckets, id_col)
+        .select(F.col(id_col), F.col("bucket"), quantize(as_double(vec_col)).alias("q"))
+    )
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_c4": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine_c4": "int64"}
+            )
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["q"]), dtype=np.int64)
+        dots = mat @ mat.T  # exact int64
+        norm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c4 = np.floor(dots.astype(np.float64) * 10000.0 / (norm[:, None] * norm[None, :]))
+        ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (c4 >= threshold_c4))
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "cosine_c4": c4[ia, ib].astype(np.int64)}
+        )
+
+    return q.groupBy("bucket").applyInPandas(block, "id_a long, id_b long, cosine_c4 long")
+
+
+def duck_cosine_pairs_bucketed(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold_c4: int = 4500,
+    planes: list[list[float]] | None = None,
+) -> str:
+    buckets = duck_lsh_buckets(table, vec_col, id_col, planes)
+    dot = duck_dot("a.q", "b.q")
+    na, nb = duck_dot("a.q", "a.q"), duck_dot("b.q", "b.q")
+    c4 = (
+        f"floor(CAST({dot} AS DOUBLE) * 10000 / "
+        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))))"
+    )
+    return f"""
+WITH bk AS ({buckets}),
+e AS (SELECT t.{id_col} AS id, bk.bucket,
+             {duck_quantize(f'CAST(t.{vec_col} AS DOUBLE[])')} AS q
+      FROM {table} t JOIN bk ON bk.{id_col} = t.{id_col})
+SELECT a.id AS id_a, b.id AS id_b, CAST({c4} AS BIGINT) AS cosine_c4
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
+WHERE {c4} >= {threshold_c4}
+"""

@@ -616,3 +616,11 @@ def dp_sequence_packing(spark, sf_dir):
         .alias("seq_id"),
         F.expr(f"(cum - n_tok) % {_PACK_BUDGET}").cast("long").alias("offset_in_seq"),
     )
+
+
+@query("dp_cosine_pairs_bucketed", vectors.duck_cosine_pairs_bucketed())
+def dp_cosine_pairs_bucketed(spark, sf_dir):
+    """Scale path for embedding near-dup: hyperplane-LSH buckets
+    partition the corpus and the exact quantized matmul kernel runs per
+    bucket (applyInPandas) — distributed, no driver collect."""
+    return vectors.cosine_pairs_bucketed(load_table(spark, sf_dir, "embeddings"))
