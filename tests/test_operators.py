@@ -324,3 +324,17 @@ def test_predicate_hoisting(spark):
         ops.NotNull(["qty"]),
     ]
     assert len(ops.hoist_predicates(barrier_chain)) == 0
+
+
+def test_managed_cache_release(spark):
+    """Operator caches registered via managed_persist are dropped at the
+    next query build (load_table -> release_caches): catalog sweeps and
+    best-of-N bench runs must not accumulate storage (round-1 advisory)."""
+    from baker_spark import session as S
+
+    df = S.managed_persist(spark.range(10).toDF("n"))
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    assert S._MANAGED_CACHES
+    S.release_caches()
+    assert not S._MANAGED_CACHES
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)

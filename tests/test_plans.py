@@ -72,3 +72,14 @@ def test_lsh_join_is_hash_not_cartesian(plans):
 def test_ann_scan_prunes_to_vec_columns(plans):
     p = plans("dp_ann_topk")
     assert "EqualTo(vec_id,0)" in p  # query-row lookup pushed to the scan
+
+
+def test_sqs_input_requires_path():
+    """The SQS daemon input needs the watched Path; the compiler fails at
+    compile time with a clear message, not at stream start."""
+    import pytest
+
+    from baker_spark.plans import compile_toml
+
+    with pytest.raises(ValueError, match="watched directory"):
+        compile_toml('[fields]\nnames=["a"]\n[input]\nname="SQS"\n')
