@@ -131,23 +131,23 @@ def op_expandlist(spark, sf_dir):
 
 
 @query(
-    "op_externalmatch_semi",
-    "SELECT event_id, event_type FROM events WHERE event_type IN ('click', 'view')",
+    "op_externalmatch",
+    "SELECT event_id, event_type, 'semi' AS variant FROM events "
+    "WHERE event_type IN ('click', 'view') "
+    "UNION ALL "
+    "SELECT event_id, event_type, 'anti' AS variant FROM events "
+    "WHERE event_type NOT IN ('click', 'view')",
 )
-def op_externalmatch_semi(spark, sf_dir):
+def op_externalmatch(spark, sf_dir):
+    # both KeepOnMatch modes (external_match.go:25-53) in one gated query
     df = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    return ops.ExternalMatch(
+    semi = ops.ExternalMatch(
         field_name="event_type", values=["click", "view"], keep_on_match=True
     ).apply(df)
-
-
-@query(
-    "op_externalmatch_anti",
-    "SELECT event_id, event_type FROM events WHERE event_type NOT IN ('click', 'view')",
-)
-def op_externalmatch_anti(spark, sf_dir):
-    df = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    return ops.ExternalMatch(field_name="event_type", values=["click", "view"]).apply(df)
+    anti = ops.ExternalMatch(field_name="event_type", values=["click", "view"]).apply(df)
+    return semi.withColumn("variant", F.lit("semi")).unionByName(
+        anti.withColumn("variant", F.lit("anti"))
+    )
 
 
 @query(
@@ -174,26 +174,26 @@ def op_hash(spark, sf_dir):
 
 
 @query(
-    "op_metadata_url",
-    "SELECT 'events.parquet' AS file, count(*) AS n FROM events",
+    "op_metadata",
+    "SELECT 'events.parquet' AS file, count(*) AS n, count(*) AS n_mtime FROM events",
 )
-def op_metadata_url(spark, sf_dir):
-    # oracle-checkable invariant: every row carries its source file url
+def op_metadata(spark, sf_dir):
+    # oracle-checkable invariants for both metadata ops: every row carries
+    # its source file url (metadata_url.go:12-79) and a positive mtime
+    # (metadata_lastmodified.go:12-58)
     df = load_table(spark, sf_dir, "events")
     out = ops.MetadataUrl(dst_field="src_url").apply(df)
+    out = ops.MetadataLastModified(dst_field="mtime").apply(out)
     return (
-        out.select(F.element_at(F.split(F.col("src_url"), "/"), -1).alias("file"))
+        out.select(
+            F.element_at(F.split(F.col("src_url"), "/"), -1).alias("file"),
+            F.col("mtime"),
+        )
         .groupBy("file")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@query("op_metadata_lastmodified", "SELECT count(*) AS n_rows_with_mtime FROM events")
-def op_metadata_lastmodified(spark, sf_dir):
-    df = load_table(spark, sf_dir, "events")
-    out = ops.MetadataLastModified(dst_field="mtime").apply(df)
-    return out.filter(F.col("mtime").cast("long") > 0).agg(
-        F.count("*").alias("n_rows_with_mtime")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("mtime").cast("long") > 0, 1)).alias("n_mtime"),
+        )
     )
 
 
@@ -214,26 +214,22 @@ def op_partialclone(spark, sf_dir):
 
 @query(
     "op_regexmatch",
-    "SELECT doc_id FROM documents WHERE regexp_matches(text, 'spark') "
-    "AND regexp_matches(lang, '^(en|de)$')",
-)
-def op_regexmatch(spark, sf_dir):
-    df = load_table(spark, sf_dir, "documents")
-    out = ops.RegexMatch(fields=["text", "lang"], regexs=["spark", "^(en|de)$"]).apply(df)
-    return out.select("doc_id")
-
-
-@query(
-    "op_regexmatch_invert",
-    "SELECT doc_id FROM documents WHERE NOT (regexp_matches(text, 'spark') "
+    "SELECT doc_id, 'match' AS variant FROM documents WHERE regexp_matches(text, 'spark') "
+    "AND regexp_matches(lang, '^(en|de)$') "
+    "UNION ALL "
+    "SELECT doc_id, 'invert' AS variant FROM documents WHERE NOT (regexp_matches(text, 'spark') "
     "AND regexp_matches(lang, '^(en|de)$'))",
 )
-def op_regexmatch_invert(spark, sf_dir):
+def op_regexmatch(spark, sf_dir):
+    # both InvertMatch modes (regex_match.go:11-100) in one gated query
     df = load_table(spark, sf_dir, "documents")
-    out = ops.RegexMatch(
+    kept = ops.RegexMatch(fields=["text", "lang"], regexs=["spark", "^(en|de)$"]).apply(df)
+    inv = ops.RegexMatch(
         fields=["text", "lang"], regexs=["spark", "^(en|de)$"], invert_match=True
     ).apply(df)
-    return out.select("doc_id")
+    return kept.select("doc_id").withColumn("variant", F.lit("match")).unionByName(
+        inv.select("doc_id").withColumn("variant", F.lit("invert"))
+    )
 
 
 @query(
@@ -266,22 +262,22 @@ def op_slice(spark, sf_dir):
 
 @query(
     "op_stringmatch",
-    "SELECT event_id, event_type FROM events WHERE event_type NOT IN ('click', 'view')",
+    "SELECT event_id, event_type, 'drop' AS variant FROM events "
+    "WHERE event_type NOT IN ('click', 'view') "
+    "UNION ALL "
+    "SELECT event_id, event_type, 'keep' AS variant FROM events "
+    "WHERE event_type IN ('click', 'view')",
 )
 def op_stringmatch(spark, sf_dir):
+    # both InvertMatch modes (string_match.go:11-82) in one gated query
     df = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    return ops.StringMatch(field="event_type", strings=["click", "view"]).apply(df)
-
-
-@query(
-    "op_stringmatch_invert",
-    "SELECT event_id, event_type FROM events WHERE event_type IN ('click', 'view')",
-)
-def op_stringmatch_invert(spark, sf_dir):
-    df = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    return ops.StringMatch(
+    dropped = ops.StringMatch(field="event_type", strings=["click", "view"]).apply(df)
+    kept = ops.StringMatch(
         field="event_type", strings=["click", "view"], invert_match=True
     ).apply(df)
+    return dropped.withColumn("variant", F.lit("drop")).unionByName(
+        kept.withColumn("variant", F.lit("keep"))
+    )
 
 
 @query("op_timestamp", "SELECT count(*) AS n FROM events")
@@ -344,21 +340,17 @@ def op_urlparam(spark, sf_dir):
 
 @query(
     "op_validation",
-    "SELECT doc_id, lang FROM documents WHERE regexp_matches(lang, '^en$')",
+    "SELECT doc_id, lang, "
+    "(SELECT count(*) FROM documents WHERE NOT regexp_matches(lang, '^en$')) AS n_quarantined "
+    "FROM documents WHERE regexp_matches(lang, '^en$')",
 )
 def op_validation(spark, sf_dir):
+    # valid rows (config.go:474-523) + quarantine count (topology.go:376-386)
+    # in one gated query; the count rides along as a broadcast scalar
     df = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return ops.Validation({"lang": "^en$"}).apply(df)
-
-
-@query(
-    "op_validation_quarantine",
-    "SELECT 'lang' AS field, count(*) AS n FROM documents "
-    "WHERE NOT regexp_matches(lang, '^en$')",
-)
-def op_validation_quarantine(spark, sf_dir):
-    df = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return ops.Validation({"lang": "^en$"}).invalid_counts(df)
+    v = ops.Validation({"lang": "^en$"})
+    quarantined = v.invalid_counts(df).select(F.col("n").alias("n_quarantined"))
+    return v.apply(df).crossJoin(quarantined)
 
 
 @query(

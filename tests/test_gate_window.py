@@ -1,0 +1,36 @@
+"""Pin the driver's 50-query correctness window (the driver gates the
+first 50 catalog entries): every benched query and flagship scale path
+must sit inside it, and every name must carry an oracle."""
+
+import bench
+from baker_spark.queries import GATE_ORDER, all_oracles, all_queries
+
+FLAGSHIP_SCALE_PATHS = [
+    "dp_cosine_pairs_bucketed",
+    "dp_dedup_clusters",
+    "dp_lsh_verified_pairs",
+    "dp_decontaminate",
+    "dp_sequence_packing",
+]
+
+
+def test_gate_is_first_50():
+    q = list(all_queries())
+    assert len(GATE_ORDER) == 50
+    assert q[:50] == GATE_ORDER
+
+
+def test_benched_queries_inside_gate():
+    missing = [n for n in bench.BENCH_QUERIES if n not in GATE_ORDER]
+    assert not missing, f"benched queries outside the driver gate: {missing}"
+
+
+def test_flagship_scale_paths_inside_gate():
+    missing = [n for n in FLAGSHIP_SCALE_PATHS if n not in GATE_ORDER]
+    assert not missing, f"flagship scale paths outside the driver gate: {missing}"
+
+
+def test_every_gated_query_has_oracle():
+    oracles = all_oracles()
+    missing = [n for n in GATE_ORDER if n not in oracles]
+    assert not missing, f"gated queries without an oracle: {missing}"
