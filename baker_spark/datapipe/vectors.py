@@ -67,59 +67,76 @@ def duck_quantize(expr: str) -> str:
     return f"[CAST(floor(x * {float(Q_SCALE)!r}) AS BIGINT) for x in {expr}]"
 
 
+def dot_long(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<long> columns — exact
+    int64, so the result is independent of evaluation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def row_guard(df: DataFrame, max_rows: int, scale_path: str) -> DataFrame:
+    """Execution-time row-count guard for the brute-force baselines.
+
+    Lazy (no job at build time — plan inspection stays free): a 1-row
+    count aggregate rides along as a broadcast, and ``assert_true``
+    fails the job with a pointer at ``scale_path`` when the input
+    exceeds ``max_rows``. Keeps a user from accidentally running an
+    O(n^2) rerank baseline over a full corpus."""
+    n = df.agg(F.count("*").alias("_n"))
+    msg = (
+        f"input exceeds max_rows={max_rows} for a brute-force baseline; "
+        f"use {scale_path} (the bucketed scale path) or raise max_rows"
+    )
+    return (
+        df.crossJoin(F.broadcast(n))
+        .filter(
+            F.coalesce(
+                F.assert_true(F.col("_n") <= F.lit(max_rows), F.lit(msg)), F.lit(True)
+            )
+        )
+        .drop("_n")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold_c4: int = 4500,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """All-pairs quantized cosine >= threshold (brute force baseline —
-    the LSH bucket variant below is the 100 TB path).
+    ``cosine_pairs_bucketed`` below is the 100 TB path).
 
-    Kernel: Arrow-batched block matrix product. Each task gets a batch
-    of quantized rows (A block) and multiplies against the full
-    quantized matrix (B side, shipped to executors) with one int64
-    numpy matmul — exact integer arithmetic, so the result is
-    bit-identical to any per-element evaluation order, including the
-    DuckDB oracle's list comprehension. cosine_c4 =
-    floor(dot*1e4 / (sqrt(na)*sqrt(nb))) runs in IEEE float64 with the
-    identical operation sequence in both engines. At 100 TB the same
-    kernel runs per (A-block x B-block) pair over a blocked cross join;
-    here the B side fits one broadcast."""
-    import pandas as pd
-
-    spark = df.sparkSession
+    Fully lazy and driver-free: the quantized B side is a broadcast
+    join build (Spark ships it to executors; no driver collect, so
+    building the plan runs no job and an empty input yields an empty
+    result instead of crashing). The dot product is an exact int64
+    fold over the quantized arrays — order-independent, identical to
+    the DuckDB oracle's list comprehension — and cosine_c4 =
+    floor(dot*1e4 / (sqrt(na)*sqrt(nb))) runs the same IEEE float64
+    operation sequence in both engines. A lazy ``row_guard`` fails the
+    job (not the build) past ``max_rows``."""
     q = df.select(F.col(id_col).alias("id"), quantize(as_double(vec_col)).alias("q"))
-    b_rows = q.collect()
-    b_ids = np.array([r.id for r in b_rows], dtype=np.int64)
-    b_mat = np.array([r.q for r in b_rows], dtype=np.int64)
-    b_norm = np.sqrt((b_mat * b_mat).sum(axis=1).astype(np.float64))
-    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norm))
-
-    def block(batches):
-        ids_b, mat_b, norm_b = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids_a = pdf["id"].to_numpy(dtype=np.int64)
-            mat_a = np.array(list(pdf["q"]), dtype=np.int64)
-            dots = mat_a @ mat_b.T  # exact int64
-            norm_a = np.sqrt((mat_a * mat_a).sum(axis=1).astype(np.float64))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                c4 = np.floor(
-                    dots.astype(np.float64) * 10000.0 / (norm_a[:, None] * norm_b[None, :])
-                )
-            # nan (zero-norm vectors) fails the >= like in SQL
-            ia, ib = np.nonzero((ids_a[:, None] < ids_b[None, :]) & (c4 >= threshold_c4))
-            yield pd.DataFrame(
-                {
-                    "id_a": ids_a[ia],
-                    "id_b": ids_b[ib],
-                    "cosine_c4": c4[ia, ib].astype(np.int64),
-                }
-            )
-
-    return fan_out(q).mapInPandas(block, "id_a long, id_b long, cosine_c4 long")
+    a = fan_out(q).select(F.col("id").alias("id_a"), F.col("q").alias("qa"))
+    # guard the broadcast side — that's where n^2 and executor memory bite
+    b = row_guard(q, max_rows, "cosine_pairs_bucketed").select(
+        F.col("id").alias("id_b"), F.col("q").alias("qb")
+    )
+    d = dot_long(F.col("qa"), F.col("qb"))
+    na = dot_long(F.col("qa"), F.col("qa"))
+    nb = dot_long(F.col("qb"), F.col("qb"))
+    c4 = F.floor(
+        d.cast("double") * F.lit(10000.0) / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", c4.cast("long").alias("cosine_c4"))
+        .filter(F.col("cosine_c4") >= F.lit(threshold_c4))
+    )
 
 
 def duck_cosine_pairs(
@@ -148,10 +165,15 @@ def ann_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int | None = 10_000_000,
 ) -> DataFrame:
     """Brute-force cosine top-k against one stored vector; deterministic
     tie-break on id. The broadcast of the single query row means the scan
-    side never shuffles."""
+    side never shuffles. Past ``max_rows`` the lazy guard fails the job
+    and points at ``ann_topk_bucketed`` — a full scan per query is the
+    rerank baseline, not the corpus path."""
+    if max_rows is not None:
+        df = row_guard(df, max_rows, "ann_topk_bucketed")
     q = df.filter(F.col(id_col) == query_id).select(as_double(vec_col).alias("qv"))
     scored = fan_out(df).crossJoin(F.broadcast(q)).select(
         F.col(id_col),

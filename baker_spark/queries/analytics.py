@@ -76,12 +76,16 @@ def q1_pricing_summary(spark, sf_dir):
         (pc * (F.lit(100) - dc)).alias("d4"),
         (pc * (F.lit(100) - dc) * (F.lit(100) + tc)).alias("c6"),
     )
+    # per-row arithmetic stays in long; the SUM buffers run in
+    # DECIMAL(38,0) (precision 38 ≈ 1e38 headroom) because sum(c6) ~5e16
+    # at SF1 would wrap int64 around SF~150 while DuckDB promotes to
+    # HUGEINT — long sums would silently diverge exactly at scale
     return staged.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("qc").alias("sum_qty_c2"),
-        F.sum("pc").alias("sum_base_c2"),
-        F.expr("sum(d4) div 100").alias("sum_disc_c2"),
-        F.expr("sum(c6) div 10000").alias("sum_charge_c2"),
-        F.expr("(sum(qc) * 10000) div count(*)").alias("avg_qty_c6"),
+        F.expr("cast(sum(cast(qc as decimal(38,0))) as bigint)").alias("sum_qty_c2"),
+        F.expr("cast(sum(cast(pc as decimal(38,0))) as bigint)").alias("sum_base_c2"),
+        F.expr("sum(cast(d4 as decimal(38,0))) div 100").alias("sum_disc_c2"),
+        F.expr("sum(cast(c6 as decimal(38,0))) div 10000").alias("sum_charge_c2"),
+        F.expr("(sum(cast(qc as decimal(38,0))) * 10000) div count(*)").alias("avg_qty_c6"),
         F.count("*").alias("count_order"),
     )
 
@@ -120,7 +124,8 @@ def q3_shipping_priority(spark, sf_dir):
         )
         .select("o_orderkey", "o_orderdate", rev_c4.alias("r4"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.expr("sum(r4) div 100").alias("revenue_c2"))
+        # DECIMAL(38,0) sum buffer: int64 r4 sums wrap around SF~150 (see q1)
+        .agg(F.expr("sum(cast(r4 as decimal(38,0))) div 100").alias("revenue_c2"))
         .select(
             "o_orderkey",
             "revenue_c2",
@@ -166,7 +171,8 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == F.col("s_nationkey")))
         .select(F.col("n_name").alias("nation"), rev_c4.alias("r4"))
         .groupBy("nation")
-        .agg(F.expr("sum(r4) div 100").alias("revenue_c2"))
+        # DECIMAL(38,0) sum buffer: int64 r4 sums wrap around SF~150 (see q1)
+        .agg(F.expr("sum(cast(r4 as decimal(38,0))) div 100").alias("revenue_c2"))
     )
 
 
