@@ -267,7 +267,7 @@ survivors AS (
          arg_min(n_bpe, doc_id) AS n_bpe, count(*) AS n_dups
   FROM flagged GROUP BY {text.duck_fingerprint('clean_text')}
 )
-SELECT lang, count(*) AS n_docs, sum(n_bpe) AS total_bpe_tokens,
+SELECT lang, count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
        CAST(sum(n_dups) - count(*) AS BIGINT) AS n_removed
 FROM survivors GROUP BY lang
 """,

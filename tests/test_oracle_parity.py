@@ -34,6 +34,20 @@ def test_all_queries_have_oracles():
 
 
 @pytest.mark.parametrize("name", ALL)
+def test_oracle_types_driver_safe(duck, name):
+    """The driver hashes Arrow values, so a DuckDB HUGEINT (int128, from an
+    un-cast sum() over BIGINT) hash-mismatches Spark's int64 even when the
+    values are numerically identical. Local value-compare can't see that —
+    assert at the type level instead."""
+    sql = entry_mod.oracle_sql().get(name)
+    if sql is None:
+        return
+    types = [str(t).upper() for t in duck.sql(sql).types]
+    bad = [t for t in types if "HUGEINT" in t or "INT128" in t]
+    assert not bad, f"{name}: oracle emits driver-unsafe types {types}"
+
+
+@pytest.mark.parametrize("name", ALL)
 def test_oracle_parity(spark, duck, name):
     fn = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql().get(name)
