@@ -77,15 +77,22 @@ def dot_long(a: Column, b: Column) -> Column:
     )
 
 
-def row_guard(df: DataFrame, max_rows: int, scale_path: str) -> DataFrame:
+def row_guard(
+    df: DataFrame, max_rows: int, scale_path: str, count_of: DataFrame | None = None
+) -> DataFrame:
     """Execution-time row-count guard for the brute-force baselines.
 
     Lazy (no job at build time — plan inspection stays free): a 1-row
     count aggregate rides along as a broadcast, and ``assert_true``
     fails the job with a pointer at ``scale_path`` when the input
     exceeds ``max_rows``. Keeps a user from accidentally running an
-    O(n^2) rerank baseline over a full corpus."""
-    n = df.agg(F.count("*").alias("_n"))
+    O(n^2) rerank baseline over a full corpus.
+
+    ``count_of`` lets the caller guard on the size of a DIFFERENT frame
+    than the one being wrapped — attach the guard to an already-tiny
+    branch (e.g. a single-row query broadcast) so the count aggregate
+    rides the plan exactly once instead of once per derived branch."""
+    n = (df if count_of is None else count_of).agg(F.count("*").alias("_n"))
     msg = (
         f"input exceeds max_rows={max_rows} for a brute-force baseline; "
         f"use {scale_path} (the bucketed scale path) or raise max_rows"
@@ -121,16 +128,21 @@ def cosine_pairs(
     operation sequence in both engines. A lazy ``row_guard`` fails the
     job (not the build) past ``max_rows``."""
     q = df.select(F.col(id_col).alias("id"), quantize(as_double(vec_col)).alias("q"))
-    a = fan_out(q).select(F.col("id").alias("id_a"), F.col("q").alias("qa"))
+    # self-norm once per ROW, before the join — recomputing a 64-element
+    # fold per candidate PAIR would cost O(n^2) folds instead of O(n)
+    qn = q.select("id", "q", dot_long(F.col("q"), F.col("q")).alias("n2"))
+    a = fan_out(qn).select(
+        F.col("id").alias("id_a"), F.col("q").alias("qa"), F.col("n2").alias("na")
+    )
     # guard the broadcast side — that's where n^2 and executor memory bite
-    b = row_guard(q, max_rows, "cosine_pairs_bucketed").select(
-        F.col("id").alias("id_b"), F.col("q").alias("qb")
+    b = row_guard(qn, max_rows, "cosine_pairs_bucketed").select(
+        F.col("id").alias("id_b"), F.col("q").alias("qb"), F.col("n2").alias("nb")
     )
     d = dot_long(F.col("qa"), F.col("qb"))
-    na = dot_long(F.col("qa"), F.col("qa"))
-    nb = dot_long(F.col("qb"), F.col("qb"))
     c4 = F.floor(
-        d.cast("double") * F.lit(10000.0) / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+        d.cast("double")
+        * F.lit(10000.0)
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
     )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
@@ -171,10 +183,15 @@ def ann_topk(
     tie-break on id. The broadcast of the single query row means the scan
     side never shuffles. Past ``max_rows`` the lazy guard fails the job
     and points at ``ann_topk_bucketed`` — a full scan per query is the
-    rerank baseline, not the corpus path."""
-    if max_rows is not None:
-        df = row_guard(df, max_rows, "ann_topk_bucketed")
+    rerank baseline, not the corpus path.
+
+    The guard rides ONLY the single-row query broadcast (``count_of``
+    points it at the full input), so the count aggregate executes once
+    and the scan side keeps its pushed-down ``vec_id = query_id``
+    lookup and shuffle-free plan."""
     q = df.filter(F.col(id_col) == query_id).select(as_double(vec_col).alias("qv"))
+    if max_rows is not None:
+        q = row_guard(q, max_rows, "ann_topk_bucketed", count_of=df)
     scored = fan_out(df).crossJoin(F.broadcast(q)).select(
         F.col(id_col),
         F.floor(cosine(as_double(vec_col), F.col("qv")) * 10000).cast("long").alias("cosine_c4"),

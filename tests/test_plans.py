@@ -74,6 +74,29 @@ def test_ann_scan_prunes_to_vec_columns(plans):
     assert "EqualTo(vec_id,0)" in p  # query-row lookup pushed to the scan
 
 
+def test_ann_guard_counts_once(plans):
+    """The row guard's count(*) must ride only the single-row query
+    broadcast — a guard wrapped around the shared input subtree executes
+    in every derived branch (the round-3 3x bench regression)."""
+    p = plans("dp_ann_topk")
+    assert p.count("partial_count(1)") == 1  # exactly one count-aggregate subtree
+
+
+def test_ann_guard_trips_past_max_rows(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from baker_spark.datapipe import vectors
+    from baker_spark.sources.tables import load_table
+
+    df = load_table(spark, SF_DIR, "embeddings")
+    guarded = vectors.ann_topk(df, max_rows=3)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="ann_topk_bucketed"):
+        guarded.collect()
+    # and the same guard stays silent under the limit
+    assert len(vectors.ann_topk(df, k=5, max_rows=10_000_000).collect()) == 5
+
+
 def test_sqs_input_requires_path():
     """The SQS daemon input needs the watched Path; the compiler fails at
     compile time with a clear message, not at stream start."""
