@@ -47,6 +47,14 @@ class Validation(Operator):
             .agg(F.count("*").alias("n"))
         )
 
+    def total_invalid(self, df: DataFrame) -> DataFrame:
+        """Quarantine count as an ungrouped aggregate — ALWAYS one row
+        (0 when everything validates), so it is safe to crossJoin as a
+        broadcast scalar. ``invalid_counts`` returns zero rows on a fully
+        valid input, which would annihilate whatever it is joined to."""
+        pred = reduce(lambda a, b: a & b, (self._ok(f, rx) for f, rx in self.fields.items()))
+        return df.agg(F.count(F.when(~pred, 1)).alias("n_quarantined"))
+
 
 @register
 class FieldSelect(Operator):

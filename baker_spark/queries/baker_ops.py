@@ -349,8 +349,11 @@ def op_validation(spark, sf_dir):
     # in one gated query; the count rides along as a broadcast scalar
     df = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     v = ops.Validation({"lang": "^en$"})
-    quarantined = v.invalid_counts(df).select(F.col("n").alias("n_quarantined"))
-    return v.apply(df).crossJoin(quarantined)
+    # ungrouped aggregate: always one row, even when nothing is invalid
+    # (invalid_counts returns ZERO rows then, and the crossJoin would
+    # annihilate every valid row while the oracle's scalar subquery keeps
+    # them with n_quarantined=0)
+    return v.apply(df).crossJoin(F.broadcast(v.total_invalid(df)))
 
 
 @query(

@@ -193,6 +193,17 @@ def test_validation(spark, generic):
     assert len(q) == 1 and q[0]._bk_invalid_field == "ts"
     counts = rows_to_tuples(v.invalid_counts(generic))
     assert counts == [("ts", 1)]
+    assert v.total_invalid(generic).collect()[0].n_quarantined == 1
+
+
+def test_validation_all_valid_scalar_survives(spark, generic):
+    """total_invalid must emit one row with 0 on a fully valid input, so
+    the validation query's crossJoin keeps (not annihilates) valid rows."""
+    v = ops.Validation({"f1": "^.*$"})  # everything validates
+    joined = v.apply(generic).crossJoin(F.broadcast(v.total_invalid(generic)))
+    rows = joined.collect()
+    assert len(rows) == generic.count()
+    assert all(r.n_quarantined == 0 for r in rows)
 
 
 def test_explode_fanout(spark, generic):
