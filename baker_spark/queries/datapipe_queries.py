@@ -407,28 +407,41 @@ FROM ranked WHERE rn = {_hashing.KMV_K}
 def dp_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch per event_type: the k-th smallest
     distinct md5 hash yields the estimate (k-1)*S/kth. Deterministic
-    cross-engine (unlike HLL), mergeable across partitions (union's
-    minima = minima of unions), and the oracle checks estimate AND
-    exact side by side. Sketch-accuracy claim (~1/sqrt(k) error) is
-    asserted in the parity test by construction."""
-    from pyspark.sql import Window
+    cross-engine (unlike HLL), and the oracle checks estimate AND
+    exact side by side.
 
+    Bottom-k as a salted partial aggregate merge, NOT a per-group
+    window sort: salt = hv mod S is a function of the hash, so
+    collect_set within (event_type, salt) dedups globally in ONE
+    shuffle, each salt task sorts only ~1/S of a group's hashes and
+    keeps its k smallest, and the merge shuffles just S*k longs per
+    group. The window formulation funneled every distinct hash of an
+    event_type through one reducer and sorted it all — the classic
+    skew bottleneck at 100 TB."""
+    S = 32  # salt fan-out: per-task state = distinct_hashes/S
+    k = _hashing.KMV_K
     ev = load_table(spark, sf_dir, "events")
-    h = ev.select(
+    salted = ev.select(
         "event_type",
         _hashing.md5_long(F.col("user_id").cast("string")).alias("hv"),
-    ).distinct()
-    w = Window.partitionBy("event_type").orderBy("hv")
-    wc = Window.partitionBy("event_type")
-    return (
-        h.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_exact", F.count("*").over(wc))
-        .filter(F.col("rn") == _hashing.KMV_K)
+    ).withColumn("salt", F.pmod("hv", F.lit(S)))
+    partial = (
+        salted.groupBy("event_type", "salt")
+        .agg(F.array_sort(F.collect_set("hv")).alias("s"))
         .select(
             "event_type",
-            F.col("n_exact").cast("long").alias("exact_distinct"),
-            _hashing.kmv_estimate_c0(F.col("hv")).alias("kmv_estimate"),
+            F.size("s").alias("n"),
+            F.slice("s", 1, k).alias("bk"),
         )
+    )
+    merged = partial.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("exact_distinct"),
+        F.element_at(F.array_sort(F.flatten(F.collect_list("bk"))), k).alias("kth"),
+    )
+    return merged.filter(F.col("exact_distinct") >= k).select(
+        "event_type",
+        "exact_distinct",
+        _hashing.kmv_estimate_c0(F.col("kth")).alias("kmv_estimate"),
     )
 
 

@@ -74,6 +74,15 @@ def test_ann_scan_prunes_to_vec_columns(plans):
     assert "EqualTo(vec_id,0)" in p  # query-row lookup pushed to the scan
 
 
+def test_kmv_is_salted_aggregate_not_window(plans):
+    """Bottom-k must stay a two-level salted aggregate; a Window here
+    means every distinct hash of an event_type funnels through one
+    reducer and gets fully sorted — the skew bottleneck at scale."""
+    p = plans("dp_kmv_distinct")
+    assert "Window" not in p
+    assert "partial_" in p  # map-side combine is on
+
+
 def test_ann_guard_counts_once(plans):
     """The row guard's count(*) must ride only the single-row query
     broadcast — a guard wrapped around the shared input subtree executes
