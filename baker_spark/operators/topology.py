@@ -25,9 +25,14 @@ class Validation(Operator):
     def _ok(self, field: str, rx: str):
         return F.coalesce(F.col(field).cast("string"), F.lit("")).rlike(rx)
 
+    def _pred(self):
+        """The AND of all per-field checks — the single source of truth
+        shared by :meth:`apply` and :meth:`total_invalid`, so the kept
+        rows and the quarantine count can never disagree."""
+        return reduce(lambda a, b: a & b, (self._ok(f, rx) for f, rx in self.fields.items()))
+
     def apply(self, df: DataFrame) -> DataFrame:
-        pred = reduce(lambda a, b: a & b, (self._ok(f, rx) for f, rx in self.fields.items()))
-        return df.filter(pred)
+        return df.filter(self._pred())
 
     def quarantine(self, df: DataFrame) -> DataFrame:
         """Invalid rows, tagged with the first failing field — mirrors the
@@ -52,8 +57,7 @@ class Validation(Operator):
         (0 when everything validates), so it is safe to crossJoin as a
         broadcast scalar. ``invalid_counts`` returns zero rows on a fully
         valid input, which would annihilate whatever it is joined to."""
-        pred = reduce(lambda a, b: a & b, (self._ok(f, rx) for f, rx in self.fields.items()))
-        return df.agg(F.count(F.when(~pred, 1)).alias("n_quarantined"))
+        return df.agg(F.count(F.when(~self._pred(), 1)).alias("n_quarantined"))
 
 
 @register

@@ -391,6 +391,7 @@ from baker_spark.functions import hashing as _hashing
 WITH h AS (
   SELECT DISTINCT event_type, {_hashing.duck_md5_long("CAST(user_id AS VARCHAR)")} AS hv
   FROM events
+  WHERE user_id IS NOT NULL
 ),
 ranked AS (
   SELECT event_type, hv,
@@ -421,7 +422,11 @@ def dp_kmv_distinct(spark, sf_dir):
     S = 32  # salt fan-out: per-task state = distinct_hashes/S
     k = _hashing.KMV_K
     ev = load_table(spark, sf_dir, "events")
-    salted = ev.select(
+    # NULL user_ids are excluded EXPLICITLY on both engines: collect_set
+    # silently drops NULL hashes while SELECT DISTINCT counts NULL as one
+    # value, so without this stated contract the two sides would diverge
+    # the first time a nullable user_id appears.
+    salted = ev.filter(F.col("user_id").isNotNull()).select(
         "event_type",
         _hashing.md5_long(F.col("user_id").cast("string")).alias("hv"),
     ).withColumn("salt", F.pmod("hv", F.lit(S)))

@@ -6,18 +6,25 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 @dataclass
 class Nop:
-    """Consume and count — Spark ships a real 'noop' write format."""
+    """Consume and count — Spark ships a real 'noop' write format.
+
+    The count piggybacks on the noop save via ``observe`` so the lineage
+    materializes exactly ONCE per write (a separate ``df.count()`` would
+    run the whole upstream chain twice)."""
 
     count: int = 0
 
     def write(self, df: DataFrame) -> int:
-        self.count = df.count()
-        df.write.format("noop").mode("overwrite").save()
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        self.count = obs.get["n"]
         return self.count
 
 

@@ -106,6 +106,25 @@ def test_ann_guard_trips_past_max_rows(spark):
     assert len(vectors.ann_topk(df, k=5, max_rows=10_000_000).collect()) == 5
 
 
+def test_ann_guard_trips_even_when_query_id_missing(spark):
+    """A non-existent query_id empties the broadcast lookup branch; the
+    guard's sentinel row (left join from the count) must keep the
+    assertion evaluating so an over-max_rows corpus is still rejected
+    instead of silently returning empty."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from baker_spark.datapipe import vectors
+    from baker_spark.sources.tables import load_table
+
+    df = load_table(spark, SF_DIR, "embeddings")
+    guarded = vectors.ann_topk(df, query_id=-999, max_rows=3)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="ann_topk_bucketed"):
+        guarded.collect()
+    # under the cap a missing query_id is just an empty (not failed) result
+    assert vectors.ann_topk(df, query_id=-999, max_rows=10_000_000).collect() == []
+
+
 def test_sqs_input_requires_path():
     """The SQS daemon input needs the watched Path; the compiler fails at
     compile time with a clear message, not at stream start."""
