@@ -86,19 +86,36 @@ def _build_streaming_input(section: dict, fields: list[str], separator: str):
     cfg = _snake_keys(section.get("config", {}))
     if name == "sqs":
         # input/sqs.go:25-39 polls queues for S3-path notifications and
-        # streams those files; Structured Streaming's file source IS that
-        # pattern (discover-new-files, process-once, checkpoint) — `path`
-        # is the watched location (s3a://bucket/prefix on a cluster)
+        # streams those files. Split Spark-first: the driver-side
+        # SQSPoller (streaming/sqs.py) parses plain/SNS/S3-ObjectCreated/
+        # JMESPath messages into file paths and manifests them into
+        # `path`, and Structured Streaming's file source does the
+        # ingesting (discover-new-files, process-once, checkpoint).
+        from baker_spark.streaming.sqs import SQSConfig, SQSFileSource
+
         if "path" not in cfg:
             raise ValueError(
                 "SQS input needs config Path (the watched directory/bucket "
-                "prefix; Spark's file-arrival discovery replaces the queue)"
+                "prefix the poller manifests notified files into)"
             )
-        return FileStreamSource(
+        sqs_cfg = SQSConfig(
+            queue_names=cfg.get("queue_names", []),
+            queue_prefixes=cfg.get("queue_prefixes", []),
+            message_format=cfg.get("message_format", "sns"),
+            message_expression=cfg.get("message_expression", ""),
+            bucket=cfg.get("bucket", ""),
+            file_path_filter=cfg.get("file_path_filter", ""),
+            aws_region=cfg.get("aws_region", "us-west-2"),
+        )
+        # fail at compile time on a bad MessageFormat/MessageExpression,
+        # like the reference's fillDefaults (sqs.go:53-77)
+        sqs_cfg.parse_function()
+        return SQSFileSource(
             path=cfg["path"],
             fields=fields,
             separator=separator,
             max_files_per_trigger=cfg.get("max_files_per_trigger"),
+            sqs=sqs_cfg,
         )
     if name in ("kinesis", "kcl"):
         # input/kinesis.go:20-26 / input/kcl.go:27-49: StreamName +
