@@ -121,11 +121,22 @@ def _build_streaming_input(section: dict, fields: list[str], separator: str):
         # input/kinesis.go:20-26 / input/kcl.go:27-49: StreamName +
         # AWSRegion; KCL's InitialPosition maps to startingposition, its
         # DynamoDB lease/checkpoint table to the query checkpoint dir
-        return KinesisSource(
-            stream_name=cfg["stream_name"],
+        from baker_spark.streaming.connectors import KinesisRecordsSource
+
+        stream = cfg.get("stream") or cfg.get("stream_name")  # ref key: Stream
+        if not stream:
+            raise ValueError("Kinesis input needs config Stream (kinesis.go:30)")
+        src = KinesisSource(
+            stream_name=stream,
             region=cfg.get("aws_region", "us-west-2"),
             starting_position=cfg.get("initial_position", "LATEST"),
         )
+        if not fields:
+            return src  # no [fields]: hand the raw connector layout through
+        # with [fields] the chain sees record columns: the connector's
+        # data/partitionKey/approximateArrivalTimestamp layout is parsed
+        # by kinesis_records (input/kinesis.go:145-150 newline-split)
+        return KinesisRecordsSource(inner=src, fields=fields, separator=separator)
     # tcp — input/tcp.go:20-28 (":6000" listener)
     addr = cfg.get("listen_address", ":6000")
     host, _, port = addr.rpartition(":")

@@ -1,4 +1,12 @@
-from baker_spark.streaming.connectors import KafkaSource, KinesisSource, SocketSource
+from baker_spark.streaming.connectors import (
+    KINESIS_RECORD_SCHEMA,
+    KafkaSource,
+    KinesisRecordsSource,
+    KinesisSource,
+    KinesisStandinSource,
+    SocketSource,
+    kinesis_records,
+)
 from baker_spark.streaming.daemon import FileStreamSource, RateSource, StreamingPipeline
 from baker_spark.streaming.sqs import (
     FakeSQSClient,
@@ -9,10 +17,14 @@ from baker_spark.streaming.sqs import (
 )
 
 __all__ = [
+    "KINESIS_RECORD_SCHEMA",
     "FakeSQSClient",
     "FileStreamSource",
     "KafkaSource",
+    "KinesisRecordsSource",
     "KinesisSource",
+    "KinesisStandinSource",
+    "kinesis_records",
     "RateSource",
     "SQSConfig",
     "SQSFileSource",
