@@ -161,8 +161,32 @@ def _build_sink(section: dict, separator: str):
                 stacklevel=2,
             )
         compression = "gzip"
-        # the template's directory is the output dir; task files replace
-        # the {{.Index}}/{{.UUID}} parts of the reference template
+        if "{{" in path:
+            # time-templated PathString (filewriter.go:34-43):
+            # {{.Year}}/{{.Month}}/{{.Day}} etc. become a partitioned
+            # year=/month=/day= tree under the literal prefix;
+            # {{.Field0}} becomes partitionBy on the first output field;
+            # {{.Index}}/{{.UUID}}/{{.Rotation}} are Spark's task-file
+            # naming and maxRecordsPerFile. TimestampField (extension)
+            # switches the layout from batch wall clock to event time.
+            from baker_spark.sinks.filewriter import parse_path_template
+
+            base, time_parts, wants_field0 = parse_path_template(path)
+            out_fields = section.get("fields") or []
+            if wants_field0 and not out_fields:
+                raise ValueError(
+                    "FileWriter PathString uses {{.Field0}} but [output] has no fields"
+                )
+            return FileWriter(
+                path=base,
+                compression=compression,
+                separator=separator,
+                partition_by=out_fields[0] if wants_field0 else None,
+                time_partitions=time_parts,
+                timestamp_field=cfg.get("timestamp_field"),
+            )
+        # templateless path: its directory is the output dir; task files
+        # replace the {{.Index}}/{{.UUID}} parts of the reference template
         out_dir = path if not os.path.splitext(path)[1] else path + ".d"
         return FileWriter(path=out_dir, compression=compression, separator=separator)
     if name == "nop":

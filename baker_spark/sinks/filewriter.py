@@ -3,19 +3,65 @@
 
 Reference capabilities -> Spark disposition:
 
-- path template ``{{.Year}}/{{.Month}}/.../{{.Index}}{{.UUID}}`` -> an
-  output directory; Spark names task files itself (UUID ≈ task attempt id)
+- time-templated paths ``{{.Year}}/{{.Month}}/{{.Day}}/...``
+  (filewriter.go:34-43) -> ``partitionBy`` on columns derived from a
+  timestamp: a ``year=YYYY/month=MM/day=DD`` directory tree. With
+  ``timestamp_field`` set the layout is EVENT-time (deterministic, the
+  right call at 100 TB: a backfill lands in the same directories as the
+  original run); without it, the batch's wall-clock at write start — the
+  reference's evaluate-at-file-creation semantics (filewriter.go:270-372)
 - ``{{.Field0}}`` worker fan-out -> ``partitionBy(field)`` directory layout
+- ``{{.Index}}`` / ``{{.UUID}}`` -> Spark's own task-file naming
+  (``part-<task>-<uuid>``) already guarantees writer-unique names, which
+  is all those placeholders exist for (filewriter.go:45-56 rule 1)
+- ``{{.Rotation}}`` + RotateSize -> ``maxRecordsPerFile`` (rule 2: a
+  rotation must never produce the same path twice — Spark bumps the file
+  index within the task for the same reason)
+- RotateInterval -> in batch, the finest time partition present (a
+  ``minute=`` dir is a 1-minute rotation); in daemon mode, the streaming
+  trigger interval (baker_spark.streaming)
 - gzip/zstd -> ``option("compression", ...)``
-- time/size rotation (filewriter.go:270-372) -> ``maxRecordsPerFile`` for
-  batch; streaming rotation is the trigger interval (baker_spark.streaming)
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
+
+_PLACEHOLDER_RX = re.compile(r"\{\{\s*\.(\w+)\s*\}\}")
+
+#: canonical order + the Spark date_format pattern reproducing the
+#: reference's zero-padded widths (filewriter.go:34-40: YYYY MM DD HH MM SS)
+_TIME_PLACEHOLDERS = [
+    ("Year", "yyyy"),
+    ("Month", "MM"),
+    ("Day", "dd"),
+    ("Hour", "HH"),
+    ("Minute", "mm"),
+    ("Second", "ss"),
+]
+_TIME_NAMES = [n for n, _ in _TIME_PLACEHOLDERS]
+
+
+def parse_path_template(template: str) -> tuple[str, list[str], bool]:
+    """Split a reference PathString into ``(base_dir, time_partitions,
+    wants_field0)``. ``base_dir`` is the literal prefix before the first
+    placeholder; time placeholders map to hierarchical partitions in
+    canonical Year>...>Second order regardless of where they appear in
+    the template (a ``{{.Year}}{{.Month}}{{.Day}}-...`` FILENAME still
+    means day-resolution layout). Unknown placeholders are rejected so a
+    typo'd template fails at compile time."""
+    names = set(_PLACEHOLDER_RX.findall(template))
+    unknown = names - set(_TIME_NAMES) - {"Field0", "Index", "UUID", "Rotation"}
+    if unknown:
+        raise ValueError(f"unknown FileWriter path placeholders: {sorted(unknown)}")
+    base = template.split("{{", 1)[0]
+    base = base.rstrip("/") or "."
+    time_parts = [n for n in _TIME_NAMES if n in names]
+    return base, time_parts, "Field0" in names
 
 
 @dataclass
@@ -26,10 +72,42 @@ class FileWriter:
     compression: str = "gzip"
     separator: str = ","
     partition_by: str | None = None  # ≈ {{.Field0}} fan-out
-    max_records_per_file: int | None = None  # ≈ RotateSize
+    max_records_per_file: int | None = None  # ≈ RotateSize / {{.Rotation}}
     mode: str = "overwrite"
+    #: subset of Year/Month/Day/Hour/Minute/Second -> year=/month=/... dirs
+    time_partitions: list[str] = field(default_factory=list)
+    #: record field driving the time layout (event time); None = batch clock
+    timestamp_field: str | None = None
+    #: injectable clock for the no-field mode (tests freeze it)
+    batch_time: datetime | None = None
+
+    def _event_ts(self, df: DataFrame):
+        """Timestamp column for the time layout. String fields accept
+        both datetime text and epoch seconds (the output of the
+        reference's Timestamp filter) — per-row coalesce, all JVM-side."""
+        if self.timestamp_field is None:
+            return F.lit(self.batch_time or datetime.now(timezone.utc).replace(tzinfo=None))
+        c = F.col(self.timestamp_field)
+        return F.coalesce(
+            F.to_timestamp(c),
+            F.to_timestamp(F.from_unixtime(c.cast("long"))),
+        )
 
     def write(self, df: DataFrame) -> str:
+        partition_cols: list[str] = []
+        if self.time_partitions:
+            bad = [p for p in self.time_partitions if p not in _TIME_NAMES]
+            if bad:
+                raise ValueError(f"unknown time partitions: {bad}; pick from {_TIME_NAMES}")
+            ts = self._event_ts(df)
+            fmt = dict(_TIME_PLACEHOLDERS)
+            for name in _TIME_NAMES:  # canonical hierarchy, template order ignored
+                if name in self.time_partitions:
+                    df = df.withColumn(name.lower(), F.date_format(ts, fmt[name]))
+                    partition_cols.append(name.lower())
+        if self.partition_by:
+            partition_cols.append(self.partition_by)
+
         writer = (
             df.write.mode(self.mode)
             .option("compression", self.compression)
@@ -39,7 +117,7 @@ class FileWriter:
         )
         if self.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
-        if self.partition_by:
-            writer = writer.partitionBy(self.partition_by)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
         writer.csv(self.path)
         return self.path

@@ -2,6 +2,7 @@
 (with a fake client — mirrors the reference's sqsiface/s3iface fakes,
 SURVEY.md §5)."""
 
+import os
 import sqlite3
 
 from pyspark.sql import Row
@@ -117,3 +118,82 @@ def test_websocket_sink(spark):
     import json
 
     assert sorted(json.loads(p)["a"] for p in pushed) == ["x", "y"]
+
+
+# ------------------------------------------------- FileWriter templates
+
+
+def test_parse_path_template_reference_default():
+    from baker_spark.sinks.filewriter import parse_path_template
+
+    # the reference's default PathString (filewriter.go:107)
+    base, time_parts, field0 = parse_path_template(
+        "/tmp/baker/ologs/logs/{{.Year}}/{{.Month}}/{{.Day}}/baker/"
+        "{{.Year}}{{.Month}}{{.Day}}-{{.Hour}}{{.Minute}}{{.Second}}.{{.Index}}.log.gz"
+    )
+    assert base == "/tmp/baker/ologs/logs"
+    assert time_parts == ["Year", "Month", "Day", "Hour", "Minute", "Second"]
+    assert field0 is False
+
+
+def test_parse_path_template_field0_and_unknown():
+    import pytest
+
+    from baker_spark.sinks.filewriter import parse_path_template
+
+    base, time_parts, field0 = parse_path_template(
+        "/out/{{.Field0}}/file-{{.Rotation}}.log.gz"
+    )
+    assert (base, time_parts, field0) == ("/out", [], True)
+    with pytest.raises(ValueError, match="unknown FileWriter path placeholders"):
+        parse_path_template("/out/{{.Yearr}}/x.gz")
+
+
+def test_filewriter_event_time_partitions(spark, tmp_path):
+    """timestamp_field drives year=/month=/day= dirs; both datetime text
+    and epoch-seconds strings (the Timestamp filter's output) work."""
+    from baker_spark.sinks.filewriter import FileWriter
+
+    df = spark.createDataFrame(
+        [
+            ("2024-03-01 12:34:56", "a"),
+            ("2024-03-01 23:59:59", "b"),
+            ("1719792000", "c"),  # epoch seconds; expected date computed below
+        ],
+        ["ts", "v"],
+    )
+    out = str(tmp_path / "out")
+    FileWriter(
+        path=out, time_partitions=["Year", "Month", "Day"], timestamp_field="ts"
+    ).write(df)
+    dirs = set()
+    for root, _, files in os.walk(out):
+        for f in files:
+            if f.endswith(".csv.gz"):
+                dirs.add(os.path.relpath(root, out))
+    assert "year=2024/month=03/day=01" in dirs
+    # epoch row landed under its own UTC date
+    import datetime as _dt
+
+    d = _dt.datetime.fromtimestamp(1719792000, _dt.timezone.utc)
+    assert f"year={d:%Y}/month={d:%m}/day={d:%d}" in dirs
+    # partition values round-trip through a Spark read
+    back = spark.read.option("basePath", out).csv(out + "/year=2024/month=03/day=01")
+    assert back.count() == 2
+
+
+def test_filewriter_batch_clock_partitions(spark, tmp_path):
+    """Without timestamp_field the layout uses the (injectable) batch
+    clock — the reference's evaluate-at-file-creation semantics."""
+    import datetime as _dt
+
+    from baker_spark.sinks.filewriter import FileWriter
+
+    df = spark.createDataFrame([("r1",), ("r2",)], ["v"])
+    out = str(tmp_path / "out")
+    FileWriter(
+        path=out,
+        time_partitions=["Year", "Month", "Day", "Hour"],
+        batch_time=_dt.datetime(2023, 12, 31, 23, 0, 0),
+    ).write(df)
+    assert os.path.isdir(os.path.join(out, "year=2023/month=12/day=31/hour=23"))

@@ -309,3 +309,46 @@ files=[]
     assert any(isinstance(o, Validation) for o in compile_toml(base % "").ops)
     skipped = compile_toml(base % "[general]\ndont_validate_fields=true\n")
     assert not any(isinstance(o, Validation) for o in skipped.ops)
+
+
+def test_filewriter_time_template_topology(spark, tmp_path):
+    """A reference-style time-templated PathString produces the
+    partitioned year=/month=/day= tree: the Spark mapping of
+    filewriter.go's evaluate-template-per-rotation, driven by event time
+    so reruns/backfills land deterministically (TimestampField is the
+    engine's extension; omit it for the reference's wall-clock)."""
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "2024-03-01 10:00:00,click,u1\n"
+        "2024-03-02 11:00:00,view,u2\n"
+        "2024-03-02 12:00:00,click,u3\n"
+    )
+    toml_text = f"""
+[fields]
+names=["ts","etype","user"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["{src}"]
+
+[output]
+name="FileWriter"
+fields=["ts","etype","user"]
+
+    [output.config]
+    PathString="{tmp_path}/logs/{{{{.Year}}}}/{{{{.Month}}}}/{{{{.Day}}}}/out-{{{{.Index}}}}.log.gz"
+    TimestampField="ts"
+"""
+    pipeline = compile_toml(toml_text)
+    out_dir = pipeline.run(spark)
+    assert out_dir == f"{tmp_path}/logs"
+    day_dirs = set()
+    for root, _dirs, files in os.walk(out_dir):
+        if any(f.endswith(".csv.gz") for f in files):
+            day_dirs.add(os.path.relpath(root, out_dir))
+    assert day_dirs == {"year=2024/month=03/day=01", "year=2024/month=03/day=02"}
+    # the gzip parts carry the non-partition record fields
+    rows = _read_gz_dir(os.path.join(out_dir, "year=2024/month=03/day=02"))
+    assert sorted(r.split(",")[2] for r in rows) == ["u2", "u3"]
