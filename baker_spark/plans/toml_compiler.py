@@ -137,9 +137,23 @@ def _build_streaming_input(section: dict, fields: list[str], separator: str):
         # data/partitionKey/approximateArrivalTimestamp layout is parsed
         # by kinesis_records (input/kinesis.go:145-150 newline-split)
         return KinesisRecordsSource(inner=src, fields=fields, separator=separator)
-    # tcp — input/tcp.go:20-28 (":6000" listener)
-    addr = cfg.get("listen_address", ":6000")
+    # tcp — input/tcp.go:20-28 (":6000" listener; ref config key Listener)
+    addr = cfg.get("listener") or cfg.get("listen_address", ":6000")
     host, _, port = addr.rpartition(":")
+    if cfg.get("spool_dir"):
+        # the reference's actual wire format: one gzip stream per
+        # connection (tcp.go:146-210) — driver-side TCPGzipListener
+        # decodes into the spool, the file stream ingests it
+        from baker_spark.streaming.tcp import TCPFileSource
+
+        return TCPFileSource(
+            path=cfg["spool_dir"],
+            fields=fields,
+            separator=separator,
+            listen_host=host or "127.0.0.1",
+            listen_port=int(port),
+        )
+    # no SpoolDir: plaintext dev stand-in (spark's socket source)
     return SocketSource(host=host or "localhost", port=int(port))
 
 

@@ -8,6 +8,7 @@ from baker_spark.streaming.connectors import (
     kinesis_records,
 )
 from baker_spark.streaming.daemon import FileStreamSource, RateSource, StreamingPipeline
+from baker_spark.streaming.tcp import TCPFileSource, TCPGzipListener, send_gzip_records
 from baker_spark.streaming.sqs import (
     FakeSQSClient,
     SQSConfig,
@@ -31,5 +32,8 @@ __all__ = [
     "SQSPoller",
     "SocketSource",
     "StreamingPipeline",
+    "TCPFileSource",
+    "TCPGzipListener",
     "manifest_sink",
+    "send_gzip_records",
 ]

@@ -1,0 +1,156 @@
+"""TCP gzip input — the reference's wire-format daemon source
+(/root/reference/input/tcp.go): a listener (default ``:6000``) where
+each accepted connection carries ONE gzip stream of newline-separated
+records (tcp.go:146-149 wraps the conn in a gzip reader). The reader
+chunks the decompressed stream (128 KiB) and only ever hands over
+complete lines — a chunk is extended to the next newline so no record
+is split (tcp.go:162-207).
+
+Spark-first split, same shape as the SQS input (streaming/sqs.py):
+
+- :class:`TCPGzipListener` is a small driver-side accept loop that
+  decodes the gzip framing and spools complete-line chunks as files
+  (written atomically: temp name, then rename) into a spool directory
+- Structured Streaming's file source
+  (:class:`~baker_spark.streaming.daemon.FileStreamSource`) ingests the
+  spool — micro-batch scheduling, exactly-once file tracking and
+  checkpoint recovery come from Spark, not hand-rolled code
+- :class:`TCPFileSource` is the compiled form of a TOML
+  ``[input] name="TCP"`` section with a ``SpoolDir``: the file stream
+  plus a ``listener()`` factory bound to the same spool
+
+The plaintext ``socket`` connector (connectors.SocketSource) remains the
+no-spool dev path; this module speaks the reference's actual format.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import socket
+import socketserver
+import threading
+from dataclasses import dataclass
+
+from baker_spark.streaming.daemon import FileStreamSource
+
+#: tcp.go:31-37: chunk size for decompressed reads; lines longer than the
+#: chunk still work (the rfind loop below just keeps buffering).
+TCP_CHUNK_BUFFER = 128 * 1024
+
+
+class TCPGzipListener:
+    """Accept loop mirroring TCP.Run/handleStream: one gzip stream per
+    connection, decompressed and re-chunked on line boundaries into
+    spool files. Bind ``port=0`` for an ephemeral port (tests)."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 6000,
+        chunk_bytes: int = TCP_CHUNK_BUFFER,
+    ):
+        self.spool_dir = spool_dir
+        self.host, self.port = host, port
+        self.chunk_bytes = chunk_bytes
+        self.connections = 0
+        self.num_lines = 0  # InputStats analog (tcp.go:126-131)
+        self._seq = 0
+        self._lock = threading.Lock()
+        self._server: socketserver.ThreadingTCPServer | None = None
+        self._thread: threading.Thread | None = None
+        os.makedirs(spool_dir, exist_ok=True)
+
+    # ---------------------------------------------------------- spooling
+
+    def _emit(self, chunk: bytes) -> None:
+        """Write one complete-lines chunk atomically (tmp + rename) so
+        the streaming file source never lists a half-written file."""
+        if not chunk:
+            return
+        with self._lock:
+            self._seq += 1
+            seq = self._seq
+        self.num_lines += chunk.count(b"\n")
+        final = os.path.join(self.spool_dir, f"tcp-{seq:08d}.csv")
+        tmp = os.path.join(self.spool_dir, f".tcp-{seq:08d}.csv.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(chunk)
+        os.rename(tmp, final)
+
+    def _handle_stream(self, rfile) -> None:
+        """tcp.go:146-210: gzip-decode, chunk, and never split a line —
+        a chunk is cut at its last newline, the tail carries over."""
+        gz = gzip.GzipFile(fileobj=rfile)
+        pending = b""
+        while True:
+            data = gz.read(self.chunk_bytes)
+            if not data:
+                break
+            pending += data
+            cut = pending.rfind(b"\n")
+            if cut >= 0:
+                self._emit(pending[: cut + 1])
+                pending = pending[cut + 1 :]
+        if pending:  # final unterminated line: sent as-is, like the EOF path
+            self._emit(pending + b"\n")
+
+    # ------------------------------------------------------- server loop
+
+    def start(self) -> tuple[str, int]:
+        listener = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                listener.connections += 1
+                listener._handle_stream(self.rfile)
+
+        socketserver.ThreadingTCPServer.allow_reuse_address = True
+        self._server = socketserver.ThreadingTCPServer((self.host, self.port), Handler)
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self.host, self.port
+
+    def stop(self) -> None:
+        if self._server:
+            self._server.shutdown()
+            self._server.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def send_gzip_records(host: str, port: int, payload: bytes) -> None:
+    """Test/client helper: one connection, one gzip stream — the
+    reference's wire format (what a baker TCP producer emits)."""
+    with socket.create_connection((host, port)) as conn:
+        conn.sendall(gzip.compress(payload))
+        conn.shutdown(socket.SHUT_WR)
+
+
+@dataclass
+class TCPFileSource(FileStreamSource):
+    """Compiled ``[input] name="TCP"``: the spool-backed file stream plus
+    the listener factory bound to the same directory. Start the listener
+    on the driver, then the streaming query:
+
+        src.listener().start()                      # driver thread
+        StreamingPipeline(source=src, ...).start(...)
+    """
+
+    listen_host: str = "127.0.0.1"
+    listen_port: int = 6000
+    chunk_bytes: int = TCP_CHUNK_BUFFER
+
+    def listener(self) -> TCPGzipListener:
+        return TCPGzipListener(
+            self.path, host=self.listen_host, port=self.listen_port, chunk_bytes=self.chunk_bytes
+        )
