@@ -57,18 +57,22 @@ class LogMetrics(MetricsClient):
 @dataclass
 class StatsdMetrics(MetricsClient):
     """Dependency-free statsd/Datadog-agent emitter (UDP, fire-and-forget
-    like the reference's Datadog client)."""
+    like the reference's Datadog client). ``tags`` are constant tags
+    attached to every metric, merged with per-call tags — the reference's
+    ``statsd.WithTags`` (metrics/datadog/client.go:54-57)."""
 
     host: str = "127.0.0.1"
     port: int = 8125
     prefix: str = "baker_spark."
+    tags: list[str] = field(default_factory=list)
 
     def __post_init__(self):
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
 
     def _send(self, payload: str, tags):
-        if tags:
-            payload += "|#" + ",".join(tags)
+        all_tags = self.tags + (tags or [])
+        if all_tags:
+            payload += "|#" + ",".join(all_tags)
         try:
             self._sock.sendto(payload.encode(), (self.host, self.port))
         except OSError:
@@ -82,6 +86,77 @@ class StatsdMetrics(MetricsClient):
 
     def histogram(self, name, value, tags=None):
         self._send(f"{self.prefix}{name}:{value}|h", tags)
+
+
+@dataclass
+class DatadogMetrics(StatsdMetrics):
+    """The reference's Datadog client surface
+    (/root/reference/metrics/datadog/client.go): dogstatsd over UDP with
+    the Config knobs ``Prefix`` (namespace, default ``baker.``), ``Host``
+    (``host:port`` of the statsd agent), ``Tags`` (constant tags on every
+    metric), ``SendLogs`` (log lines forwarded as dogstatsd events — the
+    logrus hook in metrics/datadog/hook.go). Adds the client methods the
+    base emitter lacks: RawCount's monotonic-counter delta conversion
+    (client.go:93-105), Duration (client.go:115+), and the event format.
+
+    Construct with ``from_config`` to take the reference's exact
+    defaults: ``DatadogMetrics.from_config(host="127.0.0.1:8125",
+    prefix="baker.", tags=[...], send_logs=False)``."""
+
+    prefix: str = "baker."
+    send_logs: bool = False
+
+    def __post_init__(self):
+        super().__post_init__()
+        self._counters: dict[str, int] = {}
+        self._counters_lock = threading.Lock()
+
+    @classmethod
+    def from_config(
+        cls,
+        host: str = "127.0.0.1:8125",
+        prefix: str = "baker.",
+        tags: list[str] | None = None,
+        send_logs: bool = False,
+    ) -> "DatadogMetrics":
+        """Config-shaped constructor (client.go:24-29: Prefix/Host/Tags/
+        SendLogs, with Host carrying the port)."""
+        hostname, _, port = host.partition(":")
+        return cls(
+            host=hostname or "127.0.0.1",
+            port=int(port or 8125),
+            prefix=prefix or "baker.",
+            tags=list(tags or []),
+            send_logs=send_logs,
+        )
+
+    def raw_count(self, name, value, tags=None):
+        """Set the current value of a cumulative counter; emitted as the
+        positive delta since the last call (client.go:93-105 — negative
+        deltas clamp to 0, the counter can only increase)."""
+        with self._counters_lock:
+            delta = value - self._counters.get(name, 0)
+            if delta < 0:
+                delta = 0
+            self._counters[name] = value
+        self._send(f"{self.prefix}{name}:{delta}|c", tags)
+
+    def duration(self, name, seconds, tags=None):
+        """A time.Duration sample -> histogram in milliseconds (the
+        datadog-go client submits durations as ms histograms)."""
+        self.histogram(name, round(seconds * 1000.0, 6), tags)
+
+    def event(self, title, text, tags=None):
+        """dogstatsd event datagram: ``_e{<title len>,<text len>}:title|text``."""
+        tb, xb = title.encode(), text.encode()
+        payload = f"_e{{{len(tb)},{len(xb)}}}:{title}|{text}"
+        self._send(payload, tags)
+
+    def send_log(self, level: str, message: str):
+        """SendLogs analog (hook.go): a log line becomes an event tagged
+        with its level. No-op unless send_logs is on."""
+        if self.send_logs:
+            self.event(f"baker_spark {level}", message, tags=[f"level:{level}"])
 
 
 class StatsDumper:

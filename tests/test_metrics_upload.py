@@ -52,3 +52,93 @@ def test_s3_upload_retry(tmp_path):
     keys = up.run()
     assert sorted(keys) == [os.path.join("pre", "a.csv.gz"), os.path.join("pre", "sub", "b.csv.gz")]
     assert all(n == 2 for n in attempts.values())  # first try failed, retried
+
+
+# ---------------------------------------------------- Datadog client
+
+
+def _dd_pair():
+    """A DatadogMetrics client wired to a locally-bound UDP socket."""
+    import socket as _socket
+
+    sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(2)
+    from baker_spark.metrics import DatadogMetrics
+
+    dd = DatadogMetrics.from_config(
+        host=f"127.0.0.1:{sock.getsockname()[1]}",
+        prefix="baker.",
+        tags=["env:test", "svc:pipeline"],
+    )
+    return dd, sock
+
+
+def _recv(sock, n):
+    return [sock.recvfrom(65536)[0].decode() for _ in range(n)]
+
+
+def test_datadog_constant_and_call_tags():
+    """client.go:54-57: WithNamespace + WithTags — every metric carries
+    the prefix and constant tags; per-call tags are appended."""
+    dd, sock = _dd_pair()
+    dd.gauge("active_jobs", 3)
+    dd.delta_count("uploads", 2, tags=["queue:q1"])
+    dd.histogram("batch_size", 7.5)
+    assert _recv(sock, 3) == [
+        "baker.active_jobs:3|g|#env:test,svc:pipeline",
+        "baker.uploads:2|c|#env:test,svc:pipeline,queue:q1",
+        "baker.batch_size:7.5|h|#env:test,svc:pipeline",
+    ]
+
+
+def test_datadog_raw_count_emits_positive_deltas():
+    """client.go:93-105: RawCount sets a cumulative value; the wire sees
+    the delta, clamped at 0 when the counter runs backwards."""
+    dd, sock = _dd_pair()
+    dd.raw_count("processed", 10)
+    dd.raw_count("processed", 15)
+    dd.raw_count("processed", 12)  # regression -> 0, never negative
+    dd.raw_count("processed", 20)
+    assert [m.split("|")[0] for m in _recv(sock, 4)] == [
+        "baker.processed:10",
+        "baker.processed:5",
+        "baker.processed:0",
+        "baker.processed:8",
+    ]
+
+
+def test_datadog_duration_is_ms_histogram():
+    dd, sock = _dd_pair()
+    dd.duration("write_time", 0.25)
+    assert _recv(sock, 1) == ["baker.write_time:250.0|h|#env:test,svc:pipeline"]
+
+
+def test_datadog_send_logs_as_events():
+    """hook.go: with SendLogs on, log lines become dogstatsd events."""
+    dd, sock = _dd_pair()
+    dd.send_logs = True
+    dd.send_log("error", "upload failed")
+    (msg,) = _recv(sock, 1)
+    assert msg == (
+        "_e{17,13}:baker_spark error|upload failed"
+        "|#env:test,svc:pipeline,level:error"
+    )
+    # and off by default: nothing on the wire (recv would time out)
+    dd.send_logs = False
+    dd.send_log("info", "quiet")
+    import socket as _socket
+
+    sock.settimeout(0.2)
+    try:
+        sock.recvfrom(65536)
+        raise AssertionError("send_log emitted despite send_logs=False")
+    except _socket.timeout:
+        pass
+
+
+def test_datadog_from_config_defaults():
+    from baker_spark.metrics import DatadogMetrics
+
+    dd = DatadogMetrics.from_config()
+    assert (dd.host, dd.port, dd.prefix, dd.tags) == ("127.0.0.1", 8125, "baker.", [])
