@@ -52,9 +52,12 @@ BENCH_QUERIES = [
 ]
 
 #: best-of-N: run 1 pays plan compilation + whole-stage codegen, run 2
-#: still JITs; run 3 is steady state — the number a 100 TB projection
+#: still JITs; run 3+ is steady state — the number a 100 TB projection
 #: scales from (at that scale compile cost is noise; here it is not).
-N_RUNS = 3
+#: All N per-query times are ALSO emitted (``runs`` key) so a reader can
+#: tell a real regression from same-commit variance — see PERFORMANCE.md
+#: for the pinned envelope.
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
 
 
 def baker_chain(spark, sf_dir):
@@ -101,10 +104,11 @@ def main() -> None:
 
     queries = all_queries()
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
 
     n_lineitem = load_table(spark, sf_dir, "lineitem").count()
     out_dir = tempfile.mkdtemp(prefix="baker_bench_out_")
-    best = float("inf")
+    runs = []
     for i in range(N_RUNS):
         t0 = time.perf_counter()
         # full reference topology analog: read -> filter chain -> gzip csv
@@ -115,18 +119,20 @@ def main() -> None:
             .option("quote", "")
             .csv(os.path.join(out_dir, f"csv_gz_{i}"))
         )
-        best = min(best, time.perf_counter() - t0)
-    timings["baker_filter_chain"] = round(best, 3)
-    records_per_sec = int(n_lineitem / best)
+        runs.append(round(time.perf_counter() - t0, 3))
+    all_runs["baker_filter_chain"] = runs
+    timings["baker_filter_chain"] = min(runs)
+    records_per_sec = int(n_lineitem / min(runs))
     shutil.rmtree(out_dir, ignore_errors=True)
 
     for name in BENCH_QUERIES:
-        best = float("inf")
+        runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
             force(queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -136,6 +142,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": all_runs,
                 "sf": sf,
                 "records_per_sec": records_per_sec,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Same-commit bench variance envelope: run bench.py K times (fresh JVM
+each — exactly what the per-round driver does), aggregate per-query
+best-of-N values, and print an envelope table for PERFORMANCE.md.
+
+Usage: python tools/bench_variance.py [K] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+
+    docs = []
+    for i in range(k):
+        proc = subprocess.run(
+            [sys.executable, "bench.py"], cwd=REPO, env=env, capture_output=True, text=True
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-2000:])
+            raise SystemExit(f"bench run {i + 1}/{k} failed")
+        doc = json.loads(proc.stdout.strip().splitlines()[-1])
+        docs.append(doc)
+        print(f"run {i + 1}/{k}: total={doc['value']}s", file=sys.stderr)
+
+    names = list(docs[0]["queries"])
+    print(f"# {k} bench.py invocations, {sf_dir}, commit "
+          + subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                           capture_output=True, text=True).stdout.strip())
+    print("| query | min | max | spread | mean | stddev | cv |")
+    print("|---|---|---|---|---|---|---|")
+    rows = []
+    for name in names:
+        vals = [d["queries"][name] for d in docs]
+        mn, mx = min(vals), max(vals)
+        mean = statistics.mean(vals)
+        sd = statistics.stdev(vals) if len(vals) > 1 else 0.0
+        rows.append((name, vals, mn, mx, mean, sd))
+        print(
+            f"| {name} | {mn:.3f} | {mx:.3f} | {(mx / mn - 1) * 100:+.0f}% "
+            f"| {mean:.3f} | {sd:.3f} | {sd / mean * 100:.0f}% |"
+        )
+    totals = [d["value"] for d in docs]
+    print(
+        f"| **total** | {min(totals):.3f} | {max(totals):.3f} "
+        f"| {(max(totals) / min(totals) - 1) * 100:+.0f}% | {statistics.mean(totals):.3f} "
+        f"| {statistics.stdev(totals):.3f} | {statistics.stdev(totals) / statistics.mean(totals) * 100:.0f}% |"
+    )
+    with open(os.path.join(REPO, "bench_variance_runs.json"), "w") as fh:
+        json.dump(docs, fh, indent=1)
+    print("\nraw per-run docs -> bench_variance_runs.json", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
