@@ -126,10 +126,27 @@ def _build_streaming_input(section: dict, fields: list[str], separator: str):
         stream = cfg.get("stream") or cfg.get("stream_name")  # ref key: Stream
         if not stream:
             raise ValueError("Kinesis input needs config Stream (kinesis.go:30)")
+        position = cfg.get("initial_position", "LATEST")
+        app_name = cfg.get("app_name")
+        if name == "kcl":
+            # kcl.go:54-62 validate(): AppName [A-Za-z0-9_]+ required,
+            # InitialPosition LATEST|TRIM_HORIZON only
+            import re as _re
+
+            if not app_name or not _re.fullmatch(r"[A-Za-z_0-9]+", app_name):
+                raise ValueError(
+                    f"invalid 'AppName' {app_name!r}, accepts only [A-Za-z0-9_]+"
+                )
+            if position not in ("LATEST", "TRIM_HORIZON"):
+                raise ValueError(
+                    f"invalid 'InitialPosition' {position!r}, accepts only "
+                    "'LATEST' or 'TRIM_HORIZON'"
+                )
         src = KinesisSource(
             stream_name=stream,
             region=cfg.get("aws_region", "us-west-2"),
-            starting_position=cfg.get("initial_position", "LATEST"),
+            starting_position=position,
+            app_name=app_name,
         )
         if not fields:
             return src  # no [fields]: hand the raw connector layout through

@@ -90,6 +90,18 @@ class KinesisSource:
     stream_name: str
     region: str = "us-west-2"
     starting_position: str = "LATEST"  # or TRIM_HORIZON (kcl.go InitialPosition)
+    #: KCL AppName (kcl.go:43): two apps consuming one stream keep
+    #: independent positions. The KCL lease/checkpoint table is keyed by
+    #: AppName; here the same isolation comes from the checkpoint dir —
+    #: derive it with :meth:`checkpoint_dir`.
+    app_name: str | None = None
+
+    def checkpoint_dir(self, base: str) -> str:
+        """AppName-scoped checkpoint location — the Spark analog of
+        KCL's per-app DynamoDB lease table. MaxShards/ShardSync/
+        LeaseDuration (kcl.go:44-46) have no knob here: Spark's own
+        task scheduling replaces lease balancing."""
+        return f"{base.rstrip('/')}/{self.app_name or self.stream_name}"
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
         reader = (

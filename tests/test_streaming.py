@@ -222,6 +222,7 @@ def test_toml_daemon_kinesis_compiles(spark):
 name="KCL"
 [input.config]
 StreamName="events"
+AppName="bakerapp"
 AWSRegion="us-east-1"
 InitialPosition="TRIM_HORIZON"
 """

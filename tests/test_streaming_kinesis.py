@@ -108,3 +108,39 @@ name = "Nop"
     assert src.fields == ["id", "etype", "user"]
     assert src.inner.stream_name == "events-stream"
     assert src.inner.region == "us-east-1"
+
+
+def test_toml_kcl_validates_like_the_reference():
+    """kcl.go:54-62: AppName [A-Za-z0-9_]+ required; InitialPosition
+    LATEST|TRIM_HORIZON only. AppName scopes the checkpoint dir the way
+    the KCL lease table is scoped."""
+    import pytest
+
+    from baker_spark.plans import compile_toml
+
+    base = """
+[fields]
+names = ["id", "etype", "user"]
+
+[input]
+name = "KCL"
+  [input.config]
+  Stream = "events-stream"
+  AppName = "{app}"
+  InitialPosition = "{pos}"
+
+[output]
+name = "Nop"
+"""
+    plan = compile_toml(base.format(app="my_app_1", pos="TRIM_HORIZON"))
+    src = plan.source.inner
+    assert src.app_name == "my_app_1"
+    assert src.starting_position == "TRIM_HORIZON"
+    assert src.checkpoint_dir("/ckpt") == "/ckpt/my_app_1"
+
+    with pytest.raises(ValueError, match="invalid 'AppName'"):
+        compile_toml(base.format(app="bad app!", pos="LATEST"))
+    with pytest.raises(ValueError, match="invalid 'AppName'"):
+        compile_toml(base.format(app="", pos="LATEST"))
+    with pytest.raises(ValueError, match="invalid 'InitialPosition'"):
+        compile_toml(base.format(app="ok_app", pos="YESTERDAY"))
