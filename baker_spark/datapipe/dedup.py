@@ -56,6 +56,44 @@ FROM {table} GROUP BY md5({text_col})
 """
 
 
+def incremental_dedup(new_docs: DataFrame, seen_docs: DataFrame, key, id_col: str = "doc_id") -> DataFrame:
+    """Cross-corpus (incremental-ingest) dedup: exact-dedup the new
+    batch by content ``key`` (a Column — md5 for exact, a normalized
+    fingerprint for near-dup ledgers), then drop every group whose key
+    already exists in the ingested corpus. This is the at-least-once
+    ingestion pattern: a redelivered file re-contains already-ingested
+    documents, and the anti join against the fingerprint ledger is what
+    keeps the corpus append-only-clean.
+
+    Scale shape: both sides project to the 128-bit key BEFORE the join,
+    so neither exchange ever carries document text — the in-batch
+    groupBy is one shuffle of (key, id) and the left_anti joins keys
+    against keys. The seen side needs no distinct (anti join semantics
+    ignore duplicates; a distinct would buy nothing but a shuffle). On a
+    real deployment keep the ledger as a table bucketed by key: the anti
+    join then co-locates and the 100 TB corpus is never reshuffled."""
+    batch = (
+        new_docs.groupBy(key.alias("fp"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+    seen = seen_docs.select(key.alias("fp"))
+    return batch.join(seen, "fp", "left_anti").select(id_col, "fp", "n_dups")
+
+
+def duck_incremental_dedup(
+    key_sql: str, new_pred: str, seen_pred: str, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    return f"""
+WITH batch AS (
+  SELECT min({id_col}) AS {id_col}, {key_sql} AS fp, count(*) AS n_dups
+  FROM {table} WHERE {new_pred} GROUP BY {key_sql}
+),
+seen AS (SELECT DISTINCT {key_sql} AS fp FROM {table} WHERE {seen_pred})
+SELECT b.{id_col}, b.fp, b.n_dups
+FROM batch b WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
+"""
+
+
 # -------------------------------------------------------------- minhash ----
 
 def minhash_signature(

@@ -67,6 +67,26 @@ def dp_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "dp_dedup_incremental",
+    dedup.duck_incremental_dedup(
+        text.duck_fingerprint("text"), "doc_id >= 200", "doc_id < 300"
+    ),
+)
+def dp_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup against a fingerprint ledger: the 'new
+    batch' (doc_id >= 200) overlaps the 'seen corpus' (doc_id < 300) by
+    100 redelivered docs — the at-least-once scenario — plus genuine
+    cross-split near-dups via the normalized fingerprint. Keys, never
+    text, cross the anti-join exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        docs.filter(F.col("doc_id") >= 200),
+        docs.filter(F.col("doc_id") < 300),
+        key=text.fingerprint("text"),
+    )
+
+
 @query("dp_dedup_clusters", dedup.duck_dedup_clusters())
 def dp_dedup_clusters(spark, sf_dir):
     """Near-dup cluster resolution: connected components over the

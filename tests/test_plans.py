@@ -108,9 +108,9 @@ def test_ann_guard_trips_past_max_rows(spark):
 
 def test_ann_guard_trips_even_when_query_id_missing(spark):
     """A non-existent query_id empties the broadcast lookup branch; the
-    guard's sentinel row (left join from the count) must keep the
-    assertion evaluating so an over-max_rows corpus is still rejected
-    instead of silently returning empty."""
+    guard must ride the CORPUS branch (non-empty whenever a violation is
+    possible) so an over-max_rows corpus is still rejected instead of
+    silently returning empty."""
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
@@ -134,3 +134,13 @@ def test_sqs_input_requires_path():
 
     with pytest.raises(ValueError, match="watched directory"):
         compile_toml('[fields]\nnames=["a"]\n[input]\nname="SQS"\n')
+
+
+def test_incremental_dedup_is_key_anti_join(plans):
+    """The ledger check must be a hash anti join over 128-bit keys —
+    never a cartesian, and the batch side aggregates before joining so
+    the exchange carries (key, id, count), not document text."""
+    p = plans("dp_dedup_incremental")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "partial_min" in p  # in-batch dedup aggregate keeps map-side combine
