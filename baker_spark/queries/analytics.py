@@ -249,7 +249,7 @@ WITH sized AS (
 )
 SELECT count(*) AS n, CAST(min(size) AS INTEGER) AS min_size,
        CAST(max(size) AS INTEGER) AS max_size,
-       CAST(floor(CAST(sum(size) AS DECIMAL(18,6)) * 1000000) AS BIGINT) // count(*) AS avg_size_c6
+       CAST(CAST(sum(size) AS DECIMAL(38,0)) * 1000000 // count(*) AS BIGINT) AS avg_size_c6
 FROM sized
 """,
 )
@@ -264,8 +264,12 @@ def q_stats_sizes(spark, sf_dir):
         F.count("*").alias("n"),
         F.min("size").alias("min_size"),
         F.max("size").alias("max_size"),
+        # DECIMAL(38,0) end-to-end: DECIMAL(18) overflowed at sf0.1
+        # (sum(size) ~ 2.1e12, * 1e6 needs 19 digits) — Spark NULLed the
+        # cast silently under ANSI-off while DuckDB errored. Exact
+        # integer floor-division keeps both engines bit-identical.
         F.expr(
-            "CAST(floor(CAST(sum(size) AS DECIMAL(18,6)) * 1000000) AS BIGINT) div count(*)"
+            "CAST(CAST(sum(size) AS DECIMAL(38,0)) * 1000000 div count(*) AS BIGINT)"
         ).alias("avg_size_c6"),
     )
 

@@ -57,3 +57,33 @@ def test_oracle_parity(spark, duck, name):
         return
     ok, msg = compare(df, duck, sql)
     assert ok, f"{name}: {msg}"
+
+
+SF01 = "/root/testdata/sf0.1"
+
+#: queries whose aggregates grow with data volume — the class that can
+#: silently overflow a too-small DECIMAL at 10x the gate's scale while
+#: staying green at sf0.01 (q_stats_sizes did exactly this: the sum fit
+#: DECIMAL(18) at the gate SF, overflowed at sf0.1 — Spark NULLed the
+#: cast under ANSI-off, DuckDB errored).
+VOLUME_AGGREGATES = [
+    "q_stats_sizes",
+    "q1_pricing_summary",
+    "q_salted_agg",
+    "dp_token_counts",
+    "dp_corpus_pipeline",
+]
+
+
+@pytest.mark.parametrize("name", VOLUME_AGGREGATES)
+def test_volume_aggregates_hold_at_10x_scale(spark, name):
+    """Parity spot-check at sf0.1 for volume-growing aggregates."""
+    import os
+
+    if not os.path.isdir(SF01):
+        pytest.skip("sf0.1 testdata not present")
+    duck01 = duck_connect(SF01)
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    ok, msg = compare(fn(spark, SF01), duck01, sql)
+    assert ok, f"{name} at sf0.1: {msg}"
