@@ -54,6 +54,35 @@ def token_counts(col: Column | str) -> tuple[Column, Column]:
     return n_ws, n_bpe
 
 
+def quality_filter_by_median(
+    df, lang_col: str = "lang", id_col: str = "doc_id", text_col: str = "text", exact: bool = True
+):
+    """Per-language quality gating: keep documents whose BPE-ish token
+    count is at or above their language's median — the quantile-threshold
+    filter every corpus pipeline applies before training.
+
+    The per-language threshold table is tiny (one row per language), so
+    it broadcasts and the corpus itself never shuffles — one scan for
+    the thresholds, one broadcast-joined scan to filter. ``exact=True``
+    uses the exact interpolated median (deterministic cross-engine: a
+    lerp over integers — the oracle-parity baseline), but exact
+    percentile buffers every group value in one aggregator, a
+    scale-killer when one language carries billions of docs; at 100 TB
+    pass ``exact=False`` for the bounded-memory t-digest sketch
+    (``approx_percentile``)."""
+    from pyspark.sql import functions as F  # local: text.py exposes Columns mostly
+
+    _, n_bpe = token_counts(text_col)
+    scored = df.select(id_col, lang_col, n_bpe.alias("n_bpe"))
+    med_fn = F.percentile if exact else (lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(10000)))
+    med = scored.groupBy(lang_col).agg(med_fn(F.col("n_bpe"), 0.5).alias("med"))
+    return (
+        scored.join(F.broadcast(med), lang_col)
+        .filter(F.col("n_bpe").cast("double") >= F.col("med"))
+        .select(id_col, lang_col, "n_bpe")
+    )
+
+
 def langid(col_name: str, stopwords: list[str] | None = None, threshold_pct: int = 5) -> Column:
     """Heuristic language ID: 'en' iff stopword ratio > threshold_pct %.
     Integer comparison (n_stop * 100 > n_words * pct) keeps it exact.

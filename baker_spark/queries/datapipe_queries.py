@@ -165,6 +165,30 @@ def dp_token_counts(spark, sf_dir):
 
 
 @query(
+    "dp_quality_filter",
+    """
+WITH scored AS (
+  SELECT doc_id, lang, CAST(floor((length(text) + 3) / 4) AS BIGINT) AS n_bpe
+  FROM documents
+),
+med AS (
+  SELECT lang, quantile_cont(CAST(n_bpe AS DOUBLE), 0.5) AS med
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.n_bpe
+FROM scored s JOIN med USING (lang)
+WHERE CAST(s.n_bpe AS DOUBLE) >= med
+""",
+)
+def dp_quality_filter(spark, sf_dir):
+    """Keep docs at/above their language's median token count — the
+    quantile-threshold quality gate (exact median here for oracle
+    parity; text.quality_filter_by_median(exact=False) is the t-digest
+    scale path). Threshold table broadcasts; the corpus never shuffles."""
+    return text.quality_filter_by_median(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "dp_fingerprint",
     f"SELECT doc_id, {text.duck_fingerprint('text')} AS fp FROM documents",
 )

@@ -144,3 +144,26 @@ def test_incremental_dedup_is_key_anti_join(plans):
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "partial_min" in p  # in-batch dedup aggregate keeps map-side combine
+
+
+def test_quality_filter_broadcasts_thresholds(plans):
+    """The per-language median table is one row per language — it must
+    broadcast so the corpus side never shuffles for the join."""
+    p = plans("dp_quality_filter")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_quality_filter_approx_variant_runs(spark):
+    """The t-digest scale path (exact=False) yields a superset-agnostic
+    sane result: same schema, and a kept-count within sketch error of
+    the exact gate's."""
+    from baker_spark.datapipe import text
+    from baker_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = text.quality_filter_by_median(docs, exact=True)
+    approx = text.quality_filter_by_median(docs, exact=False)
+    assert exact.columns == approx.columns
+    ne, na = exact.count(), approx.count()
+    assert abs(ne - na) <= max(5, ne // 20)  # within ~5% at this scale
