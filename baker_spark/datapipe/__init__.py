@@ -1,1 +1,1 @@
-from baker_spark.datapipe import dedup, multimodal, text, vectors  # noqa: F401
+from baker_spark.datapipe import dedup, ingest, multimodal, text, vectors  # noqa: F401

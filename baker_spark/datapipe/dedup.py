@@ -72,12 +72,22 @@ def incremental_dedup(new_docs: DataFrame, seen_docs: DataFrame, key, id_col: st
     ignore duplicates; a distinct would buy nothing but a shuffle). On a
     real deployment keep the ledger as a table bucketed by key: the anti
     join then co-locates and the 100 TB corpus is never reshuffled."""
+    return incremental_dedup_against_keys(
+        new_docs, seen_docs.select(key.alias("fp")), key, id_col
+    )
+
+
+def incremental_dedup_against_keys(
+    new_docs: DataFrame, seen_keys: DataFrame, key, id_col: str = "doc_id"
+) -> DataFrame:
+    """Same as :func:`incremental_dedup` but the seen side is already a
+    key table (an ``fp`` column) — the shape of a persisted fingerprint
+    ledger, where recomputing keys from stored text would be waste."""
     batch = (
         new_docs.groupBy(key.alias("fp"))
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
     )
-    seen = seen_docs.select(key.alias("fp"))
-    return batch.join(seen, "fp", "left_anti").select(id_col, "fp", "n_dups")
+    return batch.join(seen_keys.select("fp"), "fp", "left_anti").select(id_col, "fp", "n_dups")
 
 
 def duck_incremental_dedup(

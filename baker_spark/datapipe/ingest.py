@@ -1,0 +1,83 @@
+"""Continuous corpus ingestion: the end-to-end composition of this
+engine's streaming sources and the incremental-dedup family — new
+document batches arrive (file notifications, queue messages, TCP), each
+batch is deduplicated against a PERSISTENT fingerprint ledger, survivors
+append to the corpus, and their fingerprints append to the ledger.
+
+This is the 100 TB ingestion loop the reference's daemon topologies
+approximate with an in-memory dedup set that grows forever
+(/root/reference/filter/dedup.go:14-21 documents its own OOM): here the
+ledger lives on disk as parquet keyed by a 128-bit fingerprint, the
+anti join ships only keys, and executor memory stays flat no matter how
+old the corpus grows.
+
+Semantics under failure: ``write`` appends the corpus BEFORE the ledger,
+so a crash between the two re-admits the batch on replay — duplicates,
+never loss (at-least-once; a downstream ``exact_dedup`` pass restores
+exactly-once). Used as a ``StreamingPipeline`` sink the batch boundary
+is Spark's micro-batch, checkpointed by the streaming engine.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from baker_spark.datapipe.dedup import incremental_dedup_against_keys
+
+LEDGER_SCHEMA = StructType([StructField("fp", StringType())])
+
+
+@dataclass
+class CorpusIngest:
+    """Dedup-and-append sink. ``key`` is a Column computing the content
+    fingerprint (e.g. ``F.md5(F.col("text"))`` for exact,
+    ``text.fingerprint("text")`` for near-dup normalization) — the same
+    contract as :func:`~baker_spark.datapipe.dedup.incremental_dedup`.
+
+    Works as a batch call (``ingest(df)``) or as the ``sink`` of a
+    ``StreamingPipeline`` (``write`` is the foreachBatch hook)."""
+
+    corpus_dir: str
+    ledger_dir: str
+    key: object  # pyspark Column
+    id_col: str = "doc_id"
+    #: cumulative stats across writes (InputStats analog)
+    ingested: int = 0
+    dropped: int = 0
+    batches: int = 0
+
+    def _ledger(self, spark) -> DataFrame:
+        if os.path.isdir(self.ledger_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(self.ledger_dir)
+        ):
+            return spark.read.schema(LEDGER_SCHEMA).parquet(self.ledger_dir)
+        return spark.createDataFrame([], LEDGER_SCHEMA)
+
+    def write(self, batch_df: DataFrame) -> int:
+        """One batch through the loop; returns docs admitted."""
+        spark = batch_df.sparkSession
+        ledger = self._ledger(spark)
+        # survivors: one (id, fp) per batch fingerprint group absent from
+        # the ledger — small relative to the batch, so persist once and
+        # feed both the corpus join and the ledger append from it
+        kept = incremental_dedup_against_keys(batch_df, ledger, self.key, self.id_col).persist()
+        try:
+            n_kept = kept.count()
+            # resolve surviving ids back to full rows; the semi join
+            # ships ids only, text never crosses twice (AQE broadcasts
+            # the kept side when it is small, which it normally is)
+            admitted = batch_df.join(kept.select(self.id_col), self.id_col, "left_semi")
+            # corpus BEFORE ledger: replay re-admits (duplicates), never
+            # loses — see module doc
+            admitted.write.mode("append").parquet(self.corpus_dir)
+            kept.select("fp").write.mode("append").parquet(self.ledger_dir)
+        finally:
+            kept.unpersist()
+        self.ingested += n_kept
+        self.dropped += batch_df.count() - n_kept
+        self.batches += 1
+        return n_kept
