@@ -246,3 +246,57 @@ def test_prefix_filter_jaccard_completeness(spark):
             for r in ngram_jaccard_pairs(df).collect()
         }
         assert got == expected, f"trial {trial}: {got ^ expected}"
+
+
+# ------------------------------------------------ TCP chunker invariants
+
+
+@given(
+    lines=st.lists(st.binary(min_size=0, max_size=60).map(lambda b: b.replace(b"\n", b"x")), min_size=0, max_size=30),
+    chunk_bytes=st.integers(min_value=1, max_value=64),
+    terminated=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_tcp_chunker_never_tears_or_drops(tmp_path_factory, lines, chunk_bytes, terminated):
+    """For ANY payload and chunk size: spooled bytes reassemble to the
+    payload (modulo the completed final newline), every spool file holds
+    only whole lines, and line count is preserved — the tcp.go:162-207
+    contract."""
+    import glob
+    import gzip
+    import io
+    import os
+
+    from baker_spark.streaming.tcp import TCPGzipListener
+
+    payload = b"\n".join(lines) + (b"\n" if terminated and lines else b"")
+    spool = str(tmp_path_factory.mktemp("spool"))
+    listener = TCPGzipListener(spool, port=0, chunk_bytes=chunk_bytes)
+    # drive the stream handler directly (no sockets): same code path,
+    # deterministic, hypothesis-speed
+    listener._handle_stream(io.BytesIO(gzip.compress(payload)))
+    files = sorted(glob.glob(os.path.join(spool, "tcp-*.csv")))
+    data = b"".join(open(f, "rb").read() for f in files)
+    expected = payload if (not payload or payload.endswith(b"\n")) else payload + b"\n"
+    assert data == expected
+    for f in files:
+        content = open(f, "rb").read()
+        assert content.endswith(b"\n")
+
+
+# ------------------------------------------------- SQS parse properties
+
+
+@given(path=st.text(alphabet="abcdefgh/._-", min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_sqs_sns_roundtrip_any_path(path):
+    """SNS wrapping then parsing returns the original path for any
+    path-ish string; with Bucket set, exactly the key survives."""
+    import json
+
+    from baker_spark.streaming.sqs import SQSConfig
+
+    body = json.dumps({"Message": f"s3://bkt/{path}"})
+    assert SQSConfig(message_format="sns").parse_function()(body) == f"s3://bkt/{path}"
+    rel = SQSConfig(message_format="sns", bucket="bkt").parse_function()(body)
+    assert rel == path.lstrip("/")
