@@ -89,11 +89,10 @@ def row_guard(
     O(n^2) rerank baseline over a full corpus.
 
     ``count_of`` lets the caller count a DIFFERENT frame than the one
-    being wrapped, so when a plan derives several branches from one
-    input the count aggregate rides exactly once instead of once per
-    branch. Wrap the branch derived directly from the counted frame
-    (the corpus scan), NOT an independently-filtered lookup branch —
-    see the inline comment below for why."""
+    being wrapped — attach the guard to an already-tiny branch (e.g. a
+    single-row query broadcast) so the count aggregate rides the plan
+    exactly once instead of once per derived branch. See the inline
+    comment below for the guard's work-conditional contract."""
     n = (df if count_of is None else count_of).agg(F.count("*").alias("_n"))
     msg = (
         f"input exceeds max_rows={max_rows} for a brute-force baseline; "
@@ -102,14 +101,19 @@ def row_guard(
     check = F.coalesce(
         F.assert_true(F.col("_n") <= F.lit(max_rows), F.lit(msg)), F.lit(True)
     )
-    # The assertion only evaluates on joined rows, so the guard must ride
-    # a branch that is non-empty whenever a violation is possible. Attach
-    # it to a branch DERIVED FROM the counted frame (df empty => _n == 0
-    # => no violation expressible) — never to an independently-filtered
-    # lookup branch, which can be legitimately empty while count_of is
-    # over the cap (optimizers also rewrite outer-join sentinel tricks
-    # away: a null-intolerant filter above a left join converts it to
-    # inner, re-creating the bypass).
+    # LOAD-BEARING PLAN SHAPE: `check` references ONLY the count column,
+    # so Catalyst pushes the filter through the cross join INTO the
+    # count branch — it evaluates whenever the count stage materializes
+    # (a hard dependency of the join), NOT merely on joined rows. That
+    # makes the guard trip even when `df` itself is empty (e.g. a
+    # missing-query-id lookup over an oversized corpus, pinned by
+    # test_ann_guard_trips_even_when_query_id_missing). Do not add
+    # df-side columns into this filter: a mixed-side predicate cannot
+    # push down, evaluates only on joined rows, and becomes silently
+    # skippable when the wrapped branch is empty (sentinel-row
+    # workarounds don't survive the optimizer either: left joins with
+    # null-intolerant filters rewrite to inner, and AQE cancels sibling
+    # stages of provably-empty joins).
     return df.crossJoin(F.broadcast(n)).filter(check).drop("_n")
 
 
@@ -190,20 +194,19 @@ def ann_topk(
     and points at ``ann_topk_bucketed`` — a full scan per query is the
     rerank baseline, not the corpus path.
 
-    The guard's count aggregate rides the plan exactly once
-    (``count_of=df``), the query-row scan keeps its pushed-down
-    ``vec_id = query_id`` lookup, and the corpus side stays
-    shuffle-free (the guard joins a broadcast 1-row count; the per-row
-    check is a scalar comparison). The guard wraps the CORPUS branch,
-    not the query lookup: a non-existent ``query_id`` empties the
-    lookup, and a guard riding it would silently never evaluate —
-    wrapped around the corpus it still trips on an over-``max_rows``
-    input, because the corpus is non-empty in every violating case."""
+    The guard rides ONLY the single-row query broadcast (``count_of``
+    points it at the full input), so the count aggregate executes once
+    and the scan side keeps its pushed-down ``vec_id = query_id``
+    lookup and shuffle-free plan.
+
+    A non-existent ``query_id`` still trips the guard on an oversized
+    corpus: the check pushes into the count branch (see ``row_guard``'s
+    inline comment), which materializes as a dependency of the broadcast
+    regardless of the lookup being empty."""
     q = df.filter(F.col(id_col) == query_id).select(as_double(vec_col).alias("qv"))
-    corpus = fan_out(df)
     if max_rows is not None:
-        corpus = row_guard(corpus, max_rows, "ann_topk_bucketed", count_of=df)
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+        q = row_guard(q, max_rows, "ann_topk_bucketed", count_of=df)
+    scored = fan_out(df).crossJoin(F.broadcast(q)).select(
         F.col(id_col),
         F.floor(cosine(as_double(vec_col), F.col("qv")) * 10000).cast("long").alias("cosine_c4"),
     )

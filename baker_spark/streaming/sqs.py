@@ -205,7 +205,10 @@ class SQSPoller:
                 if self.filepath_rx is None or self.filepath_rx.search(path):
                     self.on_file(path)
                     out.append(path)
-                self.client.delete_message(QueueUrl=url, ReceiptHandle=msg["ReceiptHandle"])
+                try:
+                    self.client.delete_message(QueueUrl=url, ReceiptHandle=msg["ReceiptHandle"])
+                except Exception as exc:  # sqs.go:242-244: log, keep polling
+                    self.on_error(body, exc)
         return out
 
     def run(self, stop: threading.Event, interval: float = 1.0) -> None:

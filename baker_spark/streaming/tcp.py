@@ -56,6 +56,7 @@ class TCPGzipListener:
         self.chunk_bytes = chunk_bytes
         self.connections = 0
         self.num_lines = 0  # InputStats analog (tcp.go:126-131)
+        self.errors: list[str] = []  # per-connection failures (log-and-continue)
         self._seq = 0
         self._lock = threading.Lock()
         self._server: socketserver.ThreadingTCPServer | None = None
@@ -104,7 +105,10 @@ class TCPGzipListener:
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
                 listener.connections += 1
-                listener._handle_stream(self.rfile)
+                try:
+                    listener._handle_stream(self.rfile)
+                except OSError as exc:  # bad gzip / torn conn: tcp.go:110-112
+                    listener.errors.append(str(exc))
 
         socketserver.ThreadingTCPServer.allow_reuse_address = True
         self._server = socketserver.ThreadingTCPServer((self.host, self.port), Handler)

@@ -107,10 +107,14 @@ def test_ann_guard_trips_past_max_rows(spark):
 
 
 def test_ann_guard_trips_even_when_query_id_missing(spark):
-    """A non-existent query_id empties the broadcast lookup branch; the
-    guard must ride the CORPUS branch (non-empty whenever a violation is
-    possible) so an over-max_rows corpus is still rejected instead of
-    silently returning empty."""
+    """The guard check references only the count column, so Catalyst
+    pushes it INTO the count branch — it evaluates whenever the count
+    stage materializes (a dependency of the broadcast build), not only
+    on joined rows. A non-existent query_id therefore still rejects an
+    over-max_rows corpus instead of silently returning empty. (The
+    push-down is load-bearing: a guard filter that mixes in columns
+    from the wrapped side cannot push and IS skippable — keep row_guard's
+    filter single-sided.)"""
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 

@@ -120,3 +120,21 @@ name = "Nop"
     assert src.listen_port == 7200
     listener = src.listener()
     assert listener.spool_dir == f"{tmp_path}/spool"
+
+
+def test_bad_gzip_connection_logged_and_survived(tmp_path):
+    """A connection with invalid gzip framing fails alone; the listener
+    keeps serving (the reference logs stream errors per connection and
+    stays up, tcp.go:104-113)."""
+    import socket as _socket
+
+    spool = str(tmp_path / "spool")
+    with TCPGzipListener(spool, port=0) as listener:
+        with _socket.create_connection((listener.host, listener.port)) as conn:
+            conn.sendall(b"this is not gzip at all")
+            conn.shutdown(_socket.SHUT_WR)
+        # next, a GOOD connection still works
+        send_gzip_records(listener.host, listener.port, b"1,click,u1\n")
+        files = _wait_for_spool(spool, 1)
+    assert listener.errors, "bad gzip should be recorded"
+    assert open(files[0], "rb").read() == b"1,click,u1\n"
