@@ -595,6 +595,54 @@ def dp_sample_stratified(spark, sf_dir):
     return docs.filter(keep).select("doc_id", "lang")
 
 
+#: source-curation demo parameters: blocked origins + per-source cap
+_BLOCKED_SOURCES = ["src7", "src13"]
+_SOURCE_QUOTA = 15
+
+
+@query(
+    "dp_source_quota",
+    f"""
+WITH allowed AS (
+  SELECT doc_id, source FROM documents
+  WHERE source NOT IN ({", ".join(f"'{s}'" for s in _BLOCKED_SOURCES)})
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM allowed
+)
+SELECT doc_id, source FROM ranked WHERE rn <= {_SOURCE_QUOTA}
+""",
+)
+def dp_source_quota(spark, sf_dir):
+    """Source curation (the C4/RefinedWeb pattern): drop blocklisted
+    origins, then cap any single source's contribution at K docs
+    (deterministic: the K smallest doc_ids survive).
+
+    The cap is the same salted bottom-k partial-aggregate merge as
+    dp_kmv_distinct, NOT a per-source row_number window: a hot source
+    at 100 TB would funnel its billions of rows through one windowing
+    reducer, while the salted aggregate keeps per-task state at
+    group/S ids and merges S*K longs per source. The oracle uses the
+    window formulation — fine at DuckDB's scale, the semantics match."""
+    S = 8
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = docs.filter(~F.col("source").isin(_BLOCKED_SOURCES))
+    salted = allowed.select("source", "doc_id").withColumn(
+        "salt", F.pmod("doc_id", F.lit(S))
+    )
+    partial = salted.groupBy("source", "salt").agg(
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, _SOURCE_QUOTA).alias("bk")
+    )
+    kept = partial.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("bk"))), 1, _SOURCE_QUOTA
+        ).alias("keep_ids")
+    )
+    return kept.select(F.explode("keep_ids").alias("doc_id"), "source")
+
+
 @query(
     "dp_lang_mix_weights",
     """

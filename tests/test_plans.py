@@ -171,3 +171,11 @@ def test_quality_filter_approx_variant_runs(spark):
     assert exact.columns == approx.columns
     ne, na = exact.count(), approx.count()
     assert abs(ne - na) <= max(5, ne // 20)  # within ~5% at this scale
+
+
+def test_source_quota_is_salted_aggregate_not_window(plans):
+    """Per-source cap must be the salted bottom-k aggregate; a Window
+    here funnels a hot source through one reducer at scale."""
+    p = plans("dp_source_quota")
+    assert "Window" not in p
+    assert "partial_" in p  # map-side combine on the salted aggregate
