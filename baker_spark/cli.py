@@ -21,29 +21,88 @@ def _registry():
     return REGISTRY
 
 
+def _io_registry() -> dict[str, dict[str, type]]:
+    """Inputs and outputs by TOML name — the `-help Input/Output`
+    surface the reference builds from its component Descs."""
+    from baker_spark.datapipe.ingest import CorpusIngest
+    from baker_spark.sinks.dynamodb import DynamoDBWriter
+    from baker_spark.sinks.filewriter import FileWriter
+    from baker_spark.sinks.simple import Nop, OpLog, Recorder, WebSocketSink
+    from baker_spark.sinks.sqlite import SQLiteWriter
+    from baker_spark.sinks.stats import Stats
+    from baker_spark.sinks.upload import S3Upload
+    from baker_spark.sources.list_source import ListSource
+    from baker_spark.streaming.connectors import KinesisSource, KinesisStandinSource
+    from baker_spark.streaming.daemon import FileStreamSource, RateSource
+    from baker_spark.streaming.sqs import SQSFileSource
+    from baker_spark.streaming.tcp import TCPFileSource
+
+    return {
+        "Inputs": {
+            "List": ListSource,
+            "SQS": SQSFileSource,
+            "Kinesis": KinesisSource,
+            "KCL": KinesisSource,
+            "TCP": TCPFileSource,
+            "FileStream": FileStreamSource,
+            "Rate": RateSource,
+            "KinesisStandin": KinesisStandinSource,
+        },
+        "Outputs": {
+            "FileWriter": FileWriter,
+            "DynamoDB": DynamoDBWriter,
+            "SQLite": SQLiteWriter,
+            "Stats": Stats,
+            "Nop": Nop,
+            "OpLog": OpLog,
+            "Recorder": Recorder,
+            "WebSocket": WebSocketSink,
+            "CorpusIngest": CorpusIngest,
+        },
+        "Upload": {"S3": S3Upload},
+    }
+
+
+def _first_doc_line(cls: type) -> str:
+    doc = inspect.getdoc(cls) or ""
+    if not doc or doc.startswith(cls.__name__ + "("):
+        return ""  # dataclass auto-signature, not help text
+    return doc.splitlines()[0]
+
+
 def cmd_list() -> int:
     print("Operators (filters):")
     for name, cls in sorted(_registry().items()):
-        doc = (inspect.getdoc(cls) or "").splitlines()
-        print(f"  {cls.name:24s} {doc[0] if doc else ''}")
-    print("\nInputs: List (batch), FileStream/Rate (baker_spark.streaming)")
-    print("Outputs: FileWriter, Stats, SQLite, DynamoDB, Nop, OpLog, Recorder")
+        print(f"  {cls.name:24s} {_first_doc_line(cls)}")
+    for section, components in _io_registry().items():
+        print(f"\n{section}:")
+        for name, cls in components.items():
+            print(f"  {name:24s} {_first_doc_line(cls)}")
     return 0
 
 
-def cmd_help(component: str) -> int:
-    cls = _registry().get(component.lower())
-    if cls is None:
-        print(f"unknown component {component!r}", file=sys.stderr)
-        return 1
-    print(f"### {cls.name}\n")
+def _print_component(title: str, cls: type) -> None:
+    print(f"### {title}\n")
     print(inspect.getdoc(cls) or "(no help)")
     sig = inspect.signature(cls.__init__)
     print("\nKeys:")
     for p in list(sig.parameters.values())[1:]:
         default = "" if p.default is inspect.Parameter.empty else f" (default: {p.default!r})"
         print(f"  {p.name}{default}")
-    return 0
+
+
+def cmd_help(component: str) -> int:
+    cls = _registry().get(component.lower())
+    if cls is not None:
+        _print_component(cls.name, cls)
+        return 0
+    for components in _io_registry().values():
+        for name, io_cls in components.items():
+            if name.lower() == component.lower():
+                _print_component(name, io_cls)
+                return 0
+    print(f"unknown component {component!r}", file=sys.stderr)
+    return 1
 
 
 def _compile(path: str):

@@ -126,6 +126,10 @@ def write_batches(
 
 @dataclass
 class DynamoDBWriter:
+    """Batch-write records to DynamoDB: 25-item batches, s:/n: typed
+    columns (first = PK), dup-PK skip, token-bucket rate limit, backoff
+    retries (output/dyndb.go:20-31)."""
+
     table: str
     columns: list[str]  # declared as 's:name' / 'n:name', first = PK
     regions: list[str] = field(default_factory=lambda: ["us-west-2"])

@@ -66,6 +66,10 @@ def parse_path_template(template: str) -> tuple[str, list[str], bool]:
 
 @dataclass
 class FileWriter:
+    """Serialized records to compressed CSV files: time-templated
+    partition dirs, Field0 fan-out, size rotation (filewriter.go:26-99;
+    mapping table in the module docstring)."""
+
     path: str
     # the reference defaults to zstd (filewriter.go:26-99); Spark's CSV
     # writer has no zstd codec in this build, so gzip is the default here

@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, functions as F
 
 @dataclass
 class SQLiteWriter:
+    """All records into a SQLite table; optional raw BLOB column,
+    Pre/PostRun SQL hooks, per-shard files (output/sqlite.go:15-44)."""
+
     path: str  # may contain {shard} -> partition id
     table: str = "records"
     raw_column: bool = False  # SQLiteRaw variant: add serialized record BLOB

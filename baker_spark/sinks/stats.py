@@ -20,6 +20,9 @@ DEFAULT_QUANTILES = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]
 
 @dataclass
 class Stats:
+    """Aggregating sink: record-size distribution, per-field value
+    frequencies, timestamp distribution, quantiles (output/stats.go)."""
+
     fields: list[str] = field(default_factory=list)  # frequency-tracked fields
     timestamp_field: str | None = None
     quantiles: list[float] = field(default_factory=lambda: list(DEFAULT_QUANTILES))

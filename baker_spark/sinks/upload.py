@@ -23,6 +23,9 @@ from typing import Callable
 
 @dataclass
 class S3Upload:
+    """Staging-dir upload to s3://bucket/prefix with retries (upload/s3.go)
+    — prefer writing straight to s3a:// paths; this is the post-write hook."""
+
     source_base_path: str
     bucket: str
     prefix: str = ""

@@ -39,6 +39,10 @@ def string_schema(fields: list[str]) -> T.StructType:
 
 
 class ListSource:
+    """The List input: newline-record files from local/file/s3/http paths,
+    dirs + MatchPath regex, @listfile indirection, stdin, gz/zstd
+    (input/list.go:30-54)."""
+
     def __init__(
         self,
         files: list[str],

@@ -78,3 +78,20 @@ PathString="{tmp_path}/out/o.csv.gz"
     assert proc.returncode == 0, proc.stderr[-2000:]
     out_files = glob.glob(f"{tmp_path}/out/**/*.gz", recursive=True)
     assert out_files
+
+
+def test_cli_help_covers_inputs_and_outputs(capsys):
+    """The reference's -help documents inputs/outputs, not just filters
+    (baker_cli.go); ours must resolve every TOML component name."""
+    from baker_spark import cli
+
+    for component in ["SQS", "Kinesis", "TCP", "FileWriter", "DynamoDB", "Stats", "List"]:
+        assert cli.cmd_help(component) == 0, component
+        out = capsys.readouterr().out
+        assert "Keys:" in out and component.lower() in out.lower()
+    assert cli.cmd_help("NoSuchThing") == 1
+
+    assert cli.cmd_list() == 0
+    listing = capsys.readouterr().out
+    for section in ("Operators", "Inputs:", "Outputs:", "Upload:"):
+        assert section in listing
