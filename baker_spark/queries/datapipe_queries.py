@@ -595,6 +595,40 @@ def dp_sample_stratified(spark, sf_dir):
     return docs.filter(keep).select("doc_id", "lang")
 
 
+@query(
+    "dp_repeated_passages",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest({text.duck_word_shingles("text", 5)}) AS gram FROM documents
+)
+SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM sh GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def dp_repeated_passages(spark, sf_dir):
+    """Cross-document repeated-passage detection — the signal behind
+    exact-substring dedup (memorization-prone boilerplate shows up as
+    5-gram passages shared by >= 2 docs). One explode + one aggregation:
+    the exchange carries (gram, doc_id) pairs, linear in corpus tokens,
+    with map-side partial aggregation; no pairwise comparison ever
+    happens, so this scales where suffix-array approaches need
+    specialized infrastructure. Downstream, the passage list drives
+    span-level scrubbing or doc-level drop decisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(text.word_shingles("text", 5)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 #: source-curation demo parameters: blocked origins + per-source cap
 _BLOCKED_SOURCES = ["src7", "src13"]
 _SOURCE_QUOTA = 15
