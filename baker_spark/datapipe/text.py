@@ -70,8 +70,6 @@ def quality_filter_by_median(
     scale-killer when one language carries billions of docs; at 100 TB
     pass ``exact=False`` for the bounded-memory t-digest sketch
     (``approx_percentile``)."""
-    from pyspark.sql import functions as F  # local: text.py exposes Columns mostly
-
     _, n_bpe = token_counts(text_col)
     scored = df.select(id_col, lang_col, n_bpe.alias("n_bpe"))
     med_fn = F.percentile if exact else (lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(10000)))

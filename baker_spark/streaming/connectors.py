@@ -58,16 +58,18 @@ def kinesis_records(
     through under that name — the event-time column a watermarked
     aggregation downstream would key on (a capability the reference's
     arrival-order loop lacks)."""
-    lines = F.explode(
-        F.filter(
-            F.split(F.decode(F.col("data"), "UTF-8"), "\n", -1),
-            lambda s: s != F.lit(""),
-        )
-    ).alias("_bk_line")
+    # explode THEN filter empties: both stay inside whole-stage codegen,
+    # where a higher-order array filter would run interpreted in the hot
+    # parse path (see PERFORMANCE.md "Codegen vs interpreted")
+    lines = F.explode(F.split(F.decode(F.col("data"), "UTF-8"), "\n", -1)).alias("_bk_line")
     keep = [F.col("approximateArrivalTimestamp").alias(arrival_ts)] if arrival_ts else []
     parts = F.split(F.col("_bk_line"), re.escape(separator), -1)
     cols = [F.element_at(parts, i + 1).alias(name) for i, name in enumerate(fields)]
-    return df.select(lines, *keep).select(*cols, *[F.col(c) for c in ([arrival_ts] if arrival_ts else [])])
+    return (
+        df.select(lines, *keep)
+        .filter(F.col("_bk_line") != "")
+        .select(*cols, *[F.col(c) for c in ([arrival_ts] if arrival_ts else [])])
+    )
 
 
 def _require_format(spark: SparkSession, reader, fmt: str) -> DataFrame:
