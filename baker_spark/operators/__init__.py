@@ -14,6 +14,7 @@ from baker_spark.operators.base import (  # noqa: F401
     is_empty,
     prefilter,
     register,
+    split_chain,
 )
 from baker_spark.operators.clausefilter import ClauseFilter  # noqa: F401
 from baker_spark.operators.transforms import (  # noqa: F401

@@ -128,3 +128,37 @@ def prefilter(df: DataFrame, ops: list[Operator]) -> DataFrame:
     for p in hoist_predicates(ops):
         df = df.filter(p)
     return df
+
+
+def split_chain(ops: list[Operator]) -> tuple[list[Column], list[Operator]]:
+    """Like :func:`hoist_predicates`, but also returns the chain with the
+    fully-hoisted predicates ELIDED. An op may be dropped from the
+    post-barrier chain iff its keep-predicate hoisted AND it writes
+    nothing (``writes == []``): then ``apply()`` is exactly
+    ``filter(keep_predicate)``, which already ran below the barrier, and
+    a second evaluation would drop nothing — each filter runs once, like
+    the reference's single-pass chain (topology.go:204-218). Transforms
+    and barriers keep their place and order."""
+    preds: list[Column] = []
+    remaining: list[Operator] = []
+    written: set[str] = set()
+    barrier = False
+    for op in ops:
+        kp = op.keep_predicate()
+        hoisted = (
+            not barrier
+            and kp is not None
+            and op.reads is not None
+            and not (set(op.reads) & written)
+        )
+        if hoisted:
+            preds.append(kp)
+        if hoisted and op.writes == []:
+            pass  # pure predicate, fully represented by the hoisted filter
+        else:
+            remaining.append(op)
+        if op.writes is None:
+            barrier = True
+        else:
+            written |= set(op.writes)
+    return preds, remaining

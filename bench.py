@@ -67,9 +67,10 @@ def baker_chain(spark, sf_dir):
 
     The scan is a single parquet row group (serial task), so the chain's
     pure predicates are hoisted above the fan-out shuffle
-    (ops.prefilter): only surviving rows are exchanged, and the filters
-    evaluate inside the scan stage where Catalyst wants them. The
-    unchanged chain still runs wide after the shuffle."""
+    (ops.split_chain): only surviving rows are exchanged, the filters
+    evaluate inside the scan stage where Catalyst wants them, and the
+    fully-hoisted pure predicates are elided from the post-shuffle chain
+    (each filter runs once, like the reference's single-pass chain)."""
     chain = [
         ops.ClauseFilter("(or (l_returnflag A) (l_returnflag N))"),
         ops.NotNull(["l_orderkey", "l_partkey"]),
@@ -81,10 +82,12 @@ def baker_chain(spark, sf_dir):
         ),  # parse-to-long predicate
     ]
     li = load_table(spark, sf_dir, "lineitem")
-    li = ops.prefilter(li, chain)  # predicates run at the (native) scan
+    preds, rest = ops.split_chain(chain)
+    for p in preds:
+        li = li.filter(p)  # predicates run at the (native) scan
     li = fan_out(li)  # ≈ [filterchain] procs — shuffles only survivors
     df = li.select(*[F.col(c).cast("string").alias(c) for c in li.columns])
-    return ops.chain(df, chain)
+    return ops.chain(df, rest)
 
 
 def force(df):

@@ -336,6 +336,31 @@ def test_predicate_hoisting(spark):
     ]
     assert len(ops.hoist_predicates(barrier_chain)) == 0
 
+    # split_chain: hoisted pure predicates are elided from the remaining
+    # chain (ClauseFilter, NotNull); transforms and the non-hoistable
+    # StringMatch keep their order. Result unchanged.
+    preds, rest = ops.split_chain(chain)
+    assert len(preds) == 2
+    assert [type(o).__name__ for o in rest] == ["Concatenate", "StringMatch"]
+    filtered = native
+    for p in preds:
+        filtered = filtered.filter(p)
+    split = sorted(
+        r.id
+        for r in ops.chain(
+            filtered.select(
+                *[F.col(c).cast("string").alias(c) for c in native.columns]
+            ),
+            rest,
+        ).collect()
+    )
+    assert split == ["2"]
+    # barriers also stop elision: the post-barrier NotNull must remain
+    assert [type(o).__name__ for o in ops.split_chain(barrier_chain)[1]] == [
+        "Dedup",
+        "NotNull",
+    ]
+
 
 def test_managed_cache_release(spark):
     """Operator caches registered via managed_persist are dropped at the
