@@ -227,6 +227,69 @@ def duck_scrub_sql(expr: str) -> dict[str, str]:
     return out
 
 
+def log2_floor(c: Column) -> Column:
+    """Integer floor(log2(x)) for x >= 1 via binary digit count — exact
+    in both engines (no float log), the trick that makes an information-
+    content score cross-engine hash-comparable."""
+    return (F.length(F.conv(c.cast("string"), 10, 2)) - 1).cast("long")
+
+
+def duck_log2_floor(expr: str) -> str:
+    return f"(length(format('{{:b}}', {expr})) - 1)"
+
+
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-self unigram LM quality score (CCNet-style perplexity
+    filtering, made integer-exact): per document, the summed information
+    content floor(log2(corpus_frequency)) of its token occurrences and
+    the fixed-point mean. Gibberish / OCR noise is rare-token-heavy ->
+    low mean; boilerplate is stopword-heavy -> high mean. Both tails are
+    standard removal candidates.
+
+    Shape (the TF-IDF shape): explode tokens -> frequency groupBy
+    (map-side combine; exchange carries (token, count)) -> shuffle join
+    tokens⋈freqs on token -> per-doc re-aggregate. The frequency table
+    is NOT broadcast: vocabulary is unbounded at corpus scale, so the
+    equi-join co-partitions both sides instead; AQE may still broadcast
+    when it measures small. No floats anywhere: bit-length stands in
+    for log2, so the score hash-matches the DuckDB oracle exactly."""
+    from baker_spark.session import fan_out
+
+    toks = fan_out(df).select(id_col, F.explode(words(text_col)).alias("_w"))
+    cf = toks.groupBy("_w").agg(F.count("*").alias("_cf"))
+    per_doc = (
+        toks.join(cf, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(log2_floor(F.col("_cf"))).cast("long").alias("sum_log2_cf"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "sum_log2_cf",
+        F.floor(F.col("sum_log2_cf") * 100 / F.col("n_tokens"))
+        .cast("long")
+        .alias("mean_log2_cf_c2"),
+    )
+
+
+def duck_unigram_logprob(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    lg = duck_log2_floor("cnt")
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS w FROM {table}
+),
+cf AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+j AS (SELECT t.{id_col}, c.cnt FROM tok t JOIN cf c USING (w))
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum({lg}) AS BIGINT) AS sum_log2_cf,
+       CAST(floor(sum({lg}) * 100 / count(*)) AS BIGINT) AS mean_log2_cf_c2
+FROM j GROUP BY {id_col}
+"""
+
+
 def fingerprint(col_name: str) -> Column:
     """OpenRefine-style key-collision fingerprint: lowercase, strip
     non-alnum, sorted distinct words, md5. Catches reordered/near-identical

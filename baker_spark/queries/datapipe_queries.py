@@ -150,6 +150,16 @@ def dp_quality(spark, sf_dir):
     return df.select("doc_id", *[c.alias(n) for n, c in flags.items()])
 
 
+@query("dp_unigram_logprob", text.duck_unigram_logprob())
+def dp_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality score (integer-exact pseudo-perplexity): per
+    document, the summed/mean floor(log2(corpus frequency)) over its
+    token occurrences. Low mean = rare-token-heavy (gibberish, OCR
+    noise); high mean = stopword boilerplate. See text.unigram_logprob
+    for the plan shape and the no-broadcast vocabulary rationale."""
+    return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 @query(
     "dp_token_counts",
     """
@@ -608,6 +618,38 @@ def dp_sample_stratified(spark, sf_dir):
     rate = expr.otherwise(F.lit(_STRATA_DEFAULT))
     keep = _hashing.md5_long(F.col("doc_id").cast("string")) % 100 < rate
     return docs.filter(keep).select("doc_id", "lang")
+
+
+@query(
+    "dp_train_split",
+    f"""
+WITH b AS (
+  SELECT doc_id,
+         {_hashing.duck_md5_long("CAST(doc_id AS VARCHAR)", salt="split")} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+)
+def dp_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment: salted hash(doc_id) mod
+    100 -> 90/5/5. Purely narrow (no shuffle, no state), reproducible
+    across engines, runs and cluster sizes, and stable under corpus
+    growth — adding documents never reassigns an existing one, the
+    property that keeps eval sets uncontaminated across dataset
+    versions (a rand()-seeded split has none of these)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hashing.md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", split.alias("split"))
 
 
 @query(
