@@ -150,6 +150,55 @@ def dp_quality(spark, sf_dir):
     return df.select("doc_id", *[c.alias(n) for n, c in flags.items()])
 
 
+@query(
+    "dp_tfidf_topk",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+ranked AS (
+  SELECT t.doc_id, t.w, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.w ASC) AS rnk
+  FROM tf t JOIN df d USING (w)
+)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, w AS term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rnk <= 3
+""",
+)
+def dp_tfidf_topk(spark, sf_dir):
+    """Per-document distinctive-term extraction (TF-IDF made integer-
+    exact): rank a doc's terms by (term frequency DESC, document
+    frequency ASC, term) — high-tf low-df terms are the classic tf-idf
+    winners, and the all-integer ordering needs no float idf, so it
+    hash-matches the oracle. Shapes: tf groupBy (map-side combine over
+    exploded tokens), df derived FROM the tf table (one count per
+    distinct (doc, term) — never re-explodes the corpus), an equi-join
+    on term (vocabulary is unbounded: no broadcast), and a per-document
+    window whose state is one doc's vocabulary — bounded regardless of
+    corpus size."""
+    toks = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(text.words("text")).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("w").asc()
+    )
+    return (
+        tf.join(df_, "w")
+        .select("doc_id", F.row_number().over(win).alias("rnk"),
+                F.col("w").alias("term"), F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 @query("dp_unigram_logprob", text.duck_unigram_logprob())
 def dp_unigram_logprob(spark, sf_dir):
     """Unigram-LM quality score (integer-exact pseudo-perplexity): per

@@ -40,6 +40,13 @@ REPORT_QUERIES = [
     "q_cube_rollup",
     "q_percentile_by_group",
     "dp_dedup_exact",
+    "dp_dedup_incremental",
+    "dp_quality_filter",
+    "dp_unigram_logprob",
+    "dp_tfidf_topk",
+    "dp_train_split",
+    "dp_source_quota",
+    "dp_repeated_passages",
     "dp_minhash_lsh_pairs",
     "dp_lsh_verified_pairs",
     "dp_simhash_pairs",
