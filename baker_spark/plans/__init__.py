@@ -1,1 +1,5 @@
-from baker_spark.plans.toml_compiler import compile_toml, compile_toml_file  # noqa: F401
+from baker_spark.plans.toml_compiler import (  # noqa: F401
+    UserDesc,
+    compile_toml,
+    compile_toml_file,
+)

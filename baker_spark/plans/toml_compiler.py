@@ -255,12 +255,60 @@ def _build_upload(section: dict):
     raise ValueError(f"unknown upload {section.get('name')!r}")
 
 
-def compile_toml(text: str, fields: list[str] | None = None):
+class UserDesc:
+    """A named user-specific config section (the reference's UserDesc,
+    config.go:88-89): register one per ``[[user]]`` block you expect;
+    ``compile_toml`` decodes the block's ``[user.config]`` table into
+    ``.config`` in place — a dict (updated) or any object (attributes
+    set case-insensitively, unknown keys rejected like the reference's
+    Undecoded check, config.go:404-406)."""
+
+    def __init__(self, name: str, config):
+        self.name = name
+        self.config = config
+
+
+def _decode_user_config(target, table: dict, section_name: str) -> None:
+    if isinstance(target, dict):
+        target.update(table)
+        return
+    attrs = {a.lower(): a for a in vars(target)}
+    for key, value in table.items():
+        attr = attrs.get(key.lower())
+        if attr is None:
+            raise ValueError(
+                f"invalid keys in configuration file: user.{section_name}.{key}"
+            )
+        setattr(target, attr, value)
+
+
+def _decode_user_sections(doc: dict, user: list[UserDesc] | None) -> None:
+    # [[user]] blocks decode into registered UserDescs, matched
+    # case-insensitively; an unregistered name is an error
+    # (config.go:387-399)
+    for cfg_user in doc.get("user", []):
+        uname = cfg_user.get("name", "")
+        desc = next(
+            (u for u in (user or []) if u.name.lower() == uname.lower()), None
+        )
+        if desc is None:
+            raise ValueError(f"user configuration does not exist: {uname!r}")
+        _decode_user_config(desc.config, cfg_user.get("config", {}), uname)
+
+
+def compile_toml(
+    text: str,
+    fields: list[str] | None = None,
+    user: list[UserDesc] | None = None,
+):
     """Compile a reference-shaped TOML topology. Batch inputs yield a
     :class:`Pipeline`; daemon inputs (SQS/Kinesis/KCL/TCP) yield a
-    :class:`baker_spark.streaming.daemon.StreamingPipeline`."""
+    :class:`baker_spark.streaming.daemon.StreamingPipeline`.
+    ``user`` registers :class:`UserDesc` targets for ``[[user]]``
+    blocks, decoded in place like the reference (config.go:387-399)."""
     text = os.path.expandvars(text)  # ${ENV} expansion (config.go:221-231)
     doc = tomllib.loads(text)
+    _decode_user_sections(doc, user)
 
     names = fields or doc.get("fields", {}).get("names", [])
     input_name = doc.get("input", {}).get("name", "").lower()

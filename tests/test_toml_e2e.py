@@ -352,3 +352,61 @@ fields=["ts","etype","user"]
     # the gzip parts carry the non-partition record fields
     rows = _read_gz_dir(os.path.join(out_dir, "year=2024/month=03/day=02"))
     assert sorted(r.split(",")[2] for r in rows) == ["u2", "u3"]
+
+
+def test_user_config_sections():
+    """[[user]] blocks decode into registered UserDescs in place, matched
+    case-insensitively; unregistered names and unknown keys are rejected
+    (reference config.go:387-399, user_config_test.go)."""
+    import pytest as _pytest
+
+    from baker_spark.plans import UserDesc, compile_toml
+
+    base = """
+[fields]
+names=["f0","f1"]
+[input]
+name="List"
+[input.config]
+files=[]
+"""
+    user_toml = base + """
+[[user]]
+name="MyConfiG"
+    [user.config]
+    field1 = 1
+    field2 = "hello!"
+
+[[user]]
+name="configB"
+    [user.config]
+    field1 = ["a", "b", "c", "d"]
+"""
+
+    class MyConfig:
+        def __init__(self):
+            self.field1 = 0
+            self.field2 = ""
+
+    mycfg = MyConfig()
+    cfgb = {}
+    compile_toml(
+        user_toml,
+        user=[UserDesc("myconfig", mycfg), UserDesc("ConfigB", cfgb)],
+    )
+    assert (mycfg.field1, mycfg.field2) == (1, "hello!")
+    assert cfgb == {"field1": ["a", "b", "c", "d"]}
+
+    # unregistered [[user]] name -> error (TestUserConfigExtraConfigInTOML)
+    with _pytest.raises(ValueError, match="user configuration does not exist"):
+        compile_toml(user_toml, user=[UserDesc("myconfig", MyConfig())])
+
+    # unknown key inside a registered section -> error (Undecoded check)
+    bad = base + """
+[[user]]
+name="myconfig"
+    [user.config]
+    nosuchfield = 3
+"""
+    with _pytest.raises(ValueError, match="invalid keys"):
+        compile_toml(bad, user=[UserDesc("myconfig", MyConfig())])
