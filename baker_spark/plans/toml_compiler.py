@@ -32,7 +32,7 @@ from baker_spark.operators import create as create_operator
 from baker_spark.operators.topology import Validation
 from baker_spark.pipeline import Pipeline
 from baker_spark.sinks.dynamodb import DynamoDBWriter
-from baker_spark.sinks.filewriter import FileWriter
+from baker_spark.sinks.filewriter import FileWriter, parse_size_bytes
 from baker_spark.sinks.simple import Nop, OpLog, Recorder
 from baker_spark.sinks.sqlite import SQLiteWriter
 from baker_spark.sinks.stats import Stats
@@ -215,11 +215,17 @@ def _build_sink(section: dict, separator: str):
                 partition_by=out_fields[0] if wants_field0 else None,
                 time_partitions=time_parts,
                 timestamp_field=cfg.get("timestamp_field"),
+                rotate_size_bytes=parse_size_bytes(cfg.get("rotate_size", 0)) or None,
             )
         # templateless path: its directory is the output dir; task files
         # replace the {{.Index}}/{{.UUID}} parts of the reference template
         out_dir = path if not os.path.splitext(path)[1] else path + ".d"
-        return FileWriter(path=out_dir, compression=compression, separator=separator)
+        return FileWriter(
+            path=out_dir,
+            compression=compression,
+            separator=separator,
+            rotate_size_bytes=parse_size_bytes(cfg.get("rotate_size", 0)) or None,
+        )
     if name == "nop":
         return Nop()
     if name == "oplog":

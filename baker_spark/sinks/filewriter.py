@@ -33,6 +33,39 @@ from pyspark.sql import DataFrame, functions as F
 
 _PLACEHOLDER_RX = re.compile(r"\{\{\s*\.(\w+)\s*\}\}")
 
+_SIZE_RX = re.compile(r"^\s*([0-9]*\.?[0-9]+)\s*([a-zA-Z]*)\s*$")
+#: go-humanize unit table (size_bytes.go:30-36 delegates to
+#: humanize.ParseBytes): SI decimal, IEC binary, bare/single-letter forms
+_SIZE_UNITS = {
+    "": 1, "b": 1,
+    "kb": 10**3, "mb": 10**6, "gb": 10**9, "tb": 10**12, "pb": 10**15,
+    "kib": 2**10, "mib": 2**20, "gib": 2**30, "tib": 2**40, "pib": 2**50,
+    "k": 10**3, "m": 10**6, "g": 10**9, "t": 10**12, "p": 10**15,
+    "ki": 2**10, "mi": 2**20, "gi": 2**30, "ti": 2**40, "pi": 2**50,
+}
+
+
+def parse_size_bytes(v) -> int:
+    """The reference's SizeBytes TOML decoding (size_bytes.go:10-43):
+    plain non-negative numbers pass through; strings parse humanized
+    sizes (``12000``, ``"12KB"``, ``"1MiB"``, ``"128MB"``); anything
+    else is a config-time error."""
+    if isinstance(v, bool):
+        raise ValueError(f"invalid size in bytes ({v!r})")
+    if isinstance(v, (int, float)):
+        if v < 0:
+            raise ValueError(f"invalid size in bytes ({v}): value must be >= 0")
+        return int(v)
+    if isinstance(v, str):
+        if v == "":
+            return 0
+        m = _SIZE_RX.match(v)
+        unit = _SIZE_UNITS.get(m.group(2).lower()) if m else None
+        if unit is None:
+            raise ValueError(f"invalid size in bytes ({v!r})")
+        return int(float(m.group(1)) * unit)
+    raise ValueError(f"unexpected type ({type(v).__name__}): unexpected value type")
+
 #: canonical order + the Spark date_format pattern reproducing the
 #: reference's zero-padded widths (filewriter.go:34-40: YYYY MM DD HH MM SS)
 _TIME_PLACEHOLDERS = [
@@ -77,6 +110,14 @@ class FileWriter:
     separator: str = ","
     partition_by: str | None = None  # ≈ {{.Field0}} fan-out
     max_records_per_file: int | None = None  # ≈ RotateSize / {{.Rotation}}
+    #: RotateSize in bytes (humanized TOML values via parse_size_bytes).
+    #: The reference rotates when the COMPRESSED file reaches this size
+    #: (the counting writer sits under the gzip/zstd writer,
+    #: filewriter.go:374-395); Spark's only per-file knob is record
+    #: count, so write() estimates compressed bytes/record from a
+    #: 1000-row sample and derives maxRecordsPerFile. Explicit
+    #: max_records_per_file wins over the estimate.
+    rotate_size_bytes: int | None = None
     mode: str = "overwrite"
     #: subset of Year/Month/Day/Hour/Minute/Second -> year=/month=/... dirs
     time_partitions: list[str] = field(default_factory=list)
@@ -97,7 +138,37 @@ class FileWriter:
             F.to_timestamp(F.from_unixtime(c.cast("long"))),
         )
 
+    def _rotate_records(self, df: DataFrame) -> int:
+        """maxRecordsPerFile approximating RotateSize: serialize a
+        bounded sample exactly as the CSV writer will, compress it with
+        the configured codec, and scale. One tiny extra job per write —
+        the cost does not grow with the input."""
+        rows = (
+            df.select(
+                F.concat_ws(
+                    self.separator,
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns],
+                ).alias("_line")
+            )
+            .limit(1000)
+            .collect()
+        )
+        if not rows:
+            return 1
+        blob = ("\n".join(r._line for r in rows) + "\n").encode()
+        if self.compression == "gzip":
+            import gzip as _gzip
+
+            nbytes = len(_gzip.compress(blob, compresslevel=1))  # BestSpeed, like newFile
+        else:
+            nbytes = len(blob)
+        per_record = max(1.0, nbytes / len(rows))
+        return max(1, int(self.rotate_size_bytes / per_record))
+
     def write(self, df: DataFrame) -> str:
+        max_records = self.max_records_per_file
+        if self.rotate_size_bytes and not max_records:
+            max_records = self._rotate_records(df)
         partition_cols: list[str] = []
         if self.time_partitions:
             bad = [p for p in self.time_partitions if p not in _TIME_NAMES]
@@ -119,8 +190,8 @@ class FileWriter:
             .option("quote", "")
             .option("emptyValue", "")
         )
-        if self.max_records_per_file:
-            writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
+        if max_records:
+            writer = writer.option("maxRecordsPerFile", max_records)
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.csv(self.path)
