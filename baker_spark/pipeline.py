@@ -39,6 +39,10 @@ class Pipeline:
     #: (the reference's uploader drains after outputs close,
     #: topology.go:302-314); None for the idiomatic direct-to-s3a write
     upload: Any | None = None
+    #: [metrics] client (config.go:106-113 / topology.go:72-82 — built
+    #: before everything else, handed to every component); run() brackets
+    #: the sink action with the per-second StatsDumper reporting to it
+    metrics: Any | None = None
 
     def _source_df(self, spark: SparkSession) -> DataFrame:
         if isinstance(self.source, DataFrame):
@@ -63,7 +67,13 @@ class Pipeline:
         df = self.dataframe(spark)
         if self.sink is None:
             return df
-        result = self.sink.write(df)
+        if self.metrics is not None:
+            from baker_spark.metrics import StatsDumper
+
+            with StatsDumper(spark, self.metrics):
+                result = self.sink.write(df)
+        else:
+            result = self.sink.write(df)
         if self.upload is not None:
             self.upload.run()
         return result

@@ -247,6 +247,23 @@ def _build_sink(section: dict, separator: str):
     raise ValueError(f"unknown output {section.get('name')!r}")
 
 
+def _build_metrics(section: dict):
+    # [metrics] name="datadog" + [metrics.config] Prefix/Host/Tags/
+    # SendLogs (config.go:106-113; metrics/datadog/client.go:24-29)
+    name = section.get("name", "").lower()
+    cfg = _snake_keys(section.get("config", {}))
+    if name == "datadog":
+        from baker_spark.metrics import DatadogMetrics
+
+        return DatadogMetrics.from_config(
+            host=cfg.get("host", "127.0.0.1:8125"),
+            prefix=cfg.get("prefix", "baker."),
+            tags=cfg.get("tags", []),
+            send_logs=bool(cfg.get("send_logs", False)),
+        )
+    raise ValueError(f"unknown metrics client {section.get('name')!r}")
+
+
 def _build_upload(section: dict):
     name = section.get("name", "").lower()
     cfg = _snake_keys(section.get("config", {}))
@@ -373,6 +390,7 @@ def compile_toml(
         procs=int(out.get("procs", 32)),
         sink=sink,
         upload=_build_upload(upload) if upload else None,
+        metrics=_build_metrics(doc["metrics"]) if doc.get("metrics") else None,
     )
 
 

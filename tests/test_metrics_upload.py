@@ -142,3 +142,56 @@ def test_datadog_from_config_defaults():
 
     dd = DatadogMetrics.from_config()
     assert (dd.host, dd.port, dd.prefix, dd.tags) == ("127.0.0.1", 8125, "baker.", [])
+
+
+def test_toml_metrics_section_compiles_and_reports(spark, tmp_path):
+    """[metrics] name="datadog" wires a DatadogMetrics client into the
+    compiled Pipeline (config.go:106-113: the client is built before the
+    topology and handed to it); run() brackets the sink action with the
+    per-second StatsDumper reporting through it."""
+    import socket as _socket
+
+    from baker_spark.metrics import DatadogMetrics
+    from baker_spark.plans import compile_toml
+
+    sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(5)
+    toml_text = """
+[fields]
+names=["a","b","c"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.zst"]
+
+[metrics]
+name="datadog"
+
+    [metrics.config]
+    host="127.0.0.1:%d"
+    prefix="custom."
+    tags=["env:test"]
+
+[output]
+name="FileWriter"
+
+    [output.config]
+    PathString="%s/out.csv.gz"
+""" % (sock.getsockname()[1], tmp_path)
+    p = compile_toml(toml_text)
+    assert isinstance(p.metrics, DatadogMetrics)
+    assert p.metrics.prefix == "custom."
+    # force at least one dumper tick inside the sink action window
+    p.metrics.gauge("probe", 1)
+    p.run(spark)
+    line = sock.recvfrom(65536)[0].decode()
+    assert line.startswith("custom.") and line.endswith("|#env:test")
+    sock.close()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown metrics client"):
+        compile_toml(toml_text.replace('name="datadog"', 'name="nosuch"', 1))
