@@ -43,6 +43,15 @@ class Pipeline:
     #: before everything else, handed to every component); run() brackets
     #: the sink action with the per-second StatsDumper reporting to it
     metrics: Any | None = None
+    #: [filterchain] procs (config.go:46-52, default 16): the chain's
+    #: parallelism. Spark's unit of parallelism is the partition, so when
+    #: the scan yields fewer splits than procs the source is
+    #: repartitioned up to it — with the chain's pure predicates hoisted
+    #: ABOVE that exchange (split_chain) so only surviving rows shuffle,
+    #: mirroring the reference where validation/drops happen before
+    #: records fan out to the filter goroutines. On a multi-split 100 TB
+    #: input the condition is false and no shuffle is added.
+    chain_procs: int | None = None
 
     def _source_df(self, spark: SparkSession) -> DataFrame:
         if isinstance(self.source, DataFrame):
@@ -52,7 +61,16 @@ class Pipeline:
         raise TypeError(f"unsupported source {type(self.source)}")
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
-        df = chain(self._source_df(spark), self.ops)
+        df = self._source_df(spark)
+        ops = self.ops
+        if self.chain_procs and df.rdd.getNumPartitions() < self.chain_procs:
+            from baker_spark.operators.base import split_chain
+
+            preds, ops = split_chain(ops)
+            for p in preds:
+                df = df.filter(p)
+            df = df.repartition(self.chain_procs)
+        df = chain(df, ops)
         if self.sharding:
             df = Shard(self.sharding, procs=self.procs).apply(df)
         if self.fields:

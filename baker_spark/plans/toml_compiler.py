@@ -391,6 +391,7 @@ def compile_toml(
         sink=sink,
         upload=_build_upload(upload) if upload else None,
         metrics=_build_metrics(doc["metrics"]) if doc.get("metrics") else None,
+        chain_procs=int(doc.get("filterchain", {}).get("procs", 0)) or None,
     )
 
 

@@ -466,3 +466,40 @@ name="FileWriter"
         with gzip.open(p, "rt") as fh:
             rows += [ln for ln in fh.read().splitlines() if ln]
     assert len(rows) == 4  # nothing lost across rotations
+
+
+def test_filterchain_procs(spark, tmp_path):
+    """[filterchain] procs=N (config.go:46-52) widens a narrow scan to N
+    partitions, with the chain's pure predicates evaluated at the scan
+    so the exchange carries survivors only; results are unchanged."""
+    toml_text = """
+[fields]
+names=["a","b","c"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.zst"]
+
+[filterchain]
+procs=8
+
+[[filter]]
+name="StringMatch"
+
+    [filter.config]
+    Field="a"
+    Strings=["value1"]
+    InvertMatch=true
+
+[output]
+name="Recorder"
+"""
+    p = compile_toml(toml_text)
+    assert p.chain_procs == 8
+    df = p.dataframe(spark)
+    assert df.rdd.getNumPartitions() == 8
+    rows = p.run(spark)
+    # keep-only semantics; the fixture has two a="value1" rows
+    assert sorted(r["a"] for r in rows) == ["value1", "value1"]
