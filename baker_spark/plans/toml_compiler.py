@@ -216,6 +216,7 @@ def _build_sink(section: dict, separator: str):
                 time_partitions=time_parts,
                 timestamp_field=cfg.get("timestamp_field"),
                 rotate_size_bytes=parse_size_bytes(cfg.get("rotate_size", 0)) or None,
+                discard_empty_files=bool(cfg.get("discard_empty_files", False)),
             )
         # templateless path: its directory is the output dir; task files
         # replace the {{.Index}}/{{.UUID}} parts of the reference template
@@ -225,6 +226,7 @@ def _build_sink(section: dict, separator: str):
             compression=compression,
             separator=separator,
             rotate_size_bytes=parse_size_bytes(cfg.get("rotate_size", 0)) or None,
+            discard_empty_files=bool(cfg.get("discard_empty_files", False)),
         )
     if name == "nop":
         return Nop()
@@ -234,8 +236,19 @@ def _build_sink(section: dict, separator: str):
         return Recorder()
     if name == "stats":
         return Stats(fields=cfg.get("fields", []), timestamp_field=cfg.get("timestamp_field"))
-    if name == "sqlite":
-        return SQLiteWriter(path=cfg.get("path_string", "out.sqlite3"), table=cfg.get("table_name", "records"))
+    if name in ("sqlite", "sqliteraw"):
+        # output/sqlite.go:36-43 config keys; SQLiteRaw adds the
+        # serialized-record BLOB column
+        return SQLiteWriter(
+            path=cfg.get("path_string", "out.sqlite3"),
+            table=cfg.get("table_name", "records"),
+            raw_column=name == "sqliteraw",
+            pre_run=cfg.get("pre_run", []),
+            post_run=cfg.get("post_run", []),
+            clear=bool(cfg.get("clear", False)),
+            vacuum=bool(cfg.get("vacuum", False)),
+            page_size=int(cfg.get("page_size", 0)),
+        )
     if name == "dynamodb":
         # output/dyndb.go:20-31 config keys: Regions, Table, Columns
         return DynamoDBWriter(

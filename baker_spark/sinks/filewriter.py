@@ -118,6 +118,10 @@ class FileWriter:
     #: 1000-row sample and derives maxRecordsPerFile. Explicit
     #: max_records_per_file wins over the estimate.
     rotate_size_bytes: int | None = None
+    #: DiscardEmptyFiles (filewriter.go:97,273): drop zero-record part
+    #: files after the write — Spark's committer still emits one empty
+    #: part for an empty result (and occasionally for empty partitions)
+    discard_empty_files: bool = False
     mode: str = "overwrite"
     #: subset of Year/Month/Day/Hour/Minute/Second -> year=/month=/... dirs
     time_partitions: list[str] = field(default_factory=list)
@@ -195,4 +199,27 @@ class FileWriter:
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.csv(self.path)
+        if self.discard_empty_files:
+            self._discard_empty()
         return self.path
+
+    def _discard_empty(self) -> None:
+        import gzip as _gzip
+        import os
+
+        opener = _gzip.open if self.compression == "gzip" else open
+        for root, _, files in os.walk(self.path):
+            for f in files:
+                if not f.startswith("part-"):
+                    continue
+                p = os.path.join(root, f)
+                try:
+                    with opener(p, "rb") as fh:
+                        empty = fh.read(1) == b""
+                except OSError:
+                    continue
+                if empty:
+                    os.remove(p)
+                    crc = os.path.join(root, f".{f}.crc")
+                    if os.path.exists(crc):
+                        os.remove(crc)

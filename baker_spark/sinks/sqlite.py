@@ -30,6 +30,12 @@ class SQLiteWriter:
     post_run: list[str] = field(default_factory=list)
     journal_mode: str = "WAL"
     vacuum: bool = False
+    #: Clear (sqlite.go:40): truncate the table before inserting instead
+    #: of appending to an existing file
+    clear: bool = False
+    #: PageSize (sqlite.go:43): PRAGMA page_size, applied before any
+    #: table exists (0 = SQLite's default)
+    page_size: int = 0
     single_file: bool = True
 
     def write(self, df: DataFrame) -> None:
@@ -43,6 +49,7 @@ class SQLiteWriter:
         path, table = self.path, self.table
         pre, post = list(self.pre_run), list(self.post_run)
         journal, vacuum = self.journal_mode, self.vacuum
+        clear, page_size = self.clear, self.page_size
 
         def write_partition(rows):
             import sqlite3
@@ -54,11 +61,17 @@ class SQLiteWriter:
                 return
             conn = sqlite3.connect(path.replace("{shard}", str(pid)))
             try:
+                if page_size:
+                    # must precede table creation (sqlite.go:163-200
+                    # applies it during setup, before the schema exists)
+                    conn.execute(f"PRAGMA page_size={int(page_size)}")
                 conn.execute(f"PRAGMA journal_mode={journal}")
                 for sql in pre:
                     conn.execute(sql)
                 col_defs = ", ".join(f'"{c}" TEXT' for c in columns)
                 conn.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({col_defs})')
+                if clear:
+                    conn.execute(f'DELETE FROM "{table}"')  # Clear (sqlite.go:40)
                 placeholders = ",".join("?" * len(columns))
                 conn.executemany(
                     f'INSERT INTO "{table}" VALUES ({placeholders})',

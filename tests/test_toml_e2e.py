@@ -503,3 +503,80 @@ name="Recorder"
     rows = p.run(spark)
     # keep-only semantics; the fixture has two a="value1" rows
     assert sorted(r["a"] for r in rows) == ["value1", "value1"]
+
+
+def test_filewriter_discard_empty_files(spark, tmp_path):
+    """DiscardEmptyFiles (filewriter.go:97,273): zero-record part files
+    are removed after the write; with records present nothing is lost."""
+    toml_text = """
+[fields]
+names=["a","b","c"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.zst"]
+
+[[filter]]
+name="StringMatch"
+
+    [filter.config]
+    Field="a"
+    Strings=["no-such-value"]
+    InvertMatch=true
+
+[output]
+name="FileWriter"
+
+    [output.config]
+    PathString="{out}/maybe_empty.csv.gz"
+    DiscardEmptyFiles=true
+""".format(out=tmp_path)
+    out_dir = compile_toml(toml_text).run(spark)
+    parts = [
+        f for r, _, fs in os.walk(out_dir) for f in fs if f.startswith("part-")
+    ]
+    assert parts == []  # everything filtered -> no empty gz left behind
+
+
+def test_sqlite_options_from_toml(spark, tmp_path):
+    """SQLite config keys (output/sqlite.go:36-43): PreRun/PostRun SQL,
+    Clear truncation, PageSize pragma, SQLiteRaw's BLOB-ish record
+    column — compiled from TOML and observable in the produced file."""
+    import sqlite3
+
+    db = tmp_path / "out.sqlite3"
+    toml_text = """
+[fields]
+names=["a","b","c"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.zst"]
+
+[output]
+name="SQLiteRaw"
+
+    [output.config]
+    PathString="%s"
+    TableName="recs"
+    PreRun=["PRAGMA user_version=7"]
+    PostRun=["CREATE INDEX IF NOT EXISTS idx_a ON recs(a)"]
+    Clear=true
+    PageSize=8192
+""" % db
+    p = compile_toml(toml_text)
+    p.run(spark)
+    p.run(spark)  # Clear=true -> second run truncates, no duplication
+    conn = sqlite3.connect(db)
+    assert conn.execute("SELECT count(*) FROM recs").fetchone()[0] == 4
+    assert conn.execute("PRAGMA user_version").fetchone()[0] == 7
+    assert conn.execute("PRAGMA page_size").fetchone()[0] == 8192
+    idx = [r[1] for r in conn.execute("PRAGMA index_list(recs)")]
+    assert "idx_a" in idx
+    rec = conn.execute("SELECT _record FROM recs LIMIT 1").fetchone()[0]
+    assert rec.count(",") == 2  # serialized full record rides along
+    conn.close()
