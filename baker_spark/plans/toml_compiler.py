@@ -32,7 +32,7 @@ from baker_spark.operators import create as create_operator
 from baker_spark.operators.topology import Validation
 from baker_spark.pipeline import Pipeline
 from baker_spark.sinks.dynamodb import DynamoDBWriter
-from baker_spark.sinks.filewriter import FileWriter, parse_size_bytes
+from baker_spark.sinks.filewriter import FileWriter, parse_go_duration, parse_size_bytes
 from baker_spark.sinks.simple import Nop, OpLog, Recorder
 from baker_spark.sinks.sqlite import SQLiteWriter
 from baker_spark.sinks.stats import Stats
@@ -388,11 +388,20 @@ def compile_toml(
             # repartition (topology.go:341-347); operators run on the
             # repartitioned stream exactly like the batch path
             ops.append(Shard(out["sharding"], procs=int(out.get("procs", 32))))
+        # RotateInterval (filewriter.go:95): in daemon mode the time
+        # rotation cadence IS the micro-batch trigger; "-1" (disabled)
+        # means as-fast-as-possible micro-batches
+        rot = _snake_keys(out.get("config", {})).get("rotate_interval")
+        trigger = None
+        if rot is not None:
+            secs = parse_go_duration(rot)
+            trigger = int(secs) if secs > 0 else None
         return StreamingPipeline(
             source=source,
             ops=ops,
             fields=out.get("fields") or None,
             sink=sink,
+            trigger_seconds=trigger,
         )
 
     return Pipeline(

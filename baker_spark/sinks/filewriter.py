@@ -79,6 +79,27 @@ _TIME_PLACEHOLDERS = [
 _TIME_NAMES = [n for n, _ in _TIME_PLACEHOLDERS]
 
 
+_DUR_RX = re.compile(r"([0-9]*\.?[0-9]+)(ns|us|µs|ms|s|m|h)")
+_DUR_UNITS = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def parse_go_duration(v) -> float:
+    """Go time.Duration strings (``"60s"``, ``"1m30s"``, ``"-1"``) to
+    seconds — the RotateInterval TOML syntax (filewriter.go:95). Numbers
+    pass through as seconds."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    s = str(v).strip()
+    if s in ("-1", "0"):
+        return float(s)
+    sign = -1.0 if s.startswith("-") else 1.0
+    body = s.lstrip("+-")
+    matches = _DUR_RX.findall(body)
+    if not matches or "".join(n + u for n, u in matches) != body:
+        raise ValueError(f"invalid duration {v!r}")
+    return sign * sum(float(n) * _DUR_UNITS[u] for n, u in matches)
+
+
 def parse_path_template(template: str) -> tuple[str, list[str], bool]:
     """Split a reference PathString into ``(base_dir, time_partitions,
     wants_field0)``. ``base_dir`` is the literal prefix before the first

@@ -126,6 +126,11 @@ class StreamingPipeline:
     ops: list[Operator] = field(default_factory=list)
     fields: list[str] | None = None
     sink: object | None = None
+    #: FileWriter RotateInterval (filewriter.go:95, default 60s) — in
+    #: daemon mode a time rotation IS the micro-batch cadence, so the
+    #: TOML value becomes the default processing-time trigger; an
+    #: explicit start(..., trigger_seconds=) still wins
+    trigger_seconds: int | None = None
 
     def start(
         self,
@@ -137,7 +142,10 @@ class StreamingPipeline:
         if self.sink is None:
             raise ValueError("topology has no [output]; use start_memory for dev")
         return self.start_foreach_batch(
-            spark, self.sink, checkpoint_dir, trigger_seconds
+            spark,
+            self.sink,
+            checkpoint_dir,
+            trigger_seconds if trigger_seconds is not None else self.trigger_seconds,
         )
 
     def dataframe(self, spark: SparkSession) -> DataFrame:

@@ -138,3 +138,38 @@ def test_bad_gzip_connection_logged_and_survived(tmp_path):
         files = _wait_for_spool(spool, 1)
     assert listener.errors, "bad gzip should be recorded"
     assert open(files[0], "rb").read() == b"1,click,u1\n"
+
+
+def test_rotate_interval_becomes_streaming_trigger(tmp_path):
+    """RotateInterval (filewriter.go:95) in a daemon topology sets the
+    micro-batch trigger: Go duration strings parse, "-1" disables."""
+    from baker_spark.plans import compile_toml
+    from baker_spark.sinks.filewriter import parse_go_duration
+
+    assert parse_go_duration("60s") == 60
+    assert parse_go_duration("1m30s") == 90
+    assert parse_go_duration("500ms") == 0.5
+    assert parse_go_duration("-1") == -1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_go_duration("60x")
+
+    base = f"""
+[fields]
+names = ["id", "etype", "user"]
+
+[input]
+name = "TCP"
+  [input.config]
+  Listener = ":7201"
+  SpoolDir = "{tmp_path}/spool"
+
+[output]
+name = "FileWriter"
+  [output.config]
+  PathString = "{tmp_path}/out.csv.gz"
+  RotateInterval = "%s"
+"""
+    assert compile_toml(base % "90s").trigger_seconds == 90
+    assert compile_toml(base % "-1").trigger_seconds is None
