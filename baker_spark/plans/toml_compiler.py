@@ -256,6 +256,7 @@ def _build_sink(section: dict, separator: str):
             columns=cfg["columns"],
             regions=cfg.get("regions", ["us-west-2"]),
             max_writes_per_sec=int(cfg.get("max_writes_per_sec", 0)),
+            max_backoff=parse_go_duration(cfg.get("max_backoff", "2m")),
         )
     raise ValueError(f"unknown output {section.get('name')!r}")
 

@@ -134,6 +134,9 @@ class DynamoDBWriter:
     columns: list[str]  # declared as 's:name' / 'n:name', first = PK
     regions: list[str] = field(default_factory=lambda: ["us-west-2"])
     max_writes_per_sec: int = 0
+    #: MaxBackoff (dyndb.go:173, default "2m"): cap on the retry backoff
+    #: for UnprocessedItems before giving up growing the wait
+    max_backoff: float = 120.0
     client_factory: Callable | None = None
 
     def __post_init__(self):
@@ -146,6 +149,7 @@ class DynamoDBWriter:
     def write(self, df: DataFrame) -> None:
         table, names, types = self.table, self._names, self._types
         regions, rate = self.regions, self.max_writes_per_sec
+        backoff_cap = self.max_backoff
         factory = self.client_factory or _default_client_factory
 
         def per_partition(rows):
@@ -157,6 +161,7 @@ class DynamoDBWriter:
                 types=types,
                 clients=clients,
                 max_writes_per_sec=rate,
+                max_backoff=backoff_cap,
             )
 
         df.select(*names).foreachPartition(per_partition)

@@ -190,11 +190,13 @@ Table="t"
 Columns=["s:k", "n:v"]
 Regions=["us-east-1"]
 MaxWritesPerSec=100
+MaxBackoff="30s"
 """
     )
     assert isinstance(p.sink, DynamoDBWriter)
     assert p.sink.table == "t" and p.sink.regions == ["us-east-1"]
     assert p.sink.max_writes_per_sec == 100
+    assert p.sink.max_backoff == 30.0
 
 
 def test_upload_stage_from_toml(spark, tmp_path):
