@@ -735,6 +735,75 @@ def dp_repeated_passages(spark, sf_dir):
     )
 
 
+_BLK = text.duck_chunks("text", size=5, step=5)
+
+
+@query(
+    "dp_passage_scrub",
+    f"""
+WITH blk AS (
+  SELECT doc_id, unnest({_BLK}) AS chunk,
+         generate_subscripts({_BLK}, 1) - 1 AS idx
+  FROM documents
+),
+rep AS (
+  SELECT {_hashing.duck_md5_long('chunk')} AS hv
+  FROM blk GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT b.doc_id, b.idx, b.chunk FROM blk b
+  WHERE {_hashing.duck_md5_long('b.chunk')} NOT IN (SELECT hv FROM rep)
+)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS scrubbed_text,
+       CAST(count(*) AS BIGINT) AS n_blocks_kept
+FROM kept GROUP BY doc_id
+""",
+)
+def dp_passage_scrub(spark, sf_dir):
+    """Exact-substring dedup at passage granularity (the RefinedWeb /
+    MassiveText recipe, block-approximated so it distributes): cut every
+    document into non-overlapping 5-word blocks, drop each block that
+    appears verbatim in >= 2 documents, reassemble the survivors in
+    order. Documents that were ALL boilerplate disappear entirely.
+
+    Scale shape: the repetition count groups on the block's 60-bit hash
+    — that exchange carries (hash, doc) longs, never text. Block text
+    crosses the wire exactly once, into the anti-join + per-doc
+    reassembly (unavoidable: the output IS text). No window: reassembly
+    is collect_list -> array_sort on (idx, block) structs, whose state
+    is one document's blocks. A true suffix-array dedup removes
+    arbitrary-offset repeats; the block approximation trades that for
+    three shuffles of linear size, which is why production corpus
+    pipelines run it at the billions-of-docs scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = fan_out(docs).select(
+        "doc_id",
+        F.posexplode(text.chunks("text", size=5, step=5)).alias("idx", "chunk"),
+    )
+    blocks = blocks.withColumn("hv", _hashing.md5_long("chunk"))
+    repeated = (
+        blocks.groupBy("hv")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("hv")
+    )
+    kept = blocks.join(repeated, "hv", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("idx", "chunk"))).alias("_blks"),
+            F.count("*").cast("long").alias("n_blocks_kept"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.col("_blks"), lambda s: s.chunk), " "
+            ).alias("scrubbed_text"),
+            "n_blocks_kept",
+        )
+    )
+
+
 #: source-curation demo parameters: blocked origins + per-source cap
 _BLOCKED_SOURCES = ["src7", "src13"]
 _SOURCE_QUOTA = 15

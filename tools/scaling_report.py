@@ -47,6 +47,7 @@ REPORT_QUERIES = [
     "dp_train_split",
     "dp_source_quota",
     "dp_repeated_passages",
+    "dp_passage_scrub",
     "dp_minhash_lsh_pairs",
     "dp_lsh_verified_pairs",
     "dp_simhash_pairs",
