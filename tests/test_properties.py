@@ -300,3 +300,52 @@ def test_sqs_sns_roundtrip_any_path(path):
     assert SQSConfig(message_format="sns").parse_function()(body) == f"s3://bkt/{path}"
     rel = SQSConfig(message_format="sns", bucket="bkt").parse_function()(body)
     assert rel == path.lstrip("/")
+
+
+# ------------------------------------------- split_chain equivalence
+
+
+@st.composite
+def op_chains(draw):
+    """Random mixes of hoistable predicates, transforms, and barriers."""
+    pool = []
+    have_t = False
+    for _ in range(draw(st.integers(1, 5))):
+        kind = draw(st.sampled_from(["clause", "notnull", "stringmatch", "concat", "dedup"]))
+        if kind == "clause":
+            pool.append(ops.ClauseFilter(f"(or (f1 a) (f2 {draw(token) or 'zz'}))"))
+        elif kind == "notnull":
+            pool.append(ops.NotNull([draw(st.sampled_from(["f1", "f2"]))]))
+        elif kind == "stringmatch":
+            fields = ["f1", "f2"] + (["t"] if have_t else [])
+            pool.append(
+                ops.StringMatch(
+                    field=draw(st.sampled_from(fields)),
+                    strings=["a", "cc"],
+                    invert_match=draw(st.booleans()),
+                )
+            )
+        elif kind == "concat":
+            have_t = True
+            pool.append(ops.Concatenate(["f1", "f2"], target="t", separator="-"))
+        else:
+            # order_by pins the survivor so both evaluation orders agree
+            pool.append(ops.Dedup(fields=["f1"], order_by="f2"))
+    return pool
+
+
+@given(chain=op_chains(), rows=st.lists(st.tuples(token, token), min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_split_chain_equivalent_to_plain_chain(spark, chain, rows):
+    """For ANY chain mix, predicates-at-scan + elided remainder produces
+    exactly the plain left-fold's multiset of rows (the optimization
+    bench.py and [filterchain] procs rely on). Concatenate may write a
+    column reads depend on; Dedup is a barrier; ordering must hold."""
+    df = spark.createDataFrame([Row(f1=a, f2=b) for a, b in rows])
+    want = sorted(map(tuple, ops.chain(df, chain).collect()))
+    preds, rest = ops.split_chain(chain)
+    pre = df
+    for p in preds:
+        pre = pre.filter(p)
+    got = sorted(map(tuple, ops.chain(pre.repartition(3), rest).collect()))
+    assert got == want
