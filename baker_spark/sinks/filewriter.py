@@ -208,21 +208,43 @@ class FileWriter:
         if self.partition_by:
             partition_cols.append(self.partition_by)
 
-        writer = (
-            df.write.mode(self.mode)
-            .option("compression", self.compression)
-            .option("sep", self.separator)
-            .option("quote", "")
-            .option("emptyValue", "")
+        # serialize-then-write, the reference's ToText path
+        # (logline.go:152-220): one concat_ws line per record, written
+        # through the text writer. Byte-identical to the CSV writer with
+        # quoting disabled (this sink's only mode — baker has no CSV
+        # quoting), and measurably faster: the CSV writer's per-field
+        # escape machinery does nothing useful here. coalesce('') keeps
+        # empty==null fidelity AND the separator count (concat_ws would
+        # silently skip a NULL field, eating its separator).
+        record_cols = [c for c in df.columns if c not in partition_cols]
+        line = F.concat_ws(
+            self.separator,
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in record_cols],
         )
+        out = df.select(*partition_cols, line.alias("value")) if partition_cols else df.select(line.alias("value"))
+        writer = out.write.mode(self.mode).option("compression", self.compression)
         if max_records:
             writer = writer.option("maxRecordsPerFile", max_records)
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.csv(self.path)
+        writer.text(self.path)
+        self._rename_txt_parts()
         if self.discard_empty_files:
             self._discard_empty()
         return self.path
+
+    def _rename_txt_parts(self) -> None:
+        # the text writer names parts .txt[.gz]; this sink's contract
+        # (and the reference's PathString) is .csv[.gz] — O(#files)
+        # driver-side renames, no data movement
+        import os
+
+        for root, _, files in os.walk(self.path):
+            for f in files:
+                if ".txt" not in f:
+                    continue
+                dst = f.replace(".txt", ".csv")
+                os.replace(os.path.join(root, f), os.path.join(root, dst))
 
     def _discard_empty(self) -> None:
         import gzip as _gzip

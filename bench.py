@@ -114,13 +114,19 @@ def main() -> None:
     runs = []
     for i in range(N_RUNS):
         t0 = time.perf_counter()
-        # full reference topology analog: read -> filter chain -> gzip csv
+        # full reference topology analog: read -> filter chain ->
+        # serialize (ToText, logline.go:152-220) -> gzip files. Same
+        # write path as sinks/filewriter.py: one concat_ws line per
+        # record through the text writer — byte-identical to the
+        # quote-disabled CSV writer and ~9% faster (the CSV escape
+        # machinery does nothing useful with quoting off).
+        df = baker_chain(spark, sf_dir)
+        line = F.concat_ws(",", *[F.coalesce(F.col(c), F.lit("")) for c in df.columns])
         (
-            baker_chain(spark, sf_dir)
+            df.select(line.alias("value"))
             .write.mode("overwrite")
             .option("compression", "gzip")
-            .option("quote", "")
-            .csv(os.path.join(out_dir, f"csv_gz_{i}"))
+            .text(os.path.join(out_dir, f"csv_gz_{i}"))
         )
         runs.append(round(time.perf_counter() - t0, 3))
     all_runs["baker_filter_chain"] = runs
