@@ -61,6 +61,11 @@ REPORT_QUERIES = [
 #: exponent above 1 at tiny SFs is expected noise there, not a smell.
 PAIRWISE = {"dp_minhash_lsh_pairs", "dp_lsh_verified_pairs", "dp_simhash_pairs", "dp_dedup_clusters"}
 
+#: dp_repeated_passages' exponent (~0.6-0.7) is OUTPUT growth, not a plan
+#: defect: a 10x corpus produced 11.2x repeated grams (1,096 -> 12,235 at
+#: sf0.01 -> sf0.1) — more documents collide more. The plan itself is one
+#: explode + one aggregation, linear in tokens.
+
 N_RUNS = 2
 
 
@@ -102,6 +107,9 @@ def main() -> None:
         "honest one. exp <= ~1: linear (scan/agg/top-k shapes). Pairwise",
         "operators (marked *) grow with candidate count, not corpus size;",
         "their guard is the LSH/banding prune keeping candidates sparse.",
+        "dp_repeated_passages' exponent is OUTPUT growth (10x corpus ->",
+        "11.2x repeated grams at these SFs), not plan growth: the plan is",
+        "one explode + one aggregation, linear in tokens.",
         "",
         "| query | " + " | ".join(sfs) + " | exp(last pair) |",
         "|---|" + "---|" * (len(sfs) + 1),
