@@ -203,6 +203,55 @@ class StatsDumper:
         self.stop()
 
 
+class StreamingMetrics:
+    """Daemon-mode per-batch stats export (the reference dumps stats
+    every second in daemon topologies too, stats.go:197-218): a
+    StreamingQueryListener forwarding each micro-batch's progress to a
+    MetricsClient — input rows, processing rate, batch duration — the
+    numbers the reference's one-line stats dump carries. Attach with
+    ``spark.streams.addListener(StreamingMetrics(client).listener)``;
+    detach with ``remove(spark)``."""
+
+    def __init__(self, client: MetricsClient):
+        self.client = client
+        from pyspark.sql.streaming.listener import StreamingQueryListener
+
+        outer = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                tags = [f"query:{p.name}"] if p.name else None
+                outer.client.delta_count("records_read", int(p.numInputRows), tags)
+                outer.client.gauge(
+                    "records_per_sec", float(p.processedRowsPerSecond or 0.0), tags
+                )
+                dur = (p.durationMs or {}).get("triggerExecution")
+                if dur is not None:
+                    outer.client.histogram("batch_duration_ms", float(dur), tags)
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self.listener = _Listener()
+
+    def add(self, spark) -> "StreamingMetrics":
+        spark.streams.addListener(self.listener)
+        return self
+
+    def remove(self, spark) -> None:
+        try:
+            spark.streams.removeListener(self.listener)
+        except Exception:
+            pass
+
+
 def collect_observations(ops: list) -> dict:
     """Gather CountAndTag observed counters after an action — the free
     side-channel the reference publishes per-filter stats through

@@ -403,6 +403,7 @@ def compile_toml(
             fields=out.get("fields") or None,
             sink=sink,
             trigger_seconds=trigger,
+            metrics=_build_metrics(doc["metrics"]) if doc.get("metrics") else None,
         )
 
     return Pipeline(

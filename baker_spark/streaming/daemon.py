@@ -131,6 +131,10 @@ class StreamingPipeline:
     #: TOML value becomes the default processing-time trigger; an
     #: explicit start(..., trigger_seconds=) still wins
     trigger_seconds: int | None = None
+    #: [metrics] client — daemon topologies dump per-second stats in the
+    #: reference too (stats.go:197-218); start() attaches a
+    #: StreamingQueryListener forwarding each batch's progress to it
+    metrics: object | None = None
 
     def start(
         self,
@@ -183,6 +187,12 @@ class StreamingPipeline:
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
             batch_sink.write(batch_df)
 
+        if self.metrics is not None and not getattr(self, "_metrics_attached", False):
+            from baker_spark.metrics import StreamingMetrics
+
+            # once per pipeline: re-starts (checkpoint resume) must not
+            # stack duplicate listeners on the shared SparkSession
+            self._metrics_attached = StreamingMetrics(self.metrics).add(spark)
         writer = (
             self.dataframe(spark)
             .writeStream.foreachBatch(handle)

@@ -269,3 +269,48 @@ def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
     # ONLY it
     _write_csv(src / "b.csv", ["3,z"])
     assert run_once() == {"3"}
+
+
+def test_streaming_metrics_listener(spark, tmp_path):
+    """Daemon topologies export per-batch stats like the reference's
+    per-second dump (stats.go:197-218): a [metrics]-built client
+    receives records_read / records_per_sec / batch_duration_ms from the
+    StreamingQueryListener bridge."""
+    from baker_spark.metrics import LogMetrics
+
+    src_dir = tmp_path / "sm_in"
+    src_dir.mkdir()
+    _write_csv(src_dir / "a.csv", ["1,x", "2,y", "3,z"])
+
+    class CollectSink:
+        rows = []
+
+        def write(self, df):
+            self.rows.extend(tuple(r) for r in df.collect())
+
+    client = LogMetrics()
+    pipe = StreamingPipeline(
+        source=FileStreamSource(str(src_dir), fields=["id", "v"]),
+        metrics=client,
+    )
+    sink = CollectSink()
+    q = pipe.start_foreach_batch(spark, sink, checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        import time as _time
+
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            if any("records_read" in ln for ln in client.lines):
+                break
+            _time.sleep(0.2)  # listener events deliver asynchronously
+        read = [
+            int(float(ln.split("=")[1].split(" ")[0]))
+            for ln in client.lines
+            if ln.startswith("count records_read=")
+        ]
+        assert sum(read) == 3, client.lines
+        assert any(ln.startswith("gauge records_per_sec=") for ln in client.lines)
+        assert any(ln.startswith("histogram batch_duration_ms=") for ln in client.lines)
+    finally:
+        q.stop()
