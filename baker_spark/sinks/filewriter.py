@@ -163,16 +163,16 @@ class FileWriter:
             F.to_timestamp(F.from_unixtime(c.cast("long"))),
         )
 
-    def _rotate_records(self, df: DataFrame) -> int:
+    def _rotate_records(self, df: DataFrame, cols: list[str]) -> int:
         """maxRecordsPerFile approximating RotateSize: serialize a
-        bounded sample exactly as the CSV writer will, compress it with
-        the configured codec, and scale. One tiny extra job per write —
-        the cost does not grow with the input."""
+        bounded sample of exactly the record columns the writer will
+        emit, compress it with the configured codec, and scale. One tiny
+        extra job per write — the cost does not grow with the input."""
         rows = (
             df.select(
                 F.concat_ws(
                     self.separator,
-                    *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns],
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols],
                 ).alias("_line")
             )
             .limit(1000)
@@ -192,8 +192,6 @@ class FileWriter:
 
     def write(self, df: DataFrame) -> str:
         max_records = self.max_records_per_file
-        if self.rotate_size_bytes and not max_records:
-            max_records = self._rotate_records(df)
         partition_cols: list[str] = []
         if self.time_partitions:
             bad = [p for p in self.time_partitions if p not in _TIME_NAMES]
@@ -217,6 +215,10 @@ class FileWriter:
         # empty==null fidelity AND the separator count (concat_ws would
         # silently skip a NULL field, eating its separator).
         record_cols = [c for c in df.columns if c not in partition_cols]
+        if self.rotate_size_bytes and not max_records:
+            # sample AFTER the partition split so the estimate covers
+            # exactly the bytes each rotated file will hold
+            max_records = self._rotate_records(df, record_cols)
         line = F.concat_ws(
             self.separator,
             *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in record_cols],
