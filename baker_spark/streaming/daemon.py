@@ -187,12 +187,13 @@ class StreamingPipeline:
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
             batch_sink.write(batch_df)
 
-        if self.metrics is not None and not getattr(self, "_metrics_attached", False):
+        if self.metrics is not None and getattr(self, "metrics_listener", None) is None:
             from baker_spark.metrics import StreamingMetrics
 
             # once per pipeline: re-starts (checkpoint resume) must not
-            # stack duplicate listeners on the shared SparkSession
-            self._metrics_attached = StreamingMetrics(self.metrics).add(spark)
+            # stack duplicate listeners on the shared SparkSession;
+            # detach with pipeline.metrics_listener.remove(spark)
+            self.metrics_listener = StreamingMetrics(self.metrics).add(spark)
         writer = (
             self.dataframe(spark)
             .writeStream.foreachBatch(handle)
