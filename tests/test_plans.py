@@ -179,3 +179,20 @@ def test_source_quota_is_salted_aggregate_not_window(plans):
     p = plans("dp_source_quota")
     assert "Window" not in p
     assert "partial_" in p  # map-side combine on the salted aggregate
+
+
+def test_corpus_pipeline_scrub_materialized_once(plans):
+    """The corpus pipeline's 4x win (PERFORMANCE.md
+    'Expression-substitution blowup') is a plan property: the scrub
+    chain must sit below an InMemoryRelation boundary, and nothing ABOVE
+    the cache may re-run the scrub regexes — without the boundary,
+    CollapseProject+PushDownPredicates substitute the 3-regex chain into
+    every clean_text reference (~4x per row in the quality filter
+    alone)."""
+    p = plans("dp_corpus_pipeline")
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p, p[:2000]
+    # the plan above the cache boundary reads the materialized column;
+    # the scrub regexes live only in the cached plan, which explain()
+    # renders separately — the main operator tree must not re-run them
+    main_tree = p.split("InMemoryRelation")[0]
+    assert "<URL>" not in main_tree, "scrub chain leaked above the cache boundary"
