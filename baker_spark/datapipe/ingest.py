@@ -59,14 +59,22 @@ class CorpusIngest:
 
     def write(self, batch_df: DataFrame) -> int:
         """One batch through the loop; returns docs admitted."""
+        from pyspark.sql import Observation
+
         spark = batch_df.sparkSession
         ledger = self._ledger(spark)
+        # batch size rides the dedup scan as an observation — a separate
+        # batch_df.count() would re-execute the whole batch lineage just
+        # for the dropped counter
+        obs = Observation()
+        batch_df = batch_df.observe(obs, F.count(F.lit(1)).alias("n"))
         # survivors: one (id, fp) per batch fingerprint group absent from
         # the ledger — small relative to the batch, so persist once and
         # feed both the corpus join and the ledger append from it
         kept = incremental_dedup_against_keys(batch_df, ledger, self.key, self.id_col).persist()
         try:
             n_kept = kept.count()
+            n_batch = int(obs.get["n"])
             # resolve surviving ids back to full rows; the semi join
             # ships ids only, text never crosses twice (AQE broadcasts
             # the kept side when it is small, which it normally is)
@@ -78,6 +86,6 @@ class CorpusIngest:
         finally:
             kept.unpersist()
         self.ingested += n_kept
-        self.dropped += batch_df.count() - n_kept
+        self.dropped += n_batch - n_kept
         self.batches += 1
         return n_kept

@@ -391,12 +391,18 @@ def compile_toml(
             ops.append(Shard(out["sharding"], procs=int(out.get("procs", 32))))
         # RotateInterval (filewriter.go:95): in daemon mode the time
         # rotation cadence IS the micro-batch trigger; "-1" (disabled)
-        # means as-fast-as-possible micro-batches
+        # means as-fast-as-possible micro-batches. Kept as float seconds
+        # — int() truncation would turn "500ms" into no-trigger
         rot = _snake_keys(out.get("config", {})).get("rotate_interval")
         trigger = None
         if rot is not None:
             secs = parse_go_duration(rot)
-            trigger = int(secs) if secs > 0 else None
+            trigger = secs if secs > 0 else None
+        if isinstance(sink, FileWriter):
+            # every micro-batch is a separate write call: the batch
+            # default mode="overwrite" would clobber all previous
+            # batches' files (see start_foreach_batch docstring)
+            sink.mode = "append"
         return StreamingPipeline(
             source=source,
             ops=ops,

@@ -100,6 +100,18 @@ def parse_go_duration(v) -> float:
     return sign * sum(float(n) * _DUR_UNITS[u] for n, u in matches)
 
 
+def serialize_line(columns: list[str], separator: str) -> F.Column:
+    """The record-serialization rule (ToText, logline.go:152-220), in
+    ONE place: coalesce('') per field keeps empty==null fidelity AND the
+    separator count (bare concat_ws would silently skip a NULL field,
+    eating its separator). Used by the write path, the RotateSize
+    sampler, and the bench topology — they must emit identical bytes."""
+    return F.concat_ws(
+        separator,
+        *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in columns],
+    )
+
+
 def parse_path_template(template: str) -> tuple[str, list[str], bool]:
     """Split a reference PathString into ``(base_dir, time_partitions,
     wants_field0)``. ``base_dir`` is the literal prefix before the first
@@ -169,12 +181,7 @@ class FileWriter:
         emit, compress it with the configured codec, and scale. One tiny
         extra job per write — the cost does not grow with the input."""
         rows = (
-            df.select(
-                F.concat_ws(
-                    self.separator,
-                    *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols],
-                ).alias("_line")
-            )
+            df.select(serialize_line(cols, self.separator).alias("_line"))
             .limit(1000)
             .collect()
         )
@@ -219,10 +226,7 @@ class FileWriter:
             # sample AFTER the partition split so the estimate covers
             # exactly the bytes each rotated file will hold
             max_records = self._rotate_records(df, record_cols)
-        line = F.concat_ws(
-            self.separator,
-            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in record_cols],
-        )
+        line = serialize_line(record_cols, self.separator)
         out = df.select(*partition_cols, line.alias("value")) if partition_cols else df.select(line.alias("value"))
         writer = out.write.mode(self.mode).option("compression", self.compression)
         if max_records:

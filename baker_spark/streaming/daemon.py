@@ -128,9 +128,10 @@ class StreamingPipeline:
     sink: object | None = None
     #: FileWriter RotateInterval (filewriter.go:95, default 60s) — in
     #: daemon mode a time rotation IS the micro-batch cadence, so the
-    #: TOML value becomes the default processing-time trigger; an
-    #: explicit start(..., trigger_seconds=) still wins
-    trigger_seconds: int | None = None
+    #: TOML value becomes the default processing-time trigger (float
+    #: seconds; sub-second values are honored). An explicit
+    #: start(..., trigger_seconds=) still wins
+    trigger_seconds: float | None = None
     #: [metrics] client — daemon topologies dump per-second stats in the
     #: reference too (stats.go:197-218); start() attaches a
     #: StreamingQueryListener forwarding each batch's progress to it
@@ -140,7 +141,7 @@ class StreamingPipeline:
         self,
         spark: SparkSession,
         checkpoint_dir: str,
-        trigger_seconds: int | None = None,
+        trigger_seconds: float | None = None,
     ):
         """Run the daemon with the compiled sink (foreachBatch)."""
         if self.sink is None:
@@ -173,7 +174,7 @@ class StreamingPipeline:
         spark: SparkSession,
         batch_sink,
         checkpoint_dir: str,
-        trigger_seconds: int | None = None,
+        trigger_seconds: float | None = None,
     ):
         """Production path: every micro-batch goes through a *batch* sink
         (FileWriter/SQLite/DynamoDB), so one sink implementation serves
@@ -186,6 +187,11 @@ class StreamingPipeline:
 
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
             batch_sink.write(batch_df)
+            if getattr(batch_sink, "clear", False):
+                # SQLite Clear is a once-at-STARTUP truncate
+                # (sqlite.go:40); per-micro-batch re-clearing would
+                # leave only the last batch's rows in the table
+                batch_sink.clear = False
 
         if self.metrics is not None and getattr(self, "metrics_listener", None) is None:
             from baker_spark.metrics import StreamingMetrics
@@ -200,7 +206,10 @@ class StreamingPipeline:
             .option("checkpointLocation", checkpoint_dir)
         )
         if trigger_seconds:
-            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+            # milliseconds so sub-second RotateIntervals survive intact
+            writer = writer.trigger(
+                processingTime=f"{int(trigger_seconds * 1000)} milliseconds"
+            )
         return writer.start()
 
 

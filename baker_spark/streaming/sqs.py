@@ -203,7 +203,15 @@ class SQSPoller:
                 # sqs.go:222-226 unescapes before filtering
                 path = urllib.parse.unquote_plus(path)
                 if self.filepath_rx is None or self.filepath_rx.search(path):
-                    self.on_file(path)
+                    try:
+                        self.on_file(path)
+                    except Exception as exc:
+                        # a failing handler (unfetchable path, IO error)
+                        # must not kill the daemon thread; the message
+                        # stays undeleted -> redelivered, like a parse
+                        # failure (sqs.go:221-226)
+                        self.on_error(body, exc)
+                        continue
                     out.append(path)
                 try:
                     self.client.delete_message(QueueUrl=url, ReceiptHandle=msg["ReceiptHandle"])

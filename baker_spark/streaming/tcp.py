@@ -30,6 +30,7 @@ import os
 import socket
 import socketserver
 import threading
+import zlib
 from dataclasses import dataclass
 
 from baker_spark.streaming.daemon import FileStreamSource
@@ -73,7 +74,9 @@ class TCPGzipListener:
         with self._lock:
             self._seq += 1
             seq = self._seq
-        self.num_lines += chunk.count(b"\n")
+            # counter shares the lock: concurrent connections would lose
+            # read-modify-write increments otherwise
+            self.num_lines += chunk.count(b"\n")
         final = os.path.join(self.spool_dir, f"tcp-{seq:08d}.csv")
         tmp = os.path.join(self.spool_dir, f".tcp-{seq:08d}.csv.tmp")
         with open(tmp, "wb") as fh:
@@ -104,10 +107,16 @@ class TCPGzipListener:
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
-                listener.connections += 1
+                with listener._lock:
+                    listener.connections += 1
                 try:
                     listener._handle_stream(self.rfile)
-                except OSError as exc:  # bad gzip / torn conn: tcp.go:110-112
+                # tcp.go:110-112 logs stream errors and keeps serving.
+                # BadGzipFile is an OSError but a TRUNCATED gzip body
+                # raises EOFError and corrupt deflate data zlib.error —
+                # a torn connection must also land in errors, not kill
+                # the handler thread with an unlogged traceback
+                except (OSError, EOFError, zlib.error) as exc:
                     listener.errors.append(str(exc))
 
         socketserver.ThreadingTCPServer.allow_reuse_address = True

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from baker_spark import operators as ops  # noqa: E402
 from baker_spark.queries import all_queries  # noqa: E402
 from baker_spark.session import fan_out, get_spark  # noqa: E402
+from baker_spark.sinks.filewriter import serialize_line  # noqa: E402
 from baker_spark.sources.tables import load_table  # noqa: E402
 
 BENCH_QUERIES = [
@@ -121,7 +122,7 @@ def main() -> None:
         # quote-disabled CSV writer and ~9% faster (the CSV escape
         # machinery does nothing useful with quoting off).
         df = baker_chain(spark, sf_dir)
-        line = F.concat_ws(",", *[F.coalesce(F.col(c), F.lit("")) for c in df.columns])
+        line = serialize_line(df.columns, ",")
         (
             df.select(line.alias("value"))
             .write.mode("overwrite")

@@ -314,3 +314,90 @@ def test_streaming_metrics_listener(spark, tmp_path):
         assert any(ln.startswith("histogram batch_duration_ms=") for ln in client.lines)
     finally:
         q.stop()
+
+
+def test_daemon_filewriter_appends_across_batches(spark, tmp_path):
+    """Micro-batch 2 must not clobber micro-batch 1's files: the TOML
+    compiler switches FileWriter to mode=append for daemon topologies
+    (the batch default overwrite would keep only the last batch)."""
+    from baker_spark.plans import compile_toml
+
+    src_dir = tmp_path / "fw_in"
+    src_dir.mkdir()
+    _write_csv(src_dir / "a.csv", ["1,click,u1"])
+    toml = f"""
+[fields]
+names=["id","etype","user"]
+[input]
+name="SQS"
+[input.config]
+Path="{src_dir}"
+[output]
+name="FileWriter"
+[output.config]
+PathString="{tmp_path}/fw_out/out.csv.gz"
+"""
+    pipe = compile_toml(toml)
+    assert pipe.sink.mode == "append"
+    q = pipe.start(spark, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        _write_csv(src_dir / "b.csv", ["2,view,u2"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = []
+    for root, _, files in os.walk(str(tmp_path / "fw_out")):
+        for f in files:
+            if f.endswith(".csv.gz"):
+                with gzip.open(os.path.join(root, f), "rt") as fh:
+                    rows += [ln for ln in fh.read().splitlines() if ln]
+    assert sorted(rows) == ["1,click,u1", "2,view,u2"]  # batch 1 survived
+
+
+def test_daemon_sqlite_clear_only_first_batch(spark, tmp_path):
+    """SQLite Clear is a once-at-startup truncate (sqlite.go:40): in
+    daemon mode batch 2 must not wipe batch 1's rows."""
+    import sqlite3
+
+    from baker_spark.sinks.sqlite import SQLiteWriter
+    from baker_spark.streaming.daemon import FileStreamSource, StreamingPipeline
+
+    src_dir = tmp_path / "sq_in"
+    src_dir.mkdir()
+    _write_csv(src_dir / "a.csv", ["1,x"])
+    db = str(tmp_path / "out.sqlite3")
+    sink = SQLiteWriter(path=db, table="recs", clear=True)
+    pipe = StreamingPipeline(
+        source=FileStreamSource(str(src_dir), fields=["id", "v"]), sink=sink
+    )
+    q = pipe.start(spark, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        _write_csv(src_dir / "b.csv", ["2,y"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n = sqlite3.connect(db).execute("SELECT count(*) FROM recs").fetchone()[0]
+    assert n == 2  # both batches present; clear ran only at startup
+
+
+def test_subsecond_rotate_interval_survives(tmp_path):
+    """RotateInterval=\"500ms\" must become a 0.5 s trigger, not be
+    truncated to \"no trigger\"."""
+    from baker_spark.plans import compile_toml
+
+    toml = f"""
+[fields]
+names=["id","v"]
+[input]
+name="SQS"
+[input.config]
+Path="{tmp_path}"
+[output]
+name="FileWriter"
+[output.config]
+PathString="{tmp_path}/o.csv.gz"
+RotateInterval="500ms"
+"""
+    assert compile_toml(toml).trigger_seconds == 0.5

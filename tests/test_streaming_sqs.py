@@ -243,3 +243,41 @@ name = "Nop"
     # and a bad format fails at compile time, like fillDefaults
     with pytest.raises(ValueError, match="unknown MessageFormat"):
         compile_toml(toml_text.replace("s3::ObjectCreated", "bogus"))
+
+
+def test_failing_on_file_does_not_kill_poller():
+    """An exception from the file handler must be recorded and leave the
+    message undeleted (redelivery), not propagate out of poll_once and
+    kill the daemon thread."""
+    from baker_spark.streaming.sqs import SQSConfig, SQSPoller
+
+    deleted, errors, seen = [], [], []
+
+    class FakeClient:
+        def get_queue_url(self, QueueName):
+            return {"QueueUrl": QueueName}
+
+        def receive_message(self, QueueUrl, **kw):
+            return {"Messages": [
+                {"Body": "s3://bkt/boom.csv", "ReceiptHandle": "r1"},
+                {"Body": "s3://bkt/ok.csv", "ReceiptHandle": "r2"},
+            ]}
+
+        def delete_message(self, QueueUrl, ReceiptHandle):
+            deleted.append(ReceiptHandle)
+
+    def on_file(path):
+        if "boom" in path:
+            raise IOError("unfetchable")
+        seen.append(path)
+
+    poller = SQSPoller(
+        SQSConfig(queue_names=["q1"], message_format="plain"),
+        client=FakeClient(),
+        on_file=on_file,
+        on_error=lambda body, exc: errors.append(str(exc)),
+    )
+    out = poller.poll_once()
+    assert seen == ["s3://bkt/ok.csv"] and out == ["s3://bkt/ok.csv"]
+    assert errors == ["unfetchable"]
+    assert deleted == ["r2"]  # the failed message stays for redelivery

@@ -173,3 +173,26 @@ name = "FileWriter"
 """
     assert compile_toml(base % "90s").trigger_seconds == 90
     assert compile_toml(base % "-1").trigger_seconds is None
+
+
+def test_truncated_gzip_recorded_not_fatal(tmp_path):
+    """A connection dropped mid-gzip-stream raises EOFError (not
+    OSError); it must land in listener.errors like any torn connection
+    (tcp.go:110-112), and the listener must keep serving."""
+    import gzip as _gzip
+    import io
+    import socket as _socket
+
+    spool = str(tmp_path / "spool")
+    with TCPGzipListener(spool, port=0) as listener:
+        buf = io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb") as gz:
+            gz.write(b"1,click,u1\n" * 50)
+        truncated = buf.getvalue()[: len(buf.getvalue()) // 2]
+        with _socket.create_connection((listener.host, listener.port)) as conn:
+            conn.sendall(truncated)
+            conn.shutdown(_socket.SHUT_WR)
+        send_gzip_records(listener.host, listener.port, b"2,view,u2\n")
+        files = _wait_for_spool(spool, 1)
+    assert any("end-of-stream" in e or "EOF" in e for e in listener.errors), listener.errors
+    assert any(b"2,view,u2" in open(f, "rb").read() for f in files)
