@@ -416,6 +416,17 @@ def dedup_clusters(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # silent non-convergence would return labels that are not
+        # component minima: a diameter > max_iters chain splits into
+        # clusters whose ids are not members, and `keep where
+        # is_canonical` would then DROP whole groups. Fail loudly.
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds — a "
+            "near-dup component has diameter > max_iters (long drift "
+            "chain); raise max_iters"
+        )
     edges.unpersist()
     clustered = labels.select(
         F.col("id").alias(id_col),

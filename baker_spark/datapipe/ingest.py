@@ -51,11 +51,16 @@ class CorpusIngest:
     batches: int = 0
 
     def _ledger(self, spark) -> DataFrame:
-        if os.path.isdir(self.ledger_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.ledger_dir)
-        ):
+        # existence must be checked through Hadoop's FS, not os.path —
+        # a driver-local isdir() is always False for s3a://, hdfs://,
+        # etc., which would silently disable dedup forever (every
+        # redelivered batch re-admitted against an empty ledger)
+        try:
             return spark.read.schema(LEDGER_SCHEMA).parquet(self.ledger_dir)
-        return spark.createDataFrame([], LEDGER_SCHEMA)
+        except Exception as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return spark.createDataFrame([], LEDGER_SCHEMA)
+            raise
 
     def write(self, batch_df: DataFrame) -> int:
         """One batch through the loop; returns docs admitted."""

@@ -90,8 +90,13 @@ def langid(col_name: str, stopwords: list[str] | None = None, threshold_pct: int
     (matches can't overlap: stopwords contain no spaces and the
     boundaries aren't consumed). The previous size(filter(split(...)))
     form evaluated an interpreted lambda per word."""
+    import re as _re
+
     sw = stopwords or EN_STOPWORDS
-    rx = "(?<=^| )(" + "|".join(sw) + ")(?= |$)"
+    # caller-supplied stopwords may carry regex metacharacters ("c++");
+    # escape each alternative so they match literally instead of
+    # throwing PatternSyntaxException at execution
+    rx = "(?<=^| )(" + "|".join(_re.escape(s) for s in sw) + ")(?= |$)"
     n_stop = F.regexp_count(F.col(col_name), F.lit(rx))
     n_words = F.size(words(col_name))
     return F.when(n_stop * 100 > n_words * threshold_pct, F.lit("en")).otherwise(F.lit("unk"))
@@ -99,7 +104,9 @@ def langid(col_name: str, stopwords: list[str] | None = None, threshold_pct: int
 
 def duck_langid(expr: str, stopwords: list[str] | None = None, threshold_pct: int = 5) -> str:
     sw = stopwords or EN_STOPWORDS
-    arr = ", ".join(f"'{s}'" for s in sw)
+    # '' doubling: an apostrophe in a stopword ("l'") must not
+    # terminate the SQL string literal
+    arr = ", ".join("'" + s.replace("'", "''") + "'" for s in sw)
     w = f"string_split({expr}, ' ')"
     return (
         f"CASE WHEN len([x for x in {w} if x IN ({arr})]) * 100 > len({w}) * {threshold_pct} "
@@ -253,9 +260,14 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
     equi-join co-partitions both sides instead; AQE may still broadcast
     when it measures small. No floats anywhere: bit-length stands in
     for log2, so the score hash-matches the DuckDB oracle exactly."""
-    from baker_spark.session import fan_out
+    from baker_spark.session import fan_out, managed_persist
 
-    toks = fan_out(df).select(id_col, F.explode(words(text_col)).alias("_w"))
+    # persisted: both the frequency aggregate and the join probe side
+    # read the exploded token table — without the boundary the full
+    # corpus scan + split + explode runs twice per job
+    toks = managed_persist(
+        fan_out(df).select(id_col, F.explode(words(text_col)).alias("_w"))
+    )
     cf = toks.groupBy("_w").agg(F.count("*").alias("_cf"))
     per_doc = (
         toks.join(cf, "_w")

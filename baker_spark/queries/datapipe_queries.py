@@ -326,7 +326,9 @@ def dp_tfidf_topk(spark, sf_dir):
     toks = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.explode(text.words("text")).alias("w")
     )
-    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # persisted: df is derived FROM tf and the ranking joins tf again —
+    # without the boundary the corpus explode + tf aggregate run twice
+    tf = managed_persist(toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
     df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
     from pyspark.sql import Window
 
@@ -476,7 +478,7 @@ def dp_chunking(spark, sf_dir):
     "dp_multimodal_decode",
     """
 SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-       lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+       substring(lower(hex(encode(text))), 1, 16) AS head_hex,
        CAST(strlen(text) % 640 AS INTEGER) AS width,
        CAST((strlen(text) * 7) % 480 AS INTEGER) AS height,
        'fake/v1' AS format
@@ -494,8 +496,7 @@ def dp_multimodal_decode(spark, sf_dir):
 
 # ---------------------------------------------------------- full pipeline ---
 
-_P_SCRUB = text.duck_scrub_sql("text")
-_P_CLEAN = _P_SCRUB["clean_text"]
+_P_CLEAN = _SCRUB["clean_text"]  # same binding as dp_scrub's oracle — must not drift
 _P_Q = text.duck_quality_sql("clean_text")
 
 

@@ -240,6 +240,17 @@ def test_dedup_clusters(spark):
         (6, 6, True), (7, 7, True),
     ]
 
+    # a component whose diameter exceeds max_iters must FAIL, not return
+    # labels that are not component minima (is_canonical would then drop
+    # whole groups silently)
+    import pytest as _pytest
+
+    chain_pairs = make_df(
+        spark, [(i, i + 1) for i in range(1, 6)], ["doc_a", "doc_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, chain_pairs, max_iters=2)
+
 
 def test_scrub(spark):
     from baker_spark.datapipe.text import scrub
