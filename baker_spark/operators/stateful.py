@@ -89,7 +89,11 @@ class ExternalMatch(Operator):
     def apply(self, df: DataFrame) -> DataFrame:
         vdf = F.broadcast(self._values_df(df))
         how = "left_semi" if self.keep else "left_anti"
-        cond = F.col(self.field).cast("string").eqNullSafe(vdf["_bk_match"])
+        # coalesce to '' first: the record model has no NULL distinct
+        # from empty (record.go:35-39) — a NULL field must match an
+        # empty-string value exactly like StringMatch/ClauseFilter do
+        field = F.coalesce(F.col(self.field).cast("string"), F.lit(""))
+        cond = field.eqNullSafe(vdf["_bk_match"])
         return df.join(vdf, cond, how)
 
 
@@ -120,6 +124,9 @@ class CountAndTag(Operator):
             self.observation = Observation()
             return df.observe(self.observation, F.count(F.lit(1)).alias("count"))
         except Exception:
+            # a never-attached Observation would make metric_value()
+            # raise NO_OBSERVE_BEFORE_GET instead of returning {}
+            self.observation = None
             return df  # e.g. streaming DataFrames — metric skipped
 
     def metric_value(self) -> dict:
@@ -178,5 +185,9 @@ class Crypt(Operator):
 
             return s.map(one)
 
-        out = df.withColumn(self.dst, crypt(F.col(self.src).cast("string")))
+        # coalesce first: NULL == '' in the record model; the reference
+        # encrypts an empty value fine and only drops on crypt ERRORS
+        # (decrypting '' still fails -> dropped, same as crypt.go)
+        src_col = F.coalesce(F.col(self.src).cast("string"), F.lit(""))
+        out = df.withColumn(self.dst, crypt(src_col))
         return out.filter(F.col(self.dst).isNotNull())  # error -> drop row

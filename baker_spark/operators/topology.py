@@ -115,5 +115,9 @@ class Explode(Operator):
         self.sep_rx = re.escape(separator)
 
     def apply(self, df: DataFrame) -> DataFrame:
-        arr = F.split(F.col(self.source).cast("string"), self.sep_rx, -1)
-        return df.withColumn(self.dst, F.explode(arr))
+        # coalesce first: NULL == '' in the record model — explode(NULL)
+        # would emit ZERO rows and delete the record, while '' fans out
+        # to one row with an empty element (a missing field is empty
+        # bytes in the reference, record.go:35-39)
+        src = F.coalesce(F.col(self.source).cast("string"), F.lit(""))
+        return df.withColumn(self.dst, F.explode(F.split(src, self.sep_rx, -1)))

@@ -78,7 +78,9 @@ def op_concatenate(spark, sf_dir):
 
 @query(
     "op_countandtag",
-    "SELECT event_type AS tag, count(*) AS n FROM events GROUP BY event_type",
+    # ''/NULL event_type tags as the default (count_and_tag.go default tag)
+    "SELECT CASE WHEN event_type IS NULL OR event_type = '' THEN 'unknown' "
+    "ELSE event_type END AS tag, count(*) AS n FROM events GROUP BY 1",
 )
 def op_countandtag(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
@@ -111,7 +113,9 @@ def op_dedup(spark, sf_dir):
 
 @query(
     "op_expandjson",
-    "SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events",
+    # coalesce: a missing key leaves dst untouched (''), never NULL
+    "SELECT event_id, coalesce(json_extract_string(props, '$.k'), '') AS k_val "
+    "FROM events",
 )
 def op_expandjson(spark, sf_dir):
     df = load_table(spark, sf_dir, "events").select("event_id", "props")

@@ -23,11 +23,13 @@ inferred, /root/reference/config.go:427-468).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import sys
 import tempfile
 import urllib.request
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -61,7 +63,13 @@ class ListSource:
         self._spool = tempfile.mkdtemp(prefix="baker_spark_http_")
 
     def _fetch_http(self, url: str) -> str:
-        local = os.path.join(self._spool, os.path.basename(url) or "download")
+        # spool name carries a URL hash: two URLs sharing a basename
+        # (http://a/x/data.csv, http://b/y/data.csv) must not overwrite
+        # each other — that would read one file twice and lose the other
+        digest = hashlib.md5(url.encode()).hexdigest()[:12]
+        local = os.path.join(
+            self._spool, f"{digest}-{os.path.basename(url) or 'download'}"
+        )
         urllib.request.urlretrieve(url, local)  # noqa: S310 — user-supplied source list
         return local
 
@@ -85,6 +93,17 @@ class ListSource:
             elif item.startswith("http://") or item.startswith("https://"):
                 out.append(self._fetch_http(item))
             elif item.startswith("s3://"):
+                if self.match_path is not None and item.endswith("/"):
+                    # MatchPath filtering is implemented via local
+                    # os.walk; a remote directory listing would need a
+                    # Hadoop FS walk — refuse rather than silently
+                    # ingest everything (dataframe() still sets
+                    # recursiveFileLookup so nested remote files load)
+                    warnings.warn(
+                        f"MatchPath is not applied to remote directory {item!r}; "
+                        "list concrete s3:// objects (or an @listfile) to filter",
+                        stacklevel=2,
+                    )
                 out.append("s3a://" + item[len("s3://") :])
             else:
                 path = item[len("file://") :] if item.startswith("file://") else item
@@ -106,15 +125,24 @@ class ListSource:
             .option("header", "false")
             .option("mode", "PERMISSIVE")
             .option("emptyValue", "")
+            # remote directories (s3a://...) have no os.walk branch;
+            # recursion must come from the reader itself so nested
+            # files load like the local walk does (input/list.go dirs)
+            .option("recursiveFileLookup", "true")
         )
         df = reader.csv(self.resolve())
-        if self.attach_metadata:
-            df = df.withColumns(
-                {
-                    URL_COL: F.input_file_name(),
-                    LASTMOD_COL: F.col("_metadata.file_modification_time"),
-                }
-            )
-        return df
+        return self._attach_metadata(df)
+
+    def _attach_metadata(self, df: DataFrame) -> DataFrame:
+        """url + last_modified metadata columns (api.go:12-21 keys),
+        shared by every file-backed source."""
+        if not self.attach_metadata:
+            return df
+        return df.withColumns(
+            {
+                URL_COL: F.input_file_name(),
+                LASTMOD_COL: F.col("_metadata.file_modification_time"),
+            }
+        )
 
     __call__ = dataframe

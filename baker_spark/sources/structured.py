@@ -37,14 +37,7 @@ class JsonLinesSource(ListSource):
             .option("mode", "PERMISSIVE")
             .json(self.resolve())
         )
-        if self.attach_metadata:
-            df = df.withColumns(
-                {
-                    URL_COL: F.input_file_name(),
-                    LASTMOD_COL: F.col("_metadata.file_modification_time"),
-                }
-            )
-        return df
+        return self._attach_metadata(df)
 
     __call__ = dataframe
 
@@ -59,13 +52,6 @@ class ParquetSource(ListSource):
         df = spark.read.parquet(*self.resolve())
         if self.fields:
             df = df.select(*self.fields)
-        if self.attach_metadata:
-            df = df.withColumns(
-                {
-                    URL_COL: F.input_file_name(),
-                    LASTMOD_COL: F.col("_metadata.file_modification_time"),
-                }
-            )
-        return df
+        return self._attach_metadata(df)
 
     __call__ = dataframe

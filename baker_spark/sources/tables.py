@@ -40,7 +40,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     # every registered query loads its tables before building: releasing
     # here bounds operator caches (LSH band tables etc.) to one query's
-    # lifetime instead of accumulating across catalog sweeps
+    # lifetime instead of accumulating across catalog sweeps.
+    # ORDERING CONTRACT: a query builder must load ALL its tables before
+    # its first managed_persist — loading another table afterwards would
+    # release the builder's own fresh cache (every catalog query follows
+    # this: load_table calls come first, persists after)
     release_caches()
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, []):

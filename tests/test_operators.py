@@ -385,3 +385,28 @@ def test_managed_cache_release(spark):
     S.release_caches()
     assert not S._MANAGED_CACHES
     assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+
+
+def test_null_equals_empty_across_operators(spark):
+    """The record model has no NULL distinct from '' (record.go:35-39);
+    operators must treat both identically: Crypt keeps NULL-field rows
+    on encrypt, ExternalMatch matches NULL against an '' value, Explode
+    fans a NULL field to one empty element instead of deleting the row."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id="1", v=None), Row(id="2", v=""), Row(id="3", v="x")]
+    )
+
+    # Crypt encrypt: NULL and '' both encrypt (3 rows kept)
+    key = b"8Llfjrs9NM32AsE9PIeaFIdCRp8cSTwwI_Hw2B9QLuo="
+    enc = ops.Crypt(src_field="v", dst_field="ct", key=key).apply(df)
+    assert enc.count() == 3
+
+    # ExternalMatch semi vs an '' value: NULL and '' rows both match
+    kept = ops.ExternalMatch(field_name="v", values=[""], keep_on_match=True).apply(df)
+    assert sorted(r.id for r in kept.collect()) == ["1", "2"]
+
+    # Explode: NULL source -> one row with an empty element, not zero
+    ex = ops.Explode(source="v", dst="e", separator=";").apply(df)
+    assert sorted((r.id, r.e) for r in ex.collect()) == [("1", ""), ("2", ""), ("3", "x")]
