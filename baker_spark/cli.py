@@ -125,6 +125,13 @@ def cmd_run(path: str, cpus: int | None, checkpoint: str | None = None) -> int:
             import tempfile
 
             ckpt = checkpoint or tempfile.mkdtemp(prefix="baker_spark_ckpt_")
+            # KCL semantics: each AppName keeps independent positions
+            # (the per-app lease table, kcl.go:27-49) — scope the base
+            # dir by app so two apps sharing --checkpoint don't resume
+            # from each other's offsets
+            src = getattr(pipeline.source, "inner", pipeline.source)
+            if hasattr(src, "checkpoint_dir"):
+                ckpt = src.checkpoint_dir(ckpt)
             print(f"daemon topology started (checkpoint: {ckpt}); Ctrl-C to stop")
             query = pipeline.start(spark, ckpt)
             try:

@@ -235,7 +235,11 @@ def _build_sink(section: dict, separator: str):
     if name == "recorder":
         return Recorder()
     if name == "stats":
-        return Stats(fields=cfg.get("fields", []), timestamp_field=cfg.get("timestamp_field"))
+        return Stats(
+            fields=cfg.get("fields", []),
+            timestamp_field=cfg.get("timestamp_field"),
+            separator=separator,
+        )
     if name in ("sqlite", "sqliteraw"):
         # output/sqlite.go:36-43 config keys; SQLiteRaw adds the
         # serialized-record BLOB column
@@ -243,6 +247,7 @@ def _build_sink(section: dict, separator: str):
             path=cfg.get("path_string", "out.sqlite3"),
             table=cfg.get("table_name", "records"),
             raw_column=name == "sqliteraw",
+            separator=separator,
             pre_run=cfg.get("pre_run", []),
             post_run=cfg.get("post_run", []),
             clear=bool(cfg.get("clear", False)),
@@ -410,6 +415,10 @@ def compile_toml(
             sink=sink,
             trigger_seconds=trigger,
             metrics=_build_metrics(doc["metrics"]) if doc.get("metrics") else None,
+            # the reference's canonical daemon deployment uploads
+            # rotated files continuously; dropping a configured
+            # [upload] silently would lose that stage
+            upload=_build_upload(upload) if upload else None,
         )
 
     return Pipeline(

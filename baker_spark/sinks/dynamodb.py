@@ -65,7 +65,12 @@ class _TokenBucket:
             return
         while True:
             now = time.monotonic()
-            self.allowance = min(self.rate, self.allowance + (now - self.last) * self.rate)
+            # burst cap must admit the request: clamping to `rate` alone
+            # would make take(25) with rate=10 spin forever — allowance
+            # can never reach n (a 25-item batch at 10/sec legitimately
+            # waits 2.5s, it must not hang)
+            cap = float(max(self.rate, n))
+            self.allowance = min(cap, self.allowance + (now - self.last) * self.rate)
             self.last = now
             if self.allowance >= n:
                 self.allowance -= n
@@ -112,6 +117,13 @@ def write_batches(
 
     for row in rows:
         item = _to_item(columns, types, row)
+        if pk not in item:
+            # empty/NULL PK: _to_item skips empty values, and an item
+            # without the hash key makes DynamoDB reject the ENTIRE
+            # 25-item batch with ValidationException — count and skip
+            # the row instead of poisoning its batch
+            stats["skipped_empty_pk"] = stats.get("skipped_empty_pk", 0) + 1
+            continue
         key = str(item.get(pk))
         if key in seen_pks:  # dup PK within batch -> skip (dyndb.go docs)
             stats["skipped_dup_pk"] += 1

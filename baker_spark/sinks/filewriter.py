@@ -204,6 +204,15 @@ class FileWriter:
             bad = [p for p in self.time_partitions if p not in _TIME_NAMES]
             if bad:
                 raise ValueError(f"unknown time partitions: {bad}; pick from {_TIME_NAMES}")
+            clash = [n.lower() for n in self.time_partitions if n.lower() in df.columns]
+            if clash:
+                # withColumn would silently REPLACE the record's own
+                # field and the partition split would then drop its
+                # value from every written line
+                raise ValueError(
+                    f"record fields {clash} collide with time-partition "
+                    "columns; rename the fields or drop the time template"
+                )
             ts = self._event_ts(df)
             fmt = dict(_TIME_PLACEHOLDERS)
             for name in _TIME_NAMES:  # canonical hierarchy, template order ignored
@@ -234,41 +243,44 @@ class FileWriter:
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.text(self.path)
-        self._rename_txt_parts()
+        new_parts = self._rename_txt_parts()
         if self.discard_empty_files:
-            self._discard_empty()
+            self._discard_empty(new_parts)
         return self.path
 
-    def _rename_txt_parts(self) -> None:
+    def _rename_txt_parts(self) -> list[str]:
         # the text writer names parts .txt[.gz]; this sink's contract
-        # (and the reference's PathString) is .csv[.gz] — O(#files)
-        # driver-side renames, no data movement
+        # (and the reference's PathString) is .csv[.gz]. Only files from
+        # THIS write still carry .txt (earlier batches were already
+        # renamed), so in daemon/append mode the per-batch work is
+        # O(new files) opens — the walk itself stays a cheap listing.
         import os
 
+        renamed: list[str] = []
         for root, _, files in os.walk(self.path):
             for f in files:
                 if ".txt" not in f:
                     continue
-                dst = f.replace(".txt", ".csv")
-                os.replace(os.path.join(root, f), os.path.join(root, dst))
+                dst = os.path.join(root, f.replace(".txt", ".csv"))
+                os.replace(os.path.join(root, f), dst)
+                if f.startswith("part-"):
+                    renamed.append(dst)
+        return renamed
 
-    def _discard_empty(self) -> None:
+    def _discard_empty(self, paths: list[str]) -> None:
         import gzip as _gzip
         import os
 
         opener = _gzip.open if self.compression == "gzip" else open
-        for root, _, files in os.walk(self.path):
-            for f in files:
-                if not f.startswith("part-"):
-                    continue
-                p = os.path.join(root, f)
-                try:
-                    with opener(p, "rb") as fh:
-                        empty = fh.read(1) == b""
-                except OSError:
-                    continue
-                if empty:
-                    os.remove(p)
-                    crc = os.path.join(root, f".{f}.crc")
-                    if os.path.exists(crc):
-                        os.remove(crc)
+        for p in paths:
+            try:
+                with opener(p, "rb") as fh:
+                    empty = fh.read(1) == b""
+            except OSError:
+                continue
+            if empty:
+                os.remove(p)
+                root, f = os.path.split(p)
+                crc = os.path.join(root, f".{f}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)

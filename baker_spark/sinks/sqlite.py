@@ -36,12 +36,16 @@ class SQLiteWriter:
     #: PageSize (sqlite.go:43): PRAGMA page_size, applied before any
     #: table exists (0 = SQLite's default)
     page_size: int = 0
+    #: record separator for the SQLiteRaw serialized column — must match
+    #: the topology's field_separator so raw records are ToText-identical
+    separator: str = ","
     single_file: bool = True
 
     def write(self, df: DataFrame) -> None:
         if self.raw_column:
-            cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
-            df = df.withColumn("_record", F.concat_ws(",", *cols))
+            from baker_spark.sinks.filewriter import serialize_line
+
+            df = df.withColumn("_record", serialize_line(df.columns, self.separator))
         if self.single_file and "{shard}" not in self.path:
             df = df.coalesce(1)
 
@@ -50,6 +54,24 @@ class SQLiteWriter:
         pre, post = list(self.pre_run), list(self.post_run)
         journal, vacuum = self.journal_mode, self.vacuum
         clear, page_size = self.clear, self.page_size
+        if clear and "{shard}" not in path and df.rdd.getNumPartitions() > 1:
+            # several partitions writing ONE file: a per-partition
+            # DELETE would race other partitions' inserts and keep only
+            # the last committer's rows — truncate once, driver-side
+            import sqlite3 as _sq
+
+            conn = _sq.connect(path)
+            try:
+                row = conn.execute(
+                    "SELECT name FROM sqlite_master WHERE type='table' AND name=?",
+                    (table,),
+                ).fetchone()
+                if row:
+                    conn.execute(f'DELETE FROM "{table}"')
+                    conn.commit()
+            finally:
+                conn.close()
+            clear = False
 
         def write_partition(rows):
             import sqlite3

@@ -27,6 +27,8 @@ class Stats:
     timestamp_field: str | None = None
     quantiles: list[float] = field(default_factory=lambda: list(DEFAULT_QUANTILES))
     exact: bool = False
+    #: topology field_separator — record sizes measure ToText bytes
+    separator: str = ","
 
     def _quants(self, col):
         fn = F.percentile if self.exact else F.percentile_approx
@@ -34,8 +36,9 @@ class Stats:
 
     def record_sizes(self, df: DataFrame) -> DataFrame:
         """Distribution of serialized record length (stats.go:41-101)."""
-        cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
-        size = F.length(F.concat_ws(",", *cols)).alias("size")
+        from baker_spark.sinks.filewriter import serialize_line
+
+        size = F.length(serialize_line(df.columns, self.separator)).alias("size")
         return df.select(size).agg(
             F.count("*").alias("n"),
             F.min("size").alias("min_size"),

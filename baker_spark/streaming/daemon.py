@@ -126,16 +126,24 @@ class StreamingPipeline:
     ops: list[Operator] = field(default_factory=list)
     fields: list[str] | None = None
     sink: object | None = None
-    #: FileWriter RotateInterval (filewriter.go:95, default 60s) — in
-    #: daemon mode a time rotation IS the micro-batch cadence, so the
-    #: TOML value becomes the default processing-time trigger (float
-    #: seconds; sub-second values are honored). An explicit
-    #: start(..., trigger_seconds=) still wins
+    #: FileWriter RotateInterval (filewriter.go:95) — in daemon mode a
+    #: time rotation IS the micro-batch cadence, so the TOML value
+    #: becomes the default processing-time trigger (float seconds;
+    #: sub-second values honored). DOCUMENTED DEVIATION: when unset this
+    #: stays None (as-fast-as-possible micro-batches) rather than the
+    #: reference's 60s default — a fixed one-minute first-batch latency
+    #: would be a surprising default on Spark; set RotateInterval="60s"
+    #: for the reference cadence. Explicit start(..., trigger_seconds=)
+    #: still wins.
     trigger_seconds: float | None = None
     #: [metrics] client — daemon topologies dump per-second stats in the
     #: reference too (stats.go:197-218); start() attaches a
     #: StreamingQueryListener forwarding each batch's progress to it
     metrics: object | None = None
+    #: [upload] stage — the reference's daemon uploads rotated files
+    #: continuously (upload/s3.go:126-187 periodic scan); here the
+    #: staging-dir scan runs after each micro-batch's sink write
+    upload: object | None = None
 
     def start(
         self,
@@ -187,6 +195,10 @@ class StreamingPipeline:
 
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
             batch_sink.write(batch_df)
+            if self.upload is not None:
+                # the reference's uploader scans the staging dir
+                # periodically (s3.go:126-187); per-batch is that scan
+                self.upload.run()
             if getattr(batch_sink, "clear", False):
                 # SQLite Clear is a once-at-STARTUP truncate
                 # (sqlite.go:40); per-micro-batch re-clearing would

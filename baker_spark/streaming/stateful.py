@@ -114,8 +114,14 @@ def session_aggregator(
                             "n_events": n,
                         }
                     )
-                    start, n = t, 0
-                last = t
+                    start, last, n = t, t, 0
+                else:
+                    # a cross-batch late event may precede the stored
+                    # window: extend start backward, never rewind last —
+                    # a plain `last = t` emitted sessions with
+                    # session_end < session_start
+                    start = min(start, t)
+                    last = max(last, t)
                 n += 1
             state.update((start, last, n))
             if use_timeout:

@@ -401,3 +401,45 @@ PathString="{tmp_path}/o.csv.gz"
 RotateInterval="500ms"
 """
     assert compile_toml(toml).trigger_seconds == 0.5
+
+
+def test_daemon_upload_stage_runs_per_batch(spark, tmp_path):
+    """[upload] in a daemon TOML is wired (it was silently dropped):
+    the staging-dir scan runs after each micro-batch, like the
+    reference's continuous uploader (s3.go:126-187)."""
+    from baker_spark.plans import compile_toml
+
+    src_dir = tmp_path / "up_in"
+    src_dir.mkdir()
+    _write_csv(src_dir / "a.csv", ["1,click,u1"])
+    toml = f"""
+[fields]
+names=["id","etype","user"]
+[input]
+name="SQS"
+[input.config]
+Path="{src_dir}"
+[output]
+name="FileWriter"
+[output.config]
+PathString="{tmp_path}/staged/out.csv.gz"
+[upload]
+name="S3"
+[upload.config]
+SourceBasePath="{tmp_path}/staged"
+Bucket="bkt"
+Prefix="pre"
+"""
+    pipe = compile_toml(toml)
+    assert pipe.upload is not None
+    sent = []
+    pipe.upload.upload_fn = lambda path, bucket, key: sent.append(key)
+    q = pipe.start(spark, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        n_first = len(sent)
+        _write_csv(src_dir / "b.csv", ["2,view,u2"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert n_first >= 1 and len(sent) > n_first  # uploads ran per batch
