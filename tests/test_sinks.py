@@ -197,3 +197,46 @@ def test_filewriter_batch_clock_partitions(spark, tmp_path):
         batch_time=_dt.datetime(2023, 12, 31, 23, 0, 0),
     ).write(df)
     assert os.path.isdir(os.path.join(out, "year=2023/month=12/day=31/hour=23"))
+
+
+def test_dynamodb_rate_limit_admits_full_batches():
+    """take(25) with MaxWritesPerSec < 25 must WAIT, not hang: the burst
+    cap admits the request size (a 25-item batch at a low rate is
+    legitimate — the old cap of min(rate, ...) spun forever)."""
+    import time as _time
+
+    rows = [{"pk": str(i)} for i in range(25)]
+    client = FakeDynamo()
+    t0 = _time.monotonic()
+    stats = write_batches(
+        rows, table="t", columns=["pk"], types=["s"], clients=[client],
+        max_writes_per_sec=100,
+    )
+    assert stats["written"] == 25
+    assert _time.monotonic() - t0 < 5  # finished, didn't spin
+
+
+def test_dynamodb_empty_pk_skipped_not_fatal():
+    """An empty/NULL PK would make DynamoDB reject the whole 25-item
+    request; the row is counted and skipped instead."""
+    rows = [{"pk": ""}, {"pk": None}, {"pk": "ok"}]
+    client = FakeDynamo()
+    stats = write_batches(rows, table="t", columns=["pk"], types=["s"], clients=[client])
+    assert stats["written"] == 1
+    assert stats["skipped_empty_pk"] == 2
+    assert client.items == [{"pk": {"S": "ok"}}]
+
+
+def test_filewriter_time_partition_name_collision_rejected(spark, tmp_path):
+    """A record field named like a time-partition column would be
+    silently overwritten and dropped from every line — config error."""
+    import pytest as _pytest
+
+    from baker_spark.sinks.filewriter import FileWriter
+
+    df = spark.createDataFrame([Row(ts="2024-01-01 00:00:00", hour="07", msg="m")])
+    fw = FileWriter(
+        path=str(tmp_path / "o"), time_partitions=["Hour"], timestamp_field="ts"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        fw.write(df)

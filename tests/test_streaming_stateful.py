@@ -92,3 +92,31 @@ def test_ttl_dedup(spark, tmp_path):
         assert got == {("k1", 100), ("k2", 100), ("k1", 1500)}
     finally:
         q.stop()
+
+
+def test_session_aggregator_late_event_never_rewinds(spark, tmp_path):
+    """A cross-batch late event extends session_start backward but must
+    never rewind session_end — the old `last = t` emitted sessions with
+    end < start."""
+    src = tmp_path / "late_in"
+    src.mkdir()
+    _write(src / "a.csv", ["u1,1000", "u1,1100"])
+
+    df = FileStreamSource(str(src), fields=["user", "sec"]).dataframe(spark)
+    sessions = session_aggregator(df, key_col="user", ts_col="sec", gap_seconds=1800)
+    q = sessions.writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event (900 < stored last=1100), then batch 3
+        # closes the session with a far-future event
+        _write(src / "b.csv", ["u1,900"])
+        q.processAllAvailable()
+        _write(src / "c.csv", ["u1,99999"])
+        q.processAllAvailable()
+        rows = [
+            (r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM late_out WHERE user='u1'").collect()
+        ]
+        assert rows == [(900, 1100, 3)]  # start extended back, end intact
+    finally:
+        q.stop()
