@@ -42,6 +42,18 @@ from baker_spark.sources.structured import JsonLinesSource, ParquetSource
 
 DEFAULT_SEPARATOR = ","  # DefaultLogLineFieldSeparator (logline.go)
 
+_ENV_RX = __import__("re").compile(r"\$\{(\w+)\}|\$(\w+)")
+
+
+def _expand_env(text: str) -> str:
+    """${VAR}/$VAR expansion with the reference's os.Expand semantics
+    (config.go:221-231 + os.Getenv): an UNSET variable expands to the
+    empty string — os.path.expandvars would leave it literal, producing
+    paths like '\${OUT_DIR}/logs'."""
+    return _ENV_RX.sub(
+        lambda m: os.environ.get(m.group(1) or m.group(2), ""), text
+    )
+
 
 def _snake_keys(cfg: dict) -> dict:
     from baker_spark.operators.base import _snake
@@ -107,9 +119,19 @@ def _build_streaming_input(section: dict, fields: list[str], separator: str):
             file_path_filter=cfg.get("file_path_filter", ""),
             aws_region=cfg.get("aws_region", "us-west-2"),
         )
-        # fail at compile time on a bad MessageFormat/MessageExpression,
-        # like the reference's fillDefaults (sqs.go:53-77)
+        # fail at compile time on a bad MessageFormat/MessageExpression
+        # or an invalid FilePathFilter, like the reference's config load
+        # (sqs.go:105-131). Queue presence is NOT enforced here: a
+        # Path-only config is the documented file-arrival stand-in mode
+        # (no poller); constructing .poller() still requires queues.
         sqs_cfg.parse_function()
+        if sqs_cfg.file_path_filter:
+            import re as _re
+
+            try:
+                _re.compile(sqs_cfg.file_path_filter)
+            except _re.error as exc:
+                raise ValueError(f"SQS: invalid FilePathFilter: {exc}") from exc
         return SQSFileSource(
             path=cfg["path"],
             fields=fields,
@@ -348,15 +370,19 @@ def compile_toml(
     :class:`baker_spark.streaming.daemon.StreamingPipeline`.
     ``user`` registers :class:`UserDesc` targets for ``[[user]]``
     blocks, decoded in place like the reference (config.go:387-399)."""
-    text = os.path.expandvars(text)  # ${ENV} expansion (config.go:221-231)
+    text = _expand_env(text)  # ${ENV} expansion (config.go:221-231)
     doc = tomllib.loads(text)
     _decode_user_sections(doc, user)
 
     names = fields or doc.get("fields", {}).get("names", [])
     input_name = doc.get("input", {}).get("name", "").lower()
-    # parquet is self-describing; kinesis/tcp sources carry their own
-    # (value/data) schema until a parse step applies the field mapping
-    if not names and input_name not in ("parquet", "kinesis", "kcl", "tcp"):
+    # parquet is self-describing; kinesis sources carry their own (data)
+    # schema until a parse step applies the field mapping; TCP is exempt
+    # only on the schema-less dev socket path — with SpoolDir it is a
+    # CSV file stream that would silently read ZERO columns
+    input_cfg = _snake_keys(doc.get("input", {}).get("config", {}))
+    tcp_socket_only = input_name == "tcp" and not input_cfg.get("spool_dir")
+    if not names and input_name not in ("parquet", "kinesis", "kcl") and not tcp_socket_only:
         raise ValueError("[fields] names=[...] (or fields=) is required")
     if len(set(names)) != len(names):
         raise ValueError("duplicate field names")  # config.go:453-459
@@ -434,6 +460,10 @@ def compile_toml(
     )
 
 
-def compile_toml_file(path: str, fields: list[str] | None = None) -> Pipeline:
+def compile_toml_file(
+    path: str,
+    fields: list[str] | None = None,
+    user: list[UserDesc] | None = None,
+) -> Pipeline:
     with open(path) as fh:
-        return compile_toml(fh.read(), fields)
+        return compile_toml(fh.read(), fields, user=user)

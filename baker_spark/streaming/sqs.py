@@ -180,11 +180,21 @@ class SQSPoller:
             raise ValueError("SQS: QueuePrefixes or QueueNames must be set")
 
     def queue_urls(self) -> list[str]:
-        urls = [self.client.get_queue_url(QueueName=n)["QueueUrl"] for n in self.cfg.queue_names]
-        for prefix in self.cfg.queue_prefixes:
-            urls.extend(self.client.list_queues(QueueNamePrefix=prefix).get("QueueUrls", []))
-        # a name and a prefix may resolve to the same queue; poll it once
-        return list(dict.fromkeys(urls))
+        # resolved ONCE and cached, like the reference's Run-start
+        # resolution (sqs.go:249-287) — re-resolving per poll would add
+        # a GetQueueUrl/ListQueues API call per queue every second
+        if getattr(self, "_urls", None) is None:
+            urls = [
+                self.client.get_queue_url(QueueName=n)["QueueUrl"]
+                for n in self.cfg.queue_names
+            ]
+            for prefix in self.cfg.queue_prefixes:
+                urls.extend(
+                    self.client.list_queues(QueueNamePrefix=prefix).get("QueueUrls", [])
+                )
+            # a name and a prefix may resolve to the same queue; poll once
+            self._urls = list(dict.fromkeys(urls))
+        return self._urls
 
     def poll_once(self, max_messages: int = 1) -> list[str]:
         """One receive per queue; returns the file paths handed off."""

@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import sys
 
 import duckdb
 
@@ -40,7 +41,7 @@ def _norm(v):
 def _rows_sorted(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm(r[i]) for i in idx) for r in rows]
-    return [c for _, c in sorted(zip(range(len(cols)), cols))], sorted(out, key=repr)
+    return sorted(cols), sorted(out, key=repr)
 
 
 def compare(spark_df, con, sql: str, float_ulps: int = 0):
@@ -73,7 +74,11 @@ def _close(a, b, ulps):
     for x, y in zip(a, b):
         if x == y:
             continue
-        if x[0] == "f" and y[0] == "f" and math.isclose(x[1], y[1], rel_tol=1e-12):
+        if (
+            x[0] == "f"
+            and y[0] == "f"
+            and math.isclose(x[1], y[1], rel_tol=ulps * sys.float_info.epsilon)
+        ):
             continue
         return False
     return True
