@@ -311,7 +311,11 @@ def op_chains(draw):
     pool = []
     have_t = False
     for _ in range(draw(st.integers(1, 5))):
-        kind = draw(st.sampled_from(["clause", "notnull", "stringmatch", "concat", "dedup"]))
+        kind = draw(
+            st.sampled_from(
+                ["clause", "notnull", "stringmatch", "concat", "dedup", "external", "explode"]
+            )
+        )
         if kind == "clause":
             pool.append(ops.ClauseFilter(f"(or (f1 a) (f2 {draw(token) or 'zz'}))"))
         elif kind == "notnull":
@@ -328,9 +332,20 @@ def op_chains(draw):
         elif kind == "concat":
             have_t = True
             pool.append(ops.Concatenate(["f1", "f2"], target="t", separator="-"))
-        else:
+        elif kind == "dedup":
             # order_by pins the survivor so both evaluation orders agree
             pool.append(ops.Dedup(fields=["f1"], order_by="f2"))
+        elif kind == "external":
+            # join-based predicate: not hoistable (keep_predicate None),
+            # exercises the stay-in-chain path
+            pool.append(
+                ops.ExternalMatch(
+                    field_name="f2", values=["a", "dd"], keep_on_match=draw(st.booleans())
+                )
+            )
+        else:
+            # fan-out: one row -> N rows; a barrier for later predicates
+            pool.append(ops.Explode(source="f1", dst="f1", separator="c"))
     return pool
 
 
