@@ -302,6 +302,86 @@ FROM j GROUP BY {id_col}
 """
 
 
+def dsir_weights(
+    df,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how much its hashed-unigram distribution resembles a ``target``
+    subset (a Column predicate over the doc row, e.g. lang = 'en')
+    relative to the raw corpus. High score -> resample into training.
+
+    Integer-exact analog of the paper's log-ratio: tokens hash into
+    ``n_buckets`` features; each bucket scores
+    floor(log2(n_target+1)) - floor(log2(n_raw+1)) (bit-length log2, no
+    floats); a document's weight is the sum of its tokens' bucket scores
+    plus a -per-token normalizer is deliberately omitted (ranking is
+    shift-invariant given n_tokens, which is also emitted).
+
+    Scale shape: one exploded token pass (persisted — it feeds both the
+    distribution aggregate and the per-doc re-aggregate), a ``n_buckets``-row
+    score table that always broadcasts, and map-side-combined groupBys.
+    Nothing unbounded crosses an exchange except (token-bucket, count)
+    partials."""
+    from baker_spark.functions.hashing import md5_long
+    from baker_spark.session import fan_out, managed_persist
+
+    toks = managed_persist(
+        fan_out(df)
+        .select(
+            id_col,
+            target.cast("long").alias("_t"),
+            F.explode(words(text_col)).alias("_w"),
+        )
+        .select(id_col, "_t", (md5_long("_w") % F.lit(n_buckets)).alias("_b"))
+    )
+    dist = toks.groupBy("_b").agg(
+        F.count("*").alias("n_raw"), F.sum("_t").alias("n_target")
+    )
+    score = dist.select(
+        "_b",
+        (log2_floor(F.col("n_target") + 1) - log2_floor(F.col("n_raw") + 1)).alias("_s"),
+    )
+    return (
+        toks.join(F.broadcast(score), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("_s").cast("long").alias("dsir_score"),
+        )
+    )
+
+
+def duck_dsir_weights(
+    target_sql: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> str:
+    from baker_spark.functions.hashing import duck_md5_long
+
+    b = duck_md5_long("w")
+    s = f"({duck_log2_floor('n_target + 1')} - {duck_log2_floor('n_raw + 1')})"
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, CAST(_tgt AS BIGINT) AS t, {b} % {n_buckets} AS b
+  FROM (SELECT {id_col}, {target_sql} AS _tgt, unnest(string_split({text_col}, ' ')) AS w
+        FROM {table})
+),
+dist AS (SELECT b, count(*) AS n_raw, CAST(sum(t) AS BIGINT) AS n_target FROM tok GROUP BY b),
+score AS (SELECT b, {s} AS s FROM dist)
+SELECT t.{id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(sc.s) AS BIGINT) AS dsir_score
+FROM tok t JOIN score sc USING (b)
+GROUP BY t.{id_col}
+"""
+
+
 def fingerprint(col_name: str) -> Column:
     """OpenRefine-style key-collision fingerprint: lowercase, strip
     non-alnum, sorted distinct words, md5. Catches reordered/near-identical

@@ -315,6 +315,7 @@ def cosine_pairs_bucketed(
     id_col: str = "vec_id",
     threshold_c4: int = 4500,
     planes: list[list[float]] | None = None,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs restricted to an LSH bucket — the fully
     distributed 100 TB path for embedding dedup.
@@ -327,10 +328,16 @@ def cosine_pairs_bucketed(
     to split further). Recall follows the hyperplane-LSH collision
     probability (1 - theta/pi per plane); candidates this generator
     yields carry the same exact quantized cosine_c4 as the brute-force
-    kernel, so downstream thresholds/clustering behave identically."""
+    kernel, so downstream thresholds/clustering behave identically.
+
+    ``buckets`` lets a caller substitute any (id_col, bucket) partition
+    for the default LSH planes — e.g. trained k-means cells (semdedup
+    below), where recall within a cell is exact rather than
+    probabilistic."""
     import pandas as pd
 
-    buckets = lsh_buckets(df, vec_col, id_col, planes)
+    if buckets is None:
+        buckets = lsh_buckets(df, vec_col, id_col, planes)
     q = (
         df.join(buckets, id_col)
         .select(F.col(id_col), F.col("bucket"), quantize(as_double(vec_col)).alias("q"))
@@ -353,6 +360,242 @@ def cosine_pairs_bucketed(
         )
 
     return q.groupBy("bucket").applyInPandas(block, "id_a long, id_b long, cosine_c4 long")
+
+
+# ------------------------------------------------------- k-means training ----
+
+#: quantized embedding coordinates here are |q| <= ~2^22; adding this
+#: offset before integer division keeps every DIV operand non-negative,
+#: where Spark's ``DIV`` and DuckDB's ``//`` (both truncating) agree
+#: with mathematical floor. 1<<24 leaves 100x coordinate headroom and
+#: n * OFFSET stays < 2^63 up to n ~ 2^38 vectors per cluster.
+KM_OFFSET = 1 << 24
+
+
+def d2_long(a: Column, b: Column) -> Column:
+    """Squared L2 distance of two array<long> columns — exact int64,
+    order-independent (the assignment metric for k-means: argmin d2
+    equals argmax cosine only for normalized vectors, and d2 needs no
+    sqrt, so the whole iteration stays in integer arithmetic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def duck_d2(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    return f"list_sum([(({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]) for i in range(1, {dim + 1})])"
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    with_vectors: bool = False,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over quantized embeddings, returning
+    the final assignment ``(id_col, centroid_id, d2)``.
+
+    Everything is exact int64 (quantize -> squared-L2 -> floor-mean), so
+    the result is independent of evaluation/aggregation order and
+    hash-matches the DuckDB oracle. Deterministic init: the vectors with
+    ``id < k`` seed the centroids (same convention as ``dp_ivf_assign``).
+
+    Scale shape (the same one MLlib's KMeans uses): per iteration the
+    driver collects the k x dim centroid table (bounded: k*dim ints — the
+    dedup_clusters "one aggregate per round" contract), so the NEXT
+    assignment is a narrow map over literal centroids — no join, no
+    shuffle on the corpus side. The centroid update is
+    posexplode -> groupBy(cid, pos) with map-side combine: the exchange
+    carries ~partitions * k * dim partial sums, never the vectors.
+    A cluster that loses every member keeps its previous centroid (same
+    as MLlib), so k never silently shrinks and both engines agree.
+    """
+    q = df.select(F.col(id_col).alias("_id"), quantize(as_double(vec_col)).alias("q"))
+    from baker_spark.session import managed_persist
+
+    q = managed_persist(fan_out(q))
+    # deterministic seeds: collect is k rows of dim ints (bounded)
+    cents = {
+        r["_id"]: list(r["q"])
+        for r in q.filter(F.col("_id") < k).collect()
+    }
+
+    def lit_vec(vals: list[int]) -> Column:
+        return F.array(*[F.lit(int(v)).cast("long") for v in vals])
+
+    def assign_expr() -> Column:
+        # one struct per centroid: (d2, cid); array_min's lexicographic
+        # struct compare IS the argmin with cid tie-break. Each d2 fold
+        # is referenced exactly once — no expression-substitution blowup.
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        d2_long(F.col("q"), lit_vec(cv)).alias("d2"),
+                        F.lit(int(cid)).cast("long").alias("cid"),
+                    )
+                    for cid, cv in sorted(cents.items())
+                ]
+            )
+        )
+
+    for _ in range(iters):
+        assigned = q.select("_id", "q", assign_expr().alias("_m"))
+        means = (
+            assigned.select(F.col("_m.cid").alias("cid"), F.posexplode("q").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cid",
+                "pos",
+                F.expr(f"CAST((s + n * {KM_OFFSET}) DIV n - {KM_OFFSET} AS BIGINT)").alias("c"),
+            )
+        )
+        new_cents = {
+            int(r["cid"]): [int(x) for _, x in sorted((p, v) for p, v in zip(r["poss"], r["vs"]))]
+            for r in means.groupBy("cid")
+            .agg(F.collect_list("pos").alias("poss"), F.collect_list("c").alias("vs"))
+            .collect()
+        }
+        cents = {**cents, **new_cents}
+
+    final = q.select("_id", "q", assign_expr().alias("_m"))
+    cols = [
+        F.col("_id").alias(id_col),
+        F.col("_m.cid").alias("centroid_id"),
+        F.col("_m.d2").alias("d2"),
+    ]
+    if with_vectors:
+        # lets a consumer (semdedup) group by cell WITHOUT re-joining the
+        # corpus — the assignment is already a narrow map over (id, q)
+        cols.append(F.col("q"))
+    return final.select(*cols)
+
+
+def duck_kmeans_train(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB oracle: the identical Lloyd iterations as an unrolled CTE
+    chain (quantize -> argmin assign -> floor-mean update, all BIGINT)."""
+    d2 = duck_d2("e.q", "c.cv", dim)
+    assign = (
+        "SELECT _id, cid, d2 FROM ("
+        "SELECT e._id, c.cid, {d2} AS d2, "
+        "row_number() OVER (PARTITION BY e._id ORDER BY {d2}, c.cid) AS rn "
+        "FROM q e, {cents} c) WHERE rn = 1"
+    )
+    parts = [
+        f"q AS (SELECT {id_col} AS _id, {duck_quantize(f'CAST({vec_col} AS DOUBLE[])')} AS q FROM {table})",
+        f"c0 AS (SELECT _id AS cid, q AS cv FROM q WHERE _id < {k})",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f"a{t} AS ({assign.format(d2=d2, cents=prev)})")
+        parts.append(
+            f"m{t} AS (SELECT a.cid, r.i AS pos, "
+            f"CAST((sum(e.q[r.i]) + count(*) * {KM_OFFSET}) // count(*) - {KM_OFFSET} AS BIGINT) AS c "
+            f"FROM a{t} a JOIN q e USING (_id) CROSS JOIN range(1, {dim + 1}) r(i) "
+            f"GROUP BY a.cid, r.i)"
+        )
+        # a cluster that lost all members keeps its previous centroid
+        parts.append(
+            f"c{t} AS (SELECT cid, cv FROM (SELECT cid, list(c ORDER BY pos) AS cv FROM m{t} GROUP BY cid) "
+            f"UNION ALL SELECT cid, cv FROM {prev} p WHERE cid NOT IN (SELECT cid FROM m{t}))"
+        )
+        prev = f"c{t}"
+    final = assign.format(d2=d2, cents=prev)
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT _id AS {id_col}, cid AS centroid_id, "
+        f"CAST(d2 AS BIGINT) AS d2 FROM ({final})"
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold_c4: int = 4500,
+    k: int = 8,
+    iters: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with k-means, then within each cluster drop every
+    vector whose quantized cosine with a LOWER-id cluster member reaches
+    ``threshold_c4``. Returns the kept ``(id_col, centroid_id)``.
+
+    Deviation from the paper: the paper keeps the member farthest from
+    the centroid; keep-lowest-id is deterministic and engine-independent
+    (no float argmax over distances), which is what the cross-engine
+    oracle requires. The drop RULE (one survivor per near-dup pair, the
+    pair scoped to a cluster) is the paper's.
+
+    Scale: NO joins anywhere — the assignment arrives with its quantized
+    vector attached (``kmeans_train(with_vectors=True)`` is a narrow map
+    over the persisted corpus), so the whole dedup is one shuffle
+    (groupBy cluster id) into an applyInPandas kernel that decides
+    survivors cell-locally. State is bounded by the largest cell (raise
+    k to split further); no cross-cluster pair ever materializes."""
+    import pandas as pd
+
+    assign = kmeans_train(
+        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col, with_vectors=True
+    )
+
+    def keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pdf[[id_col, "centroid_id"]]
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["q"]), dtype=np.int64)
+        dots = mat @ mat.T  # exact int64 (same kernel as cosine_pairs_bucketed)
+        norm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c4 = np.floor(dots.astype(np.float64) * 10000.0 / (norm[:, None] * norm[None, :]))
+        dominated = ((ids[:, None] < ids[None, :]) & (c4 >= threshold_c4)).any(axis=0)
+        return pdf.loc[~dominated, [id_col, "centroid_id"]]
+
+    return assign.groupBy("centroid_id").applyInPandas(
+        keep, f"{id_col} long, centroid_id long"
+    )
+
+
+def duck_semdedup(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold_c4: int = 4500,
+    k: int = 8,
+    iters: int = 1,
+) -> str:
+    km = duck_kmeans_train(table, k, iters, vec_col, id_col)
+    dot = duck_dot("a.q2", "b.q2")
+    na, nb = duck_dot("a.q2", "a.q2"), duck_dot("b.q2", "b.q2")
+    c4 = (
+        f"floor(CAST({dot} AS DOUBLE) * 10000 / "
+        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))))"
+    )
+    return f"""
+WITH km AS ({km}),
+ev AS (SELECT t.{id_col} AS id, km.centroid_id,
+              {duck_quantize(f'CAST(t.{vec_col} AS DOUBLE[])')} AS q2
+       FROM {table} t JOIN km ON km.{id_col} = t.{id_col}),
+dropped AS (
+  SELECT DISTINCT b.id FROM ev a JOIN ev b
+  ON a.centroid_id = b.centroid_id AND a.id < b.id
+  WHERE {c4} >= {threshold_c4}
+)
+SELECT id AS {id_col}, centroid_id FROM ev
+WHERE id NOT IN (SELECT id FROM dropped)
+"""
 
 
 def duck_cosine_pairs_bucketed(

@@ -354,6 +354,18 @@ def dp_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+@query("dp_dsir_weights", text.duck_dsir_weights("lang = 'en'"))
+def dp_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: rank every document by hashed-unigram
+    log-ratio resemblance to the lang='en' target slice vs the raw
+    corpus — the data-selection step upstream of resampling. One
+    persisted token pass, a 256-row broadcast score table, map-side
+    combines everywhere (see text.dsir_weights)."""
+    return text.dsir_weights(
+        load_table(spark, sf_dir, "documents"), target=F.col("lang") == "en"
+    )
+
+
 @query(
     "dp_token_counts",
     """

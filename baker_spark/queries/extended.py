@@ -315,6 +315,32 @@ def dp_ivf_topk(spark, sf_dir):
     )
 
 
+from baker_spark.datapipe.vectors import duck_kmeans_train, kmeans_train  # noqa: E402
+
+
+@query("dp_kmeans_train", duck_kmeans_train())
+def dp_kmeans_train(spark, sf_dir):
+    """K-means centroid training (Lloyd's, 2 iterations) over the
+    embeddings — the step dp_ivf_assign's docstring defers to ("a real
+    system would k-means them"). Integer-exact quantized arithmetic end
+    to end; the driver sees k*dim ints per iteration (MLlib's own
+    traffic pattern), assignment is a narrow map over literal centroids,
+    and the update shuffle carries map-side-combined partial sums."""
+    return kmeans_train(load_table(spark, sf_dir, "embeddings"))
+
+
+from baker_spark.datapipe.vectors import duck_semdedup, semdedup  # noqa: E402
+
+
+@query("dp_semdedup", duck_semdedup())
+def dp_semdedup(spark, sf_dir):
+    """Semantic dedup over trained k-means cells: within each cluster,
+    drop every vector with a lower-id near-duplicate (quantized cosine
+    >= 0.45). The 100 TB shape: one shuffle on cluster id, exact int64
+    kernel per cell, no cross-cluster pair ever materializes."""
+    return semdedup(load_table(spark, sf_dir, "embeddings"))
+
+
 @query(
     "q_scalar_subquery",
     """

@@ -1,0 +1,138 @@
+"""Unit tests for the clustering / data-selection operators: k-means
+training, SemDeDup, DSIR importance weights. Oracle parity for all three
+runs in test_oracle_parity.py; these pin the semantic invariants the
+hash-compare can't express (empty-cluster retention, duplicate-drop
+direction, score monotonicity)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from baker_spark.datapipe.text import dsir_weights
+from baker_spark.datapipe.vectors import kmeans_train, semdedup
+
+DIM = 4
+
+
+def vec(*head):
+    v = list(head) + [0.0] * (DIM - len(head))
+    return [float(x) for x in v]
+
+
+def embed_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+
+
+def test_kmeans_assigns_every_vector_once(spark):
+    df = embed_df(
+        spark,
+        [(0, vec(0.1)), (1, vec(5.0)), (2, vec(0.12)), (3, vec(5.1)), (4, vec(0.09))],
+    )
+    out = kmeans_train(df, k=2, iters=2).collect()
+    assert sorted(r["vec_id"] for r in out) == [0, 1, 2, 3, 4]
+    by_id = {r["vec_id"]: r for r in out}
+    # two well-separated blobs must split on the two seeds
+    assert by_id[0]["centroid_id"] == by_id[2]["centroid_id"] == by_id[4]["centroid_id"]
+    assert by_id[1]["centroid_id"] == by_id[3]["centroid_id"]
+    assert all(r["d2"] >= 0 for r in out)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # seeds 0 and 1 are IDENTICAL: every point ties and the cid
+    # tie-break sends all members to cluster 0. Cluster 1 must keep its
+    # (seed) centroid rather than vanish, and the job must not fail.
+    # (Both vectors sit exactly on the seed, so the floor-mean update
+    # reproduces the seed exactly and the tie repeats every iteration.)
+    df = embed_df(spark, [(0, vec(1.0)), (1, vec(1.0))])
+    out = kmeans_train(df, k=2, iters=2).collect()
+    assert sorted(r["vec_id"] for r in out) == [0, 1]
+    assert {r["centroid_id"] for r in out} == {0}
+
+
+def test_kmeans_improves_or_holds_total_distortion(spark):
+    rows = [(i, vec((i % 3) * 2.0, (i * 7 % 5) * 1.0)) for i in range(30)]
+    df = embed_df(spark, rows)
+    d0 = kmeans_train(df, k=3, iters=0).agg(F.sum("d2")).collect()[0][0]
+    d2 = kmeans_train(df, k=3, iters=2).agg(F.sum("d2")).collect()[0][0]
+    assert d2 <= d0  # Lloyd's is monotone in total distortion
+
+
+def test_semdedup_drops_higher_id_duplicates(spark):
+    df = embed_df(
+        spark,
+        [
+            (0, vec(1.0, 0.0)),
+            (1, vec(1.0, 0.0)),  # exact dup of 0 -> dropped
+            (2, vec(0.0, 1.0)),
+            (3, vec(0.0, 1.001)),  # near-dup of 2 -> dropped
+            (4, vec(-1.0, 0.4)),
+        ],
+    )
+    kept = semdedup(df, threshold_c4=9900, k=2, iters=1)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [0, 2, 4]
+
+
+def test_semdedup_keeps_everything_below_threshold(spark):
+    df = embed_df(
+        spark, [(0, vec(1.0, 0.0)), (1, vec(0.0, 1.0)), (2, vec(-1.0, 0.0))]
+    )
+    kept = semdedup(df, threshold_c4=9000, k=2, iters=1)
+    assert kept.count() == 3
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_target_lookalike_scores_higher(spark):
+    # target docs use token 'aa'; one raw doc mimics them, one doesn't
+    rows = [(i, "aa aa aa aa", "en") for i in range(8)]
+    rows += [(100, "aa aa aa aa", "xx"), (101, "zz zz zz zz", "xx")]
+    out = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_weights(
+            docs_df(spark, rows), target=F.col("lang") == "en"
+        ).collect()
+    }
+    assert out[100] > out[101]  # target-lookalike outranks non-target text
+    assert out[100] == out[0]  # same text, same score — weight ignores the label
+
+
+def test_dsir_emits_token_counts(spark):
+    rows = [(0, "a b c", "en"), (1, "d e", "xx")]
+    out = {
+        r["doc_id"]: r["n_tokens"]
+        for r in dsir_weights(docs_df(spark, rows), target=F.col("lang") == "en").collect()
+    }
+    assert out == {0: 3, 1: 2}
+
+
+@pytest.mark.parametrize(
+    "name, forbidden",
+    [
+        ("dp_kmeans_train", ["SortMergeJoin", "CartesianProduct", "Window", "BroadcastHashJoin"]),
+        ("dp_semdedup", ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+        ("dp_dsir_weights", ["CartesianProduct", "Window", "SortMergeJoin"]),
+    ],
+)
+def test_cluster_query_plan_shapes(spark, name, forbidden):
+    """dp_kmeans_train's returned assignment is a narrow map over the
+    persisted quantized corpus (literal centroids — no join of any
+    kind); semdedup's pair search stays inside applyInPandas cells;
+    dsir's score table must broadcast, never sort-merge."""
+    import contextlib
+    import io
+
+    from baker_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    df = all_queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    for op in forbidden:
+        assert op not in p, f"{name}: {op} in plan"
+    if name == "dp_dsir_weights":
+        assert "BroadcastHashJoin" in p
