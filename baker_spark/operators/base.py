@@ -41,6 +41,17 @@ class Operator:
     writes: list[str] | None = None
     #: fields read by the keep-predicate; None = not a hoistable predicate
     reads: list[str] | None = None
+    #: True for predicates whose per-row evaluation is costly (regex,
+    #: parse-to-int). The barrier hoist skips these: when ``fan_out``
+    #: actually repartitions, the pre-exchange stage is the narrow
+    #: (often serial) scan, and an expensive predicate there costs more
+    #: wall time than its exchange savings unless it is very selective —
+    #: measured ~10% on the reference-topology bench. They still run
+    #: exactly once, in the parallel post-exchange chain. (On a real
+    #: multi-split input fan_out is a no-op and Catalyst pushes ALL
+    #: predicates into the scan as usual — this flag only shapes the
+    #: engine's own above-the-exchange hoist.)
+    expensive_predicate: bool = False
 
     def keep_predicate(self) -> Column | None:
         return None
@@ -112,7 +123,12 @@ def hoist_predicates(ops: list[Operator]) -> list[Column]:
     written: set[str] = set()
     for op in ops:
         kp = op.keep_predicate()
-        if kp is not None and op.reads is not None and not (set(op.reads) & written):
+        if (
+            kp is not None
+            and not op.expensive_predicate
+            and op.reads is not None
+            and not (set(op.reads) & written)
+        ):
             preds.append(kp)
         if op.writes is None:
             break
@@ -148,6 +164,7 @@ def split_chain(ops: list[Operator]) -> tuple[list[Column], list[Operator]]:
         hoisted = (
             not barrier
             and kp is not None
+            and not op.expensive_predicate
             and op.reads is not None
             and not (set(op.reads) & written)
         )

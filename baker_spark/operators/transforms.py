@@ -296,6 +296,8 @@ class RegexMatch(Operator):
 
     name = "RegexMatch"
     writes: list[str] = []
+    expensive_predicate = True  # per-row regex: costs more on a narrow
+    # pre-exchange stage than its exchange savings (see Operator docs)
 
     def __init__(self, fields: list[str], regexs: list[str], invert_match: bool = False):
         if len(fields) != len(regexs):
@@ -428,6 +430,7 @@ class TimestampRange(Operator):
 
     name = "TimestampRange"
     writes: list[str] = []
+    expensive_predicate = True  # ParseInt per row (see Operator docs)
 
     def __init__(self, field: str, start_datetime: str | None = None, end_datetime: str | None = None):
         self.field = field

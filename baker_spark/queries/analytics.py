@@ -301,6 +301,50 @@ def q_stats_quantiles(spark, sf_dir):
 
 
 @query(
+    "q_stats_report",
+    """
+WITH sized AS (
+  SELECT length(concat_ws(',', CAST(event_id AS VARCHAR), event_type, props)) AS size,
+         CAST(length(props) AS DOUBLE) AS plen
+  FROM events
+)
+SELECT count(*) AS n, CAST(min(size) AS INTEGER) AS min_size,
+       CAST(max(size) AS INTEGER) AS max_size,
+       CAST(CAST(sum(size) AS DECIMAL(38,0)) * 1000000 // count(*) AS BIGINT) AS avg_size_c6,
+       CAST(floor(quantile_cont(plen, 0.25) * 1000000) AS BIGINT) AS p25_c6,
+       CAST(floor(quantile_cont(plen, 0.50) * 1000000) AS BIGINT) AS p50_c6,
+       CAST(floor(quantile_cont(plen, 0.75) * 1000000) AS BIGINT) AS p75_c6
+FROM sized
+""",
+)
+def q_stats_report(spark, sf_dir):
+    """The Stats sink's full one-row report — the size-distribution and
+    quantile facets (q_stats_sizes / q_stats_quantiles, still in the
+    catalog individually) merged into ONE aggregation pass, mirroring
+    how the reference's Stats sink emits a single combined report
+    (output/stats.go:41-231). Same exact-arithmetic rules as the facets:
+    DECIMAL(38) floor-division for the mean, binary-exact quartile lerp
+    for the percentiles."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string"), "event_type", "props"
+    )
+    size = F.length(F.concat_ws(",", *[F.col(c) for c in ev.columns])).alias("size")
+    plen = F.length("props").cast("double").alias("plen")
+    return ev.select(size, plen).agg(
+        F.count("*").alias("n"),
+        F.min("size").alias("min_size"),
+        F.max("size").alias("max_size"),
+        F.expr(
+            "CAST(CAST(sum(size) AS DECIMAL(38,0)) * 1000000 div count(*) AS BIGINT)"
+        ).alias("avg_size_c6"),
+        *[
+            micros(F.percentile(F.col("plen"), F.lit(q))).alias(f"p{n}_c6")
+            for q, n in [(0.25, 25), (0.5, 50), (0.75, 75)]
+        ],
+    )
+
+
+@query(
     "q_field_frequency",
     """
 WITH f AS (SELECT event_type AS value, count(*) AS n FROM events GROUP BY event_type)

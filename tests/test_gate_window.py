@@ -11,6 +11,8 @@ FLAGSHIP_SCALE_PATHS = [
     "dp_lsh_verified_pairs",
     "dp_decontaminate",
     "dp_sequence_packing",
+    "dp_kmeans_train",
+    "dp_semdedup",
 ]
 
 
