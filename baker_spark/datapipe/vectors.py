@@ -372,19 +372,10 @@ def cosine_pairs_bucketed(
 KM_OFFSET = 1 << 24
 
 
-def d2_long(a: Column, b: Column) -> Column:
-    """Squared L2 distance of two array<long> columns — exact int64,
-    order-independent (the assignment metric for k-means: argmin d2
-    equals argmax cosine only for normalized vectors, and d2 needs no
-    sqrt, so the whole iteration stays in integer arithmetic)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def duck_d2(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    """Squared L2 distance — the k-means assignment metric: exact int64
+    over quantized arrays (no sqrt, no float), so argmin is evaluation-
+    order-independent in both engines."""
     return f"list_sum([(({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]) for i in range(1, {dim + 1})])"
 
 
@@ -407,13 +398,16 @@ def kmeans_train(
     Scale shape (the same one MLlib's KMeans uses): per iteration the
     driver collects the k x dim centroid table (bounded: k*dim ints — the
     dedup_clusters "one aggregate per round" contract), so the NEXT
-    assignment is a narrow map over literal centroids — no join, no
-    shuffle on the corpus side. The centroid update is
+    assignment is a narrow Arrow-batched int64 kernel with the centroid
+    matrix carried in the task closure — no join, no shuffle on the
+    corpus side. The centroid update is
     posexplode -> groupBy(cid, pos) with map-side combine: the exchange
     carries ~partitions * k * dim partial sums, never the vectors.
     A cluster that loses every member keeps its previous centroid (same
     as MLlib), so k never silently shrinks and both engines agree.
     """
+    import pandas as pd
+
     q = df.select(F.col(id_col).alias("_id"), quantize(as_double(vec_col)).alias("q"))
     from baker_spark.session import managed_persist
 
@@ -424,29 +418,41 @@ def kmeans_train(
         for r in q.filter(F.col("_id") < k).collect()
     }
 
-    def lit_vec(vals: list[int]) -> Column:
-        return F.array(*[F.lit(int(v)).cast("long") for v in vals])
+    def assigned_df(cents: dict[int, list[int]]) -> DataFrame:
+        # Arrow-batched exact-int64 assignment kernel: d2 = |m|^2 - 2mC^T
+        # + |c|^2 per batch (every term int64 — order-independent, so the
+        # vectorized evaluation is legal where a float kernel would not
+        # be). argmin over centroids SORTED BY cid takes the first
+        # minimum — exactly the (d2, cid) lexicographic tie-break the
+        # DuckDB oracle's row_number ordering applies. This replaces a
+        # per-row interpreted fold (k*dim lambda ops/row — the slow
+        # class PERFORMANCE.md measures at ~50x codegen).
+        cids = np.array(sorted(cents), dtype=np.int64)
+        C = np.array([cents[c] for c in sorted(cents)], dtype=np.int64)
+        c2 = (C * C).sum(axis=1)
 
-    def assign_expr() -> Column:
-        # one struct per centroid: (d2, cid); array_min's lexicographic
-        # struct compare IS the argmin with cid tie-break. Each d2 fold
-        # is referenced exactly once — no expression-substitution blowup.
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        d2_long(F.col("q"), lit_vec(cv)).alias("d2"),
-                        F.lit(int(cid)).cast("long").alias("cid"),
-                    )
-                    for cid, cv in sorted(cents.items())
-                ]
-            )
-        )
+        def kernel(pdfs):
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                m = np.array(list(pdf["q"]), dtype=np.int64)
+                d2 = (m * m).sum(axis=1)[:, None] - 2 * (m @ C.T) + c2[None, :]
+                j = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"],
+                        "q": pdf["q"],
+                        "cid": cids[j],
+                        "d2": d2[np.arange(len(m)), j],
+                    }
+                )
+
+        return q.mapInPandas(kernel, "_id long, q array<long>, cid long, d2 long")
 
     for _ in range(iters):
-        assigned = q.select("_id", "q", assign_expr().alias("_m"))
         means = (
-            assigned.select(F.col("_m.cid").alias("cid"), F.posexplode("q").alias("pos", "v"))
+            assigned_df(cents)
+            .select("cid", F.posexplode("q").alias("pos", "v"))
             .groupBy("cid", "pos")
             .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
             .select(
@@ -463,11 +469,11 @@ def kmeans_train(
         }
         cents = {**cents, **new_cents}
 
-    final = q.select("_id", "q", assign_expr().alias("_m"))
+    final = assigned_df(cents)
     cols = [
         F.col("_id").alias(id_col),
-        F.col("_m.cid").alias("centroid_id"),
-        F.col("_m.d2").alias("d2"),
+        F.col("cid").alias("centroid_id"),
+        F.col("d2"),
     ]
     if with_vectors:
         # lets a consumer (semdedup) group by cell WITHOUT re-joining the

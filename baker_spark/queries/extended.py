@@ -324,7 +324,7 @@ def dp_kmeans_train(spark, sf_dir):
     embeddings — the step dp_ivf_assign's docstring defers to ("a real
     system would k-means them"). Integer-exact quantized arithmetic end
     to end; the driver sees k*dim ints per iteration (MLlib's own
-    traffic pattern), assignment is a narrow map over literal centroids,
+    traffic pattern), assignment is a narrow Arrow-batched int64 kernel,
     and the update shuffle carries map-side-combined partial sums."""
     return kmeans_train(load_table(spark, sf_dir, "embeddings"))
 
