@@ -183,6 +183,15 @@ def lsh_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        # multi-band duplicates are removed with a distinct here, UNLIKE
+        # simhash_pairs' first-match-band predicate: that trick needs each
+        # joined row to see the OTHER bands' keys, which simhash carries
+        # for free (bit-fields of the one signature long) but minhash
+        # would have to ship as 4 extra hashes on every band row — a
+        # per-doc exchange cost paid always, to save a shuffle of a
+        # candidate set that LSH banding keeps sparse by design. The
+        # trade flips exactly when candidates stop being sparse, which
+        # is the regime simhash's skewed 8-bit buckets live in.
         .distinct()
     )
 
@@ -553,7 +562,20 @@ def simhash_pairs(
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
-    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    xor = F.expr("a.simhash ^ b.simhash")
+    ham = F.bit_count(xor)
+    # first-match-band dedup: a pair matching in several bands would come
+    # out of the join once per band; instead of a `.distinct()` (a full
+    # shuffle of the candidate-pair set — the pair volume is quadratic in
+    # bucket skew, so at scale that exchange dwarfs the signatures), keep
+    # the row only when every EARLIER band differs — a per-row bitwise
+    # predicate, no exchange. Each qualifying pair survives exactly once.
+    band_intact = [
+        F.shiftright(xor, j * 8).bitwiseAND(F.lit(255)) == 0 for j in range(4)
+    ]
+    first_match = F.col("a.band") == F.when(band_intact[0], 0).otherwise(
+        F.when(band_intact[1], 1).otherwise(F.when(band_intact[2], 2).otherwise(3))
+    )
     return (
         a.join(
             b,
@@ -561,13 +583,12 @@ def simhash_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .filter(first_match & (ham <= max_hamming))
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
