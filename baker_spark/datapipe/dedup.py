@@ -129,7 +129,7 @@ def minhash_signature(
     re-hashing, and the maps are pairwise independent so the LSH
     (1/b)^(1/r) threshold analysis holds (correlated families like
     h1+i*h2 double hashing inflate band collisions)."""
-    base = fan_out(df).select(F.col(id_col), words(text_col).alias("_w"))
+    base = fan_out(df, by=id_col).select(F.col(id_col), words(text_col).alias("_w"))
     sh = base.select(
         F.col(id_col),
         F.explode(word_shingles(F.col("_w"), shingle_n, split=False)).alias("_s"),
@@ -261,7 +261,7 @@ def ngram_jaccard_pairs(
     # itself) instead of a second count-window over the shuffle
     arr = F.array_distinct(word_shingles(text_col, shingle_n))
     sh = managed_persist(
-        fan_out(df)
+        fan_out(df, by=id_col)
         .select(F.col(id_col), arr.alias("_arr"))
         .select(F.col(id_col), F.size("_arr").alias("_n"), F.explode("_arr").alias("s"))
     )
@@ -497,7 +497,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     (doc, partition) thanks to sum's map-side partial aggregation.
     Integer sums are order-independent, so the result is bit-identical
     to the per-row fold and to the DuckDB oracle."""
-    wh = fan_out(df).select(
+    wh = fan_out(df, by=id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(words(text_col))).alias("_word"),
     ).select(F.col(id_col), md5_long("_word", nchars=8).alias("_h"))
@@ -674,7 +674,7 @@ def decontaminate(
         )
         .distinct()
     )
-    doc_sh = fan_out(df).select(
+    doc_sh = fan_out(df, by=id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
     )

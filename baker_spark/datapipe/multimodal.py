@@ -53,7 +53,7 @@ def decode_media(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
     from baker_spark.session import fan_out
 
     # decode is per-row expensive: make sure every core gets a partition
-    src = fan_out(df.select(id_col, payload_col))
+    src = fan_out(df.select(id_col, payload_col), by=id_col)
     return src.mapInPandas(decode_batches, DECODE_SCHEMA)
 
 
@@ -96,7 +96,7 @@ def frame_sample(
 
     from baker_spark.session import fan_out
 
-    src = fan_out(df.select(id_col, payload_col))
+    src = fan_out(df.select(id_col, payload_col), by=id_col)
     return src.select(
         F.col(id_col), F.posexplode(frames(F.col(payload_col))).alias("frame_idx", "frame")
     )
@@ -122,5 +122,5 @@ def extract_features(
 
     from baker_spark.session import fan_out
 
-    src = fan_out(df.select(id_col, payload_col))
+    src = fan_out(df.select(id_col, payload_col), by=id_col)
     return src.select(F.col(id_col), feats(F.col(payload_col)).alias("features"))

@@ -266,7 +266,7 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
     # read the exploded token table — without the boundary the full
     # corpus scan + split + explode runs twice per job
     toks = managed_persist(
-        fan_out(df).select(id_col, F.explode(words(text_col)).alias("_w"))
+        fan_out(df, by=id_col).select(id_col, F.explode(words(text_col)).alias("_w"))
     )
     cf = toks.groupBy("_w").agg(F.count("*").alias("_cf"))
     per_doc = (
@@ -331,7 +331,7 @@ def dsir_weights(
     from baker_spark.session import fan_out, managed_persist
 
     toks = managed_persist(
-        fan_out(df)
+        fan_out(df, by=id_col)
         .select(
             id_col,
             target.cast("long").alias("_t"),

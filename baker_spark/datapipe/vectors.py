@@ -140,7 +140,7 @@ def cosine_pairs(
     # self-norm once per ROW, before the join — recomputing a 64-element
     # fold per candidate PAIR would cost O(n^2) folds instead of O(n)
     qn = q.select("id", "q", dot_long(F.col("q"), F.col("q")).alias("n2"))
-    a = fan_out(qn).select(
+    a = fan_out(qn, by="id").select(
         F.col("id").alias("id_a"), F.col("q").alias("qa"), F.col("n2").alias("na")
     )
     # guard the broadcast side — that's where n^2 and executor memory bite
@@ -206,7 +206,7 @@ def ann_topk(
     q = df.filter(F.col(id_col) == query_id).select(as_double(vec_col).alias("qv"))
     if max_rows is not None:
         q = row_guard(q, max_rows, "ann_topk_bucketed", count_of=df)
-    scored = fan_out(df).crossJoin(F.broadcast(q)).select(
+    scored = fan_out(df, by=id_col).crossJoin(F.broadcast(q)).select(
         F.col(id_col),
         F.floor(cosine(as_double(vec_col), F.col("qv")) * 10000).cast("long").alias("cosine_c4"),
     )
@@ -243,7 +243,7 @@ def lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign bits of dot(v, plane_j)."""
     planes = planes or hyperplanes()
-    df = fan_out(df)  # 8 plane-dots per row: split the scan across cores
+    df = fan_out(df, by=id_col)  # 8 plane-dots per row: split the scan across cores
     v = as_double(vec_col)
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
@@ -411,7 +411,7 @@ def kmeans_train(
     q = df.select(F.col(id_col).alias("_id"), quantize(as_double(vec_col)).alias("q"))
     from baker_spark.session import managed_persist
 
-    q = managed_persist(fan_out(q))
+    q = managed_persist(fan_out(q, by="_id"))
     # deterministic seeds: collect is k rows of dim ints (bounded)
     cents = {
         r["_id"]: list(r["q"])

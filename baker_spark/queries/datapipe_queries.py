@@ -198,7 +198,7 @@ def dp_ann_recall(spark, sf_dir):
     # persisted: three candidate generators (exact, probe, multiprobe)
     # read e; without the boundary the bucket join recomputes per reader
     e = managed_persist(
-        fan_out(emb).join(buckets, "vec_id").select(
+        fan_out(emb, by="vec_id").join(buckets, "vec_id").select(
             F.col("vec_id").alias("id"),
             vectors.as_double("embedding").alias("v"),
             "bucket",
@@ -323,7 +323,7 @@ def dp_tfidf_topk(spark, sf_dir):
     on term (vocabulary is unbounded: no broadcast), and a per-document
     window whose state is one doc's vocabulary — bounded regardless of
     corpus size."""
-    toks = fan_out(load_table(spark, sf_dir, "documents")).select(
+    toks = fan_out(load_table(spark, sf_dir, "documents"), by="doc_id").select(
         "doc_id", F.explode(text.words("text")).alias("w")
     )
     # persisted: df is derived FROM tf and the ranking joins tf again —
@@ -427,7 +427,7 @@ FROM documents
 def dp_scrub(spark, sf_dir):
     # fan_out: 6 regex passes/row dominate the one-time exchange of the
     # raw text (0.33s -> 0.20s at sf0.1; no-op on multi-split inputs)
-    df = fan_out(load_table(spark, sf_dir, "documents"))
+    df = fan_out(load_table(spark, sf_dir, "documents"), by="doc_id")
     cols = text.scrub("text")
     return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
@@ -550,7 +550,7 @@ def dp_corpus_pipeline(spark, sf_dir):
     (measured 4x: 1.98s -> 0.48s at sf0.1). At 100 TB the same
     tradeoff holds per-partition — one cached pass (spilling to disk)
     vs ~6 recomputed regex passes over every document."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"), by="doc_id")
     cleaned = managed_persist(
         docs.select("doc_id", text.scrub("text")["clean_text"].alias("clean_text"))
     )
@@ -755,7 +755,7 @@ def dp_vocab_topk(spark, sf_dir):
     at the driver; total order (cf desc, word) makes the cut
     deterministic."""
     docs = load_table(spark, sf_dir, "documents")
-    w = fan_out(docs).select(
+    w = fan_out(docs, by="doc_id").select(
         "doc_id", F.explode(text.words("text")).alias("word")
     )
     return (
@@ -781,7 +781,7 @@ def dp_bigram_topk(spark, sf_dir):
     the corpus; same explode -> partial-agg -> top-k shape as the
     vocabulary query."""
     docs = load_table(spark, sf_dir, "documents")
-    b = fan_out(docs).select(
+    b = fan_out(docs, by="doc_id").select(
         "doc_id", F.split(F.col("text"), " ", -1).alias("_w")
     ).select(
         "doc_id",
@@ -932,7 +932,7 @@ def dp_passage_scrub(spark, sf_dir):
     three shuffles of linear size, which is why production corpus
     pipelines run it at the billions-of-docs scale."""
     docs = load_table(spark, sf_dir, "documents")
-    blocks = fan_out(docs).select(
+    blocks = fan_out(docs, by="doc_id").select(
         "doc_id",
         F.posexplode(text.chunks("text", size=5, step=5)).alias("idx", "chunk"),
     )

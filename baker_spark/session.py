@@ -114,14 +114,27 @@ def release_caches() -> None:
             pass
 
 
-def fan_out(df, multiple: int = 1):
+def fan_out(df, multiple: int = 1, by: str | None = None):
     """Repartition ONLY when the scan produced fewer splits than the
     cluster has slots (small files, single row-group parquet). On a real
     cluster reading 100 TB the condition is false and this is a no-op —
     no gratuitous shuffle; locally it unlocks all cores for
-    compute-heavy-per-row operators (minhash, simhash, UDF decode)."""
+    compute-heavy-per-row operators (minhash, simhash, UDF decode).
+
+    ``by`` names a high-cardinality column (the row id) to hash-partition
+    on. Round-robin repartition must locally SORT every partition first
+    (``spark.sql.execution.sortBeforeRepartition``, on by default since
+    SPARK-23207 — without it a task retry replays rows into different
+    output partitions and duplicates/loses them). Hash partitioning is
+    retry-deterministic per row, so it skips that sort: ~2x cheaper on
+    this exchange, identical balance when the key is unique. Callers
+    that know their id column should always pass it."""
     target = df.sparkSession.sparkContext.defaultParallelism * multiple
     if df.rdd.getNumPartitions() < target:
+        if by is not None:
+            from pyspark.sql import functions as F
+
+            return df.repartition(target, F.col(by))
         return df.repartition(target)
     return df
 

@@ -86,7 +86,7 @@ def baker_chain(spark, sf_dir):
     preds, rest = ops.split_chain(chain)
     for p in preds:
         li = li.filter(p)  # predicates run at the (native) scan
-    li = fan_out(li)  # ≈ [filterchain] procs — shuffles only survivors
+    li = fan_out(li, by="l_orderkey")  # ≈ [filterchain] procs — shuffles only survivors
     df = li.select(*[F.col(c).cast("string").alias(c) for c in li.columns])
     return ops.chain(df, rest)
 
