@@ -6,7 +6,7 @@ Four tiers, each the right tool at a different scale/fuzziness point:
 - fingerprint: normalized-token md5 group-by — catches reorder/punct noise
 - minhash LSH: shingle -> k minhashes -> b bands -> bucket join — near-dup
                pairs without the O(n^2) compare (VLDB-classic MinHash/LSH)
-- simhash:    32-bit sign-hash; banded candidate join + hamming filter
+- simhash:    60-bit sign-hash; banded candidate join + hamming filter
 
 Every hash is md5-derived (baker_spark.functions.hashing) so the DuckDB
 oracle reproduces results bit-for-bit. The reference's Dedup filter
@@ -191,7 +191,7 @@ def lsh_pairs(
         # per-doc exchange cost paid always, to save a shuffle of a
         # candidate set that LSH banding keeps sparse by design. The
         # trade flips exactly when candidates stop being sparse, which
-        # is the regime simhash's skewed 8-bit buckets live in.
+        # is the regime simhash's skewed byte-band buckets live in.
         .distinct()
     )
 
@@ -483,52 +483,74 @@ FROM reach GROUP BY id
 
 # -------------------------------------------------------------- simhash ----
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15  # 4 bands x 15 bits -> 32768 buckets/band
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+#: SWAR lane mask: bits 0,16,32,48 — ``(h >> k) & mask`` drops bit
+#: positions k, k+16, k+32, k+48 into four independent 16-bit counter
+#: lanes of a single BIGINT accumulator (see simhash()).
+SIMHASH_LANE_MASK = 0x0001000100010001
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit simhash over distinct words (md5-derived word hashes).
+    """60-bit simhash over distinct words (md5-derived word hashes).
 
-    Shape: explode distinct words -> one codegen'd md5 per word ->
-    hash aggregate with 32 partial bit-sums -> assemble bits. Spark's
-    higher-order array folds (F.aggregate) run interpreted, so the
-    narrow per-row formulation evaluates ~50x slower per element than
-    this codegen pipeline; the exchange carries 32 ints per
-    (doc, partition) thanks to sum's map-side partial aggregation.
+    60 bits (15 md5 hex chars) is the widest signature whose bit
+    assembly stays a non-negative BIGINT in BOTH engines — bit 63 would
+    need sign-wrap special cases on each side. Width buys precision AND
+    banding power: 4 x 15-bit bands give 32768 buckets/band, vs 256 for
+    the 8-bit bands of a 32-bit signature (measured on sf0.1: 9.5M
+    candidate pairs -> 1.6M for the same 5000 docs).
+
+    Shape: explode distinct words -> one codegen'd md5 per word -> SWAR
+    hash aggregate -> assemble bits. Per word row the aggregate runs 16
+    masked sums, not 60 conditional ones: ``(h >> k) & LANE_MASK``
+    selects bit positions k, k+16, k+32, k+48 into their own 16-bit
+    lanes of one accumulator long, so lane m of ``sum(...)`` is the
+    one-count of bit position k+16m. Lanes never carry into each other
+    while a doc has < 2^16 distinct words (lane value = count <= n);
+    the sign-bit wrap of lane 3 is harmless two's-complement (extraction
+    masks to 16 bits after an arithmetic shift). Bit j of the signature
+    is then set iff 2*count_j > n — the same majority vote as the
+    textbook +/-1 fold, decided in the final 1-row-per-doc projection.
     Integer sums are order-independent, so the result is bit-identical
-    to the per-row fold and to the DuckDB oracle."""
+    to the per-row fold and to the DuckDB oracle (whose HUGEINT sums are
+    exact at any n; both engines agree whenever a doc stays under 2^16
+    distinct words — ~400 KB of unique text)."""
     wh = fan_out(df, by=id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(words(text_col))).alias("_word"),
-    ).select(F.col(id_col), md5_long("_word", nchars=8).alias("_h"))
-    bit_sums = wh.groupBy(id_col).agg(
+    ).select(F.col(id_col), md5_long("_word", nchars=15).alias("_h"))
+    lane_sums = wh.groupBy(id_col).agg(
+        F.count("*").alias("_n"),
         *[
-            F.sum(
-                F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+            F.sum(F.shiftright("_h", k).bitwiseAND(F.lit(SIMHASH_LANE_MASK))).alias(f"_a{k}")
+            for k in range(16)
+        ],
     )
     acc = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        acc = acc + F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bit_sums.select(F.col(id_col), acc.alias("simhash"))
+        k, lane = j % 16, j // 16
+        c_j = F.shiftright(F.col(f"_a{k}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
+        acc = acc + F.when(2 * c_j > F.col("_n"), F.lit(1 << j)).otherwise(F.lit(0))
+    return lane_sums.select(F.col(id_col), acc.alias("simhash"))
 
 
 def duck_simhash(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
-    h = duck_md5_long("w", nchars=8)
+    h = duck_md5_long("w", nchars=15)
     sums = ",\n  ".join(
-        f"sum(CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(SIMHASH_BITS)
+        f"sum((({h}) >> {k}) & {SIMHASH_LANE_MASK}) AS a{k}" for k in range(16)
     )
     acc = " + ".join(
-        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(SIMHASH_BITS)
+        f"CASE WHEN 2 * ((a{j % 16} >> {16 * (j // 16)}) & 65535) > n"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
     )
     return f"""
 WITH wh AS (
   SELECT DISTINCT {id_col}, unnest(string_split({text_col}, ' ')) AS w FROM {table}
 ),
-bits AS (SELECT {id_col}, {sums} FROM wh GROUP BY {id_col})
+bits AS (SELECT {id_col}, count(*) AS n, {sums} FROM wh GROUP BY {id_col})
 SELECT {id_col}, CAST({acc} AS BIGINT) AS simhash FROM bits
 """
 
@@ -538,7 +560,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Uses banded blocking (4 x 8-bit bands): by pigeonhole any pair within
+    Uses banded blocking (4 x 15-bit bands): by pigeonhole any pair within
     hamming 3 shares an intact band, so the banded join + hamming filter
     equals brute force while shuffling only (band, key) ints.
     """
@@ -554,7 +576,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("key"),
+                        F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                        .alias("key"),
                     )
                     for b in range(4)
                 ]
@@ -571,7 +595,8 @@ def simhash_pairs(
     # the row only when every EARLIER band differs — a per-row bitwise
     # predicate, no exchange. Each qualifying pair survives exactly once.
     band_intact = [
-        F.shiftright(xor, j * 8).bitwiseAND(F.lit(255)) == 0 for j in range(4)
+        F.shiftright(xor, j * SIMHASH_BAND_BITS).bitwiseAND(F.lit(SIMHASH_BAND_MASK)) == 0
+        for j in range(4)
     ]
     first_match = F.col("a.band") == F.when(band_intact[0], 0).otherwise(
         F.when(band_intact[1], 1).otherwise(F.when(band_intact[2], 2).otherwise(3))
