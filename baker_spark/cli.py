@@ -23,8 +23,19 @@ def _registry():
 
 def _io_registry() -> dict[str, dict[str, type]]:
     """Inputs and outputs by TOML name — the `-help Input/Output`
-    surface the reference builds from its component Descs."""
+    surface the reference builds from its component Descs.
+
+    The TOML sections list exactly the names the compiler's dispatch
+    accepts (toml_compiler.BATCH_INPUT_NAMES / STREAMING_INPUT_NAMES /
+    SINK_NAMES — a test keeps the mapping total both ways); components
+    usable only through the Python API are listed separately so `list`
+    never advertises a name `run` would reject."""
     from baker_spark.datapipe.ingest import CorpusIngest
+    from baker_spark.plans.toml_compiler import (
+        BATCH_INPUT_NAMES,
+        SINK_NAMES,
+        STREAMING_INPUT_NAMES,
+    )
     from baker_spark.sinks.dynamodb import DynamoDBWriter
     from baker_spark.sinks.filewriter import FileWriter
     from baker_spark.sinks.simple import Nop, OpLog, Recorder, WebSocketSink
@@ -32,32 +43,42 @@ def _io_registry() -> dict[str, dict[str, type]]:
     from baker_spark.sinks.stats import Stats
     from baker_spark.sinks.upload import S3Upload
     from baker_spark.sources.list_source import ListSource
+    from baker_spark.sources.structured import JsonLinesSource, ParquetSource
     from baker_spark.streaming.connectors import KinesisSource, KinesisStandinSource
     from baker_spark.streaming.daemon import FileStreamSource, RateSource
     from baker_spark.streaming.sqs import SQSFileSource
     from baker_spark.streaming.tcp import TCPFileSource
 
+    input_cls = {
+        "List": ListSource,
+        "JsonLines": JsonLinesSource,
+        "Parquet": ParquetSource,
+        "SQS": SQSFileSource,
+        "Kinesis": KinesisSource,
+        "KCL": KinesisSource,
+        "TCP": TCPFileSource,
+    }
+    sink_cls = {
+        "FileWriter": FileWriter,
+        "DynamoDB": DynamoDBWriter,
+        "SQLite": SQLiteWriter,
+        "SQLiteRaw": SQLiteWriter,
+        "Stats": Stats,
+        "Nop": Nop,
+        "OpLog": OpLog,
+        "Recorder": Recorder,
+    }
     return {
-        "Inputs": {
-            "List": ListSource,
-            "SQS": SQSFileSource,
-            "Kinesis": KinesisSource,
-            "KCL": KinesisSource,
-            "TCP": TCPFileSource,
+        "Inputs (TOML)": {
+            n: input_cls[n] for n in (*BATCH_INPUT_NAMES, *STREAMING_INPUT_NAMES)
+        },
+        "Outputs (TOML)": {n: sink_cls[n] for n in SINK_NAMES},
+        "Python API only": {
+            "WebSocket": WebSocketSink,
+            "CorpusIngest": CorpusIngest,
             "FileStream": FileStreamSource,
             "Rate": RateSource,
             "KinesisStandin": KinesisStandinSource,
-        },
-        "Outputs": {
-            "FileWriter": FileWriter,
-            "DynamoDB": DynamoDBWriter,
-            "SQLite": SQLiteWriter,
-            "Stats": Stats,
-            "Nop": Nop,
-            "OpLog": OpLog,
-            "Recorder": Recorder,
-            "WebSocket": WebSocketSink,
-            "CorpusIngest": CorpusIngest,
         },
         "Upload": {"S3": S3Upload},
     }

@@ -411,7 +411,11 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iters):
+    # max_iters + 1: convergence is only WITNESSED by a round that
+    # changes nothing, so a component of diameter exactly max_iters —
+    # whose last label change lands on round max_iters — needs one
+    # extra confirming round or a correct result would raise below
+    for _ in range(max_iters + 1):
         msgs = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("label")
         )

@@ -68,6 +68,15 @@ class CorpusIngest:
 
         spark = batch_df.sparkSession
         ledger = self._ledger(spark)
+        # the ledger's on-disk fp column is STRING (LEDGER_SCHEMA); a
+        # caller-supplied key of any other type (md5_long -> BIGINT,
+        # xxhash64 -> BIGINT) would write a differently-typed ledger
+        # that the schema-forced read breaks on at the NEXT batch, so
+        # the key is normalized to string at this boundary — a no-op
+        # for string fingerprints, a deterministic decimal rendering
+        # for integer ones (identical on every batch, so dedup holds)
+        key = F.col(self.key) if isinstance(self.key, str) else self.key
+        key = key.cast("string")
         # batch size rides the dedup scan as an observation — a separate
         # batch_df.count() would re-execute the whole batch lineage just
         # for the dropped counter
@@ -76,7 +85,7 @@ class CorpusIngest:
         # survivors: one (id, fp) per batch fingerprint group absent from
         # the ledger — small relative to the batch, so persist once and
         # feed both the corpus join and the ledger append from it
-        kept = incremental_dedup_against_keys(batch_df, ledger, self.key, self.id_col).persist()
+        kept = incremental_dedup_against_keys(batch_df, ledger, key, self.id_col).persist()
         try:
             n_kept = kept.count()
             n_batch = int(obs.get["n"])

@@ -417,6 +417,16 @@ def kmeans_train(
         r["_id"]: list(r["q"])
         for r in q.filter(F.col("_id") < k).collect()
     }
+    if not cents:
+        # no vector satisfies the deterministic id < k seeding
+        # convention (arbitrary/snowflake ids): the DuckDB oracle's
+        # seed CTE is empty and yields zero assignment rows, so match
+        # it with a typed empty result instead of letting the numpy
+        # kernel die on a (0,)-shaped centroid matrix
+        schema = f"{id_col} long, centroid_id long, d2 long"
+        if with_vectors:
+            schema += ", q array<long>"
+        return df.sparkSession.createDataFrame([], schema)
 
     def assigned_df(cents: dict[int, list[int]]) -> DataFrame:
         # Arrow-batched exact-int64 assignment kernel: d2 = |m|^2 - 2mC^T

@@ -85,9 +85,25 @@ def _build_input(section: dict, fields: list[str], separator: str):
     )
 
 
+#: canonical component names this compiler accepts — the CLI derives its
+#: `list`/`help` TOML surface from these three tuples (tests assert both
+#: directions), so the advertised names and the dispatch can't drift
+BATCH_INPUT_NAMES = ("List", "JsonLines", "Parquet")
+STREAMING_INPUT_NAMES = ("SQS", "Kinesis", "KCL", "TCP")
+SINK_NAMES = (
+    "FileWriter",
+    "DynamoDB",
+    "SQLite",
+    "SQLiteRaw",
+    "Stats",
+    "Nop",
+    "OpLog",
+    "Recorder",
+)
+
 #: the reference's daemon inputs (never exit; SURVEY.md §2.1) — these
 #: compile to a StreamingPipeline instead of a batch Pipeline.
-STREAMING_INPUTS = {"sqs", "kinesis", "kcl", "tcp"}
+STREAMING_INPUTS = {n.lower() for n in STREAMING_INPUT_NAMES}
 
 
 def _build_streaming_input(section: dict, fields: list[str], separator: str):

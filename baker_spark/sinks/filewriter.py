@@ -204,7 +204,11 @@ class FileWriter:
             bad = [p for p in self.time_partitions if p not in _TIME_NAMES]
             if bad:
                 raise ValueError(f"unknown time partitions: {bad}; pick from {_TIME_NAMES}")
-            clash = [n.lower() for n in self.time_partitions if n.lower() in df.columns]
+            # Spark column resolution is case-INsensitive by default, so
+            # the clash check must be too: a record field `Hour` would be
+            # silently replaced by withColumn("hour", ...)
+            lower_cols = {c.lower() for c in df.columns}
+            clash = [n.lower() for n in self.time_partitions if n.lower() in lower_cols]
             if clash:
                 # withColumn would silently REPLACE the record's own
                 # field and the partition split would then drop its
@@ -243,44 +247,62 @@ class FileWriter:
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.text(self.path)
-        new_parts = self._rename_txt_parts()
+        new_parts = self._rename_txt_parts(df.sparkSession, len(partition_cols))
         if self.discard_empty_files:
-            self._discard_empty(new_parts)
+            self._discard_empty(df.sparkSession, new_parts)
         return self.path
 
-    def _rename_txt_parts(self) -> list[str]:
-        # the text writer names parts .txt[.gz]; this sink's contract
-        # (and the reference's PathString) is .csv[.gz]. Only files from
-        # THIS write still carry .txt (earlier batches were already
-        # renamed), so in daemon/append mode the per-batch work is
-        # O(new files) opens — the walk itself stays a cheap listing.
-        import os
+    def _fs(self, spark, path_str: str):
+        """Hadoop FileSystem for this sink's path — the writer targets
+        whatever filesystem the URI names (local, s3a://, hdfs://), so
+        the post-write rename/discard steps must speak the same API, not
+        the driver's local os module (which silently no-ops on a remote
+        URI)."""
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+        return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
 
-        renamed: list[str] = []
-        for root, _, files in os.walk(self.path):
-            for f in files:
-                if ".txt" not in f:
-                    continue
-                dst = os.path.join(root, f.replace(".txt", ".csv"))
-                os.replace(os.path.join(root, f), dst)
-                if f.startswith("part-"):
-                    renamed.append(dst)
+    def _rename_txt_parts(self, spark, depth: int):
+        """Rename this write's ``part-*.txt[.gz]`` files to the sink's
+        ``.csv[.gz]`` contract (the reference's PathString extension).
+
+        Parts live at exactly ``depth`` partition-directory levels below
+        the sink root, so the listing is one Hadoop glob at that fixed
+        depth — not a recursive walk — and only files from THIS write
+        still match ``*.txt*`` (earlier batches were already renamed).
+        In append mode the glob still enumerates every partition dir
+        ever written (O(dirs), not O(files)); Hadoop's ChecksumFileSystem
+        rename moves local ``.crc`` siblings along with the data file."""
+        jvm, fs = self._fs(spark, self.path)
+        HPath = jvm.org.apache.hadoop.fs.Path
+        pattern = self.path.rstrip("/") + "/*" * depth + "/part-*.txt*"
+        statuses = fs.globStatus(HPath(pattern))
+        renamed = []
+        for st in statuses or []:
+            src = st.getPath()
+            dst = HPath(src.getParent(), src.getName().replace(".txt", ".csv"))
+            if fs.rename(src, dst):
+                renamed.append(dst)
         return renamed
 
-    def _discard_empty(self, paths: list[str]) -> None:
-        import gzip as _gzip
-        import os
-
-        opener = _gzip.open if self.compression == "gzip" else open
-        for p in paths:
+    def _discard_empty(self, spark, jpaths) -> None:
+        """Remove zero-record parts (DiscardEmptyFiles,
+        filewriter.go:97,273). A gzip part is never 0 bytes (header +
+        trailer), so emptiness is one decompressed read of the first
+        byte — streamed through the same Hadoop FileSystem the write
+        used, so this works on remote URIs too."""
+        jvm, fs = self._fs(spark, self.path)
+        for p in jpaths:
             try:
-                with opener(p, "rb") as fh:
-                    empty = fh.read(1) == b""
-            except OSError:
+                if self.compression == "gzip":
+                    gz = jvm.java.util.zip.GZIPInputStream(fs.open(p))
+                    try:
+                        empty = gz.read() == -1
+                    finally:
+                        gz.close()
+                else:
+                    empty = fs.getFileStatus(p).getLen() == 0
+                if empty:
+                    fs.delete(p, False)
+            except Exception:
                 continue
-            if empty:
-                os.remove(p)
-                root, f = os.path.split(p)
-                crc = os.path.join(root, f".{f}.crc")
-                if os.path.exists(crc):
-                    os.remove(crc)

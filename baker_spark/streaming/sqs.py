@@ -262,8 +262,15 @@ def manifest_sink(watch_dir: str) -> Callable[[str], None]:
     (FileStreamSource) picks it up as a new file: symlink when possible,
     copy as fallback. Names are flattened (path separators -> ``__``) so
     two files with the same basename in different prefixes don't
-    collide. s3:// paths raise — on a real cluster, watch the s3a://
-    prefix directly instead of manifesting."""
+    collide, and carry a ``size-mtime`` version tag before the extension
+    chain: an overwritten source re-notified under the same path (a
+    normal S3 re-put -> second ObjectCreated event) gets a NEW manifest
+    name, so Spark's file source — which never reprocesses a seen path —
+    still ingests the new content, while byte-identical redelivery
+    (same size+mtime) keeps deduplicating. The extension chain stays
+    LAST so gz/zstd decompress-by-extension keeps working. s3:// paths
+    raise — on a real cluster, watch the s3a:// prefix directly instead
+    of manifesting."""
 
     os.makedirs(watch_dir, exist_ok=True)
 
@@ -274,9 +281,16 @@ def manifest_sink(watch_dir: str) -> Callable[[str], None]:
                 "FileStreamSource at the s3a:// prefix the notifications cover"
             )
         src = os.path.abspath(path)
-        dst = os.path.join(watch_dir, src.lstrip("/").replace(os.sep, "__"))
+        flat = src.lstrip("/").replace(os.sep, "__")
+        base = os.path.basename(src)
+        ext_at = base.find(".")
+        ext = base[ext_at:] if ext_at > 0 else ""
+        st = os.stat(src)
+        ver = f".{st.st_size:x}-{st.st_mtime_ns // 1_000_000:x}"
+        stem = flat[: len(flat) - len(ext)] if ext else flat
+        dst = os.path.join(watch_dir, stem + ver + ext)
         if os.path.exists(dst):
-            return  # at-least-once delivery: same file notified twice
+            return  # at-least-once delivery: identical file notified twice
         try:
             os.symlink(src, dst)
         except OSError:

@@ -81,6 +81,22 @@ def test_semdedup_keeps_everything_below_threshold(spark):
     assert kept.count() == 3
 
 
+def test_kmeans_empty_seed_set_returns_typed_empty(spark):
+    """No vector with id < k (snowflake/hash ids): the oracle's seed CTE
+    is empty, so the Spark side must return a typed empty assignment
+    instead of crashing the numpy kernel on a (0,)-shaped centroid
+    matrix."""
+    df = spark.createDataFrame(
+        [(100 + i, vec(float(i))) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_train(df, k=8)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "centroid_id", "d2"]
+    out_v = kmeans_train(df, k=8, with_vectors=True)
+    assert out_v.columns == ["vec_id", "centroid_id", "d2", "q"]
+
+
 def docs_df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string, lang string")
 

@@ -93,5 +93,41 @@ def test_cli_help_covers_inputs_and_outputs(capsys):
 
     assert cli.cmd_list() == 0
     listing = capsys.readouterr().out
-    for section in ("Operators", "Inputs:", "Outputs:", "Upload:"):
+    for section in ("Operators", "Inputs (TOML):", "Outputs (TOML):", "Upload:"):
         assert section in listing
+
+
+def test_cli_toml_surface_matches_compiler_dispatch():
+    """Every name `list` advertises under a TOML section must compile,
+    and every name the compiler accepts must be advertised — the two
+    tables live in different files and previously drifted (WebSocket
+    listed but not compilable; SQLiteRaw compilable but not listed)."""
+    from baker_spark import cli
+    from baker_spark.plans.toml_compiler import (
+        BATCH_INPUT_NAMES,
+        SINK_NAMES,
+        STREAMING_INPUT_NAMES,
+        _build_input,
+        _build_sink,
+        _build_streaming_input,
+    )
+
+    reg = cli._io_registry()
+    assert set(reg["Inputs (TOML)"]) == set(BATCH_INPUT_NAMES) | set(STREAMING_INPUT_NAMES)
+    assert set(reg["Outputs (TOML)"]) == set(SINK_NAMES)
+
+    # advertised names are really accepted by the dispatch (minimal
+    # configs satisfy each component's required keys)
+    sink_cfg = {"DynamoDB": {"Table": "t", "Columns": ["s:c"]}}
+    for n in SINK_NAMES:
+        _build_sink({"name": n, "config": sink_cfg.get(n, {})}, ",")
+    for n in BATCH_INPUT_NAMES:
+        _build_input({"name": n, "config": {}}, ["a"], ",")
+    stream_cfg = {
+        "SQS": {"Path": "/tmp/watch"},
+        "Kinesis": {"Stream": "s"},
+        "KCL": {"Stream": "s", "AppName": "app"},
+        "TCP": {},
+    }
+    for n in STREAMING_INPUT_NAMES:
+        _build_streaming_input({"name": n, "config": stream_cfg[n]}, ["a"], ",")

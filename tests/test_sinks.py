@@ -240,3 +240,10 @@ def test_filewriter_time_partition_name_collision_rejected(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="collide"):
         fw.write(df)
+
+    # Spark resolves columns case-INsensitively by default, so a field
+    # differing only in case ("Hour" vs partition col "hour") is the
+    # same silent-overwrite hazard and must be rejected too
+    df_mixed = spark.createDataFrame([Row(ts="2024-01-01 00:00:00", Hour="07", msg="m")])
+    with _pytest.raises(ValueError, match="collide"):
+        fw.write(df_mixed)

@@ -37,6 +37,27 @@ def test_batch_ingest_dedups_within_and_across_batches(spark, tmp_path):
     assert (sink.ingested, sink.dropped, sink.batches) == (3, 2, 2)
 
 
+def test_batch_ingest_integer_fingerprint_key(spark, tmp_path):
+    """A non-string key (md5_long -> BIGINT, the dedup family's
+    canonical fingerprint) must not poison the string-typed ledger:
+    the sink normalizes the key to string at the boundary, so batch 2
+    reads batch 1's ledger cleanly and cross-batch dedup still holds."""
+    from baker_spark.functions.hashing import md5_long
+
+    sink = CorpusIngest(
+        corpus_dir=str(tmp_path / "corpus"),
+        ledger_dir=str(tmp_path / "ledger"),
+        key=md5_long(F.col("text")),
+        id_col="doc_id",
+    )
+    b1 = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    assert sink.write(b1) == 2
+    b2 = spark.createDataFrame([(3, "beta"), (4, "gamma")], ["doc_id", "text"])
+    assert sink.write(b2) == 1  # beta dedups against batch 1's ledger
+    corpus = spark.read.parquet(sink.corpus_dir)
+    assert {r.doc_id for r in corpus.collect()} == {1, 2, 4}
+
+
 def test_streaming_ingest_via_file_source(spark, tmp_path):
     """The full daemon: files arrive, each micro-batch dedups against
     the ledger, corpus grows append-only — redelivered content is

@@ -149,6 +149,30 @@ def test_queue_urls_deduplicated():
     assert len(poller.queue_urls()) == 2  # logs-a named AND prefix-matched: once
 
 
+def test_manifest_reingests_changed_file_dedups_identical(tmp_path):
+    """An S3 re-put delivers a second ObjectCreated for the SAME path;
+    the manifest name carries a size-mtime version so changed content is
+    re-ingested (new name -> new file for Spark's source) while a
+    byte-identical redelivery still dedups. Extensions stay last so
+    decompress-by-extension keeps working."""
+    import os as _os
+
+    watch = tmp_path / "watch"
+    src = tmp_path / "data.csv.gz"
+    src.write_bytes(b"v1")
+    sink = manifest_sink(str(watch))
+    sink(str(src))
+    assert len(list(watch.iterdir())) == 1
+    sink(str(src))  # identical redelivery: deduped
+    assert len(list(watch.iterdir())) == 1
+    src.write_bytes(b"v2-longer")  # re-put with new content
+    _os.utime(src, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_000))
+    sink(str(src))
+    names = sorted(f.name for f in watch.iterdir())
+    assert len(names) == 2  # both versions manifested
+    assert all(n.endswith(".csv.gz") for n in names)
+
+
 # ------------------------------------------------------------------- e2e
 
 
