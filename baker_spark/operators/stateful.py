@@ -84,6 +84,13 @@ class ExternalMatch(Operator):
             vdf = raw.select(F.col(col).alias("_bk_match"))
         else:
             raise ValueError("ExternalMatch needs values or files")
+        # empty==null applies to the VALUE side too: a NULL entry (empty
+        # CSV cell, NULL in a values frame) must match an empty record
+        # field — without this coalesce the eqNullSafe below compares
+        # '' to NULL and silently never matches
+        vdf = vdf.select(
+            F.coalesce(F.col("_bk_match").cast("string"), F.lit("")).alias("_bk_match")
+        )
         return vdf.dropDuplicates(["_bk_match"])
 
     def apply(self, df: DataFrame) -> DataFrame:

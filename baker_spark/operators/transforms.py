@@ -112,14 +112,13 @@ class ExpandJSON(Operator):
         return all(p.replace("_", "a").isalnum() for p in path.split("."))
 
     def _native(self, path: str) -> Column:
-        raw = F.get_json_object(F.col(self.source), "$." + path)
-        if self.tf == ("true", "false"):
-            return raw
-        return (
-            F.when(raw == "true", F.lit(self.tf[0]))
-            .when(raw == "false", F.lit(self.tf[1]))
-            .otherwise(raw)
-        )
+        # only taken with the DEFAULT true/false mapping: get_json_object
+        # returns the text 'true' for BOTH the boolean true and the
+        # string "true", so a custom mapping applied here would also
+        # rewrite string values — the reference maps booleans only
+        # (expand_json.go case bool). Custom mappings route through the
+        # jmespath UDF, whose json.loads sees the real type.
+        return F.get_json_object(F.col(self.source), "$." + path)
 
     def _jmespath_udf(self, path: str) -> Column:
         import jmespath
@@ -153,7 +152,8 @@ class ExpandJSON(Operator):
     def apply(self, df: DataFrame) -> DataFrame:
         updates = {}
         for path, dst in self.fields.items():
-            val = self._native(path) if self._is_simple(path) else self._jmespath_udf(path)
+            fast = self._is_simple(path) and self.tf == ("true", "false")
+            val = self._native(path) if fast else self._jmespath_udf(path)
             prev = F.col(dst).cast("string") if dst in df.columns else F.lit("")
             updates[dst] = F.coalesce(val, prev)
         return df.withColumns(updates)
@@ -180,6 +180,12 @@ GO_LAYOUTS = {
     "TimeOnly": "HH:mm:ss",
 }
 _EPOCH_FORMATS = {"unix", "unixms", "unixns"}
+#: Go layouts using `_2` (space-padded day): Go PARSES both "Jan  2" and
+#: "Jan 2", and FORMATS day < 10 with a pad space ("Jan  2"). Java's `d`
+#: does neither — strict parsing chokes on the double space and
+#: formatting emits no pad — so these layouts normalize space runs
+#: before parsing and space-pad the day explicitly when formatting.
+_GO_SPACE_PAD_DAY = {"ANSIC", "UnixDate", "Stamp", "StampMilli", "StampMicro"}
 
 
 @register
@@ -212,7 +218,27 @@ class FormatTime(Operator):
             return F.timestamp_micros(
                 F.expr(f"CAST(`{self.src}` AS BIGINT) div 1000")
             )
-        return F.to_timestamp(col, GO_LAYOUTS.get(fmt, fmt))
+        pattern = GO_LAYOUTS.get(fmt, fmt)
+        if fmt in GO_LAYOUTS:
+            # Spark 3+ forbids day-of-week tokens in PARSE patterns
+            # (E is format-only; to_timestamp('EEE ...') throws
+            # DATETIME_PATTERN_RECOGNITION before seeing any data).
+            # The weekday is redundant for parsing, so strip it from the
+            # pattern AND require it in the input — a row without the
+            # day name stays unmatched, fails the parse and clears dst,
+            # same as Go's time.Parse.
+            if pattern.startswith("EEEE, "):
+                col = F.regexp_replace(col, r"^[A-Za-z]{6,9}, ", "")
+                pattern = pattern[6:]
+            elif pattern.startswith("EEE, "):
+                col = F.regexp_replace(col, r"^[A-Za-z]{3}, ", "")
+                pattern = pattern[5:]
+            elif pattern.startswith("EEE "):
+                col = F.regexp_replace(col, r"^[A-Za-z]{3} ", "")
+                pattern = pattern[4:]
+        if fmt in _GO_SPACE_PAD_DAY:
+            col = F.regexp_replace(col, "  +", " ")
+        return F.to_timestamp(col, pattern)
 
     def _format(self, ts: Column) -> Column:
         fmt = self.dst_format
@@ -222,7 +248,17 @@ class FormatTime(Operator):
             return _s(F.unix_millis(ts))
         if fmt == "unixns":
             return _s(F.unix_micros(ts) * 1000)
-        return F.date_format(ts, GO_LAYOUTS.get(fmt, fmt))
+        pattern = GO_LAYOUTS.get(fmt, fmt)
+        if fmt in _GO_SPACE_PAD_DAY:
+            # Java has no space-pad pattern letter Spark accepts, so the
+            # padded day is spliced in between the two pattern halves
+            pre, _, post = pattern.partition(" d ")
+            return F.concat(
+                F.date_format(ts, pre + " "),
+                F.lpad(F.dayofmonth(ts).cast("string"), 2, " "),
+                F.date_format(ts, " " + post),
+            )
+        return F.date_format(ts, pattern)
 
     def apply(self, df: DataFrame) -> DataFrame:
         out = self._format(self._parse(F.col(self.src)))

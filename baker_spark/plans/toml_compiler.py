@@ -25,6 +25,7 @@ optimization the reference never had (SURVEY.md §4.1).
 from __future__ import annotations
 
 import os
+import re
 import tomllib
 import warnings
 
@@ -42,7 +43,7 @@ from baker_spark.sources.structured import JsonLinesSource, ParquetSource
 
 DEFAULT_SEPARATOR = ","  # DefaultLogLineFieldSeparator (logline.go)
 
-_ENV_RX = __import__("re").compile(r"\$\{(\w+)\}|\$(\w+)")
+_ENV_RX = re.compile(r"\$\{(\w+)\}|\$(\w+)")
 
 
 def _expand_env(text: str) -> str:
@@ -142,11 +143,9 @@ def _build_streaming_input(section: dict, fields: list[str], separator: str):
         # (no poller); constructing .poller() still requires queues.
         sqs_cfg.parse_function()
         if sqs_cfg.file_path_filter:
-            import re as _re
-
             try:
-                _re.compile(sqs_cfg.file_path_filter)
-            except _re.error as exc:
+                re.compile(sqs_cfg.file_path_filter)
+            except re.error as exc:
                 raise ValueError(f"SQS: invalid FilePathFilter: {exc}") from exc
         return SQSFileSource(
             path=cfg["path"],
@@ -169,9 +168,7 @@ def _build_streaming_input(section: dict, fields: list[str], separator: str):
         if name == "kcl":
             # kcl.go:54-62 validate(): AppName [A-Za-z0-9_]+ required,
             # InitialPosition LATEST|TRIM_HORIZON only
-            import re as _re
-
-            if not app_name or not _re.fullmatch(r"[A-Za-z_0-9]+", app_name):
+            if not app_name or not re.fullmatch(r"[A-Za-z_0-9]+", app_name):
                 raise ValueError(
                     f"invalid 'AppName' {app_name!r}, accepts only [A-Za-z0-9_]+"
                 )

@@ -244,7 +244,7 @@ def q_session_windows(spark, sf_dir):
     "q_stats_sizes",
     """
 WITH sized AS (
-  SELECT length(concat_ws(',', CAST(event_id AS VARCHAR), event_type, props)) AS size
+  SELECT strlen(concat_ws(',', CAST(event_id AS VARCHAR), event_type, props)) AS size
   FROM events
 )
 SELECT count(*) AS n, CAST(min(size) AS INTEGER) AS min_size,
@@ -259,7 +259,7 @@ def q_stats_sizes(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id").cast("string"), "event_type", "props"
     )
-    size = F.length(F.concat_ws(",", *[F.col(c) for c in ev.columns])).alias("size")
+    size = F.octet_length(F.concat_ws(",", *[F.col(c) for c in ev.columns])).alias("size")
     return ev.select(size).agg(
         F.count("*").alias("n"),
         F.min("size").alias("min_size"),
@@ -304,7 +304,7 @@ def q_stats_quantiles(spark, sf_dir):
     "q_stats_report",
     """
 WITH sized AS (
-  SELECT length(concat_ws(',', CAST(event_id AS VARCHAR), event_type, props)) AS size,
+  SELECT strlen(concat_ws(',', CAST(event_id AS VARCHAR), event_type, props)) AS size,
          CAST(length(props) AS DOUBLE) AS plen
   FROM events
 )
@@ -328,7 +328,7 @@ def q_stats_report(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id").cast("string"), "event_type", "props"
     )
-    size = F.length(F.concat_ws(",", *[F.col(c) for c in ev.columns])).alias("size")
+    size = F.octet_length(F.concat_ws(",", *[F.col(c) for c in ev.columns])).alias("size")
     plen = F.length("props").cast("double").alias("plen")
     return ev.select(size, plen).agg(
         F.count("*").alias("n"),

@@ -27,6 +27,11 @@ RUNTIME_CONFS = {
     # mid-sequence must yield replacement chars, not an error
     "spark.sql.legacy.codingErrorAction": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # baker semantics again: an unparseable datetime must yield NULL
+    # (FormatTime clears dst), never a SparkUpgradeException — the
+    # default EXCEPTION policy throws mid-job for inputs the legacy
+    # parser MIGHT have handled differently (e.g. "Sun Jan  2 ...")
+    "spark.sql.legacy.timeParserPolicy": "CORRECTED",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -116,7 +116,15 @@ def write_batches(
         seen_pks.clear()
 
     for row in rows:
-        item = _to_item(columns, types, row)
+        try:
+            item = _to_item(columns, types, row)
+        except ValueError:
+            # malformed n: value — one bad row must not abort the task
+            # (and with it the whole job, mid-write, after some batches
+            # already landed); count it like the reference's errn
+            # skipped-lines counter (dyndb.go:202)
+            stats["skipped_bad_number"] = stats.get("skipped_bad_number", 0) + 1
+            continue
         if pk not in item:
             # empty/NULL PK: _to_item skips empty values, and an item
             # without the hash key makes DynamoDB reject the ENTIRE

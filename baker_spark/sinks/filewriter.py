@@ -191,7 +191,10 @@ class FileWriter:
         if self.compression == "gzip":
             import gzip as _gzip
 
-            nbytes = len(_gzip.compress(blob, compresslevel=1))  # BestSpeed, like newFile
+            # level 6 = java.util.zip default, what Spark's GzipCodec
+            # actually writes here — the estimate must model THIS
+            # writer's files, not the reference newFile's BestSpeed
+            nbytes = len(_gzip.compress(blob, compresslevel=6))
         else:
             nbytes = len(blob)
         per_record = max(1.0, nbytes / len(rows))

@@ -38,7 +38,10 @@ class Stats:
         """Distribution of serialized record length (stats.go:41-101)."""
         from baker_spark.sinks.filewriter import serialize_line
 
-        size = F.length(serialize_line(df.columns, self.separator)).alias("size")
+        # octet_length: the reference counts len(raw.Record) BYTES
+        # (stats.go:308); F.length counts characters and diverges on
+        # any non-ASCII corpus
+        size = F.octet_length(serialize_line(df.columns, self.separator)).alias("size")
         return df.select(size).agg(
             F.count("*").alias("n"),
             F.min("size").alias("min_size"),
@@ -72,9 +75,16 @@ class Stats:
         )
 
     def write(self, df: DataFrame) -> dict:
-        report = {"sizes": self.record_sizes(df).collect()[0].asDict()}
-        for f, freq in self.field_frequencies(df, top_k=100).items():
-            report[f"freq:{f}"] = [r.asDict() for r in freq.collect()]
-        if self.timestamp_field:
-            report["times"] = self.timestamp_distribution(df).collect()[0].asDict()
+        # one report = 2 + len(fields) aggregation jobs over the same
+        # rows; persist so the upstream lineage (source + filter chain)
+        # materializes once, not once per section
+        df = df.persist()
+        try:
+            report = {"sizes": self.record_sizes(df).collect()[0].asDict()}
+            for f, freq in self.field_frequencies(df, top_k=100).items():
+                report[f"freq:{f}"] = [r.asDict() for r in freq.collect()]
+            if self.timestamp_field:
+                report["times"] = self.timestamp_distribution(df).collect()[0].asDict()
+        finally:
+            df.unpersist()
         return report

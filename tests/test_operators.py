@@ -129,6 +129,59 @@ def test_format_time(spark, generic):
     assert out.collect()[0].d == "1709618828"
 
 
+def test_format_time_go_space_padded_day(spark):
+    """Go's `_2` layouts (ANSIC/UnixDate/Stamp*) space-pad days < 10:
+    'Sun Jan  2' has a DOUBLE space Java's strict `d` can't parse, and
+    formatting must emit the pad back (format_time.go named layouts)."""
+    df = make_df(spark, [("Sun Jan  2 15:04:05 UTC 2022",), ("Wed Jan 12 15:04:05 UTC 2022",)], ["t"])
+    out = ops.FormatTime(src_field="t", dst_field="d", src_format="UnixDate", dst_format="unix").apply(df)
+    got = {r.t: r.d for r in out.collect()}
+    assert got["Sun Jan  2 15:04:05 UTC 2022"] == "1641135845"
+    assert got["Wed Jan 12 15:04:05 UTC 2022"] == "1641999845"
+    # format side: day < 10 gets the pad space, day >= 10 does not
+    out = ops.FormatTime(src_field="d", dst_field="s", src_format="unix", dst_format="Stamp").apply(
+        out.select("d")
+    )
+    assert {r.s for r in out.collect()} == {"Jan  2 15:04:05", "Jan 12 15:04:05"}
+
+
+def test_external_match_null_value_matches_empty_field(spark):
+    """empty==null on the VALUE side too: a NULL entry in the match set
+    (empty CSV cell / NULL in a frame) must match an empty record field."""
+    df = make_df(spark, [("", "keep_a"), ("x", "keep_b")], ["f", "tag"])
+    vals = spark.createDataFrame([(None,), ("zzz",)], ["v"])
+    kept = ops.ExternalMatch("f", values=vals, keep_on_match=True).apply(df)
+    assert {r.tag for r in kept.collect()} == {"keep_a"}
+
+
+def test_expand_json_custom_tf_leaves_string_true_alone(spark):
+    """TrueFalseValues maps JSON BOOLEANS only (expand_json.go case
+    bool); a JSON string "true" must come through verbatim even with a
+    custom mapping — the native get_json_object path can't tell the two
+    apart, so custom mappings route through the typed UDF path."""
+    df = make_df(spark, [('{"a": "true", "b": true}',)], ["src"])
+    out = ops.ExpandJSON(
+        source="src", fields={"a": "fa", "b": "fb"}, true_false_values=("yes", "no")
+    ).apply(df)
+    row = out.collect()[0]
+    assert row.fa == "true"  # string stays verbatim
+    assert row.fb == "yes"  # boolean maps
+
+
+def test_validation_is_not_a_hoisting_barrier(spark):
+    """Validation is a pure regex predicate: with it first in a chain,
+    later cheap predicates must still hoist above the fan-out exchange
+    (it previously had writes=None, a barrier that disabled the whole
+    pre-exchange filter optimization for any [validation] topology)."""
+    from baker_spark.operators.topology import Validation
+
+    chain = [Validation({"f": "^[0-9]+$"}), ops.NotNull(["g"])]
+    preds, rest = ops.split_chain(chain)
+    assert len(preds) == 1  # NotNull hoisted past Validation
+    # Validation itself stays in the chain (expensive_predicate)
+    assert any(isinstance(op, Validation) for op in rest)
+
+
 def test_timestamp_range(spark, generic):
     op = ops.TimestampRange(field="ts", start_datetime="2024-01-01 00:00:00", end_datetime="2024-01-02 00:00:00")
     kept = op.apply(generic)
