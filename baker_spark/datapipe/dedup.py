@@ -263,7 +263,15 @@ def ngram_jaccard_pairs(
     sh = managed_persist(
         fan_out(df, by=id_col)
         .select(F.col(id_col), arr.alias("_arr"))
-        .select(F.col(id_col), F.size("_arr").alias("_n"), F.explode("_arr").alias("s"))
+        # cast: F.size is INT; the PPJoin filters multiply _n by 1e6-scale
+        # literals, which wraps at 2^31 under ansi=false for docs with
+        # >~2150 shingles while the DuckDB oracle (BIGINT len) keeps the
+        # pair — long arithmetic end-to-end preserves the exact contract
+        .select(
+            F.col(id_col),
+            F.size("_arr").cast("long").alias("_n"),
+            F.explode("_arr").alias("s"),
+        )
     )
     # global canonical order = (document frequency asc, shingle) —
     # rarest first, standard for prefix filtering. The frequency table
@@ -339,8 +347,10 @@ def _verify_jaccard(
     # whole shingle arrays through the driver is the expensive mistake)
     with_a = a.join(F.broadcast(cands), "doc_a")
     joined = with_a.join(b, "doc_b")
-    inter = F.size(F.array_intersect("sha", "shb"))
-    union = F.size("sha") + F.size("shb") - inter
+    # long casts: int32 `inter * 1000000` wraps for pairs sharing
+    # >2147 shingles — exactly the long near-dups this verifies
+    inter = F.size(F.array_intersect("sha", "shb")).cast("long")
+    union = F.size("sha").cast("long") + F.size("shb").cast("long") - inter
     jac = F.floor(inter * 1000000 / union).cast("long")
     return (
         joined.select("doc_a", "doc_b", jac.alias("jaccard_c6"))
@@ -399,9 +409,20 @@ def dedup_clusters(
     (id, label) longs — never the text — and localCheckpoint truncates
     the growing lineage so round N's plan does not replay rounds 1..N-1.
     """
+    # one scan, both directions: a union of two selects would evaluate
+    # the caller's pair-generation subplan twice at materialization
+    # (exchange reuse dedups only the shuffle, not the join/filter work
+    # above it) — explode duplicates each row after computing it once
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     labels = (
@@ -537,6 +558,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         k, lane = j % 16, j // 16
         c_j = F.shiftright(F.col(f"_a{k}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
         acc = acc + F.when(2 * c_j > F.col("_n"), F.lit(1 << j)).otherwise(F.lit(0))
+    # loud, not silent: past 2^16 distinct words a lane carry would
+    # corrupt the signature IDENTICALLY in both engines, so the oracle
+    # harness could never catch it — fail the job with the cause instead
+    acc = F.when(
+        F.col("_n") < F.lit(1 << 16), acc
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "simhash: a document has >= 2^16 distinct words; the SWAR "
+                "counter lanes would overflow — split such documents first"
+            )
+        ).cast("long")
+    )
     return lane_sums.select(F.col(id_col), acc.alias("simhash"))
 
 

@@ -118,14 +118,18 @@ def quality_flags(col_name: str) -> dict[str, Column]:
     """Quality-score components: word count, punctuation density, mean
     word length (fixed-point), all integers -> deterministic."""
     c = F.col(col_name)
-    n_words = F.size(words(c))
-    n_punct = F.regexp_count(c, F.lit(r"[.!?,;:]"))
-    n_chars = F.length(c)
+    # long casts up front: size/length/regexp_count are INT, and the
+    # fixed-point multiplies below wrap at 2^31 under ansi=false for
+    # mega-documents (>~21M chars) while the DuckDB oracle's BIGINT
+    # arithmetic stays exact
+    n_words = F.size(words(c)).cast("long")
+    n_punct = F.regexp_count(c, F.lit(r"[.!?,;:]")).cast("long")
+    n_chars = F.length(c).cast("long")
     mean_word_len_c2 = F.floor((n_chars - (n_words - 1)) * 100 / n_words).cast("long")
     ok = (n_words >= 20) & (n_punct * 5 <= n_words) & (mean_word_len_c2.between(150, 1200))
     return {
-        "n_words": n_words.cast("long"),
-        "n_punct": n_punct.cast("long"),
+        "n_words": n_words,
+        "n_punct": n_punct,
         "mean_word_len_c2": mean_word_len_c2,
         "quality_ok": ok,
     }
@@ -147,20 +151,31 @@ def duck_quality_sql(expr: str) -> dict[str, str]:
     }
 
 
+def repetition_ratio_c6(total: Column, distinct: Column) -> Column:
+    """Fixed-point (total - distinct) / total — THE repetition formula,
+    shared by :func:`repetition_stats` and the staged ``dp_repetition``
+    query so the two can't drift. Inputs must already be BIGINT: an INT
+    ``total * 1000000`` wraps at 2^31 for docs with >~2147 duplicate
+    shingles, inverting the removal signal for exactly the long spam
+    docs it exists to flag (the oracle's len() is BIGINT and exact)."""
+    return (
+        F.when(total > 0, F.floor((total - distinct) * 1000000 / total))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
 def repetition_stats(col_name: str, n: int = 3) -> dict[str, Column]:
     """Within-document repetition: distinct vs total n-gram shingles.
     High repetition (boilerplate, generated spam) is a standard LLM
     training-data removal signal. Fixed-point ratio keeps it exact."""
     sh = word_shingles(col_name, n)
-    total = F.size(sh)
-    distinct = F.size(F.array_distinct(sh))
-    ratio = F.when(total > 0, F.floor((total - distinct) * 1000000 / total)).otherwise(
-        F.lit(0)
-    ).cast("long")
+    total = F.size(sh).cast("long")
+    distinct = F.size(F.array_distinct(sh)).cast("long")
     return {
-        "n_shingles": total.cast("long"),
-        "n_distinct": distinct.cast("long"),
-        "rep_ratio_c6": ratio,
+        "n_shingles": total,
+        "n_distinct": distinct,
+        "rep_ratio_c6": repetition_ratio_c6(total, distinct),
     }
 
 

@@ -18,18 +18,9 @@ from baker_spark.functions.numeric import DEC, c2_long, cents, dec, duck_c2_long
 from baker_spark.sinks.stats import Stats
 from baker_spark.sources.tables import load_table
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from baker_spark.queries.registry import make_registry
 
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 # --------------------------------------------------------------- flagship ---

@@ -18,18 +18,9 @@ from baker_spark import operators as ops
 from baker_spark.functions.hashing import duck_md5_long, md5_long
 from baker_spark.sources.tables import load_table
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from baker_spark.queries.registry import make_registry
 
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 def _events_str(spark, sf_dir):

@@ -10,18 +10,9 @@ from baker_spark.datapipe import dedup, multimodal, text, vectors
 from baker_spark.session import fan_out, managed_persist
 from baker_spark.sources.tables import load_table
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from baker_spark.queries.registry import make_registry
 
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 # ------------------------------------------------------------------ dedup ---
@@ -453,14 +444,7 @@ def dp_repetition(spark, sf_dir):
         F.size("_sh").cast("long").alias("n_shingles"),
         F.size(F.array_distinct("_sh")).cast("long").alias("n_distinct"),
     )
-    ratio = (
-        F.when(
-            F.col("n_shingles") > 0,
-            F.floor((F.col("n_shingles") - F.col("n_distinct")) * 1000000 / F.col("n_shingles")),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
+    ratio = text.repetition_ratio_c6(F.col("n_shingles"), F.col("n_distinct"))
     return staged.select("doc_id", "n_shingles", "n_distinct", ratio.alias("rep_ratio_c6"))
 
 

@@ -9,18 +9,9 @@ from pyspark.sql import Window, functions as F
 from baker_spark.datapipe.vectors import as_double, cosine, duck_cosine
 from baker_spark.sources.tables import load_table
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from baker_spark.queries.registry import make_registry
 
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, query = make_registry()
 
 
 @query(

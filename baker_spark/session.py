@@ -43,7 +43,7 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_SESSIONS: set = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -54,7 +54,15 @@ def _ship_package(spark: SparkSession) -> None:
     fallback) reference module functions, so the package must travel with
     the job. addPyFile is the cluster-correct mechanism (works the same
     on a 1000-executor cluster as on local[32])."""
-    key = id(spark)
+    # keyed by applicationId, not id(spark): a recycled object address
+    # would silently skip the ship for a brand-new session (executors
+    # then fail pandas UDFs with ModuleNotFoundError), and addPyFile is
+    # a SparkContext-level op anyway — two sessions sharing one context
+    # need exactly one ship
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:
+        key = id(spark)
     if key in _SHIPPED_SESSIONS:
         return
     import tempfile

@@ -195,6 +195,31 @@ def test_scrub_cross_engine(spark, docs):
     con.close()
 
 
+def test_long_document_fixed_point_stays_exact(spark):
+    """The fixed-point sites multiply shingle/char counts by 1e6-scale
+    literals; INT arithmetic wraps at 2^31 under ansi=false once a doc
+    passes ~2150 shingles, silently dropping exact-duplicate pairs and
+    inverting the repetition signal for long docs. All sites now cast to
+    BIGINT first — this pins it with a 3000-shingle duplicate pair."""
+    from baker_spark.datapipe.dedup import ngram_jaccard_pairs
+    from baker_spark.datapipe.text import quality_flags, repetition_stats
+
+    words = " ".join(f"w{i}" for i in range(3000))  # ~3000 distinct shingles
+    df = spark.createDataFrame([(1, words), (2, words)], ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(df).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard_c6 == 1000000  # exact dup found
+
+    spam = " ".join(["a b c"] * 2500)  # 7498 shingles, 7 distinct
+    df2 = spark.createDataFrame([(1, spam)], ["doc_id", "text"])
+    rep = repetition_stats("text")
+    row = df2.select(*[c.alias(n) for n, c in rep.items()]).collect()[0]
+    assert row.n_shingles == 7498
+    assert 0 < row.rep_ratio_c6 <= 1000000  # wrapped arithmetic went negative
+    q = quality_flags("text")
+    qrow = df2.select(q["mean_word_len_c2"].alias("m")).collect()[0]
+    assert 0 < qrow.m < 10000
+
+
 def test_prefix_filter_jaccard_completeness(spark):
     """The All-Pairs prefix filter + PPJoin size/positional pruning must
     find EXACTLY the brute-force jaccard >= t pairs (completeness is a
