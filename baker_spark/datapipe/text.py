@@ -97,8 +97,10 @@ def langid(col_name: str, stopwords: list[str] | None = None, threshold_pct: int
     # escape each alternative so they match literally instead of
     # throwing PatternSyntaxException at execution
     rx = "(?<=^| )(" + "|".join(_re.escape(s) for s in sw) + ")(?= |$)"
-    n_stop = F.regexp_count(F.col(col_name), F.lit(rx))
-    n_words = F.size(words(col_name))
+    # long casts: same int32-wrap class as the other fixed-point sites
+    # (a ~100 MB doc of stopwords would wrap n_stop * 100)
+    n_stop = F.regexp_count(F.col(col_name), F.lit(rx)).cast("long")
+    n_words = F.size(words(col_name)).cast("long")
     return F.when(n_stop * 100 > n_words * threshold_pct, F.lit("en")).otherwise(F.lit("unk"))
 
 
