@@ -50,7 +50,9 @@ def main() -> None:
         "doc_id", F.posexplode(text.chunks("clean_text")).alias("chunk_idx", "chunk")
     )
     chunked.write.mode("overwrite").parquet(out)
-    n3 = chunked.count()
+    # count the WRITTEN parquet: counting `chunked` would re-run the whole
+    # scrub -> quality -> LSH -> clustering lineage a second time
+    n3 = spark.read.parquet(out).count()
 
     print(
         f"documents={n0} quality_kept={n1} after_dedup={n2} "

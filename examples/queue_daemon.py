@@ -63,6 +63,16 @@ def main() -> None:
     listener = TCPGzipListener(tcp_spool, port=0)
     listener.start()
     send_gzip_records(listener.host, listener.port, b"3,click,carol\n4,view,dave\n")
+    # the listener decodes + spools in its own thread; wait for the spool
+    # file to land before the query's processAllAvailable, or the file
+    # source can snapshot the dir while it is still empty and the TCP
+    # rows silently miss this run
+    import glob
+    import time
+
+    deadline = time.time() + 10
+    while time.time() < deadline and not glob.glob(os.path.join(tcp_spool, "tcp-*.csv")):
+        time.sleep(0.05)
 
     # --- one streaming query over both sources
     def merged(s):

@@ -299,17 +299,25 @@ def test_streaming_metrics_listener(spark, tmp_path):
         q.processAllAvailable()
         import time as _time
 
+        def read_counts():
+            return [
+                int(float(ln.split("=")[1].split(" ")[0]))
+                for ln in client.lines
+                if ln.startswith("count records_read=")
+            ]
+
         deadline = _time.time() + 10
         while _time.time() < deadline:
-            if any("records_read" in ln for ln in client.lines):
+            # wait for the FULL expected state, not just the first line:
+            # the listener thread appends count -> gauge -> histogram per
+            # batch, so asserting right after the first records_read line
+            # races the remaining appends (and a second batch's counts)
+            if sum(read_counts()) == 3 and any(
+                "batch_duration_ms" in ln for ln in client.lines
+            ):
                 break
             _time.sleep(0.2)  # listener events deliver asynchronously
-        read = [
-            int(float(ln.split("=")[1].split(" ")[0]))
-            for ln in client.lines
-            if ln.startswith("count records_read=")
-        ]
-        assert sum(read) == 3, client.lines
+        assert sum(read_counts()) == 3, client.lines
         assert any(ln.startswith("gauge records_per_sec=") for ln in client.lines)
         assert any(ln.startswith("histogram batch_duration_ms=") for ln in client.lines)
     finally:

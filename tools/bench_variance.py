@@ -52,10 +52,11 @@ def main() -> None:
             f"| {mean:.3f} | {sd:.3f} | {sd / mean * 100:.0f}% |"
         )
     totals = [d["value"] for d in docs]
+    tsd = statistics.stdev(totals) if len(totals) > 1 else 0.0
     print(
         f"| **total** | {min(totals):.3f} | {max(totals):.3f} "
         f"| {(max(totals) / min(totals) - 1) * 100:+.0f}% | {statistics.mean(totals):.3f} "
-        f"| {statistics.stdev(totals):.3f} | {statistics.stdev(totals) / statistics.mean(totals) * 100:.0f}% |"
+        f"| {tsd:.3f} | {tsd / statistics.mean(totals) * 100:.0f}% |"
     )
     with open(os.path.join(REPO, "bench_variance_runs.json"), "w") as fh:
         json.dump(docs, fh, indent=1)

@@ -2,6 +2,11 @@
 and its oracle_sql() side-by-side on DuckDB at a given sf dir, compare
 sorted column names + row counts + sorted values.
 
+Thin CLI over tests/oracle_harness.py — the ONE comparator (type-tagged
+normalization, NULL-safe repr sort, Decimal/tz handling) both the pytest
+sweep and this tool share, so the tool can't drift into false FAILs the
+real gate would pass.
+
 Usage: python tools/oracle_sweep.py [sf_dir] [name_filter...]
 """
 
@@ -11,34 +16,20 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import duckdb  # noqa: E402
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import __spark_entry__ as E  # noqa: E402
 from baker_spark import get_spark  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
-
-
-def norm(v):
-    # match the driver's tolerant compare: floats via repr of rounded value
-    if isinstance(v, float):
-        return round(v, 6)
-    return v
+from oracle_harness import compare, duck_connect  # noqa: E402
 
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
     spark = get_spark("oracle-sweep", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con = duck_connect(sf)
 
     qs, oracles = E.queries(), E.oracle_sql()
     names = [n for n in sorted(qs) if not only or any(f in n for f in only)]
@@ -47,44 +38,20 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf)
-            cols = sorted(sdf.columns)
-            srows = sorted(
-                tuple(norm(r[c]) for c in cols) for r in sdf.collect()
-            )
+            if name not in oracles:
+                print(f"ok?  {name}: rows={sdf.count()} (no oracle)")
+                continue
+            ok, msg = compare(sdf, con, oracles[name])
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
             failed.append(name)
             continue
-        if name not in oracles:
-            print(f"ok?  {name}: rows={len(srows)} (no oracle)")
-            continue
-        try:
-            ores = con.execute(oracles[name]).fetch_arrow_table()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: oracle error {e}")
-            failed.append(name)
-            continue
-        ocols = sorted(ores.column_names)
-        orows = sorted(
-            tuple(norm(r[c]) for c in ocols) for r in ores.to_pylist()
-        )
         dt = time.time() - t0
-        if cols != ocols:
-            print(f"FAIL {name}: cols spark={cols} oracle={ocols}")
-            failed.append(name)
-        elif srows != orows:
-            ndiff = sum(1 for a, b in zip(srows, orows) if a != b) + abs(
-                len(srows) - len(orows)
-            )
-            print(
-                f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)} diffs={ndiff}"
-            )
-            for a, b in list(zip(srows, orows))[:3]:
-                if a != b:
-                    print(f"   spark={a}\n  oracle={b}")
-            failed.append(name)
+        if ok:
+            print(f"PASS {name}: {msg} ({dt:.1f}s)")
         else:
-            print(f"PASS {name}: rows={len(srows)} ({dt:.1f}s)")
+            print(f"FAIL {name}: {msg}")
+            failed.append(name)
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     if failed:
         print("failed:", failed)

@@ -82,10 +82,18 @@ def force(df):
 
 def main() -> None:
     sfs = ["sf0.001", "sf0.01", "sf0.1"]
-    for arg in sys.argv[1:]:
+    argv = sys.argv[1:]
+    for i, arg in enumerate(argv):
         if arg.startswith("--sfs="):
             sfs = arg.split("=", 1)[1].split(",")
+        elif arg == "--sfs" and i + 1 < len(argv):  # documented space form
+            sfs = argv[i + 1].split(",")
+    missing = [s for s in sfs if not os.path.isdir(os.path.join(TESTDATA, s))]
     sfs = [s for s in sfs if os.path.isdir(os.path.join(TESTDATA, s))]
+    if not sfs:
+        raise SystemExit(
+            f"no usable scale factors: {missing} not found under {TESTDATA}"
+        )
     spark = get_spark("baker_spark_scaling")
     queries = all_queries()
 
