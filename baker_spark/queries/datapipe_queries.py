@@ -842,6 +842,53 @@ def dp_train_split(spark, sf_dir):
 
 
 @query(
+    "dp_shard_manifest",
+    f"""
+WITH a AS (
+  SELECT {_hashing.duck_md5_long("CAST(doc_id AS VARCHAR)", salt="shard")} % 16 AS shard_id,
+         strlen(text) AS n_bytes,
+         CAST(floor((length(text) + 3) / 4) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+FROM a GROUP BY shard_id
+""",
+)
+def dp_shard_manifest(spark, sf_dir, n_shards: int = 16):
+    """Training-shard manifest: deterministic hash assignment of docs to
+    N shards plus the per-shard doc/token/byte totals a shard writer
+    needs up front (WebDataset/Megatron-style shard planning — balanced
+    shards, and the same doc always lands in the same shard so a
+    partial re-run never rewrites finished shards).
+
+    Scale shape: the assignment is a narrow salted-hash projection (the
+    same stability contract as dp_train_split); the manifest is ONE
+    map-side-combined aggregation whose exchange carries N_shards rows
+    of partial sums per partition — at 100 TB the shuffle moves a few
+    KB regardless of corpus size. To materialize the shards themselves,
+    reuse the assignment column as ``partitionBy``/``repartition`` key:
+    the manifest and the data layout then agree by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = _hashing.md5_long(F.col("doc_id").cast("string"), salt="shard") % 16
+    _, n_bpe = text.token_counts("text")
+    return (
+        docs.select(
+            shard.alias("shard_id"),
+            n_bpe.alias("n_tokens"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_bytes").alias("n_bytes"),
+        )
+    )
+
+
+@query(
     "dp_repeated_passages",
     f"""
 WITH sh AS (
