@@ -220,6 +220,22 @@ def test_long_document_fixed_point_stays_exact(spark):
     assert 0 < qrow.m < 10000
 
 
+def test_simhash_overflows_loudly_past_lane_capacity(spark):
+    """Past 2^16 distinct words a SWAR lane carry would corrupt the
+    signature identically in BOTH engines (unfalsifiable by the oracle
+    harness) — the job must fail with a clear message instead."""
+    import pytest as _pytest
+
+    from baker_spark.datapipe.dedup import simhash
+
+    big = " ".join(f"t{i}" for i in range(1 << 16))
+    df = spark.createDataFrame([(1, big)], ["doc_id", "text"])
+    with _pytest.raises(Exception, match="SWAR"):
+        simhash(df).collect()
+    ok = " ".join(f"t{i}" for i in range((1 << 16) - 1))
+    assert simhash(spark.createDataFrame([(1, ok)], ["doc_id", "text"])).count() == 1
+
+
 def test_prefix_filter_jaccard_completeness(spark):
     """The All-Pairs prefix filter + PPJoin size/positional pruning must
     find EXACTLY the brute-force jaccard >= t pairs (completeness is a
