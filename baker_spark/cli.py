@@ -132,12 +132,19 @@ def _compile(path: str):
     return compile_toml_file(path)
 
 
-def cmd_run(path: str, cpus: int | None, checkpoint: str | None = None) -> int:
+def cmd_run(
+    path: str,
+    cpus: int | None,
+    checkpoint: str | None = None,
+    verbosity: str | None = None,
+) -> int:
     from baker_spark.session import get_spark
     from baker_spark.streaming.daemon import StreamingPipeline
 
     pipeline = _compile(path)
     spark = get_spark("baker_spark_cli", cpus=cpus)
+    if verbosity:  # -v / -q, like the reference's MainCLI (baker_cli.go)
+        spark.sparkContext.setLogLevel({"v": "INFO", "q": "ERROR"}[verbosity])
     try:
         if isinstance(pipeline, StreamingPipeline):
             # daemon topology: runs until interrupted, like the
@@ -191,6 +198,13 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument(
         "--checkpoint", default=None, help="checkpoint dir for daemon topologies"
     )
+    verb = run_p.add_mutually_exclusive_group()
+    verb.add_argument(
+        "-v", action="store_true", help="verbose logging (reference: -v)"
+    )
+    verb.add_argument(
+        "-q", action="store_true", help="errors only (reference: -q)"
+    )
     exp_p = sub.add_parser("explain", help="print the physical plan of a topology")
     exp_p.add_argument("toml")
     help_p = sub.add_parser("help", help="help for a component")
@@ -199,7 +213,8 @@ def main(argv: list[str] | None = None) -> int:
 
     args = parser.parse_args(argv)
     if args.cmd == "run":
-        return cmd_run(args.toml, args.cpus, args.checkpoint)
+        verbosity = "v" if args.v else ("q" if args.q else None)
+        return cmd_run(args.toml, args.cpus, args.checkpoint, verbosity)
     if args.cmd == "explain":
         return cmd_explain(args.toml)
     if args.cmd == "help":
