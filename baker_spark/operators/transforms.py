@@ -121,9 +121,25 @@ class ExpandJSON(Operator):
         return F.get_json_object(F.col(self.source), "$." + path)
 
     def _jmespath_udf(self, path: str) -> Column:
-        import jmespath
+        try:
+            import jmespath
 
-        expr = jmespath.compile(path)
+            searcher = jmespath.compile(path).search
+        except ImportError:
+            if not self._is_simple(path):
+                raise
+            # jmespath is an optional dependency; a simple dotted path
+            # (the only kind routed here without it — custom
+            # true_false_values need the typed UDF) walks dicts directly
+            parts = path.split(".")
+
+            def searcher(data):
+                for p in parts:
+                    if not isinstance(data, dict):
+                        return None
+                    data = data.get(p)
+                return data
+
         tf = self.tf
 
         @F.pandas_udf("string")
@@ -134,7 +150,7 @@ class ExpandJSON(Operator):
                 if not v:
                     return None
                 try:
-                    r = expr.search(json.loads(v))
+                    r = searcher(json.loads(v))
                 except Exception:
                     return None
                 if r is None:
@@ -224,18 +240,25 @@ class FormatTime(Operator):
             # (E is format-only; to_timestamp('EEE ...') throws
             # DATETIME_PATTERN_RECOGNITION before seeing any data).
             # The weekday is redundant for parsing, so strip it from the
-            # pattern AND require it in the input — a row without the
-            # day name stays unmatched, fails the parse and clears dst,
-            # same as Go's time.Parse.
+            # pattern AND require a REAL weekday name in the input — a
+            # row without one becomes NULL and clears dst, same as Go's
+            # time.Parse (which validates the name but not its
+            # consistency with the date).
+            dow = "(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)"
+            dow_full = (
+                "(?:Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday)"
+            )
+            strip = None
             if pattern.startswith("EEEE, "):
-                col = F.regexp_replace(col, r"^[A-Za-z]{6,9}, ", "")
-                pattern = pattern[6:]
+                strip, pattern = f"^{dow_full}, ", pattern[6:]
             elif pattern.startswith("EEE, "):
-                col = F.regexp_replace(col, r"^[A-Za-z]{3}, ", "")
-                pattern = pattern[5:]
+                strip, pattern = f"^{dow}, ", pattern[5:]
             elif pattern.startswith("EEE "):
-                col = F.regexp_replace(col, r"^[A-Za-z]{3} ", "")
-                pattern = pattern[4:]
+                strip, pattern = f"^{dow} ", pattern[4:]
+            if strip is not None:
+                col = F.when(
+                    col.rlike(strip), F.regexp_replace(col, strip, "")
+                ).otherwise(F.lit(None).cast("string"))
         if fmt in _GO_SPACE_PAD_DAY:
             col = F.regexp_replace(col, "  +", " ")
         return F.to_timestamp(col, pattern)

@@ -871,7 +871,9 @@ def dp_shard_manifest(spark, sf_dir, n_shards: int = 16):
     reuse the assignment column as ``partitionBy``/``repartition`` key:
     the manifest and the data layout then agree by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    shard = _hashing.md5_long(F.col("doc_id").cast("string"), salt="shard") % 16
+    # the ORACLE pins the default n_shards=16 (the gated configuration);
+    # callers may pass any shard count
+    shard = _hashing.md5_long(F.col("doc_id").cast("string"), salt="shard") % n_shards
     _, n_bpe = text.token_counts("text")
     return (
         docs.select(

@@ -77,8 +77,13 @@ class Stats:
     def write(self, df: DataFrame) -> dict:
         # one report = 2 + len(fields) aggregation jobs over the same
         # rows; persist so the upstream lineage (source + filter chain)
-        # materializes once, not once per section
-        df = df.persist()
+        # materializes once, not once per section. Only release a cache
+        # THIS method created: persist() on an already-cached frame
+        # returns the same entry, and unpersisting it here would evict
+        # the caller's cache out from under their later actions.
+        own_cache = not df.is_cached
+        if own_cache:
+            df = df.persist()
         try:
             report = {"sizes": self.record_sizes(df).collect()[0].asDict()}
             for f, freq in self.field_frequencies(df, top_k=100).items():
@@ -86,5 +91,6 @@ class Stats:
             if self.timestamp_field:
                 report["times"] = self.timestamp_distribution(df).collect()[0].asDict()
         finally:
-            df.unpersist()
+            if own_cache:
+                df.unpersist()
         return report

@@ -16,11 +16,13 @@ from baker_spark.sources.tables import TABLE_NAMES
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):  # partial sf dirs still sweep what they have
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 

@@ -145,6 +145,23 @@ def test_format_time_go_space_padded_day(spark):
     assert {r.s for r in out.collect()} == {"Jan  2 15:04:05", "Jan 12 15:04:05"}
 
 
+def test_format_time_weekday_required_and_validated(spark):
+    """Go's time.Parse requires a REAL weekday name where the layout has
+    one (it does not check consistency with the date): a missing or
+    bogus prefix must clear dst, not silently parse."""
+    rows = [
+        ("Mon, 02 Jan 2006 15:04:05 UTC",),  # valid
+        ("02 Jan 2006 15:04:05 UTC",),  # weekday missing
+        ("Xyz, 02 Jan 2006 15:04:05 UTC",),  # not a weekday
+    ]
+    df = make_df(spark, rows, ["t"])
+    out = ops.FormatTime(src_field="t", dst_field="d", src_format="RFC1123", dst_format="unix").apply(df)
+    got = {r.t: r.d for r in out.collect()}
+    assert got["Mon, 02 Jan 2006 15:04:05 UTC"] == "1136214245"
+    assert got["02 Jan 2006 15:04:05 UTC"] == ""
+    assert got["Xyz, 02 Jan 2006 15:04:05 UTC"] == ""
+
+
 def test_external_match_null_value_matches_empty_field(spark):
     """empty==null on the VALUE side too: a NULL entry in the match set
     (empty CSV cell / NULL in a frame) must match an empty record field."""
