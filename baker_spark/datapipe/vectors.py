@@ -352,8 +352,14 @@ def cosine_pairs_bucketed(
         mat = np.array(list(pdf["q"]), dtype=np.int64)
         dots = mat @ mat.T  # exact int64
         norm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+        nprod = norm[:, None] * norm[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
-            c4 = np.floor(dots.astype(np.float64) * 10000.0 / (norm[:, None] * norm[None, :]))
+            c4 = np.floor(dots.astype(np.float64) * 10000.0 / nprod)
+        # zero-norm guard: an all-zero quantized vector has undefined
+        # cosine; pin it to 0 ("not similar") in BOTH engines — numpy's
+        # NaN compares False (kept) while DuckDB sorts NaN above every
+        # number (dropped), so leaving the NaN in diverges cross-engine
+        c4 = np.where(nprod == 0.0, 0.0, c4)
         ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (c4 >= threshold_c4))
         return pd.DataFrame(
             {"id_a": ids[ia], "id_b": ids[ib], "cosine_c4": c4[ia, ib].astype(np.int64)}
@@ -535,6 +541,13 @@ def duck_kmeans_train(
     )
 
 
+#: default SemDeDup cell cap: a 4096-row cell is a 4096x4096 int64
+#: matmul (~134 MB of dots) — comfortably inside one task; cells above
+#: it are hash-split so the kernel's worst case is bounded under
+#: embedding skew (a hot cluster can no longer straggle the stage)
+SEMDEDUP_CELL_CAP = 4096
+
+
 def semdedup(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -542,6 +555,7 @@ def semdedup(
     threshold_c4: int = 4500,
     k: int = 8,
     iters: int = 1,
+    cell_cap: int | None = SEMDEDUP_CELL_CAP,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space with k-means, then within each cluster drop every
@@ -554,17 +568,40 @@ def semdedup(
     oracle requires. The drop RULE (one survivor per near-dup pair, the
     pair scoped to a cluster) is the paper's.
 
-    Scale: NO joins anywhere — the assignment arrives with its quantized
-    vector attached (``kmeans_train(with_vectors=True)`` is a narrow map
-    over the persisted corpus), so the whole dedup is one shuffle
-    (groupBy cluster id) into an applyInPandas kernel that decides
-    survivors cell-locally. State is bounded by the largest cell (raise
-    k to split further); no cross-cluster pair ever materializes."""
+    Scale: NO joins anywhere on the corpus side — the assignment arrives
+    with its quantized vector attached (``kmeans_train(with_vectors=True)``
+    is a narrow map over the persisted corpus), so the whole dedup is one
+    shuffle (groupBy cell) into an applyInPandas kernel that decides
+    survivors cell-locally; no cross-cluster pair ever materializes.
+
+    ``cell_cap`` bounds the kernel's worst case under embedding skew: a
+    cell with more than ``cell_cap`` members is deterministically split
+    into ``ceil(n / cell_cap)`` sub-cells by ``md5(id) % nsub`` (the
+    per-cell counts are a k-row aggregate broadcast back — never a
+    corpus shuffle). Pairs across sub-cells of the same hot cell are
+    not compared — the documented recall trade for a bounded stage
+    (SemDeDup's own recall is already cluster-scoped; a cell hot enough
+    to hit the cap signals k is too small). ``cell_cap=None`` disables
+    the split. The DuckDB oracle applies the identical rule, so parity
+    holds in the capped regime too."""
     import pandas as pd
 
     assign = kmeans_train(
         df, k=k, iters=iters, vec_col=vec_col, id_col=id_col, with_vectors=True
     )
+
+    group_cols = ["centroid_id"]
+    if cell_cap:
+        from baker_spark.functions.hashing import md5_long
+
+        counts = assign.groupBy("centroid_id").agg(F.count("*").alias("_n"))
+        nsub = F.greatest(
+            F.lit(1), F.ceil(F.col("_n") / F.lit(cell_cap)).cast("long")
+        )
+        assign = assign.join(F.broadcast(counts), "centroid_id").withColumn(
+            "_sub", F.pmod(md5_long(F.col(id_col).cast("string")), nsub)
+        )
+        group_cols.append("_sub")
 
     def keep(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -574,12 +611,16 @@ def semdedup(
         mat = np.array(list(pdf["q"]), dtype=np.int64)
         dots = mat @ mat.T  # exact int64 (same kernel as cosine_pairs_bucketed)
         norm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+        nprod = norm[:, None] * norm[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
-            c4 = np.floor(dots.astype(np.float64) * 10000.0 / (norm[:, None] * norm[None, :]))
+            c4 = np.floor(dots.astype(np.float64) * 10000.0 / nprod)
+        # zero-norm guard — see cosine_pairs_bucketed: c4 := 0 keeps the
+        # decision engine-independent when a vector quantizes to all-zero
+        c4 = np.where(nprod == 0.0, 0.0, c4)
         dominated = ((ids[:, None] < ids[None, :]) & (c4 >= threshold_c4)).any(axis=0)
         return pdf.loc[~dominated, [id_col, "centroid_id"]]
 
-    return assign.groupBy("centroid_id").applyInPandas(
+    return assign.groupBy(*group_cols).applyInPandas(
         keep, f"{id_col} long, centroid_id long"
     )
 
@@ -591,22 +632,49 @@ def duck_semdedup(
     threshold_c4: int = 4500,
     k: int = 8,
     iters: int = 1,
+    cell_cap: int | None = SEMDEDUP_CELL_CAP,
 ) -> str:
+    from baker_spark.functions.hashing import duck_md5_long
+
     km = duck_kmeans_train(table, k, iters, vec_col, id_col)
     dot = duck_dot("a.q2", "b.q2")
     na, nb = duck_dot("a.q2", "a.q2"), duck_dot("b.q2", "b.q2")
+    # CASE mirrors the numpy kernel's zero-norm guard (c4 := 0): DuckDB
+    # would otherwise evaluate NaN >= threshold as TRUE (NaN sorts last)
+    # while numpy evaluates it as False
     c4 = (
+        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0 ELSE "
         f"floor(CAST({dot} AS DOUBLE) * 10000 / "
-        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))))"
+        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))) END"
     )
+    # the _sub computation is the oracle mirror of the Spark side's
+    # cell_cap split: md5(id) % ceil(cell_size / cap), identical hash
+    if cell_cap:
+        sub = (
+            f"{duck_md5_long('CAST(id AS VARCHAR)')} % "
+            f"greatest(1, CAST(ceil(_n / {cell_cap}) AS BIGINT))"
+        )
+        ev_final = (
+            f"ev0 AS (SELECT t.{id_col} AS id, km.centroid_id,\n"
+            f"              {duck_quantize(f'CAST(t.{vec_col} AS DOUBLE[])')} AS q2\n"
+            f"       FROM {table} t JOIN km ON km.{id_col} = t.{id_col}),\n"
+            f"evn AS (SELECT ev0.*, count(*) OVER (PARTITION BY centroid_id) AS _n FROM ev0),\n"
+            f"ev AS (SELECT evn.*, {sub} AS _sub FROM evn)"
+        )
+        pair_on = "a.centroid_id = b.centroid_id AND a._sub = b._sub AND a.id < b.id"
+    else:
+        ev_final = (
+            f"ev AS (SELECT t.{id_col} AS id, km.centroid_id,\n"
+            f"              {duck_quantize(f'CAST(t.{vec_col} AS DOUBLE[])')} AS q2\n"
+            f"       FROM {table} t JOIN km ON km.{id_col} = t.{id_col})"
+        )
+        pair_on = "a.centroid_id = b.centroid_id AND a.id < b.id"
     return f"""
 WITH km AS ({km}),
-ev AS (SELECT t.{id_col} AS id, km.centroid_id,
-              {duck_quantize(f'CAST(t.{vec_col} AS DOUBLE[])')} AS q2
-       FROM {table} t JOIN km ON km.{id_col} = t.{id_col}),
+{ev_final},
 dropped AS (
   SELECT DISTINCT b.id FROM ev a JOIN ev b
-  ON a.centroid_id = b.centroid_id AND a.id < b.id
+  ON {pair_on}
   WHERE {c4} >= {threshold_c4}
 )
 SELECT id AS {id_col}, centroid_id FROM ev
@@ -624,9 +692,11 @@ def duck_cosine_pairs_bucketed(
     buckets = duck_lsh_buckets(table, vec_col, id_col, planes)
     dot = duck_dot("a.q", "b.q")
     na, nb = duck_dot("a.q", "a.q"), duck_dot("b.q", "b.q")
+    # zero-norm guard, mirrored from the numpy kernel (see duck_semdedup)
     c4 = (
+        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0 ELSE "
         f"floor(CAST({dot} AS DOUBLE) * 10000 / "
-        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))))"
+        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))) END"
     )
     return f"""
 WITH bk AS ({buckets}),

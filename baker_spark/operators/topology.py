@@ -39,8 +39,16 @@ class Validation(Operator):
     def _pred(self):
         """The AND of all per-field checks — the single source of truth
         shared by :meth:`apply` and :meth:`total_invalid`, so the kept
-        rows and the quarantine count can never disagree."""
-        return reduce(lambda a, b: a & b, (self._ok(f, rx) for f, rx in self.fields.items()))
+        rows and the quarantine count can never disagree. An empty
+        [validation] section validates everything (the reference simply
+        builds zero per-field checkers, config.go:474-523), so the
+        reduce gets an explicit identity instead of raising TypeError
+        at compile time."""
+        return reduce(
+            lambda a, b: a & b,
+            (self._ok(f, rx) for f, rx in self.fields.items()),
+            F.lit(True),
+        )
 
     def apply(self, df: DataFrame) -> DataFrame:
         return df.filter(self._pred())

@@ -47,10 +47,10 @@ _ENV_RX = re.compile(r"\$\{(\w+)\}|\$(\w+)")
 
 
 def _expand_env(text: str) -> str:
-    """${VAR}/$VAR expansion with the reference's os.Expand semantics
+    r"""${VAR}/$VAR expansion with the reference's os.Expand semantics
     (config.go:221-231 + os.Getenv): an UNSET variable expands to the
     empty string — os.path.expandvars would leave it literal, producing
-    paths like '\${OUT_DIR}/logs'."""
+    paths like '${OUT_DIR}/logs'."""
     return _ENV_RX.sub(
         lambda m: os.environ.get(m.group(1) or m.group(2), ""), text
     )

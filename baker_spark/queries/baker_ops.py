@@ -170,25 +170,22 @@ def op_hash(spark, sf_dir):
 
 @query(
     "op_metadata",
-    "SELECT 'events.parquet' AS file, count(*) AS n, count(*) AS n_mtime FROM events",
+    "SELECT event_id, 'events.parquet' AS file, true AS mtime_ok FROM events",
 )
 def op_metadata(spark, sf_dir):
-    # oracle-checkable invariants for both metadata ops: every row carries
-    # its source file url (metadata_url.go:12-79) and a positive mtime
-    # (metadata_lastmodified.go:12-58)
+    # row-level facets for both metadata ops: EVERY row's source-file url
+    # (metadata_url.go:12-79) and mtime sanity (metadata_lastmodified.go:
+    # 12-58) are hash-compared per row — a single mis-assigned url now
+    # flips that row's hash, where the old 1-row aggregate only counted.
+    # mtime itself stays an invariant (>0) because DuckDB cannot see the
+    # filesystem mtime of the parquet it reads.
     df = load_table(spark, sf_dir, "events")
     out = ops.MetadataUrl(dst_field="src_url").apply(df)
     out = ops.MetadataLastModified(dst_field="mtime").apply(out)
-    return (
-        out.select(
-            F.element_at(F.split(F.col("src_url"), "/"), -1).alias("file"),
-            F.col("mtime"),
-        )
-        .groupBy("file")
-        .agg(
-            F.count("*").alias("n"),
-            F.count(F.when(F.col("mtime").cast("long") > 0, 1)).alias("n_mtime"),
-        )
+    return out.select(
+        "event_id",
+        F.element_at(F.split(F.col("src_url"), "/"), -1).alias("file"),
+        (F.col("mtime").cast("long") > 0).alias("mtime_ok"),
     )
 
 
@@ -241,11 +238,14 @@ def op_replacefields(spark, sf_dir):
     return out.select("c_custkey", "name_copy", "tag")
 
 
-@query("op_setstringfromurl", "SELECT 'events' AS tbl, count(*) AS n FROM events")
+@query("op_setstringfromurl", "SELECT event_id, 'events' AS tbl FROM events")
 def op_setstringfromurl(spark, sf_dir):
+    # row-level: every event row's source url contains 'events', so the
+    # operator must set tbl='events' on each row and drop none — hash-
+    # compared per row instead of the old 1-row count
     df = load_table(spark, sf_dir, "events")
     out = ops.SetStringFromURL(field="tbl", strings=["events", "orders"]).apply(df)
-    return out.groupBy("tbl").agg(F.count("*").alias("n"))
+    return out.select("event_id", "tbl")
 
 
 @query("op_slice", "SELECT p_partkey, substr(p_name, 1, 8) AS sliced FROM part")
@@ -365,13 +365,18 @@ def op_sharding(spark, sf_dir):
 
 @query(
     "op_explode",
-    "SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n FROM documents",
+    # coalesce mirrors Explode's NULL==''-record-model fidelity: DuckDB
+    # unnest(string_split(NULL)) emits zero rows, Spark's operator one
+    "SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word "
+    "FROM documents",
 )
 def op_explode(spark, sf_dir):
-    # record fan-out: one row per word; count equals total word count
+    # record fan-out: the exploded rows THEMSELVES are hash-compared —
+    # a transposed word or a row fanned out under the wrong doc_id now
+    # fails the gate, where the old word-count sum could not see it
     df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = ops.Explode(source="text", dst="word", separator=" ").apply(df)
-    return out.agg(F.count("*").alias("n"))
+    return out.select("doc_id", "word")
 
 
 @query(

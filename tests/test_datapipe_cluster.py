@@ -81,6 +81,59 @@ def test_semdedup_keeps_everything_below_threshold(spark):
     assert kept.count() == 3
 
 
+def test_semdedup_cell_cap_bounds_hot_cell(spark, tmp_path):
+    """Pathologically clustered embeddings — every vector lands in ONE
+    k-means cell — must be hash-split so no kernel group exceeds ~cap,
+    and the DuckDB oracle (which applies the identical md5(id)%nsub
+    rule) must still hash-match the Spark result."""
+    import duckdb
+
+    from baker_spark.datapipe.vectors import duck_semdedup
+    from baker_spark.functions.hashing import md5_long
+    from tests.oracle_harness import compare
+
+    n, cap = 400, 50
+    # two tight blobs along one axis; blob A is 396 vectors (a hot cell)
+    rows = [(i, vec(1.0, (i % 7) * 1e-4)) for i in range(n - 4)]
+    rows += [(n - 4 + j, vec(-1.0, j * 1e-4)) for j in range(4)]
+    df = embed_df(spark, rows)
+
+    kept = semdedup(df, threshold_c4=9999, k=2, iters=1, cell_cap=cap)
+
+    # (a) the split bounds the kernel's group size: reconstruct the
+    # grouping key the kernel ran under and assert no group blew past
+    # the cap (2x slack for hash-mod binomial spread)
+    assign = kmeans_train(df, k=2, iters=1, with_vectors=True)
+    counts = assign.groupBy("centroid_id").agg(F.count("*").alias("_n"))
+    nsub = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(cap)).cast("long"))
+    grouped = (
+        assign.join(F.broadcast(counts), "centroid_id")
+        .withColumn("_sub", F.pmod(md5_long(F.col("vec_id").cast("string")), nsub))
+        .groupBy("centroid_id", "_sub")
+        .count()
+    )
+    sizes = [r["count"] for r in grouped.collect()]
+    assert len(sizes) > 2  # the hot cell actually split
+    assert max(sizes) <= 2 * cap
+
+    # (b) oracle parity in the capped regime
+    p = str(tmp_path / "emb.parquet")
+    df.write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    ok, msg = compare(
+        kept, con, duck_semdedup(threshold_c4=9999, k=2, iters=1, cell_cap=cap)
+    )
+    con.close()
+    assert ok, msg
+
+    # (c) the cap only ever splits a dedup scope, so it can only KEEP
+    # more than the uncapped run — and a near-dup pair that the split
+    # separates is the documented recall trade
+    uncapped = semdedup(df, threshold_c4=9999, k=2, iters=1, cell_cap=None)
+    assert kept.count() >= uncapped.count()
+
+
 def test_kmeans_empty_seed_set_returns_typed_empty(spark):
     """No vector with id < k (snowflake/hash ids): the oracle's seed CTE
     is empty, so the Spark side must return a typed empty assignment
