@@ -27,7 +27,6 @@ from __future__ import annotations
 import os
 import re
 import tomllib
-import warnings
 
 from baker_spark.operators import create as create_operator
 from baker_spark.operators.topology import Validation
@@ -215,18 +214,11 @@ def _build_sink(section: dict, separator: str):
     if name == "filewriter":
         path = cfg.get("path_string", cfg.get("pathstring", "_out"))
         # reference semantics (filewriter.go:257): gzip unless the path
-        # says .zst/.zstd. This Spark build's CSV writer has no zstd
-        # codec (available: bzip2/deflate/gzip/lz4/snappy), so .zst
-        # paths transparently substitute gzip with a warning instead of
-        # failing at write time.
-        if path.endswith((".zst", ".zstd")):
-            warnings.warn(
-                f"FileWriter path {path!r} requests zstd, which this "
-                "Spark build's CSV writer does not support; writing gzip "
-                "instead",
-                stacklevel=2,
-            )
-        compression = "gzip"
+        # says .zst/.zstd — zstd rides the compiled bakerspark codec jar
+        # (tools/build_zstd_codec.sh); FileWriter.__post_init__ applies
+        # the same extension rule, so compression=None delegates to it
+        compression = None
+        zstd_level = int(cfg.get("zstd_compression_level", 0)) or 3
         if "{{" in path:
             # time-templated PathString (filewriter.go:34-43):
             # {{.Year}}/{{.Month}}/{{.Day}} etc. become a partitioned
@@ -252,6 +244,7 @@ def _build_sink(section: dict, separator: str):
                 timestamp_field=cfg.get("timestamp_field"),
                 rotate_size_bytes=parse_size_bytes(cfg.get("rotate_size", 0)) or None,
                 discard_empty_files=bool(cfg.get("discard_empty_files", False)),
+                zstd_level=zstd_level,
             )
         # templateless path: its directory is the output dir; task files
         # replace the {{.Index}}/{{.UUID}} parts of the reference template
@@ -262,6 +255,7 @@ def _build_sink(section: dict, separator: str):
             separator=separator,
             rotate_size_bytes=parse_size_bytes(cfg.get("rotate_size", 0)) or None,
             discard_empty_files=bool(cfg.get("discard_empty_files", False)),
+            zstd_level=zstd_level,
         )
     if name == "nop":
         return Nop()

@@ -152,6 +152,25 @@ def fan_out(df, multiple: int = 1, by: str | None = None):
     return df
 
 
+#: compiled Hadoop codec bridging zstd-jni (tools/build_zstd_codec.sh):
+#: gives the text/CSV writer the reference's default .zst output format.
+#: Classpath entries are launch-time-only, so the jar has to ride the
+#: builder — configure() on a foreign session can't retrofit it.
+ZSTD_CODEC_JAR = os.path.join(os.path.dirname(__file__), "jars", "bakerspark-zstd-codec.jar")
+ZSTD_CODEC_CLASS = "bakerspark.ZstdJniCodec"
+
+
+def zstd_codec_available(spark: SparkSession) -> bool:
+    """True when the bakerspark zstd codec class is loadable in this
+    session's JVM (i.e. the session was built by get_spark with the jar
+    present, or the user added it themselves)."""
+    try:
+        spark._jvm.java.lang.Class.forName(ZSTD_CODEC_CLASS)
+        return True
+    except Exception:
+        return False
+
+
 def get_spark(app: str = "baker_spark", cpus: int | None = None) -> SparkSession:
     cpus = cpus or default_parallelism()
     builder = (
@@ -169,6 +188,16 @@ def get_spark(app: str = "baker_spark", cpus: int | None = None) -> SparkSession
         # zstd stays where ratio matters (parquet output above)
         .config("spark.io.compression.codec", "lz4")
     )
+    if os.path.exists(ZSTD_CODEC_JAR):
+        builder = (
+            # extraClassPath (not spark.jars): codec instantiation goes
+            # through Hadoop ReflectionUtils with the JVM app classloader,
+            # which never sees spark.jars entries in local mode
+            builder.config("spark.driver.extraClassPath", ZSTD_CODEC_JAR)
+            .config("spark.executor.extraClassPath", ZSTD_CODEC_JAR)
+            # register for extension-based codec discovery (.zst reads)
+            .config("spark.hadoop.io.compression.codecs", ZSTD_CODEC_CLASS)
+        )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

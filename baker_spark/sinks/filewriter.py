@@ -137,9 +137,15 @@ class FileWriter:
     mapping table in the module docstring)."""
 
     path: str
-    # the reference defaults to zstd (filewriter.go:26-99); Spark's CSV
-    # writer has no zstd codec in this build, so gzip is the default here
-    compression: str = "gzip"
+    #: None = the reference's extension rule (filewriter.go:257): zstd
+    #: for .zst/.zstd paths, gzip otherwise. "zstd" rides the compiled
+    #: bakerspark.ZstdJniCodec jar (tools/build_zstd_codec.sh) because
+    #: Spark's builtin text/CSV codec list has no zstd; sessions built by
+    #: get_spark carry it automatically.
+    compression: str | None = None
+    #: ZstdCompressionLevel (filewriter.go:98,116-117: default 3,
+    #: 1=BestSpeed .. 19=BestCompression)
+    zstd_level: int = 3
     separator: str = ","
     partition_by: str | None = None  # ≈ {{.Field0}} fan-out
     max_records_per_file: int | None = None  # ≈ RotateSize / {{.Rotation}}
@@ -162,6 +168,38 @@ class FileWriter:
     timestamp_field: str | None = None
     #: injectable clock for the no-field mode (tests freeze it)
     batch_time: datetime | None = None
+
+    def __post_init__(self):
+        if self.compression is None:
+            base = self.path.rstrip("/")
+            # .d output dirs keep the configured file extension visible
+            # ("out.csv.zst.d" — see toml_compiler's templateless branch)
+            if base.endswith(".d"):
+                base = base[:-2]
+            self.compression = (
+                "zstd" if base.endswith((".zst", ".zstd")) else "gzip"
+            )
+
+    def _codec_option(self, spark) -> str:
+        """The value for ``option("compression", ...)``: builtin names
+        pass through; "zstd" resolves to the compiled codec class (and
+        pins its level in the job's Hadoop conf) or fails loudly if this
+        session lacks the jar — silently writing gzip into files named
+        .zst would corrupt a downstream reader's expectations."""
+        if self.compression != "zstd":
+            return self.compression
+        from baker_spark.session import ZSTD_CODEC_CLASS, zstd_codec_available
+
+        if not zstd_codec_available(spark):
+            raise RuntimeError(
+                "zstd output needs the bakerspark codec jar on the session "
+                "classpath — build it with tools/build_zstd_codec.sh and "
+                "create the session via baker_spark.get_spark"
+            )
+        spark._jsc.hadoopConfiguration().set(
+            "bakerspark.zstd.level", str(self.zstd_level)
+        )
+        return ZSTD_CODEC_CLASS
 
     def _event_ts(self, df: DataFrame):
         """Timestamp column for the time layout. String fields accept
@@ -195,6 +233,14 @@ class FileWriter:
             # actually writes here — the estimate must model THIS
             # writer's files, not the reference newFile's BestSpeed
             nbytes = len(_gzip.compress(blob, compresslevel=6))
+        elif self.compression == "zstd":
+            import pyarrow as _pa
+
+            # same level the ZstdJniCodec will use, so the estimate
+            # models the actual files
+            nbytes = len(
+                bytes(_pa.Codec("zstd", compression_level=self.zstd_level).compress(blob))
+            )
         else:
             nbytes = len(blob)
         per_record = max(1.0, nbytes / len(rows))
@@ -244,7 +290,9 @@ class FileWriter:
             max_records = self._rotate_records(df, record_cols)
         line = serialize_line(record_cols, self.separator)
         out = df.select(*partition_cols, line.alias("value")) if partition_cols else df.select(line.alias("value"))
-        writer = out.write.mode(self.mode).option("compression", self.compression)
+        writer = out.write.mode(self.mode).option(
+            "compression", self._codec_option(df.sparkSession)
+        )
         if max_records:
             writer = writer.option("maxRecordsPerFile", max_records)
         if partition_cols:
@@ -290,10 +338,10 @@ class FileWriter:
 
     def _discard_empty(self, spark, jpaths) -> None:
         """Remove zero-record parts (DiscardEmptyFiles,
-        filewriter.go:97,273). A gzip part is never 0 bytes (header +
-        trailer), so emptiness is one decompressed read of the first
-        byte — streamed through the same Hadoop FileSystem the write
-        used, so this works on remote URIs too."""
+        filewriter.go:97,273). A gzip/zstd part is never 0 bytes (frame
+        header + trailer), so emptiness is one decompressed read of the
+        first byte — streamed through the same Hadoop FileSystem the
+        write used, so this works on remote URIs too."""
         jvm, fs = self._fs(spark, self.path)
         for p in jpaths:
             try:
@@ -303,6 +351,14 @@ class FileWriter:
                         empty = gz.read() == -1
                     finally:
                         gz.close()
+                elif self.compression == "zstd":
+                    # zstd-jni ships with Spark, so the decompressing
+                    # probe runs JVM-side like the gzip branch
+                    z = jvm.com.github.luben.zstd.ZstdInputStream(fs.open(p))
+                    try:
+                        empty = z.read() == -1
+                    finally:
+                        z.close()
                 else:
                     empty = fs.getFileStatus(p).getLen() == 0
                 if empty:

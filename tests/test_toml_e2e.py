@@ -582,3 +582,84 @@ name="SQLiteRaw"
     rec = conn.execute("SELECT _record FROM recs LIMIT 1").fetchone()[0]
     assert rec.count(",") == 2  # serialized full record rides along
     conn.close()
+
+
+def test_filewriter_zstd_output(spark, tmp_path):
+    """A .zst PathString engages the compiled zstd codec
+    (filewriter.go:257: zstd iff the path ends .zst/.zstd; level default
+    3 per filewriter.go:98): parts come out as standard zstd frames with
+    the same records the gzip path would carry."""
+    import pyarrow as pa
+
+    toml_text = """
+[fields]
+names=["a","b","c"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.zst"]
+
+[output]
+name="FileWriter"
+
+    [output.config]
+    PathString="{out}/out.csv.zst"
+""".format(out=tmp_path)
+    out_dir = compile_toml(toml_text).run(spark)
+    parts = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out_dir)
+        for f in fs
+        if f.endswith(".csv.zst")
+    ]
+    assert parts, "no .csv.zst parts written"
+    rows = []
+    for p in parts:
+        with pa.input_stream(p, compression="zstd") as s:  # plain zstd frame
+            rows += [ln for ln in s.read().decode().splitlines() if ln]
+    assert sorted(rows) == [
+        "value1,value2,value3",
+        "value1,value2,value3",
+        "value4,value2,value6",
+        "value5,value2,value3",
+    ]
+
+
+def test_filewriter_zstd_discard_empty_and_rotate(spark, tmp_path):
+    """The zstd path supports the same RotateSize estimation (pyarrow
+    zstd models the codec's output) and DiscardEmptyFiles (JVM-side
+    ZstdInputStream probe) as gzip."""
+    toml_text = """
+[fields]
+names=["a","b","c"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.zst"]
+
+[[filter]]
+name="StringMatch"
+
+    [filter.config]
+    Field="a"
+    Strings=["no-such-value"]
+    InvertMatch=true
+
+[output]
+name="FileWriter"
+
+    [output.config]
+    PathString="{out}/maybe_empty.csv.zst"
+    RotateSize="1"
+    DiscardEmptyFiles=true
+    ZstdCompressionLevel=1
+""".format(out=tmp_path)
+    out_dir = compile_toml(toml_text).run(spark)
+    parts = [
+        f for r, _, fs in os.walk(out_dir) for f in fs if f.startswith("part-")
+    ]
+    assert parts == []  # everything filtered -> no empty zst left behind

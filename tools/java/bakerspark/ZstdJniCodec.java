@@ -1,0 +1,147 @@
+package bakerspark;
+
+import com.github.luben.zstd.ZstdInputStream;
+import com.github.luben.zstd.ZstdOutputStream;
+import java.io.IOException;
+import java.io.InputStream;
+import java.io.OutputStream;
+import org.apache.hadoop.conf.Configurable;
+import org.apache.hadoop.conf.Configuration;
+import org.apache.hadoop.io.compress.CompressionCodec;
+import org.apache.hadoop.io.compress.CompressionInputStream;
+import org.apache.hadoop.io.compress.CompressionOutputStream;
+import org.apache.hadoop.io.compress.Compressor;
+import org.apache.hadoop.io.compress.Decompressor;
+
+/**
+ * Hadoop CompressionCodec over zstd-jni (which Spark already ships for
+ * parquet/shuffle and which bundles its own native library) -- bridges
+ * the gap that Hadoop's own ZStandardCodec needs a native libhadoop
+ * this environment doesn't have. Gives FileWriter the reference
+ * engine's default .zst output format (filewriter.go:26-99, level
+ * default 3 mirrored from ZstdCompressionLevel).
+ *
+ * Stream-only: the pooled Compressor/Decompressor interfaces return
+ * null, which Hadoop's CodecPool tolerates (it falls back to the
+ * stream constructors this class does implement). Write path: Spark's
+ * CodecStreams calls createOutputStream(out). Read path:
+ * LineRecordReader calls createInputStream(in, null).
+ */
+public class ZstdJniCodec implements CompressionCodec, Configurable {
+    public static final String LEVEL_KEY = "bakerspark.zstd.level";
+    private Configuration conf;
+
+    @Override
+    public void setConf(Configuration c) {
+        this.conf = c;
+    }
+
+    @Override
+    public Configuration getConf() {
+        return conf;
+    }
+
+    @Override
+    public CompressionOutputStream createOutputStream(OutputStream out) throws IOException {
+        int level = conf == null ? 3 : conf.getInt(LEVEL_KEY, 3);
+        final ZstdOutputStream z = new ZstdOutputStream(out, level);
+        return new CompressionOutputStream(out) {
+            private boolean closed = false;
+
+            @Override
+            public void write(int b) throws IOException {
+                z.write(b);
+            }
+
+            @Override
+            public void write(byte[] b, int off, int len) throws IOException {
+                z.write(b, off, len);
+            }
+
+            @Override
+            public void finish() throws IOException {
+                z.flush();
+            }
+
+            @Override
+            public void resetState() throws IOException {
+            }
+
+            @Override
+            public void flush() throws IOException {
+                z.flush();
+            }
+
+            @Override
+            public void close() throws IOException {
+                if (!closed) {
+                    closed = true;
+                    z.close(); // finalizes the frame, closes the inner stream
+                }
+            }
+        };
+    }
+
+    @Override
+    public CompressionOutputStream createOutputStream(OutputStream out, Compressor compressor)
+            throws IOException {
+        return createOutputStream(out);
+    }
+
+    @Override
+    public Class<? extends Compressor> getCompressorType() {
+        return null; // stream-only; CodecPool handles null by not pooling
+    }
+
+    @Override
+    public Compressor createCompressor() {
+        return null;
+    }
+
+    @Override
+    public CompressionInputStream createInputStream(InputStream in) throws IOException {
+        final ZstdInputStream z = new ZstdInputStream(in);
+        z.setContinuous(true); // multi-frame files (concatenated .zst) read through
+        return new CompressionInputStream(in) {
+            @Override
+            public int read() throws IOException {
+                return z.read();
+            }
+
+            @Override
+            public int read(byte[] b, int off, int len) throws IOException {
+                return z.read(b, off, len);
+            }
+
+            @Override
+            public void resetState() throws IOException {
+            }
+
+            @Override
+            public void close() throws IOException {
+                z.close();
+            }
+        };
+    }
+
+    @Override
+    public CompressionInputStream createInputStream(InputStream in, Decompressor decompressor)
+            throws IOException {
+        return createInputStream(in);
+    }
+
+    @Override
+    public Class<? extends Decompressor> getDecompressorType() {
+        return null;
+    }
+
+    @Override
+    public Decompressor createDecompressor() {
+        return null;
+    }
+
+    @Override
+    public String getDefaultExtension() {
+        return ".zst";
+    }
+}
