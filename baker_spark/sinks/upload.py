@@ -49,6 +49,14 @@ class S3Upload:
         uploaded = []
         for root, _dirs, files in os.walk(self.source_base_path):
             for name in sorted(files):
+                if name.startswith((".", "_")):
+                    # Hadoop convention: '.'/'_'-prefixed files are
+                    # non-data (committer _SUCCESS markers, .crc
+                    # checksum siblings) — the reference's uploader only
+                    # ever sees rotated data files in its staging dir
+                    # (upload/s3.go:126-187), so pushing these would be
+                    # new noise a migrating user never had
+                    continue
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, self.source_base_path)
                 key = os.path.join(self.prefix, rel) if self.prefix else rel

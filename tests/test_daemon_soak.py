@@ -1,0 +1,123 @@
+"""Daemon-lifecycle soak test: the full reference daemon topology —
+file-arrival source (the SQS-notification stand-in) -> operator chain ->
+FileWriter with rotation -> upload hook — run across >= 10 micro-batches
+with a mid-run stop/resume from checkpoint.
+
+This is the integration the unit suites (test_streaming_sqs/tcp,
+test_toml_e2e FileWriter tests) cover piecewise but never together under
+restart. Asserts the reference's graceful-drain semantics
+(/root/reference/topology.go:282-314: SIGINT stops intake, drains the
+chain, closes outputs; restart resumes where the checkpoint left off):
+
+- exactly-once output: every input record appears in exactly one output
+  file, across the kill/resume boundary (the file source's commit log is
+  the KCL-lease/SQS-redelivery analog)
+- rotation boundaries: one batch per arriving file (maxFilesPerTrigger=1
+  is a RotateInterval whose clock is data arrival), so parts never mix
+  records from two micro-batches
+- the upload stage sees every rotated part
+"""
+
+import gzip
+import os
+
+from baker_spark.operators.transforms import StringMatch
+from baker_spark.sinks.filewriter import FileWriter
+from baker_spark.sinks.upload import S3Upload
+from baker_spark.streaming.daemon import FileStreamSource, StreamingPipeline
+
+
+def _drop_file(watch, idx: int, rows_per_file: int = 5) -> list[str]:
+    """One arriving 'notification' file; row text is globally unique so
+    duplicate/lost records are detectable by value."""
+    lines = [f"f{idx}r{r},keep,v{idx * 100 + r}" for r in range(rows_per_file - 1)]
+    lines.append(f"f{idx}rX,drop,v{idx * 100 + 99}")  # chain must remove this one
+    p = watch / f"arrival_{idx:03d}.csv"
+    p.write_text("\n".join(lines) + "\n")
+    return lines[:-1]
+
+
+def _read_parts(out_dir) -> dict[str, list[str]]:
+    parts = {}
+    for root, _dirs, files in os.walk(out_dir):
+        for name in files:
+            if name.endswith(".csv.gz"):
+                with gzip.open(os.path.join(root, name), "rt") as fh:
+                    parts[name] = [ln for ln in fh.read().splitlines() if ln]
+    return parts
+
+
+def _pipeline(watch, out_dir, uploaded):
+    return StreamingPipeline(
+        source=FileStreamSource(
+            str(watch), fields=["rid", "flag", "val"], max_files_per_trigger=1
+        ),
+        ops=[StringMatch(field="flag", strings=["drop"])],  # drop-on-match
+        sink=FileWriter(path=str(out_dir), compression="gzip", mode="append"),
+        upload=S3Upload(
+            source_base_path=str(out_dir),
+            bucket="test-bucket",
+            upload_fn=lambda path, bucket, key: uploaded.add(key),
+        ),
+    )
+
+
+def test_daemon_soak_kill_resume_exactly_once(spark, tmp_path):
+    watch = tmp_path / "incoming"
+    out_dir = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    watch.mkdir()
+    uploaded: set[str] = set()
+    expected: list[str] = []
+
+    # ---- phase 1: seven arrivals, seven micro-batches, then stop ----
+    for i in range(3):
+        expected += _drop_file(watch, i)
+    pipe = _pipeline(watch, out_dir, uploaded)
+    q = pipe.start(spark, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+        for i in range(3, 7):
+            expected += _drop_file(watch, i)
+        q.processAllAvailable()
+    finally:
+        q.stop()  # the SIGINT drain (topology.go:282-314)
+        q.awaitTermination(30)
+
+    mid = _read_parts(out_dir)
+    mid_rows = [r for rows in mid.values() for r in rows]
+    assert sorted(mid_rows) == sorted(expected), "drained output incomplete at stop"
+
+    # ---- phase 2: five more arrivals land while the daemon is down ----
+    for i in range(7, 12):
+        expected += _drop_file(watch, i)
+
+    # ---- phase 3: resume from checkpoint with a FRESH pipeline object ----
+    pipe2 = _pipeline(watch, out_dir, uploaded)
+    q2 = pipe2.start(spark, checkpoint_dir=ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(30)
+
+    parts = _read_parts(out_dir)
+    all_rows = [r for rows in parts.values() for r in rows]
+
+    # exactly-once across the restart: nothing lost, nothing replayed
+    assert sorted(all_rows) == sorted(expected)
+    assert len(all_rows) == len(set(all_rows)) == 12 * 4
+
+    # rotation boundaries: >= one part per micro-batch (12 batches at
+    # maxFilesPerTrigger=1), and no part mixes two batches' records
+    assert len(parts) >= 12
+    for name, rows in parts.items():
+        src_files = {r.split("r")[0] for r in rows}
+        assert len(src_files) == 1, f"part {name} mixes batches {src_files}"
+
+    # phase-1 parts were never rewritten by the resumed daemon
+    for name, rows in mid.items():
+        assert parts[name] == rows, f"restart rewrote committed part {name}"
+
+    # the upload stage saw every rotated part
+    assert {os.path.basename(k) for k in uploaded} == set(parts)
