@@ -122,10 +122,17 @@ def cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold_c4: int = 4500,
-    max_rows: int = 100_000,
+    max_rows: int = 5_000,
 ) -> DataFrame:
     """All-pairs quantized cosine >= threshold (brute force baseline —
     ``cosine_pairs_bucketed`` below is the 100 TB path).
+
+    ``max_rows`` is a TIME envelope, not just memory: n rows is n^2/2
+    pair evaluations of a 64-element fold in BOTH engines, so 5k rows
+    (~12M pairs, seconds) is where the baseline stops being a baseline.
+    Past it the guard fails fast with the bucketed twin's name — an
+    accidental corpus-sized run dies in milliseconds instead of
+    grinding a cluster for hours. Raise it explicitly to accept O(n^2).
 
     Fully lazy and driver-free: the quantized B side is a broadcast
     join build (Spark ships it to executors; no driver collect, so
