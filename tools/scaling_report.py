@@ -27,7 +27,21 @@ from baker_spark import get_spark  # noqa: E402
 from baker_spark.queries import all_queries  # noqa: E402
 from baker_spark.sources.tables import load_table  # noqa: E402
 
-TESTDATA = "/root/testdata"
+#: sf dirs resolve against the driver's read-only testdata first, then
+#: the repo-local dir where tools/gen_testdata.py extends the ladder
+#: (sf1 — one decade past what the driver ships)
+TESTDATA_ROOTS = [
+    "/root/testdata",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata"),
+]
+
+
+def resolve_sf(sf: str) -> str | None:
+    for root in TESTDATA_ROOTS:
+        p = os.path.join(root, sf)
+        if os.path.isdir(p):
+            return p
+    return None
 
 #: the bench suite plus the pairwise/iterative operators whose scaling
 #: behavior is the interesting part.
@@ -88,21 +102,21 @@ def main() -> None:
             sfs = arg.split("=", 1)[1].split(",")
         elif arg == "--sfs" and i + 1 < len(argv):  # documented space form
             sfs = argv[i + 1].split(",")
-    missing = [s for s in sfs if not os.path.isdir(os.path.join(TESTDATA, s))]
-    sfs = [s for s in sfs if os.path.isdir(os.path.join(TESTDATA, s))]
+    missing = [s for s in sfs if resolve_sf(s) is None]
+    sfs = [s for s in sfs if resolve_sf(s) is not None]
     if not sfs:
         raise SystemExit(
-            f"no usable scale factors: {missing} not found under {TESTDATA}"
+            f"no usable scale factors: {missing} not found under {TESTDATA_ROOTS}"
         )
     spark = get_spark("baker_spark_scaling")
     queries = all_queries()
 
     # warmup
-    load_table(spark, os.path.join(TESTDATA, sfs[0]), "lineitem").limit(100).count()
+    load_table(spark, resolve_sf(sfs[0]), "lineitem").limit(100).count()
 
     results: dict[str, dict[str, float]] = {}
     for sf in sfs:
-        sf_dir = os.path.join(TESTDATA, sf)
+        sf_dir = resolve_sf(sf)
         for name in REPORT_QUERIES:
             best = float("inf")
             for _ in range(N_RUNS):
