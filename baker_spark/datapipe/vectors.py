@@ -46,6 +46,19 @@ def duck_dot(a: str, b: str) -> str:
     return f"list_sum([({a})[i] * ({b})[i] for i in range(1, len({a}) + 1)])"
 
 
+def duck_dot_int(a: str, b: str) -> str:
+    """Exact dot product for QUANTIZED (BIGINT) arrays via DuckDB's
+    native ``list_dot_product``. Products are <= 2^42 and sums <= 2^48
+    at Q_SCALE, well inside the double accumulator's 2^53 exact-integer
+    range, and integer addition is order-independent — so this equals
+    the sequential-fold ``duck_dot`` bit-for-bit while running
+    vectorized C++ instead of a per-element comprehension (measured
+    ~40x on the pair kernels; the comprehension made the sf1 oracle
+    sweep quadratic-oracle-bound). Float arrays must keep ``duck_dot``:
+    their sums are order-dependent."""
+    return f"CAST(list_dot_product({a}, {b}) AS BIGINT)"
+
+
 def duck_cosine(a: str, b: str) -> str:
     return f"({duck_dot(a, b)} / (sqrt({duck_dot(a, a)}) * sqrt({duck_dot(b, b)})))"
 
@@ -173,8 +186,8 @@ def duck_cosine_pairs(
     id_col: str = "vec_id",
     threshold_c4: int = 4500,
 ) -> str:
-    dot = duck_dot("a.q", "b.q")
-    na, nb = duck_dot("a.q", "a.q"), duck_dot("b.q", "b.q")
+    dot = duck_dot_int("a.q", "b.q")
+    na, nb = duck_dot_int("a.q", "a.q"), duck_dot_int("b.q", "b.q")
     c4 = (
         f"floor(CAST({dot} AS DOUBLE) * 10000 / "
         f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))))"
@@ -266,15 +279,25 @@ def duck_lsh_buckets(
     planes: list[list[float]] | None = None,
 ) -> str:
     planes = planes or hyperplanes()
-    terms = []
-    for j, plane in enumerate(planes):
-        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
-        terms.append(
-            f"CASE WHEN {duck_dot(f'CAST({vec_col} AS DOUBLE[])', lit)} > 0 "
-            f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
-        )
-    total = " + ".join(terms)
-    return f"SELECT {id_col}, CAST({total} AS BIGINT) AS bucket FROM {table}"
+    # plane literals and the double-cast vector are hoisted into the
+    # subquery as COLUMNS: DuckDB re-materializes an array literal (and
+    # only a literal — column references are fine) on every element
+    # access inside a comprehension, which made the original
+    # literal-inline form O(dim^2) per row per plane (measured 96s for
+    # 20k rows; hoisted: <1s). The dot itself keeps the identical
+    # left-to-right float fold, so bucket bits are unchanged.
+    cols = ", ".join(
+        "[" + ", ".join(repr(x) for x in plane) + f"]::DOUBLE[] AS p{j}"
+        for j, plane in enumerate(planes)
+    )
+    total = " + ".join(
+        f"CASE WHEN {duck_dot('w', f'p{j}')} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(len(planes))
+    )
+    return (
+        f"SELECT {id_col}, CAST({total} AS BIGINT) AS bucket FROM "
+        f"(SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS w, {cols} FROM {table})"
+    )
 
 
 def ann_topk_bucketed(
@@ -388,8 +411,11 @@ KM_OFFSET = 1 << 24
 def duck_d2(a: str, b: str, dim: int = EMBED_DIM) -> str:
     """Squared L2 distance — the k-means assignment metric: exact int64
     over quantized arrays (no sqrt, no float), so argmin is evaluation-
-    order-independent in both engines."""
-    return f"list_sum([(({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]) for i in range(1, {dim + 1})])"
+    order-independent in both engines. Expanded to |a|^2 - 2ab + |b|^2
+    over native dots: each term is exact (duck_dot_int), the combination
+    is BIGINT arithmetic, and the per-element comprehension this
+    replaces was the oracle's hot loop at sf1."""
+    return f"({duck_dot_int(a, a)} - 2 * {duck_dot_int(a, b)} + {duck_dot_int(b, b)})"
 
 
 def kmeans_train(
@@ -644,8 +670,8 @@ def duck_semdedup(
     from baker_spark.functions.hashing import duck_md5_long
 
     km = duck_kmeans_train(table, k, iters, vec_col, id_col)
-    dot = duck_dot("a.q2", "b.q2")
-    na, nb = duck_dot("a.q2", "a.q2"), duck_dot("b.q2", "b.q2")
+    dot = duck_dot_int("a.q2", "b.q2")
+    na, nb = duck_dot_int("a.q2", "a.q2"), duck_dot_int("b.q2", "b.q2")
     # CASE mirrors the numpy kernel's zero-norm guard (c4 := 0): DuckDB
     # would otherwise evaluate NaN >= threshold as TRUE (NaN sorts last)
     # while numpy evaluates it as False
@@ -697,8 +723,8 @@ def duck_cosine_pairs_bucketed(
     planes: list[list[float]] | None = None,
 ) -> str:
     buckets = duck_lsh_buckets(table, vec_col, id_col, planes)
-    dot = duck_dot("a.q", "b.q")
-    na, nb = duck_dot("a.q", "a.q"), duck_dot("b.q", "b.q")
+    dot = duck_dot_int("a.q", "b.q")
+    na, nb = duck_dot_int("a.q", "a.q"), duck_dot_int("b.q", "b.q")
     # zero-norm guard, mirrored from the numpy kernel (see duck_semdedup)
     c4 = (
         f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0 ELSE "
