@@ -740,3 +740,274 @@ SELECT a.id AS id_a, b.id AS id_b, CAST({c4} AS BIGINT) AS cosine_c4
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
 WHERE {c4} >= {threshold_c4}
 """
+
+
+# --------------------------------------------------- product quantization ----
+
+#: PQ defaults: 64-dim vectors -> m=8 subspaces of 8 dims, 16 centroids
+#: per subspace (4-bit codes). A PQ code is m small ints — the corpus
+#: compresses ~64x (8 bytes vs 64 floats), which is what makes
+#: billion-vector ANN shippable: search touches codes, never vectors.
+PQ_M = 8
+PQ_KSUB = 16
+
+
+def _pq_subspaces(q: DataFrame, m: int, dim: int) -> DataFrame:
+    """(id, q) -> (id, sub, v): one row per subspace slice. Same bytes as
+    the input (m rows of dim/m longs), and the natural distributed shape:
+    every downstream PQ step groups on (sub, ...) with map-side combine."""
+    d = dim // m
+    slices = F.array(*[F.slice("q", s * d + 1, d) for s in range(m)])
+    return q.select("_id", F.posexplode(slices).alias("sub", "v"))
+
+
+def pq_train_encode(
+    df: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMBED_DIM,
+) -> tuple[DataFrame, dict[tuple[int, int], list[int]]]:
+    """Product-quantization codebook training + corpus encoding
+    (Jegou et al. 2011): per-subspace Lloyd's k-means over exact int64
+    quantized slices, returning ``(codes_df, codebook)`` where codes_df
+    is ``(id_col, sub, cid)`` (n*m rows — the compressed corpus) and
+    codebook maps ``(sub, cid) -> centroid`` (m*ksub*(dim/m) ints).
+
+    Everything follows kmeans_train's exactness contract (quantize ->
+    int64 d2 -> floor-mean with KM_OFFSET; seeds = vectors with
+    ``id < ksub``; empty cells keep their previous centroid), so the
+    DuckDB oracle hash-matches. Scale shape: ALL m subspaces train in
+    ONE job per iteration — the assignment is an Arrow kernel with the
+    (m, ksub, dim/m) centroid tensor in the task closure, the update is
+    one groupBy(sub, cid, pos) with map-side combine, and the driver
+    collects m*ksub*(dim/m) ints per round (1024 at the defaults)."""
+    import pandas as pd
+
+    from baker_spark.session import managed_persist
+
+    d = dim // m
+    q = df.select(F.col(id_col).alias("_id"), quantize(as_double(vec_col)).alias("q"))
+    sub = managed_persist(fan_out(_pq_subspaces(q, m, dim), by="_id"))
+
+    # seeds: ksub rows -> m*ksub subspace centroids, one bounded collect
+    cents: dict[tuple[int, int], list[int]] = {
+        (int(r["sub"]), int(r["_id"])): list(r["v"])
+        for r in sub.filter(F.col("_id") < ksub).collect()
+    }
+    if not cents:
+        empty = df.sparkSession.createDataFrame([], f"{id_col} long, sub int, cid long")
+        return empty, {}
+
+    def assigned(cents: dict[tuple[int, int], list[int]]) -> DataFrame:
+        # one centroid matrix per subspace, argmin with the same
+        # (d2, cid) lexicographic tie-break as kmeans_train's kernel
+        by_sub: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for s in {sk for sk, _ in cents}:
+            cids = np.array(sorted(c for sk, c in cents if sk == s), dtype=np.int64)
+            C = np.array([cents[(s, c)] for c in cids], dtype=np.int64)
+            by_sub[s] = (cids, C, (C * C).sum(axis=1))
+
+        def kernel(pdfs):
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                out_cid = np.empty(len(pdf), dtype=np.int64)
+                out_d2 = np.empty(len(pdf), dtype=np.int64)
+                subs = pdf["sub"].to_numpy()
+                mat = np.array(list(pdf["v"]), dtype=np.int64)
+                for s in np.unique(subs):
+                    cids, C, c2 = by_sub[int(s)]
+                    rows = np.nonzero(subs == s)[0]
+                    ms = mat[rows]
+                    d2 = (ms * ms).sum(axis=1)[:, None] - 2 * (ms @ C.T) + c2[None, :]
+                    j = d2.argmin(axis=1)
+                    out_cid[rows] = cids[j]
+                    out_d2[rows] = d2[np.arange(len(rows)), j]
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"],
+                        "sub": pdf["sub"],
+                        "v": pdf["v"],
+                        "cid": out_cid,
+                        "d2": out_d2,
+                    }
+                )
+
+        return sub.mapInPandas(
+            kernel, "_id long, sub int, v array<long>, cid long, d2 long"
+        )
+
+    for _ in range(iters):
+        means = (
+            assigned(cents)
+            .select("sub", "cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .select(
+                "sub",
+                "cid",
+                "pos",
+                F.expr(f"CAST((s + n * {KM_OFFSET}) DIV n - {KM_OFFSET} AS BIGINT)").alias("c"),
+            )
+        )
+        new = {
+            (int(r["sub"]), int(r["cid"])): [
+                int(x) for _, x in sorted((p, v) for p, v in zip(r["poss"], r["vs"]))
+            ]
+            for r in means.groupBy("sub", "cid")
+            .agg(F.collect_list("pos").alias("poss"), F.collect_list("c").alias("vs"))
+            .collect()
+        }
+        cents = {**cents, **new}  # empty cells keep their previous centroid
+
+    codes = assigned(cents).select(
+        F.col("_id").alias(id_col), "sub", "cid"
+    )
+    return codes, cents
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    uncompressed; each corpus vector's distance is approximated by
+    sum_sub d2(query_slice, centroid[sub][code]). Returns
+    ``(id_col, d2_adc)``, ascending with id tie-break.
+
+    Scale: the m*ksub distance table is computed on the driver from the
+    trained codebook (1024 ints) and broadcast; search is then one
+    broadcast hash join codes->table plus a groupBy(id) sum with
+    map-side combine — it touches the 8-byte codes, never the vectors.
+    That is the whole point of PQ at 100 TB: the uncompressed corpus is
+    read once at encode time; every query after that scans codes."""
+    codes, cents = pq_train_encode(df, m, ksub, iters, vec_col, id_col, dim)
+    spark = df.sparkSession
+    if not cents:
+        return spark.createDataFrame([], f"{id_col} long, d2_adc long")
+
+    d = dim // m
+    qrow = (
+        df.filter(F.col(id_col) == query_id)
+        .select(quantize(as_double(vec_col)).alias("q"))
+        .collect()
+    )
+    if not qrow:
+        return spark.createDataFrame([], f"{id_col} long, d2_adc long")
+    qv = list(qrow[0]["q"])
+    table = [
+        (s, c, sum((qv[s * d + i] - cv[i]) ** 2 for i in range(d)))
+        for (s, c), cv in sorted(cents.items())
+    ]
+    tdf = spark.createDataFrame(table, "sub int, cid long, d2q long")
+    return (
+        codes.join(F.broadcast(tdf), ["sub", "cid"])
+        .groupBy(id_col)
+        .agg(F.sum("d2q").alias("d2_adc"))
+        .orderBy(F.col("d2_adc"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _duck_pq_parts(
+    table: str, m: int, ksub: int, iters: int, vec_col: str, id_col: str, dim: int
+) -> tuple[list[str], str, str]:
+    """Shared CTE chain for the PQ oracles: per-subspace Lloyd
+    iterations, one more grouping dimension over duck_kmeans_train's
+    shape. Returns (cte_parts, final_assign_select, last_codebook_cte)
+    so duck_pq_codes emits the codes and duck_pq_adc_topk can also
+    reference the trained codebook."""
+    d = dim // m
+    d2 = duck_d2("s.v", "c.cv", d)
+    assign = (
+        "SELECT _id, sub, cid FROM ("
+        "SELECT s._id, s.sub, c.cid, "
+        "row_number() OVER (PARTITION BY s._id, s.sub ORDER BY {d2}, c.cid) AS rn "
+        "FROM sub s JOIN {cents} c USING (sub)) WHERE rn = 1"
+    )
+    parts = [
+        f"q AS (SELECT {id_col} AS _id, {duck_quantize(f'CAST({vec_col} AS DOUBLE[])')} AS q FROM {table})",
+        f"sub AS (SELECT _id, CAST(r.s AS INT) AS sub, list_slice(q, r.s * {d} + 1, r.s * {d} + {d}) AS v "
+        f"FROM q CROSS JOIN range(0, {m}) r(s))",
+        f"c0 AS (SELECT sub, _id AS cid, v AS cv FROM sub WHERE _id < {ksub})",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f"a{t} AS ({assign.format(d2=d2, cents=prev)})")
+        parts.append(
+            f"m{t} AS (SELECT a.sub, a.cid, r.i AS pos, "
+            f"CAST((sum(s.v[r.i]) + count(*) * {KM_OFFSET}) // count(*) - {KM_OFFSET} AS BIGINT) AS c "
+            f"FROM a{t} a JOIN sub s ON s._id = a._id AND s.sub = a.sub "
+            f"CROSS JOIN range(1, {d + 1}) r(i) GROUP BY a.sub, a.cid, r.i)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT sub, cid, cv FROM "
+            f"(SELECT sub, cid, list(c ORDER BY pos) AS cv FROM m{t} GROUP BY sub, cid) "
+            f"UNION ALL SELECT p.sub, p.cid, p.cv FROM {prev} p "
+            f"WHERE NOT EXISTS (SELECT 1 FROM m{t} x WHERE x.sub = p.sub AND x.cid = p.cid))"
+        )
+        prev = f"c{t}"
+    return parts, assign.format(d2=d2, cents=prev), prev
+
+
+def duck_pq_codes(
+    table: str = "embeddings",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB oracle for pq_train_encode's ``(id, sub, cid)`` codes."""
+    parts, final, _ = _duck_pq_parts(table, m, ksub, iters, vec_col, id_col, dim)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT _id AS {id_col}, sub, cid FROM ({final})"
+    )
+
+
+def duck_pq_adc_topk(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB oracle for pq_adc_topk: same trained codebook CTEs, then
+    the per-subspace query distance table joined against the codes."""
+    d = dim // m
+    parts, final, codebook = _duck_pq_parts(table, m, ksub, iters, vec_col, id_col, dim)
+    parts.append(f"codes AS ({final})")
+    parts.append(f"qq AS (SELECT q FROM q WHERE _id = {query_id})")
+    parts.append(
+        f"qs AS (SELECT CAST(r.s AS INT) AS sub, list_slice(q, r.s * {d} + 1, r.s * {d} + {d}) AS v "
+        f"FROM qq CROSS JOIN range(0, {m}) r(s))"
+    )
+    parts.append(
+        f"tbl AS (SELECT c.sub, c.cid, {duck_d2('s.v', 'c.cv', d)} AS d2q "
+        f"FROM {codebook} c JOIN qs s ON s.sub = c.sub)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT _id AS {id_col}, CAST(sum(t.d2q) AS BIGINT) AS d2_adc
+FROM codes JOIN tbl t USING (sub, cid)
+GROUP BY _id
+ORDER BY d2_adc, _id
+LIMIT {k}
+"""
+    )

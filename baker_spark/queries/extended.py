@@ -332,6 +332,35 @@ def dp_semdedup(spark, sf_dir):
     return semdedup(load_table(spark, sf_dir, "embeddings"))
 
 
+from baker_spark.datapipe.vectors import (  # noqa: E402
+    duck_pq_adc_topk,
+    duck_pq_codes,
+    pq_adc_topk,
+    pq_train_encode,
+)
+
+
+@query("dp_pq_codes", duck_pq_codes())
+def dp_pq_codes(spark, sf_dir):
+    """Product-quantization codebook training + corpus encoding (Jegou
+    et al. 2011): per-subspace exact-int64 Lloyd's (all m subspaces in
+    ONE job per iteration), emitting the (vec_id, sub, cid) codes that
+    compress the corpus ~64x for ANN. Driver traffic is the
+    m*ksub*(dim/m) codebook per round — 1024 ints at the defaults."""
+    codes, _ = pq_train_encode(load_table(spark, sf_dir, "embeddings"))
+    return codes
+
+
+@query("dp_pq_adc_topk", duck_pq_adc_topk(query_id=42))
+def dp_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-k over PQ codes: the query's m*ksub
+    distance table broadcasts against the codes, so search is one
+    broadcast hash join + a map-side-combined sum per vector — it scans
+    8-byte codes, never the embedding column. The billion-vector search
+    shape (exact int64 throughout, so the oracle hash-matches)."""
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"), query_id=42)
+
+
 @query(
     "q_scalar_subquery",
     """

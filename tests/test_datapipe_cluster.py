@@ -205,3 +205,42 @@ def test_cluster_query_plan_shapes(spark, name, forbidden):
         assert op not in p, f"{name}: {op} in plan"
     if name == "dp_dsir_weights":
         assert "BroadcastHashJoin" in p
+
+
+def test_pq_codes_shape_and_range(spark):
+    from baker_spark.datapipe.vectors import PQ_KSUB, pq_train_encode
+
+    df = embed_df(spark, [(i, vec(float(i % 5), float(i % 3))) for i in range(40)])
+    codes, cents = pq_train_encode(df, m=2, ksub=4, iters=1, dim=DIM)
+    rows = codes.collect()
+    assert len(rows) == 40 * 2  # one code per (vector, subspace)
+    assert {r["sub"] for r in rows} == {0, 1}
+    assert all(0 <= r["cid"] < 4 for r in rows)
+    # codebook: m*ksub centroids of dim/m ints
+    assert set(cents) == {(s, c) for s in (0, 1) for c in range(4)}
+    assert all(len(v) == DIM // 2 for v in cents.values())
+
+
+def test_pq_adc_exact_duplicate_ranks_first(spark):
+    from baker_spark.datapipe.vectors import pq_adc_topk
+
+    # vector 7 duplicates vector 0 exactly; ADC distance to the query's
+    # own code cells is minimal for both, so they rank 1-2 (id tiebreak)
+    rows = [(i, vec(1.0 + i, 2.0)) for i in range(7)] + [(7, vec(1.0, 2.0))]
+    rows[0] = (0, vec(1.0, 2.0))
+    df = embed_df(spark, rows)
+    got = pq_adc_topk(df, query_id=0, k=2, m=2, ksub=4, iters=1, dim=DIM).collect()
+    assert [r["vec_id"] for r in got] == [0, 7]
+    assert got[0]["d2_adc"] == got[1]["d2_adc"]
+
+
+def test_pq_empty_seed_set_returns_typed_empty(spark):
+    from baker_spark.datapipe.vectors import pq_adc_topk, pq_train_encode
+
+    df = spark.createDataFrame(
+        [(100 + i, vec(float(i))) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    codes, cents = pq_train_encode(df, m=2, ksub=4, iters=1, dim=DIM)
+    assert codes.count() == 0 and cents == {}
+    assert pq_adc_topk(df, query_id=100, m=2, ksub=4, dim=DIM).count() == 0
