@@ -658,13 +658,25 @@ def simhash_pairs(
 def duck_simhash_pairs(
     table: str = "documents", text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> str:
-    # oracle does the O(n^2) brute force — banded blocking is provably equal
+    # the oracle bands exactly like the Spark side — pigeonhole makes
+    # banded blocking provably equal to brute force at hamming <= 3, and
+    # the equi-join on (band, key) is a parallel hash join where the
+    # n^2 theta-join this replaces ran one core for an hour at sf1.
+    # DISTINCT (instead of Spark's first-match-band predicate) collapses
+    # multi-band duplicates AFTER the cheap hamming filter.
     base = duck_simhash(table, text_col, id_col)
     return f"""
-WITH sim AS ({base})
-SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+WITH sim AS ({base}),
+bands AS (
+  SELECT {id_col}, simhash,
+         (simhash >> (CAST(r.b AS INTEGER) * {SIMHASH_BAND_BITS})) & {SIMHASH_BAND_MASK} AS key,
+         CAST(r.b AS INTEGER) AS band
+  FROM sim CROSS JOIN range(0, 4) r(b)
+)
+SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM sim a JOIN sim b ON a.{id_col} < b.{id_col}
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.{id_col} < b.{id_col}
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
