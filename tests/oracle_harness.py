@@ -46,17 +46,64 @@ def _rows_sorted(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
+#: above this row count the exact sorted-tuple compare switches to a
+#: streamed multiset digest: materializing + sorting two 30M-row result
+#: sets costs ~40 GB and tens of minutes, while the digest is O(1)
+#: memory and exactly as strict (sum of per-row md5s over the SAME
+#: normalized representation — a multiset equality check, matching the
+#: driver's value-hash gate even more closely than the sorted compare)
+BIG_RESULT_ROWS = 1_000_000
+
+
+def _row_digest(cols_sorted_idx, row, acc):
+    import hashlib
+
+    norm = tuple(_norm(row[i]) for i in cols_sorted_idx)
+    h = int.from_bytes(hashlib.md5(repr(norm).encode()).digest(), "big")
+    return (acc + h) % (1 << 160)
+
+
+def _digest_compare(spark_df, rel, s_cols, d_cols, n_duck):
+    s_idx = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    d_idx = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+    s_acc, n_spark = 0, 0
+    for row in spark_df.toLocalIterator():  # memory-bounded stream
+        s_acc = _row_digest(s_idx, tuple(row), s_acc)
+        n_spark += 1
+    if n_spark != n_duck:
+        return False, f"row count mismatch: spark={n_spark} duck={n_duck}"
+    d_acc = 0
+    while True:
+        batch = rel.fetchmany(100_000)
+        if not batch:
+            break
+        for row in batch:
+            d_acc = _row_digest(d_idx, row, d_acc)
+    if s_acc != d_acc:
+        return False, f"multiset digest mismatch over {n_duck} rows"
+    return True, f"OK ({n_duck} rows, digest)"
+
+
 def compare(spark_df, con, sql: str, float_ulps: int = 0):
     """Returns (ok, message). Exact compare; float_ulps>0 allows that many
-    ulps of float slack (used only to DIAGNOSE — the gate itself is 0)."""
+    ulps of float slack (used only to DIAGNOSE — the gate itself is 0).
+    Results above BIG_RESULT_ROWS stream through a multiset digest
+    instead of materializing (same normalization, same strictness). The
+    branch probes the DUCKDB side's count — one cheap local query —
+    because sizing the Spark side first would re-run the whole lineage."""
     s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
     d_cols = list(rel.columns)
-    d_rows = rel.fetchall()
-
     if sorted(s_cols) != sorted(d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+
+    n_duck = con.sql(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+    if n_duck > BIG_RESULT_ROWS:
+        return _digest_compare(spark_df, rel, s_cols, d_cols, n_duck)
+
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    d_rows = rel.fetchall()
+
     if len(s_rows) != len(d_rows):
         return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
 
