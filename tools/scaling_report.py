@@ -140,6 +140,20 @@ def main() -> None:
         "11.2x repeated grams at these SFs), not plan growth: the plan is",
         "one explode + one aggregation, linear in tokens.",
         "",
+        "sf1 is repo-generated (tools/gen_testdata.py — one decade past the",
+        "driver's data; PARITY_SF1.md records the 97/97 oracle sweep there).",
+        "Named causes for the sf0.1->sf1 exponents above 0.5:",
+        "dp_repeated_passages ~0.9 is linear-in-tokens by construction (one",
+        "explode of every n-gram position through one map-side-combined",
+        "aggregation — the honest cost of scanning 10x the grams);",
+        "dp_dedup_incremental grows with the persisted seen-ledger it",
+        "anti-joins (corpus + ledger both 10x); the pairwise rows (*) grow",
+        "with candidate count — n^2/buckets under the synthetic corpus's",
+        "30-word vocabulary skew — which is the banding trade the SimHash",
+        "60-bit/15-bit-band rework already sized for (512x candidate",
+        "reduction vs 8-bit bands); their verify stages stay",
+        "candidate-bound, never corpus-quadratic.",
+        "",
         "| query | " + " | ".join(sfs) + " | exp(last pair) |",
         "|---|" + "---|" * (len(sfs) + 1),
     ]
