@@ -39,6 +39,7 @@ def _io_registry() -> dict[str, dict[str, type]]:
     from baker_spark.sinks.dynamodb import DynamoDBWriter
     from baker_spark.sinks.filewriter import FileWriter
     from baker_spark.sinks.simple import Nop, OpLog, Recorder, WebSocketSink
+    from baker_spark.sinks.websocket_server import WebSocketBroadcastServer
     from baker_spark.sinks.sqlite import SQLiteWriter
     from baker_spark.sinks.stats import Stats
     from baker_spark.sinks.upload import S3Upload
@@ -67,6 +68,7 @@ def _io_registry() -> dict[str, dict[str, type]]:
         "Nop": Nop,
         "OpLog": OpLog,
         "Recorder": Recorder,
+        "WebSocket": WebSocketSink,
     }
     return {
         "Inputs (TOML)": {
@@ -74,7 +76,7 @@ def _io_registry() -> dict[str, dict[str, type]]:
         },
         "Outputs (TOML)": {n: sink_cls[n] for n in SINK_NAMES},
         "Python API only": {
-            "WebSocket": WebSocketSink,
+            "WebSocketServer": WebSocketBroadcastServer,
             "CorpusIngest": CorpusIngest,
             "FileStream": FileStreamSource,
             "Rate": RateSource,

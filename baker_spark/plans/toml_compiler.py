@@ -99,6 +99,7 @@ SINK_NAMES = (
     "Nop",
     "OpLog",
     "Recorder",
+    "WebSocket",
 )
 
 #: the reference's daemon inputs (never exit; SURVEY.md §2.1) — these
@@ -263,6 +264,22 @@ def _build_sink(section: dict, separator: str):
         return OpLog()
     if name == "recorder":
         return Recorder()
+    if name == "websocket":
+        # output/websocket.go:12-77: a registered output that runs a
+        # broadcast server in-process (the reference hardcodes :8080 via
+        # http.ListenAndServe; Port here is an extension so tests can
+        # bind ephemeral) and pushes each record's selected fields to
+        # every connected client
+        from baker_spark.sinks.simple import WebSocketSink
+        from baker_spark.sinks.websocket_server import WebSocketBroadcastServer
+
+        server = WebSocketBroadcastServer(port=int(cfg.get("port", 8080)))
+        server.start()
+        sink = WebSocketSink(
+            send_fn=server.broadcast, fields=section.get("fields") or None
+        )
+        sink.server = server  # reachable for stop() / assertions
+        return sink
     if name == "stats":
         return Stats(
             fields=cfg.get("fields", []),

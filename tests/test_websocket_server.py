@@ -126,3 +126,43 @@ def test_large_frame_roundtrip():
         msgs = client.read_messages(2, timeout=15)
         assert msgs == [mid, big]
         client.close()
+
+
+def test_websocket_toml_topology(spark):
+    """[output] name='WebSocket' (output/websocket.go:12-24 registers it
+    as a first-class output): the compiled topology starts the broadcast
+    server and pushes each record's selected fields to connected
+    clients. Port=0 is the test extension (the reference hardcodes
+    :8080)."""
+    from baker_spark.plans import compile_toml
+
+    toml_text = """
+[fields]
+names=["a","b","c"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.zst"]
+
+[output]
+name="WebSocket"
+fields=["a", "c"]
+
+    [output.config]
+    Port=0
+"""
+    pipe = compile_toml(toml_text)
+    server = pipe.sink.server
+    try:
+        client = _Client(server.host, server.port)
+        _wait_clients(server, 1)
+        pipe.run(spark)
+        msgs = [json.loads(m) for m in client.read_messages(4)]
+        assert len(msgs) == 4
+        assert all(set(m) == {"a", "c"} for m in msgs)  # field projection
+        assert sorted(m["a"] for m in msgs) == ["value1", "value1", "value4", "value5"]
+        client.close()
+    finally:
+        server.stop()
