@@ -555,11 +555,16 @@ def duck_kmeans_train(
     prev = "c0"
     for t in range(1, iters + 1):
         parts.append(f"a{t} AS ({assign.format(d2=d2, cents=prev)})")
+        # position generation is LENGTH-driven (generate_subscripts zips
+        # with unnest), not dim-parameter-driven: a fixed range(1, dim+1)
+        # over shorter vectors padded the centroid lists with NULLs —
+        # silently absorbed by the old comprehension dot, a hard error
+        # under list_dot_product
         parts.append(
-            f"m{t} AS (SELECT a.cid, r.i AS pos, "
-            f"CAST((sum(e.q[r.i]) + count(*) * {KM_OFFSET}) // count(*) - {KM_OFFSET} AS BIGINT) AS c "
-            f"FROM a{t} a JOIN q e USING (_id) CROSS JOIN range(1, {dim + 1}) r(i) "
-            f"GROUP BY a.cid, r.i)"
+            f"m{t} AS (SELECT cid, pos, "
+            f"CAST((sum(x) + count(*) * {KM_OFFSET}) // count(*) - {KM_OFFSET} AS BIGINT) AS c "
+            f"FROM (SELECT a.cid, generate_subscripts(e.q, 1) AS pos, unnest(e.q) AS x "
+            f"FROM a{t} a JOIN q e USING (_id)) GROUP BY cid, pos)"
         )
         # a cluster that lost all members keeps its previous centroid
         parts.append(
