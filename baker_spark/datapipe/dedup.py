@@ -83,6 +83,12 @@ def incremental_dedup_against_keys(
     """Same as :func:`incremental_dedup` but the seen side is already a
     key table (an ``fp`` column) — the shape of a persisted fingerprint
     ledger, where recomputing keys from stored text would be waste."""
+    # NO fan_out here, by measurement: the fingerprint is one md5 over
+    # the text — cheap enough that at sf1 the extra exchange + task
+    # overhead LOST 60% (2.0s -> 3.4s A/B). fan_out pays only when the
+    # per-row expression dominates (shingle/regex-class, see
+    # _verify_jaccard); the groupBy's map-side combine already spreads
+    # the shuffle.
     batch = (
         new_docs.groupBy(key.alias("fp"))
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
@@ -336,7 +342,13 @@ def _verify_jaccard(
         .union(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sets_ = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+    # fan_out AFTER the semi-prune: only candidate docs' text crosses
+    # the (conditional) exchange, and the shingle construction — the
+    # expensive expression — then runs on every core instead of inside
+    # the scan stage on however many splits the parquet offers
+    sets_ = fan_out(
+        df.join(F.broadcast(cand_ids), id_col, "left_semi"), by=id_col
+    ).select(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
     )
