@@ -5,6 +5,7 @@ Comparison is order-insensitive (the reference doesn't guarantee global
 order with procs>1 either, /root/reference/config.go:47-53)."""
 
 import gzip
+import json
 import os
 
 from baker_spark.plans import compile_toml
@@ -663,3 +664,54 @@ name="FileWriter"
         f for r, _, fs in os.walk(out_dir) for f in fs if f.startswith("part-")
     ]
     assert parts == []  # everything filtered -> no empty zst left behind
+
+
+def test_zstd_writer_reader_roundtrip(spark, tmp_path):
+    """Our writer's .zst output is consumable by our own List input —
+    the staged-pipeline pattern (topology A rotates .zst files, topology
+    B ingests them), matching the reference where FileWriter's zstd
+    output feeds a later baker run's List (filewriter.go:257 +
+    list.go's zstd auto-decompress)."""
+    write_toml = """
+[fields]
+names=["a","b","c"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.zst"]
+
+[output]
+name="FileWriter"
+
+    [output.config]
+    PathString="{out}/stage1.csv.zst"
+""".format(out=tmp_path)
+    out_dir = compile_toml(write_toml).run(spark)
+    parts = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out_dir)
+        for f in fs
+        if f.endswith(".csv.zst")
+    )
+    read_toml = """
+[fields]
+names=["a","b","c"]
+
+[input]
+name="List"
+
+    [input.config]
+    files={files}
+
+[output]
+name="Recorder"
+""".format(files=json.dumps(parts))
+    rows = compile_toml(read_toml).run(spark)
+    assert sorted((r["a"], r["b"], r["c"]) for r in rows) == [
+        ("value1", "value2", "value3"),
+        ("value1", "value2", "value3"),
+        ("value4", "value2", "value6"),
+        ("value5", "value2", "value3"),
+    ]
