@@ -157,9 +157,21 @@ def lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     sig: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing >= 1 LSH band.
-    With k=16, b=4 (r=4) the jaccard threshold is ~(1/b)^(1/r) ~= 0.7."""
+    With k=16, b=4 (r=4) the jaccard threshold is ~(1/b)^(1/r) ~= 0.7.
+
+    ``bucket_cap``: drop every (band, hash) bucket with more members
+    than the cap BEFORE the self-join. A boilerplate-heavy corpus puts
+    millions of near-identical docs in one bucket, and the join then
+    emits cap-free |bucket|^2/2 pairs — the work AQE's skew handling
+    cannot reduce (it balances partitions, not pair counts). The trade
+    is explicit and standard for production LSH dedup: a pair whose
+    EVERY matching band is hot goes undetected; hot-bucket members are
+    precisely the near-identical mass that exact/fingerprint dedup
+    (dp_dedup_exact, incremental_dedup) already collapses upstream.
+    None (default) disables."""
     r = k // bands
     # persist: the band table feeds both sides of the self-join; without
     # it the shingle->md5 pipeline (the expensive part) runs twice.
@@ -179,6 +191,17 @@ def lsh_pairs(
         sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bh"))
         .select(id_col, "bh.band", "bh.h")
     )
+    if bucket_cap is not None:
+        # hot buckets are FEW by definition (each holds > cap docs), so
+        # the exclusion list is a tiny aggregate broadcast into an
+        # anti-join — no second corpus shuffle
+        hot = (
+            bands_df.groupBy("band", "h")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > bucket_cap)
+            .select("band", "h")
+        )
+        bands_df = bands_df.join(F.broadcast(hot), ["band", "h"], "left_anti")
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
     return (
@@ -209,6 +232,7 @@ def duck_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    bucket_cap: int | None = None,
 ) -> str:
     r = k // bands
     mins = ",\n  ".join(
@@ -220,6 +244,18 @@ def duck_lsh_pairs(
         f"md5(concat_ws(',', {', '.join(f'm{b * r + j}' for j in range(r))})) AS h FROM sig"
         for b in range(bands)
     )
+    if bucket_cap is not None:
+        # identical hot-bucket exclusion as the Spark side's anti-join
+        cap_cte = (
+            ",\nbands AS (SELECT b.* FROM bands0 b "
+            "LEFT JOIN (SELECT band, h FROM bands0 GROUP BY band, h "
+            f"HAVING count(*) > {bucket_cap}) hot "
+            "ON b.band = hot.band AND b.h = hot.h WHERE hot.h IS NULL)"
+        )
+        bands_name = "bands0"
+    else:
+        cap_cte = ""
+        bands_name = "bands"
     return f"""
 WITH sh AS (
   SELECT DISTINCT {id_col}, unnest({duck_word_shingles(text_col, shingle_n)}) AS s
@@ -227,7 +263,7 @@ WITH sh AS (
 ),
 hp AS (SELECT {id_col}, {duck_md5_long('s', nchars=8)} AS h32 FROM sh),
 sig AS (SELECT {id_col}, {mins} FROM hp GROUP BY {id_col}),
-bands AS ({band_rows})
+{bands_name} AS ({band_rows}){cap_cte}
 SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.{id_col} < b.{id_col}
 """

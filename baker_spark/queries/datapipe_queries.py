@@ -43,6 +43,16 @@ def dp_minhash_lsh_pairs(spark, sf_dir):
     return dedup.lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@query("dp_minhash_capped", dedup.duck_lsh_pairs(bucket_cap=3))
+def dp_minhash_capped(spark, sf_dir):
+    """lsh_pairs with the hot-bucket cap engaged — the 100 TB guard
+    against boilerplate mega-buckets emitting |bucket|^2/2 pairs. The
+    cap's exclusion list is a tiny broadcast anti-join; the oracle
+    applies the identical rule, so the recall trade is pinned
+    cross-engine, not just asserted."""
+    return dedup.lsh_pairs(load_table(spark, sf_dir, "documents"), bucket_cap=3)
+
+
 @query("dp_ngram_jaccard_pairs", dedup.duck_ngram_jaccard_pairs())
 def dp_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))

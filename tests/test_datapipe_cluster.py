@@ -244,3 +244,24 @@ def test_pq_empty_seed_set_returns_typed_empty(spark):
     codes, cents = pq_train_encode(df, m=2, ksub=4, iters=1, dim=DIM)
     assert codes.count() == 0 and cents == {}
     assert pq_adc_topk(df, query_id=100, m=2, ksub=4, dim=DIM).count() == 0
+
+
+def test_lsh_bucket_cap_drops_mega_bucket_keeps_rest(spark):
+    from baker_spark.datapipe import dedup
+
+    boiler = "the same boilerplate text repeated in every mirror page of the site"
+    near_a = "a genuinely unique document about spark query planning and shuffles"
+    near_b = "a genuinely unique document about spark query planning and exchanges"
+    rows = [(i, boiler) for i in range(10)]          # one mega-bucket
+    rows += [(100, near_a), (101, near_b)]           # a real near-dup pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_pairs(df).collect()}
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_pairs(df, bucket_cap=5).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped  # survivor
+    assert any(a < 10 and b < 10 for a, b in uncapped)      # mega-pairs existed
+    assert not any(a < 10 and b < 10 for a, b in capped)    # and are dropped
+    assert capped <= uncapped                               # cap only removes
