@@ -18,7 +18,8 @@ import __spark_entry__ as E
 qs = E.queries()
 sf = "/root/testdata/sf0.001"
 assert E.entry(spark).count() > 0
-for name in ["q_session_windows", "op_timestamprange", "dp_token_counts"]:
+for name in ["q_session_windows", "op_timestamprange", "dp_token_counts",
+             "dp_pq_codes", "dp_semdedup", "dp_minhash_capped"]:
     assert qs[name](spark, sf).count() >= 0, name
 print("FOREIGN_SESSION_OK")
 """
