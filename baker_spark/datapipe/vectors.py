@@ -425,6 +425,7 @@ def kmeans_train(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     with_vectors: bool = False,
+    with_centroids: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over quantized embeddings, returning
     the final assignment ``(id_col, centroid_id, d2)``.
@@ -465,7 +466,8 @@ def kmeans_train(
         schema = f"{id_col} long, centroid_id long, d2 long"
         if with_vectors:
             schema += ", q array<long>"
-        return df.sparkSession.createDataFrame([], schema)
+        empty = df.sparkSession.createDataFrame([], schema)
+        return (empty, {}) if with_centroids else empty
 
     def assigned_df(cents: dict[int, list[int]]) -> DataFrame:
         # Arrow-batched exact-int64 assignment kernel: d2 = |m|^2 - 2mC^T
@@ -528,19 +530,28 @@ def kmeans_train(
         # lets a consumer (semdedup) group by cell WITHOUT re-joining the
         # corpus — the assignment is already a narrow map over (id, q)
         cols.append(F.col("q"))
-    return final.select(*cols)
+    out = final.select(*cols)
+    if with_centroids:
+        # the centroid table the FINAL assignment ran against (k x dim
+        # ints, already on the driver) — what a probing consumer
+        # (ivfpq_topk) ranks query-to-cell distances with
+        return out, cents
+    return out
 
 
-def duck_kmeans_train(
-    table: str = "embeddings",
-    k: int = 8,
-    iters: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+def _duck_kmeans_parts(
+    table: str,
+    k: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
     dim: int = EMBED_DIM,
-) -> str:
-    """DuckDB oracle: the identical Lloyd iterations as an unrolled CTE
-    chain (quantize -> argmin assign -> floor-mean update, all BIGINT)."""
+) -> tuple[list[str], str, str]:
+    """Shared CTE chain for the k-means oracles: returns
+    (cte_parts, final_assign_select, last_codebook_cte) so
+    duck_kmeans_train emits the assignment and a probing consumer
+    (duck_ivfpq_topk) can also rank cells against the SAME centroids
+    the assignment used."""
     d2 = duck_d2("e.q", "c.cv", dim)
     assign = (
         "SELECT _id, cid, d2 FROM ("
@@ -572,7 +583,20 @@ def duck_kmeans_train(
             f"UNION ALL SELECT cid, cv FROM {prev} p WHERE cid NOT IN (SELECT cid FROM m{t}))"
         )
         prev = f"c{t}"
-    final = assign.format(d2=d2, cents=prev)
+    return parts, assign.format(d2=d2, cents=prev), prev
+
+
+def duck_kmeans_train(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB oracle: the identical Lloyd iterations as an unrolled CTE
+    chain (quantize -> argmin assign -> floor-mean update, all BIGINT)."""
+    parts, final, _ = _duck_kmeans_parts(table, k, iters, vec_col, id_col, dim)
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT _id AS {id_col}, cid AS centroid_id, "
         f"CAST(d2 AS BIGINT) AS d2 FROM ({final})"
@@ -925,43 +949,53 @@ def pq_adc_topk(
 
 
 def _duck_pq_parts(
-    table: str, m: int, ksub: int, iters: int, vec_col: str, id_col: str, dim: int
+    table: str,
+    m: int,
+    ksub: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    prefix: str = "",
 ) -> tuple[list[str], str, str]:
     """Shared CTE chain for the PQ oracles: per-subspace Lloyd
     iterations, one more grouping dimension over duck_kmeans_train's
     shape. Returns (cte_parts, final_assign_select, last_codebook_cte)
     so duck_pq_codes emits the codes and duck_pq_adc_topk can also
-    reference the trained codebook."""
+    reference the trained codebook. ``prefix`` namespaces every CTE so
+    the chain can coexist with the coarse k-means chain in one oracle
+    (duck_ivfpq_topk)."""
     d = dim // m
     d2 = duck_d2("s.v", "c.cv", d)
+    P = prefix
     assign = (
         "SELECT _id, sub, cid FROM ("
         "SELECT s._id, s.sub, c.cid, "
         "row_number() OVER (PARTITION BY s._id, s.sub ORDER BY {d2}, c.cid) AS rn "
-        "FROM sub s JOIN {cents} c USING (sub)) WHERE rn = 1"
+        f"FROM {P}sub s JOIN {{cents}} c USING (sub)) WHERE rn = 1"
     )
     parts = [
-        f"q AS (SELECT {id_col} AS _id, {duck_quantize(f'CAST({vec_col} AS DOUBLE[])')} AS q FROM {table})",
-        f"sub AS (SELECT _id, CAST(r.s AS INT) AS sub, list_slice(q, r.s * {d} + 1, r.s * {d} + {d}) AS v "
-        f"FROM q CROSS JOIN range(0, {m}) r(s))",
-        f"c0 AS (SELECT sub, _id AS cid, v AS cv FROM sub WHERE _id < {ksub})",
+        f"{P}q AS (SELECT {id_col} AS _id, {duck_quantize(f'CAST({vec_col} AS DOUBLE[])')} AS q FROM {table})",
+        f"{P}sub AS (SELECT _id, CAST(r.s AS INT) AS sub, list_slice(q, r.s * {d} + 1, r.s * {d} + {d}) AS v "
+        f"FROM {P}q CROSS JOIN range(0, {m}) r(s))",
+        f"{P}c0 AS (SELECT sub, _id AS cid, v AS cv FROM {P}sub WHERE _id < {ksub})",
     ]
-    prev = "c0"
+    prev = f"{P}c0"
     for t in range(1, iters + 1):
-        parts.append(f"a{t} AS ({assign.format(d2=d2, cents=prev)})")
+        parts.append(f"{P}a{t} AS ({assign.format(d2=d2, cents=prev)})")
         parts.append(
-            f"m{t} AS (SELECT a.sub, a.cid, r.i AS pos, "
+            f"{P}m{t} AS (SELECT a.sub, a.cid, r.i AS pos, "
             f"CAST((sum(s.v[r.i]) + count(*) * {KM_OFFSET}) // count(*) - {KM_OFFSET} AS BIGINT) AS c "
-            f"FROM a{t} a JOIN sub s ON s._id = a._id AND s.sub = a.sub "
+            f"FROM {P}a{t} a JOIN {P}sub s ON s._id = a._id AND s.sub = a.sub "
             f"CROSS JOIN range(1, {d + 1}) r(i) GROUP BY a.sub, a.cid, r.i)"
         )
         parts.append(
-            f"c{t} AS (SELECT sub, cid, cv FROM "
-            f"(SELECT sub, cid, list(c ORDER BY pos) AS cv FROM m{t} GROUP BY sub, cid) "
+            f"{P}c{t} AS (SELECT sub, cid, cv FROM "
+            f"(SELECT sub, cid, list(c ORDER BY pos) AS cv FROM {P}m{t} GROUP BY sub, cid) "
             f"UNION ALL SELECT p.sub, p.cid, p.cv FROM {prev} p "
-            f"WHERE NOT EXISTS (SELECT 1 FROM m{t} x WHERE x.sub = p.sub AND x.cid = p.cid))"
+            f"WHERE NOT EXISTS (SELECT 1 FROM {P}m{t} x WHERE x.sub = p.sub AND x.cid = p.cid))"
         )
-        prev = f"c{t}"
+        prev = f"{P}c{t}"
     return parts, assign.format(d2=d2, cents=prev), prev
 
 
@@ -1013,6 +1047,127 @@ SELECT _id AS {id_col}, CAST(sum(t.d2q) AS BIGINT) AS d2_adc
 FROM codes JOIN tbl t USING (sub, cid)
 GROUP BY _id
 ORDER BY d2_adc, _id
+LIMIT {k}
+"""
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    kc: int = 8,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """IVF-PQ search (Jegou et al. 2011's full system shape, the FAISS
+    IVFPQ layout): a coarse k-means quantizer prunes the corpus to the
+    ``nprobe`` cells nearest the query, and PQ asymmetric distances rank
+    ONLY those cells' members — search cost is nprobe/kc of the codes,
+    and the codes are ~64x smaller than the vectors to begin with.
+
+    Scale shape: both trainings are the bounded-driver-traffic loops
+    documented on kmeans_train/pq_train_encode; at query time the driver
+    holds the kc coarse centroids + the m*ksub distance table (a few KB)
+    and search is a semi-join (candidate ids, broadcast) + a broadcast
+    hash join (distance table) + one map-side-combined sum per
+    candidate. No full-corpus work happens per query.
+
+    Exact int64 end-to-end; probe ranking ties break on (d2, cid) and
+    result ties on (d2_adc, id), matching the oracle's row_number/ORDER
+    BY exactly."""
+    assign, coarse = kmeans_train(
+        df, k=kc, iters=iters, vec_col=vec_col, id_col=id_col, with_centroids=True
+    )
+    codes, cb = pq_train_encode(df, m, ksub, iters, vec_col, id_col, dim)
+    spark = df.sparkSession
+    empty_schema = f"{id_col} long, d2_adc long"
+    if not coarse or not cb:
+        return spark.createDataFrame([], empty_schema)
+    qrow = (
+        df.filter(F.col(id_col) == query_id)
+        .select(quantize(as_double(vec_col)).alias("q"))
+        .collect()
+    )
+    if not qrow:
+        return spark.createDataFrame([], empty_schema)
+    qv = list(qrow[0]["q"])
+
+    ranked = sorted(
+        (sum((qv[i] - cv[i]) ** 2 for i in range(len(cv))), cid)
+        for cid, cv in coarse.items()
+    )
+    probe = [cid for _, cid in ranked[:nprobe]]
+
+    d = dim // m
+    table = [
+        (s, c, sum((qv[s * d + i] - cv[i]) ** 2 for i in range(d)))
+        for (s, c), cv in sorted(cb.items())
+    ]
+    tdf = spark.createDataFrame(table, "sub int, cid long, d2q long")
+    cand = assign.filter(F.col("centroid_id").isin(probe)).select(id_col)
+    return (
+        codes.join(F.broadcast(cand), id_col, "left_semi")
+        .join(F.broadcast(tdf), ["sub", "cid"])
+        .groupBy(id_col)
+        .agg(F.sum("d2q").alias("d2_adc"))
+        .orderBy(F.col("d2_adc"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def duck_ivfpq_topk(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    kc: int = 8,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB oracle for ivfpq_topk: both training chains (coarse
+    k-means + prefixed per-subspace PQ) in one WITH, then probe-cell
+    ranking against the coarse codebook and ADC over probed codes."""
+    d = dim // m
+    kparts, kfinal, kcb = _duck_kmeans_parts(table, kc, iters, vec_col, id_col, dim)
+    pparts, pfinal, pcb = _duck_pq_parts(
+        table, m, ksub, iters, vec_col, id_col, dim, prefix="p"
+    )
+    parts = kparts + pparts
+    parts.append(f"assign AS ({kfinal})")
+    parts.append(f"codes AS ({pfinal})")
+    parts.append(f"qq AS (SELECT q FROM q WHERE _id = {query_id})")
+    parts.append(
+        f"probe AS (SELECT cid FROM (SELECT c.cid, "
+        f"row_number() OVER (ORDER BY {duck_d2('qq.q', 'c.cv', dim)}, c.cid) AS rn "
+        f"FROM {kcb} c, qq) WHERE rn <= {nprobe})"
+    )
+    parts.append(
+        f"qs AS (SELECT CAST(r.s AS INT) AS sub, "
+        f"list_slice(q, r.s * {d} + 1, r.s * {d} + {d}) AS v "
+        f"FROM qq CROSS JOIN range(0, {m}) r(s))"
+    )
+    parts.append(
+        f"tbl AS (SELECT c.sub, c.cid, {duck_d2('s.v', 'c.cv', d)} AS d2q "
+        f"FROM {pcb} c JOIN qs s ON s.sub = c.sub)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT cd._id AS {id_col}, CAST(sum(t.d2q) AS BIGINT) AS d2_adc
+FROM codes cd
+JOIN assign a ON a._id = cd._id AND a.cid IN (SELECT cid FROM probe)
+JOIN tbl t ON t.sub = cd.sub AND t.cid = cd.cid
+GROUP BY cd._id
+ORDER BY d2_adc, cd._id
 LIMIT {k}
 """
     )

@@ -333,8 +333,10 @@ def dp_semdedup(spark, sf_dir):
 
 
 from baker_spark.datapipe.vectors import (  # noqa: E402
+    duck_ivfpq_topk,
     duck_pq_adc_topk,
     duck_pq_codes,
+    ivfpq_topk,
     pq_adc_topk,
     pq_train_encode,
 )
@@ -359,6 +361,16 @@ def dp_pq_adc_topk(spark, sf_dir):
     8-byte codes, never the embedding column. The billion-vector search
     shape (exact int64 throughout, so the oracle hash-matches)."""
     return pq_adc_topk(load_table(spark, sf_dir, "embeddings"), query_id=42)
+
+
+@query("dp_ivfpq_topk", duck_ivfpq_topk(query_id=42))
+def dp_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ search — the FAISS IVFPQ composition: coarse k-means
+    cells prune to nprobe nearest the query, PQ asymmetric distances
+    rank only those cells' codes. Per query the driver holds a few KB
+    (coarse centroids + distance table); the corpus-side work is a
+    broadcast semi-join over the probed cells' 8-byte codes."""
+    return ivfpq_topk(load_table(spark, sf_dir, "embeddings"), query_id=42)
 
 
 @query(

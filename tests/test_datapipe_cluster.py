@@ -265,3 +265,24 @@ def test_lsh_bucket_cap_drops_mega_bucket_keeps_rest(spark):
     assert any(a < 10 and b < 10 for a, b in uncapped)      # mega-pairs existed
     assert not any(a < 10 and b < 10 for a, b in capped)    # and are dropped
     assert capped <= uncapped                               # cap only removes
+
+
+def test_ivfpq_probes_near_cells_and_ranks_duplicate_first(spark):
+    from baker_spark.datapipe.vectors import ivfpq_topk
+
+    # two far blobs; seeds 0 (blob A) and 1 (blob B) become the coarse
+    # cells. Query 0's duplicate (id 7) lives in the probed cell A and
+    # must rank alongside the query; with nprobe=1 blob B's members are
+    # never scored at all.
+    rows = [(0, vec(10.0, 0.0)), (1, vec(-10.0, 0.0))]
+    rows += [(i, vec(10.0 + 0.1 * i, 0.2)) for i in range(2, 7)]   # cell A
+    rows += [(7, vec(10.0, 0.0))]                                  # dup of 0
+    rows += [(i, vec(-10.0 - 0.1 * i, 0.2)) for i in range(8, 12)]  # cell B
+    df = embed_df(spark, rows)
+    got = ivfpq_topk(
+        df, query_id=0, k=12, kc=2, nprobe=1, m=2, ksub=2, iters=1, dim=DIM
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert set(ids) <= {0, 2, 3, 4, 5, 6, 7}  # only probed-cell members
+    assert ids[0] in (0, 7) and got[0]["d2_adc"] == got[1]["d2_adc"]
+    assert 1 not in ids and 8 not in ids  # unprobed cell never scored

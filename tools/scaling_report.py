@@ -74,6 +74,7 @@ REPORT_QUERIES = [
     "dp_semdedup",
     "dp_pq_codes",
     "dp_pq_adc_topk",
+    "dp_ivfpq_topk",
 ]
 
 #: queries whose work is inherently pairwise on candidate sets — an
@@ -82,7 +83,7 @@ PAIRWISE = {"dp_minhash_lsh_pairs", "dp_lsh_verified_pairs", "dp_simhash_pairs",
 
 #: iterative (driver-round) queries: wall time at toy SFs is fixed
 #: per-round overhead, so their exponent reads low or negative.
-ITERATIVE = {"dp_kmeans_train", "dp_semdedup", "dp_pq_codes", "dp_pq_adc_topk"}
+ITERATIVE = {"dp_kmeans_train", "dp_semdedup", "dp_pq_codes", "dp_pq_adc_topk", "dp_ivfpq_topk"}
 
 #: dp_repeated_passages' exponent (~0.6-0.7) is OUTPUT growth, not a plan
 #: defect: a 10x corpus produced 11.2x repeated grams (1,096 -> 12,235 at
