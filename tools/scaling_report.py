@@ -144,18 +144,19 @@ def main() -> None:
         "one explode + one aggregation, linear in tokens.",
         "",
         "sf1 is repo-generated (tools/gen_testdata.py — one decade past the",
-        "driver's data; PARITY_SF1.md records the 97/97 oracle sweep there).",
-        "Named causes for the sf0.1->sf1 exponents above 0.5:",
-        "dp_repeated_passages ~0.9 is linear-in-tokens by construction (one",
-        "explode of every n-gram position through one map-side-combined",
-        "aggregation — the honest cost of scanning 10x the grams);",
-        "dp_dedup_incremental grows with the persisted seen-ledger it",
-        "anti-joins (corpus + ledger both 10x); the pairwise rows (*) grow",
-        "with candidate count — n^2/buckets under the synthetic corpus's",
-        "30-word vocabulary skew — which is the banding trade the SimHash",
-        "60-bit/15-bit-band rework already sized for (512x candidate",
-        "reduction vs 8-bit bands); their verify stages stay",
-        "candidate-bound, never corpus-quadratic.",
+        "driver's data; PARITY_SF1.md records the 99/99 oracle sweep there).",
+        "After this round's fan_out fixes (repeated-passage grams 17.2s -> 2.2s,",
+        "jaccard-verify shingles 6.4s -> 4.0s: expensive per-row expressions no",
+        "longer bound to the parquet's 2 scan splits) every sf0.1->sf1 exponent",
+        "is <= ~0.6. Named causes for the rows above 0.5:",
+        "dp_dedup_incremental grows with the persisted seen-ledger it anti-joins",
+        "(corpus + ledger both 10x); q_percentile_by_group is exact-percentile",
+        "sort growth. The pairwise rows (*) sit at 0.27-0.48 — candidate growth",
+        "under the synthetic corpus's 30-word vocabulary skew, the banding trade",
+        "the SimHash 60-bit/15-bit-band rework sized for (512x candidate",
+        "reduction vs 8-bit bands); their verify stages stay candidate-bound,",
+        "never corpus-quadratic, and lsh_pairs' bucket_cap (dp_minhash_capped)",
+        "bounds the mega-bucket worst case.",
         "",
         "| query | " + " | ".join(sfs) + " | exp(last pair) |",
         "|---|" + "---|" * (len(sfs) + 1),
