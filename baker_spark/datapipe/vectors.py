@@ -168,10 +168,16 @@ def cosine_pairs(
         F.col("id").alias("id_b"), F.col("q").alias("qb"), F.col("n2").alias("nb")
     )
     d = dot_long(F.col("qa"), F.col("qb"))
-    c4 = F.floor(
-        d.cast("double")
-        * F.lit(10000.0)
-        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    # zero-norm guard, same pinned-0 rule as the bucketed/semdedup
+    # kernels: an all-zero quantized vector has undefined cosine; both
+    # engines must agree it is "not similar" rather than each handling
+    # the NaN differently (Spark's NaN>=t is false, DuckDB's is true)
+    c4 = F.when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0)).otherwise(
+        F.floor(
+            d.cast("double")
+            * F.lit(10000.0)
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+        )
     )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
@@ -188,9 +194,12 @@ def duck_cosine_pairs(
 ) -> str:
     dot = duck_dot_int("a.q", "b.q")
     na, nb = duck_dot_int("a.q", "a.q"), duck_dot_int("b.q", "b.q")
+    # zero-norm guard, mirrored from duck_semdedup: without it DuckDB
+    # keeps the NaN row (NaN sorts above all) then fails the BIGINT cast
     c4 = (
+        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0 ELSE "
         f"floor(CAST({dot} AS DOUBLE) * 10000 / "
-        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))))"
+        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))) END"
     )
     return f"""
 WITH e AS (SELECT {id_col} AS id, {duck_quantize(f'CAST({vec_col} AS DOUBLE[])')} AS q FROM {table})
@@ -408,7 +417,7 @@ def cosine_pairs_bucketed(
 KM_OFFSET = 1 << 24
 
 
-def duck_d2(a: str, b: str, dim: int = EMBED_DIM) -> str:
+def duck_d2(a: str, b: str) -> str:
     """Squared L2 distance — the k-means assignment metric: exact int64
     over quantized arrays (no sqrt, no float), so argmin is evaluation-
     order-independent in both engines. Expanded to |a|^2 - 2ab + |b|^2
@@ -426,9 +435,10 @@ def kmeans_train(
     id_col: str = "vec_id",
     with_vectors: bool = False,
     with_centroids: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, dict[int, list[int]]]:
     """Distributed Lloyd's k-means over quantized embeddings, returning
-    the final assignment ``(id_col, centroid_id, d2)``.
+    the final assignment ``(id_col, centroid_id, d2)`` — or, with
+    ``with_centroids=True``, the ``(assignment, {cid: centroid})`` pair.
 
     Everything is exact int64 (quantize -> squared-L2 -> floor-mean), so
     the result is independent of evaluation/aggregation order and
@@ -552,7 +562,7 @@ def _duck_kmeans_parts(
     duck_kmeans_train emits the assignment and a probing consumer
     (duck_ivfpq_topk) can also rank cells against the SAME centroids
     the assignment used."""
-    d2 = duck_d2("e.q", "c.cv", dim)
+    d2 = duck_d2("e.q", "c.cv")
     assign = (
         "SELECT _id, cid, d2 FROM ("
         "SELECT e._id, c.cid, {d2} AS d2, "
@@ -966,7 +976,7 @@ def _duck_pq_parts(
     the chain can coexist with the coarse k-means chain in one oracle
     (duck_ivfpq_topk)."""
     d = dim // m
-    d2 = duck_d2("s.v", "c.cv", d)
+    d2 = duck_d2("s.v", "c.cv")
     P = prefix
     assign = (
         "SELECT _id, sub, cid FROM ("
@@ -1038,7 +1048,7 @@ def duck_pq_adc_topk(
         f"FROM qq CROSS JOIN range(0, {m}) r(s))"
     )
     parts.append(
-        f"tbl AS (SELECT c.sub, c.cid, {duck_d2('s.v', 'c.cv', d)} AS d2q "
+        f"tbl AS (SELECT c.sub, c.cid, {duck_d2('s.v', 'c.cv')} AS d2q "
         f"FROM {codebook} c JOIN qs s ON s.sub = c.sub)"
     )
     return (
@@ -1148,7 +1158,7 @@ def duck_ivfpq_topk(
     parts.append(f"qq AS (SELECT q FROM q WHERE _id = {query_id})")
     parts.append(
         f"probe AS (SELECT cid FROM (SELECT c.cid, "
-        f"row_number() OVER (ORDER BY {duck_d2('qq.q', 'c.cv', dim)}, c.cid) AS rn "
+        f"row_number() OVER (ORDER BY {duck_d2('qq.q', 'c.cv')}, c.cid) AS rn "
         f"FROM {kcb} c, qq) WHERE rn <= {nprobe})"
     )
     parts.append(
@@ -1157,7 +1167,7 @@ def duck_ivfpq_topk(
         f"FROM qq CROSS JOIN range(0, {m}) r(s))"
     )
     parts.append(
-        f"tbl AS (SELECT c.sub, c.cid, {duck_d2('s.v', 'c.cv', d)} AS d2q "
+        f"tbl AS (SELECT c.sub, c.cid, {duck_d2('s.v', 'c.cv')} AS d2q "
         f"FROM {pcb} c JOIN qs s ON s.sub = c.sub)"
     )
     return (

@@ -95,3 +95,11 @@ class Pipeline:
         if self.upload is not None:
             self.upload.run()
         return result
+
+    def close(self) -> None:
+        """Release sink-held resources (e.g. the WebSocket broadcast
+        server) — the reference's topology Stop() closes outputs after
+        the last record (topology.go semantics)."""
+        close = getattr(self.sink, "close", None)
+        if callable(close):
+            close()

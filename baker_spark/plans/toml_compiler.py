@@ -273,13 +273,16 @@ def _build_sink(section: dict, separator: str):
         from baker_spark.sinks.simple import WebSocketSink
         from baker_spark.sinks.websocket_server import WebSocketBroadcastServer
 
+        # NOT started here: compiling a config must not bind a port
+        # (compiling the same plan twice at the default :8080 would
+        # EADDRINUSE). The sink lazy-starts the server on first write
+        # and Pipeline.close()/sink.close() stops it.
         server = WebSocketBroadcastServer(port=int(cfg.get("port", 8080)))
-        server.start()
-        sink = WebSocketSink(
-            send_fn=server.broadcast, fields=section.get("fields") or None
+        return WebSocketSink(
+            send_fn=server.broadcast,
+            fields=section.get("fields") or None,
+            server=server,
         )
-        sink.server = server  # reachable for stop() / assertions
-        return sink
     if name == "stats":
         return Stats(
             fields=cfg.get("fields", []),

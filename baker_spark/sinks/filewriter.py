@@ -182,10 +182,13 @@ class FileWriter:
 
     def _codec_option(self, spark) -> str:
         """The value for ``option("compression", ...)``: builtin names
-        pass through; "zstd" resolves to the compiled codec class (and
-        pins its level in the job's Hadoop conf) or fails loudly if this
-        session lacks the jar — silently writing gzip into files named
-        .zst would corrupt a downstream reader's expectations."""
+        pass through; "zstd" resolves to the compiled codec class or
+        fails loudly if this session lacks the jar — silently writing
+        gzip into files named .zst would corrupt a downstream reader's
+        expectations. The level is NOT set here: it rides the write as a
+        per-job option (see ``write``), so two FileWriters with
+        different zstd_level in one session cannot race on the
+        session-global Hadoop configuration."""
         if self.compression != "zstd":
             return self.compression
         from baker_spark.session import ZSTD_CODEC_CLASS, zstd_codec_available
@@ -196,9 +199,6 @@ class FileWriter:
                 "classpath — build it with tools/build_zstd_codec.sh and "
                 "create the session via baker_spark.get_spark"
             )
-        spark._jsc.hadoopConfiguration().set(
-            "bakerspark.zstd.level", str(self.zstd_level)
-        )
         return ZSTD_CODEC_CLASS
 
     def _event_ts(self, df: DataFrame):
@@ -293,6 +293,12 @@ class FileWriter:
         writer = out.write.mode(self.mode).option(
             "compression", self._codec_option(df.sparkSession)
         )
+        if self.compression == "zstd":
+            # per-JOB level: file-source options overlay the job's Hadoop
+            # conf (SessionState.newHadoopConfWithOptions), so concurrent
+            # writers with different levels don't clobber a session-global
+            # key — the codec reads LEVEL_KEY from its job conf
+            writer = writer.option("bakerspark.zstd.level", str(self.zstd_level))
         if max_records:
             writer = writer.option("maxRecordsPerFile", max_records)
         if partition_cols:

@@ -69,12 +69,22 @@ class WebSocketSink:
     send_fn: object  # Callable[[str], None]
     fields: list[str] | None = None
     sent: int = 0
+    #: optional owned WebSocketBroadcastServer: started lazily on first
+    #: write (NOT at plan-compile time — compiling a config must not
+    #: bind a port) and stopped by close()
+    server: object | None = None
 
     def write(self, df: DataFrame) -> int:
         import json
 
+        if self.server is not None and not self.server.running:
+            self.server.start()
         cols = self.fields or df.columns
         for row in df.select(*cols).toLocalIterator():
             self.send_fn(json.dumps(dict(zip(cols, row)), default=str))
             self.sent += 1
         return self.sent
+
+    def close(self) -> None:
+        if self.server is not None and self.server.running:
+            self.server.stop()

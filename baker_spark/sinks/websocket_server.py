@@ -104,7 +104,16 @@ class WebSocketBroadcastServer:
 
     # -- lifecycle ---------------------------------------------------------
 
+    @property
+    def running(self) -> bool:
+        return self._running
+
     def start(self) -> tuple[str, int]:
+        # idempotent: the sink lazy-starts on first write, and a caller
+        # (test/daemon) may have started the server explicitly before —
+        # a second start must not rebind the port
+        if self._running:
+            return self.host, self.port
         s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         s.bind((self.host, self.port))

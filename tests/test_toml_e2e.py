@@ -715,3 +715,78 @@ name="Recorder"
         ("value4", "value2", "value6"),
         ("value5", "value2", "value3"),
     ]
+
+
+def test_zstd_level_is_per_job_not_session_global(spark, tmp_path):
+    """Two FileWriters with different zstd_level in one session must not
+    race on a session-global Hadoop key: the level rides each write as a
+    file-source option (overlaid onto that JOB's Hadoop conf), so the
+    session-wide configuration is never mutated and each file honors its
+    own level."""
+    import pyarrow as pa
+
+    from baker_spark.sinks.filewriter import FileWriter
+
+    # compressible but non-trivial payload so level 1 vs 19 sizes differ
+    df = spark.range(4000).selectExpr(
+        "concat_ws(',', cast(id as string), repeat(concat('w', cast(id % 97 as string), ' '), 40)) AS line"
+    ).select("line")
+    w_fast = FileWriter(path=str(tmp_path / "fast.csv.zst.d"), zstd_level=1)
+    w_best = FileWriter(path=str(tmp_path / "best.csv.zst.d"), zstd_level=19)
+    w_fast.write(df)
+    w_best.write(df)
+    # the session-global conf was never touched
+    assert spark._jsc.hadoopConfiguration().get("bakerspark.zstd.level") is None
+
+    def _read(d):
+        names, total = [], 0
+        for r, _, fs in os.walk(d):
+            for f in fs:
+                if f.endswith(".csv.zst"):
+                    p = os.path.join(r, f)
+                    total += os.path.getsize(p)
+                    with pa.input_stream(p, compression="zstd") as s:
+                        names += [ln for ln in s.read().decode().splitlines() if ln]
+        return sorted(names), total
+
+    rows_fast, size_fast = _read(tmp_path / "fast.csv.zst.d")
+    rows_best, size_best = _read(tmp_path / "best.csv.zst.d")
+    assert rows_fast == rows_best and len(rows_fast) == 4000
+    assert size_best < size_fast  # level 19 actually applied to its own job
+
+
+def test_zstd_codec_finish_ends_frame_without_closing_stream(spark):
+    """Hadoop's CompressionOutputStream.finish() contract: write the
+    stream trailer but keep the underlying stream open. After finish()
+    the bytes so far must parse as a COMPLETE zstd frame (a consumer
+    holding the stream open can hand off the payload), and a later
+    write()+close() appends a second frame the multi-frame reader
+    concatenates."""
+    import pyarrow as pa
+
+    jvm = spark._jvm
+    codec = jvm.bakerspark.ZstdJniCodec()
+    codec.setConf(spark._jsc.hadoopConfiguration())
+    baos = jvm.java.io.ByteArrayOutputStream()
+    cos = codec.createOutputStream(baos)
+    first = b"alpha beta gamma\n" * 50
+    cos.write(first, 0, len(first))
+    cos.finish()
+    cos.flush()  # inner stream must still be open and flushable
+    frame1 = bytes(baos.toByteArray())
+    with pa.input_stream(pa.BufferReader(frame1), compression="zstd") as s:
+        assert s.read() == first  # complete frame at finish() time
+    second = b"delta epsilon\n" * 50
+    cos.write(second, 0, len(second))
+    cos.close()
+    both = bytes(baos.toByteArray())
+    # read both frames back through the codec's own multi-frame reader
+    bais = jvm.java.io.ByteArrayInputStream(both)
+    cis = codec.createInputStream(bais)
+    out = bytearray()
+    while True:
+        b = cis.read()
+        if b < 0:
+            break
+        out.append(b)
+    assert bytes(out) == first + second

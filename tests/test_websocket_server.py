@@ -155,7 +155,9 @@ fields=["a", "c"]
 """
     pipe = compile_toml(toml_text)
     server = pipe.sink.server
+    assert not server.running  # compile binds nothing (lazy lifecycle)
     try:
+        server.start()  # idempotent — write() would also start it
         client = _Client(server.host, server.port)
         _wait_clients(server, 1)
         pipe.run(spark)
@@ -165,4 +167,35 @@ fields=["a", "c"]
         assert sorted(m["a"] for m in msgs) == ["value1", "value1", "value4", "value5"]
         client.close()
     finally:
-        server.stop()
+        pipe.close()
+    assert not server.running
+
+
+def test_websocket_toml_compile_binds_no_port():
+    """Compiling the same WebSocket config twice (default port 8080)
+    must not raise EADDRINUSE: the server starts on first write, not at
+    plan-compile time, and sink.close() releases it."""
+    from baker_spark.plans import compile_toml
+
+    toml_text = """
+[fields]
+names=["a"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.zst"]
+
+[output]
+name="WebSocket"
+"""
+    p1 = compile_toml(toml_text)
+    p2 = compile_toml(toml_text)  # would EADDRINUSE if compile bound :8080
+    assert not p1.sink.server.running and not p2.sink.server.running
+    # lazy start happens exactly once per sink, and close() stops it
+    p1.sink.server.start()
+    assert p1.sink.server.start() == (p1.sink.server.host, p1.sink.server.port)
+    p1.close()
+    p2.close()
+    assert not p1.sink.server.running

@@ -41,26 +41,60 @@ public class ZstdJniCodec implements CompressionCodec, Configurable {
         return conf;
     }
 
+    /** FilterOutputStream whose close() only flushes — lets the zstd
+     * stream's close() end its frame without closing the real sink. */
+    private static final class NonClosing extends java.io.FilterOutputStream {
+        NonClosing(OutputStream out) {
+            super(out);
+        }
+
+        @Override
+        public void write(byte[] b, int off, int len) throws IOException {
+            out.write(b, off, len); // FilterOutputStream's default is per-byte
+        }
+
+        @Override
+        public void close() throws IOException {
+            out.flush();
+        }
+    }
+
     @Override
-    public CompressionOutputStream createOutputStream(OutputStream out) throws IOException {
-        int level = conf == null ? 3 : conf.getInt(LEVEL_KEY, 3);
-        final ZstdOutputStream z = new ZstdOutputStream(out, level);
+    public CompressionOutputStream createOutputStream(final OutputStream out)
+            throws IOException {
+        final int level = conf == null ? 3 : conf.getInt(LEVEL_KEY, 3);
         return new CompressionOutputStream(out) {
+            private ZstdOutputStream z = null;
             private boolean closed = false;
+
+            private ZstdOutputStream ensure() throws IOException {
+                if (z == null) {
+                    z = new ZstdOutputStream(new NonClosing(out), level);
+                }
+                return z;
+            }
 
             @Override
             public void write(int b) throws IOException {
-                z.write(b);
+                ensure().write(b);
             }
 
             @Override
             public void write(byte[] b, int off, int len) throws IOException {
-                z.write(b, off, len);
+                ensure().write(b, off, len);
             }
 
             @Override
             public void finish() throws IOException {
-                z.flush();
+                // Hadoop's contract: finish() writes the stream trailer but
+                // keeps the underlying stream open. Closing the zstd stream
+                // ends its frame; the NonClosing shim keeps `out` alive, and
+                // a later write() opens a fresh frame (the read path sets
+                // setContinuous(true), so multi-frame files read through).
+                if (z != null) {
+                    z.close();
+                    z = null;
+                }
             }
 
             @Override
@@ -69,14 +103,19 @@ public class ZstdJniCodec implements CompressionCodec, Configurable {
 
             @Override
             public void flush() throws IOException {
-                z.flush();
+                if (z != null) {
+                    z.flush();
+                }
+                out.flush();
             }
 
             @Override
             public void close() throws IOException {
                 if (!closed) {
                     closed = true;
-                    z.close(); // finalizes the frame, closes the inner stream
+                    ensure().close(); // empty write -> still a valid empty frame
+                    z = null;
+                    out.close();
                 }
             }
         };
