@@ -96,6 +96,64 @@ def incremental_dedup_against_keys(
     return batch.join(seen_keys.select("fp"), "fp", "left_anti").select(id_col, "fp", "n_dups")
 
 
+#: default bucket count for the persisted seen-key ledger. 64 keeps a
+#: per-bucket file comfortably sized at the test SFs; at 100 TB pick
+#: buckets so each holds ~256 MB of keys (fp is 32 bytes -> ~8e6 keys).
+LEDGER_BUCKETS = 64
+
+
+def write_seen_ledger(
+    seen_keys: DataFrame,
+    table: str,
+    path: str | None = None,
+    n_buckets: int = LEDGER_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a fingerprint ledger as a parquet table BUCKETED (and
+    sorted) by ``fp`` — the storage layout that makes per-batch
+    incremental dedup cheap at 100 TB.
+
+    Why bucketed: the per-batch anti-join hash-partitions both sides on
+    fp. Against plain parquet that re-shuffles the ENTIRE ledger every
+    batch — and the ledger is the side that grows forever (it is the
+    whole ingested corpus's key set), so per-batch network cost grows
+    with corpus size. Stored bucketed, the ledger side of the
+    sort-merge anti-join needs NO exchange: only the small new batch is
+    shuffled (into ``n_buckets`` partitions) while the ledger is read
+    in place, one narrow fp column. A per-partition sort of the ledger
+    remains (local CPU, zero network — Spark ignores stored bucket
+    sort order by default since 3.0; flip
+    ``spark.sql.legacy.bucketedTableScanOutputOrdering`` to elide it,
+    which is why this writer still ``sortBy``s and keeps ONE file per
+    bucket via the pre-write ``repartition``).
+
+    ``path`` makes it an external table (tests use a tmp dir); default
+    is the session warehouse."""
+    w = (
+        seen_keys.select("fp")
+        .repartition(n_buckets, F.col("fp"))
+        .write.mode(mode)
+        .bucketBy(n_buckets, "fp")
+        .sortBy("fp")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def incremental_dedup_against_ledger(
+    new_docs: DataFrame, spark, table: str, key, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-batch incremental dedup against a ledger persisted by
+    :func:`write_seen_ledger`: same semantics as
+    :func:`incremental_dedup_against_keys`, but the seen side is the
+    bucketed table, so the anti-join leaves the ledger in place — the
+    plan has exactly one exchange (the new batch) regardless of how
+    large the ledger has grown. After accepting a batch, append its
+    surviving keys with ``write_seen_ledger(..., mode="append")``."""
+    return incremental_dedup_against_keys(new_docs, spark.table(table), key, id_col)
+
+
 def duck_incremental_dedup(
     key_sql: str, new_pred: str, seen_pred: str, table: str = "documents", id_col: str = "doc_id"
 ) -> str:

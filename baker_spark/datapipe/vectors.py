@@ -1062,6 +1062,40 @@ LIMIT {k}
     )
 
 
+def ivfpq_encode(
+    df: DataFrame,
+    kc: int = 8,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMBED_DIM,
+) -> tuple[DataFrame, dict[int, list[int]], dict[tuple[int, int], list[int]]]:
+    """Build the IVF-PQ index: train the coarse quantizer + PQ codebook
+    and return ``(codes, coarse_centroids, pq_codebook)`` where codes is
+    ``(id_col, centroid_id, sub, cid)`` — the PQ codes WITH each
+    vector's coarse cell attached.
+
+    Carrying ``centroid_id`` in the codes table (one extra long per
+    row) is the load-bearing scale decision: it costs one
+    id-co-partitioned join HERE, at index-build time — amortized over
+    every query the index ever serves — and search then prunes to the
+    probed cells with a literal ``isin`` filter. The alternative
+    (joining codes against the assignment per query) broadcasts a
+    candidate-id set that is a constant FRACTION of the corpus
+    (~nprobe/kc of it): fine at test scale, an executor OOM at 10^9
+    vectors. On a real deployment, persist this frame partitioned by
+    ``centroid_id`` and the probe filter becomes partition pruning —
+    the scan itself skips (kc - nprobe)/kc of the index."""
+    assign, coarse = kmeans_train(
+        df, k=kc, iters=iters, vec_col=vec_col, id_col=id_col, with_centroids=True
+    )
+    codes, cb = pq_train_encode(df, m, ksub, iters, vec_col, id_col, dim)
+    codes = codes.join(assign.select(id_col, "centroid_id"), id_col)
+    return codes, coarse, cb
+
+
 def ivfpq_topk(
     df: DataFrame,
     query_id: int = 0,
@@ -1082,19 +1116,18 @@ def ivfpq_topk(
     and the codes are ~64x smaller than the vectors to begin with.
 
     Scale shape: both trainings are the bounded-driver-traffic loops
-    documented on kmeans_train/pq_train_encode; at query time the driver
-    holds the kc coarse centroids + the m*ksub distance table (a few KB)
-    and search is a semi-join (candidate ids, broadcast) + a broadcast
-    hash join (distance table) + one map-side-combined sum per
-    candidate. No full-corpus work happens per query.
+    documented on kmeans_train/pq_train_encode; at query time the
+    driver holds the kc coarse centroids + the m*ksub distance table (a
+    few KB), and search over the :func:`ivfpq_encode` index is a
+    literal ``centroid_id IN (probe)`` filter + a broadcast hash join
+    against the tiny distance table + one map-side-combined sum per
+    candidate. Nothing corpus-sized is ever broadcast and no join
+    touches the assignment at query time.
 
     Exact int64 end-to-end; probe ranking ties break on (d2, cid) and
     result ties on (d2_adc, id), matching the oracle's row_number/ORDER
     BY exactly."""
-    assign, coarse = kmeans_train(
-        df, k=kc, iters=iters, vec_col=vec_col, id_col=id_col, with_centroids=True
-    )
-    codes, cb = pq_train_encode(df, m, ksub, iters, vec_col, id_col, dim)
+    codes, coarse, cb = ivfpq_encode(df, kc, m, ksub, iters, vec_col, id_col, dim)
     spark = df.sparkSession
     empty_schema = f"{id_col} long, d2_adc long"
     if not coarse or not cb:
@@ -1112,7 +1145,7 @@ def ivfpq_topk(
         (sum((qv[i] - cv[i]) ** 2 for i in range(len(cv))), cid)
         for cid, cv in coarse.items()
     )
-    probe = [cid for _, cid in ranked[:nprobe]]
+    probe = [int(cid) for _, cid in ranked[:nprobe]]
 
     d = dim // m
     table = [
@@ -1120,9 +1153,8 @@ def ivfpq_topk(
         for (s, c), cv in sorted(cb.items())
     ]
     tdf = spark.createDataFrame(table, "sub int, cid long, d2q long")
-    cand = assign.filter(F.col("centroid_id").isin(probe)).select(id_col)
     return (
-        codes.join(F.broadcast(cand), id_col, "left_semi")
+        codes.filter(F.col("centroid_id").isin(probe))
         .join(F.broadcast(tdf), ["sub", "cid"])
         .groupBy(id_col)
         .agg(F.sum("d2q").alias("d2_adc"))

@@ -286,3 +286,40 @@ def test_ivfpq_probes_near_cells_and_ranks_duplicate_first(spark):
     assert set(ids) <= {0, 2, 3, 4, 5, 6, 7}  # only probed-cell members
     assert ids[0] in (0, 7) and got[0]["d2_adc"] == got[1]["d2_adc"]
     assert 1 not in ids and 8 not in ids  # unprobed cell never scored
+
+
+def test_ivfpq_search_filters_by_centroid_id_without_assignment_join(spark):
+    """Scale-safety contract of the IVF-PQ index: ivfpq_encode carries
+    centroid_id INTO the codes table (one id-co-partitioned join at
+    index-build time), so query-time probing is a literal isin() filter
+    — the plan must contain no semi-join against a candidate-id set
+    (the old shape broadcast ~nprobe/kc of the corpus per query: an
+    executor OOM at 10^9 vectors)."""
+    import contextlib
+    import io
+
+    from baker_spark.datapipe.vectors import ivfpq_encode, ivfpq_topk
+
+    rows = [(i, vec(10.0 + i, 0.5 * i)) for i in range(12)]
+    df = embed_df(spark, rows)
+    codes, coarse, cb = ivfpq_encode(df, kc=2, m=2, ksub=2, iters=1, dim=DIM)
+    assert set(codes.columns) == {"vec_id", "centroid_id", "sub", "cid"}
+    # every vector appears with its cell in the index, m rows each
+    assert codes.count() == 12 * 2
+    assert codes.select("centroid_id").distinct().count() == 2
+
+    res = ivfpq_topk(df, query_id=0, k=5, kc=2, nprobe=1, m=2, ksub=2, iters=1, dim=DIM)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    # no semi-join anywhere: probing is a pushed-down centroid_id filter
+    assert "LeftSemi" not in plan and "left_semi" not in plan
+    # Catalyst pushes the probe predicate through the encode join into
+    # the assignment branch (nprobe=1 -> an equality on the cell id), so
+    # only the probed cell's rows ever reach the join — over a persisted
+    # index partitioned by centroid_id this same predicate becomes
+    # partition pruning
+    import re
+
+    assert re.search(r"Condition : .*cid#\d+L = 0\)", plan)
