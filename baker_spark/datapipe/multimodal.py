@@ -2,23 +2,36 @@
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side machinery (schema, batch iteration, partition sizing) is
-real and tested; the actual media decode is STUBBED with a deterministic
-fake because no image/audio libraries exist in this environment — swap
-``_decode_stub`` for PIL/librosa/pyav in production. Pattern: binary in,
-``mapInPandas`` over Arrow batches out, so decode cost scales per
-partition and never pulls bytes to the driver.
+real and tested. The decode is a real stdlib ``struct`` parse for the
+container formats whose headers need no codec — PNG (IHDR:
+width/height/bit-depth) and WAV (fmt chunk: channels/sample-rate, data
+chunk: duration) — and a clearly-labeled deterministic fake
+(``fake/v1``) for anything else; swap in PIL/librosa/pyav for pixel and
+sample access in production. Pattern: binary in, ``mapInPandas`` over
+Arrow batches out, so decode cost scales per partition and never pulls
+bytes to the driver.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 DECODE_SCHEMA = (
-    "doc_id long, n_bytes long, head_hex string, width int, height int, format string"
+    "doc_id long, n_bytes long, head_hex string, width int, height int, "
+    "bit_depth int, channels int, sample_rate int, duration_ms int, format string"
 )
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: metadata defaults so every format fills the full DECODE_SCHEMA row
+_ZEROES = {
+    "width": 0, "height": 0, "bit_depth": 0,
+    "channels": 0, "sample_rate": 0, "duration_ms": 0,
+}
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
@@ -26,35 +39,135 @@ def with_binary_payload(df: DataFrame, text_col: str = "text", out_col: str = "p
     return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
 
 
-def _decode_stub(payload: bytes) -> dict:
-    """Deterministic fake 'decoder': derives pseudo width/height from the
-    byte length. Replace with a real decoder (PIL.Image.open etc.)."""
-    if payload is None:
-        return {"n_bytes": 0, "head_hex": "", "width": 0, "height": 0, "format": "none"}
+def png_bytes(width: int, height: int, bit_depth: int = 8, filler: int = 0) -> bytes:
+    """A minimal syntactically-valid PNG prefix: signature + IHDR chunk
+    (13-byte payload, zero CRC — header-parse fixtures don't need pixel
+    data), plus ``filler`` trailing bytes. 33 + filler bytes total."""
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+        + b"\x00" * filler
+    )
+
+
+def wav_bytes(channels: int, sample_rate: int, n_samples: int, bits: int = 16) -> bytes:
+    """A minimal valid PCM WAV: RIFF header + fmt chunk + data chunk of
+    ``n_samples`` zero frames. 44 + data_size bytes total."""
+    block_align = channels * bits // 8
+    data_size = n_samples * block_align
+    byte_rate = sample_rate * block_align
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, bits)
+        + b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+    )
+
+
+def _parse_png(payload: bytes) -> dict | None:
+    """PNG IHDR parse (RFC 2083 §4.1.1): the 13-byte IHDR payload starts
+    at byte 16 — width, height (big-endian u32), bit depth (u8)."""
+    if len(payload) < 29 or payload[:8] != _PNG_SIG or payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
     return {
-        "n_bytes": len(payload),
-        "head_hex": payload[:8].hex(),
-        "width": int(len(payload) % 640),
-        "height": int((len(payload) * 7) % 480),
-        "format": "fake/v1",
+        **_ZEROES,
+        "width": int(width),
+        "height": int(height),
+        "bit_depth": int(payload[24]),
+        "format": "png",
     }
+
+
+def _parse_wav(payload: bytes) -> dict | None:
+    """RIFF/WAVE chunk walk: find ``fmt `` (channels u16, sample rate
+    u32, byte rate u32) and ``data`` (size -> duration). A chunk walk,
+    not fixed offsets — real files put LIST/INFO chunks before data."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    meta, pos = None, 12
+    channels = sample_rate = byte_rate = data_size = 0
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt " and pos + 24 <= len(payload):
+            _fmt, channels, sample_rate, byte_rate = struct.unpack(
+                "<HHII", payload[pos + 8 : pos + 20]
+            )
+            meta = True
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not meta:
+        return None
+    return {
+        **_ZEROES,
+        "channels": int(channels),
+        "sample_rate": int(sample_rate),
+        "duration_ms": int(data_size * 1000 // byte_rate) if byte_rate else 0,
+        "format": "wav",
+    }
+
+
+def decode_payload(payload: bytes) -> dict:
+    """Sniff-and-parse: real stdlib header decode for PNG/WAV; anything
+    unrecognized (including truncated headers) falls back to the labeled
+    deterministic fake so the pipeline shape stays total."""
+    if payload is None:
+        return {"n_bytes": 0, "head_hex": "", **_ZEROES, "format": "none"}
+    meta = _parse_png(payload) or _parse_wav(payload)
+    if meta is None:
+        meta = {
+            **_ZEROES,
+            "width": int(len(payload) % 640),
+            "height": int((len(payload) * 7) % 480),
+            "format": "fake/v1",
+        }
+    return {"n_bytes": len(payload), "head_hex": payload[:8].hex(), **meta}
 
 
 def decode_media(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """mapInPandas decode: one Arrow batch in, one metadata batch out."""
 
+    names = [id_col] + [c.strip().split(" ")[0] for c in DECODE_SCHEMA.split(",")][1:]
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf[payload_col].map(_decode_stub)
+            meta = pdf[payload_col].map(decode_payload)
             out = pd.DataFrame(list(meta))
             out.insert(0, id_col, pdf[id_col].values)
-            yield out
+            yield out[names]
 
     from baker_spark.session import fan_out
 
     # decode is per-row expensive: make sure every core gets a partition
     src = fan_out(df.select(id_col, payload_col), by=id_col)
     return src.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+def with_media_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out_col: str = "payload"
+) -> DataFrame:
+    """Deterministic media fixture source: rows cycle PNG / WAV / raw
+    text by ``id_col % 3``, with header fields derived arithmetically
+    from the id — so an oracle can compute the EXPECTED width/height/
+    channels/sample-rate independently while the decoder genuinely
+    parses them out of real bytes. Runs as an Arrow-batched UDF (this
+    is a stand-in for reading real media files into a binary column)."""
+
+    @F.pandas_udf("binary")
+    def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        def one(i, t):
+            i = int(i)
+            if i % 3 == 0:
+                return png_bytes((i % 640) + 1, (i % 480) + 1, 8, filler=i % 7)
+            if i % 3 == 1:
+                return wav_bytes(1 + i % 2, 8000 * (1 + i % 3), 100 + i % 50)
+            return ("" if t is None else t).encode("utf-8")
+
+        return pd.Series([one(i, t) for i, t in zip(ids, texts)])
+
+    return df.withColumn(out_col, build(F.col(id_col), F.col(text_col)))
 
 
 def resize_stub(df: DataFrame, payload_col: str = "payload", max_bytes: int = 1024) -> DataFrame:

@@ -480,23 +480,64 @@ def dp_chunking(spark, sf_dir):
 
 # -------------------------------------------------------------- multimodal ---
 
+# the oracle recomputes every header field ARITHMETICALLY from doc_id
+# (the with_media_payload generation formulas), while the Spark side
+# struct-parses them out of real PNG/WAV bytes — so a decode bug cannot
+# cancel out: the two engines share no code path.
+_WAV_CH = "(1 + doc_id % 2)"
+_WAV_SR = "(8000 * (1 + doc_id % 3))"
+_WAV_NS = "(100 + doc_id % 50)"
+_WAV_DATA = f"({_WAV_NS} * {_WAV_CH} * 2)"
+
+
+def _le32hex(x: str) -> str:
+    """Lowercase hex of a u32 little-endian — the byte order a RIFF size
+    field has on disk, for the head_hex oracle."""
+    return (
+        "lower("
+        + " || ".join(
+            f"lpad(to_hex(({x} // {1 << (8 * i)}) % 256), 2, '0')" for i in range(4)
+        )
+        + ")"
+    )
+
+
 @query(
     "dp_multimodal_decode",
-    """
-SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-       substring(lower(hex(encode(text))), 1, 16) AS head_hex,
-       CAST(strlen(text) % 640 AS INTEGER) AS width,
-       CAST((strlen(text) * 7) % 480 AS INTEGER) AS height,
-       'fake/v1' AS format
+    f"""
+SELECT doc_id,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN 33 + doc_id % 7
+            WHEN 1 THEN 44 + {_WAV_DATA}
+            ELSE octet_length(encode(coalesce(text, ''))) END AS BIGINT) AS n_bytes,
+       CASE doc_id % 3
+            WHEN 0 THEN '89504e470d0a1a0a'
+            WHEN 1 THEN '52494646' || {_le32hex(f"(36 + {_WAV_DATA})")}
+            ELSE substring(lower(hex(encode(coalesce(text, '')))), 1, 16) END AS head_hex,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN (doc_id % 640) + 1
+            WHEN 1 THEN 0
+            ELSE octet_length(encode(coalesce(text, ''))) % 640 END AS INTEGER) AS width,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN (doc_id % 480) + 1
+            WHEN 1 THEN 0
+            ELSE (octet_length(encode(coalesce(text, ''))) * 7) % 480 END AS INTEGER) AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 8 ELSE 0 END AS INTEGER) AS bit_depth,
+       CAST(CASE doc_id % 3 WHEN 1 THEN {_WAV_CH} ELSE 0 END AS INTEGER) AS channels,
+       CAST(CASE doc_id % 3 WHEN 1 THEN {_WAV_SR} ELSE 0 END AS INTEGER) AS sample_rate,
+       CAST(CASE doc_id % 3 WHEN 1 THEN ({_WAV_NS} * 1000) // {_WAV_SR} ELSE 0 END AS INTEGER) AS duration_ms,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'fake/v1' END AS format
 FROM documents
 """,
 )
 def dp_multimodal_decode(spark, sf_dir):
-    """Binary-column plumbing: pack text as binary payload, decode via
-    mapInPandas (decode itself is a deterministic stub — no media libs in
-    this env; the Spark machinery is the real artifact)."""
+    """Binary-column decode: generate real PNG/WAV/text payloads per row
+    (deterministic from doc_id), then struct-parse headers via
+    mapInPandas — width/height/bit-depth from PNG IHDR, channels/
+    sample-rate/duration from the WAV fmt+data chunks, labeled fake for
+    raw text. The oracle recomputes expectations arithmetically."""
     df = load_table(spark, sf_dir, "documents")
-    packed = multimodal.with_binary_payload(df)
+    packed = multimodal.with_media_payload(df)
     return multimodal.decode_media(packed)
 
 

@@ -480,3 +480,37 @@ def test_null_equals_empty_across_operators(spark):
     # Explode: NULL source -> one row with an empty element, not zero
     ex = ops.Explode(source="v", dst="e", separator=";").apply(df)
     assert sorted((r.id, r.e) for r in ex.collect()) == [("1", ""), ("2", ""), ("3", "x")]
+
+
+def test_multimodal_decode_parses_real_png_wav_headers(spark):
+    """decode_media is a real stdlib struct parse for PNG/WAV headers —
+    width/height/bit-depth out of IHDR big-endian fields, channels/
+    sample-rate/duration out of the RIFF chunk walk — with the labeled
+    fake only for unrecognized magic (including truncated headers)."""
+    from baker_spark.datapipe import multimodal
+
+    png = multimodal.png_bytes(640, 360, bit_depth=16, filler=5)
+    wav = multimodal.wav_bytes(channels=2, sample_rate=44100, n_samples=22050)
+    rows = [
+        (0, bytearray(png)),
+        (1, bytearray(wav)),
+        (2, bytearray(b"plain text, not media")),
+        (3, bytearray(png[:20])),  # truncated IHDR -> not parseable as png
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in multimodal.decode_media(df).collect()}
+
+    p = got[0]
+    assert (p["format"], p["width"], p["height"], p["bit_depth"]) == ("png", 640, 360, 16)
+    assert p["n_bytes"] == len(png) and p["head_hex"] == png[:8].hex()
+    assert (p["channels"], p["sample_rate"], p["duration_ms"]) == (0, 0, 0)
+
+    w = got[1]
+    assert (w["format"], w["channels"], w["sample_rate"]) == ("wav", 2, 44100)
+    assert w["duration_ms"] == 500  # 22050 samples at 44.1 kHz
+    assert w["n_bytes"] == 44 + 22050 * 2 * 2
+
+    assert got[2]["format"] == "fake/v1"
+    assert got[3]["format"] == "fake/v1"  # truncated header falls back
+    assert got[4]["format"] == "none" and got[4]["n_bytes"] == 0
