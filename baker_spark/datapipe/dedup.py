@@ -416,7 +416,9 @@ def ngram_jaccard_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(df, cands, text_col, id_col, shingle_n, threshold_c6)
+    return _verify_jaccard(
+        df, cands, text_col, id_col, shingle_n, threshold_c6, shingles=sh
+    )
 
 
 def _verify_jaccard(
@@ -426,26 +428,43 @@ def _verify_jaccard(
     id_col: str,
     shingle_n: int,
     threshold_c6: int,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-jaccard verification of candidate pairs: fetch shingle sets
     for candidate docs only (broadcast semi-prune — the candidate list is
-    small by construction of the pruning step), intersect, threshold."""
+    small by construction of the pruning step), intersect, threshold.
+
+    ``shingles`` lets the caller hand over an already-persisted exploded
+    ``(id_col, s)`` shingle table (ngram_jaccard_pairs has one from its
+    prefix stage): the verify sets are then regrouped from it instead of
+    re-scanning ``df`` and re-running the shingle expression — one
+    groupBy whose output partitioning the b-side of the pair join reuses,
+    which is both an exchange and a full second document scan saved."""
     cands = managed_persist(cands)
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    # fan_out AFTER the semi-prune: only candidate docs' text crosses
-    # the (conditional) exchange, and the shingle construction — the
-    # expensive expression — then runs on every core instead of inside
-    # the scan stage on however many splits the parquet offers
-    sets_ = fan_out(
-        df.join(F.broadcast(cand_ids), id_col, "left_semi"), by=id_col
-    ).select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
-    )
+    if shingles is not None:
+        # the exploded rows were array_distinct'd before the explode, so
+        # collect_list reassembles exactly the shingle SET
+        sets_ = (
+            shingles.join(F.broadcast(cand_ids), id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_list("s").alias("sh"))
+        )
+    else:
+        # fan_out AFTER the semi-prune: only candidate docs' text crosses
+        # the (conditional) exchange, and the shingle construction — the
+        # expensive expression — then runs on every core instead of inside
+        # the scan stage on however many splits the parquet offers
+        sets_ = fan_out(
+            df.join(F.broadcast(cand_ids), id_col, "left_semi"), by=id_col
+        ).select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+        )
     a = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sha"))
     b = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("shb"))
     # broadcast only the array-free pair list; the array-carrying

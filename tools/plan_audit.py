@@ -45,6 +45,21 @@ def plan_of(df) -> str:
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # hard-fail on a bad data dir: the audit silently "mostly working"
+    # through per-query AnalysisExceptions made results depend on the
+    # caller's cwd — a reproducibility trap, not a graceful fallback
+    sf = os.path.abspath(sf)
+    expected = ("lineitem", "documents", "embeddings")
+    missing = [
+        t for t in expected
+        if not os.path.exists(os.path.join(sf, f"{t}.parquet"))
+    ]
+    if not os.path.isdir(sf) or missing:
+        raise SystemExit(
+            f"plan_audit: sf_dir {sf!r} is not a testdata directory "
+            f"(missing: {missing if missing else 'the directory itself'}); "
+            "pass an absolute path like /root/testdata/sf0.01"
+        )
     spark = get_spark("plan-audit", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     qs = E.queries()
     bad = 0
