@@ -71,14 +71,21 @@ GATE_ORDER = [
     "dp_token_counts",
     "dp_scrub",
     "dp_corpus_pipeline",
-    "dp_cosine_pairs_bucketed",
-    "dp_dedup_clusters",
-    "dp_lsh_verified_pairs",
-    "dp_decontaminate",
-    "dp_sequence_packing",
     # round-5 clustering / data-selection flagships
     "dp_kmeans_train",
     "dp_semdedup",
+    # round-6/7 additions rotated INTO the window so each gets a driver
+    # correctness artifact (PQ/IVF-PQ search, the LSH hot-bucket cap,
+    # and the real PNG/WAV header decode). Rotated out to make room —
+    # each with green rows in CORRECTNESS_r05+r06 and still swept at
+    # four SFs by tests/test_oracle_parity.py: dp_cosine_pairs_bucketed,
+    # dp_dedup_clusters, dp_lsh_verified_pairs, dp_decontaminate,
+    # dp_sequence_packing.
+    "dp_pq_codes",
+    "dp_pq_adc_topk",
+    "dp_ivfpq_topk",
+    "dp_minhash_capped",
+    "dp_multimodal_decode",
 ]
 
 
