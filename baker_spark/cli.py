@@ -104,25 +104,121 @@ def cmd_list() -> int:
     return 0
 
 
-def _print_component(title: str, cls: type) -> None:
-    print(f"### {title}\n")
-    print(inspect.getdoc(cls) or "(no help)")
+def _camel(snake: str) -> str:
+    """snake_case -> CamelCase: the TOML spelling of an operator config
+    key (the compiler snake-cases on the way in, base.py:_snake)."""
+    return "".join(w.capitalize() for w in snake.split("_"))
+
+
+def _field_comments(cls: type) -> dict[str, str]:
+    """Per-field descriptions harvested from ``#:`` comments directly
+    above class-level field assignments (the dataclass sinks document
+    every key that way). Source parse — no runtime cost elsewhere."""
+    import ast
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(cls)))
+    except (OSError, TypeError, SyntaxError):
+        return {}
+    lines = inspect.getsource(cls).splitlines()
+    out: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.AnnAssign) or not isinstance(node.target, ast.Name):
+            continue
+        doc: list[str] = []
+        i = node.lineno - 2  # line above the assignment, 0-based
+        while i >= 0 and lines[i].strip().startswith("#:"):
+            doc.insert(0, lines[i].strip()[2:].strip())
+            i -= 1
+        if doc:
+            out[node.target.id] = " ".join(doc)
+    return out
+
+
+def _type_name(annotation) -> str:
+    if annotation is inspect.Parameter.empty:
+        return ""
+    # escape the union pipe — it would split the markdown table cell
+    return str(annotation).replace("typing.", "").replace(" | ", r" \| ")
+
+
+def _config_rows(cls: type) -> list[tuple[str, str, str, bool, str]]:
+    """(Name, Type, Default, Required, Description) per config key —
+    the reference's helpConfigKey shape (help.go / help_markdown.go:
+    genConfigKeysMarkdown renders exactly these five columns)."""
+    import dataclasses
+
+    docs = _field_comments(cls)
+    rows = []
+    if dataclasses.is_dataclass(cls):
+        for f in dataclasses.fields(cls):
+            required = (
+                f.default is dataclasses.MISSING
+                and f.default_factory is dataclasses.MISSING
+            )
+            default = "" if required else (
+                repr(f.default) if f.default is not dataclasses.MISSING else repr(f.default_factory())
+            )
+            rows.append((_camel(f.name), _type_name(f.type), default, required, docs.get(f.name, "")))
+        return rows
     sig = inspect.signature(cls.__init__)
-    print("\nKeys:")
     for p in list(sig.parameters.values())[1:]:
-        default = "" if p.default is inspect.Parameter.empty else f" (default: {p.default!r})"
-        print(f"  {p.name}{default}")
+        if p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD):
+            continue
+        required = p.default is inspect.Parameter.empty
+        default = "" if required else repr(p.default)
+        rows.append((_camel(p.name), _type_name(p.annotation), default, required, docs.get(p.name, "")))
+    return rows
+
+
+def _print_component(title: str, cls: type, kind: str = "Filter", section: str = "filter") -> None:
+    """Markdown help in the reference's RenderHelpMarkdown shape
+    (/root/reference/help_markdown.go: genFilterMarkdown +
+    genConfigKeysMarkdown): Overview from the docstring, then a
+    |Name|Type|Default|Required|Description| table of config keys."""
+    print(f"## {kind} *{title}*\n")
+    print("### Overview")
+    print(inspect.getdoc(cls) or "(no help)")
+    print("\n### Configuration")
+    rows = _config_rows(cls)
+    if not rows:
+        print("No configuration available")
+        return
+    print(f"\nKeys available in the `[{section}.config]` section:\n")
+    print("|Name|Type|Default|Required|Description|")
+    print("|----|:--:|:-----:|:------:|-----------|")
+    for name, typ, default, required, desc in rows:
+        print(f"| {name}| {typ}| {default}| {str(required).lower()}| {desc}|")
+    print()
+
+
+_SECTION_KIND = {
+    "Inputs (TOML)": ("Input", "input"),
+    "Outputs (TOML)": ("Output", "output"),
+    "Python API only": ("Component", "output"),
+    "Upload": ("Upload", "upload"),
+}
 
 
 def cmd_help(component: str) -> int:
+    if component == "*":  # reference: help '*' renders every component
+        for cls in sorted(_registry().values(), key=lambda c: c.name):
+            _print_component(cls.name, cls)
+        for sec, components in _io_registry().items():
+            kind, section = _SECTION_KIND[sec]
+            for name, io_cls in components.items():
+                _print_component(name, io_cls, kind, section)
+        return 0
     cls = _registry().get(component.lower())
     if cls is not None:
         _print_component(cls.name, cls)
         return 0
-    for components in _io_registry().values():
+    for sec, components in _io_registry().items():
         for name, io_cls in components.items():
             if name.lower() == component.lower():
-                _print_component(name, io_cls)
+                kind, section = _SECTION_KIND[sec]
+                _print_component(name, io_cls, kind, section)
                 return 0
     print(f"unknown component {component!r}", file=sys.stderr)
     return 1

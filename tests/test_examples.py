@@ -88,8 +88,34 @@ def test_cli_help_covers_inputs_and_outputs(capsys):
     for component in ["SQS", "Kinesis", "TCP", "FileWriter", "DynamoDB", "Stats", "List"]:
         assert cli.cmd_help(component) == 0, component
         out = capsys.readouterr().out
-        assert "Keys:" in out and component.lower() in out.lower()
+        # the reference's markdown shape (help_markdown.go): an Overview,
+        # then a config-key table with the five helpConfigKey columns
+        assert component.lower() in out.lower()
+        assert "### Overview" in out and "### Configuration" in out
+        assert "|Name|Type|Default|Required|Description|" in out
     assert cli.cmd_help("NoSuchThing") == 1
+
+
+def test_cli_help_config_key_table_fidelity(capsys):
+    """help FileWriter renders its TOML keys with defaults, requiredness
+    and the #:-comment descriptions; help '*' renders every component."""
+    from baker_spark import cli
+
+    assert cli.cmd_help("FileWriter") == 0
+    out = capsys.readouterr().out
+    assert "| Path| str| | true| |" in out                     # required, no default
+    assert "| ZstdLevel| int| 3| false|" in out                # default + description
+    assert "ZstdCompressionLevel" in out
+    assert "| DiscardEmptyFiles| bool| False| false|" in out
+
+    assert cli.cmd_help("ClauseFilter") == 0
+    out = capsys.readouterr().out
+    assert "## Filter *ClauseFilter*" in out
+    assert "| Clause| str| ''| false| |" in out                # CamelCase TOML key
+
+    assert cli.cmd_help("*") == 0
+    out = capsys.readouterr().out
+    assert out.count("## ") >= 40  # every registered component rendered
 
     assert cli.cmd_list() == 0
     listing = capsys.readouterr().out
