@@ -150,8 +150,17 @@ def incremental_dedup_against_ledger(
     bucketed table, so the anti-join leaves the ledger in place — the
     plan has exactly one exchange (the new batch) regardless of how
     large the ledger has grown. After accepting a batch, append its
-    surviving keys with ``write_seen_ledger(..., mode="append")``."""
-    return incremental_dedup_against_keys(new_docs, spark.table(table), key, id_col)
+    surviving keys with ``write_seen_ledger(..., mode="append")``.
+
+    The ``shuffle_hash`` hint matters: without it the bucketed side
+    falls into a sort-merge join and pays a per-partition SORT of the
+    whole ledger every batch (Spark ignores stored bucket sort order by
+    default — see write_seen_ledger), which erases the bucketing win.
+    Hinted, the plan is bucketed scan -> per-bucket hash build -> probe:
+    no ledger shuffle, no ledger sort. Per-bucket hash tables are why
+    ``n_buckets`` should track ledger growth (~256 MB of keys each)."""
+    seen = spark.table(table).hint("shuffle_hash")
+    return incremental_dedup_against_keys(new_docs, seen, key, id_col)
 
 
 def duck_incremental_dedup(
