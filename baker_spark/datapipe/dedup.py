@@ -70,8 +70,10 @@ def incremental_dedup(new_docs: DataFrame, seen_docs: DataFrame, key, id_col: st
     groupBy is one shuffle of (key, id) and the left_anti joins keys
     against keys. The seen side needs no distinct (anti join semantics
     ignore duplicates; a distinct would buy nothing but a shuffle). On a
-    real deployment keep the ledger as a table bucketed by key: the anti
-    join then co-locates and the 100 TB corpus is never reshuffled."""
+    real deployment persist the ledger with :func:`write_seen_ledger`
+    and batch through :func:`incremental_dedup_against_ledger`: the
+    anti join then co-locates on the stored buckets and the ever-growing
+    ledger is never reshuffled (measured: tools/ledger_bench.py)."""
     return incremental_dedup_against_keys(
         new_docs, seen_docs.select(key.alias("fp")), key, id_col
     )

@@ -5,14 +5,21 @@ must sit inside it, and every name must carry an oracle."""
 import bench
 from baker_spark.queries import GATE_ORDER, all_oracles, all_queries
 
+# the CURRENT round's flagship scale paths. Rotation is deliberate:
+# once a query holds green rows in two consecutive driver artifacts it
+# may yield its slot to newer operators (round 7 rotated the round-5
+# clustering flagships dp_cosine_pairs_bucketed / dp_dedup_clusters /
+# dp_lsh_verified_pairs / dp_decontaminate / dp_sequence_packing out in
+# favor of PQ/IVF-PQ, the LSH bucket cap, and the real media decode —
+# all still swept at four SFs by test_oracle_parity).
 FLAGSHIP_SCALE_PATHS = [
-    "dp_cosine_pairs_bucketed",
-    "dp_dedup_clusters",
-    "dp_lsh_verified_pairs",
-    "dp_decontaminate",
-    "dp_sequence_packing",
     "dp_kmeans_train",
     "dp_semdedup",
+    "dp_pq_codes",
+    "dp_pq_adc_topk",
+    "dp_ivfpq_topk",
+    "dp_minhash_capped",
+    "dp_multimodal_decode",
 ]
 
 

@@ -81,6 +81,30 @@ REPORT_QUERIES = [
 #: exponent above 1 at tiny SFs is expected noise there, not a smell.
 PAIRWISE = {"dp_minhash_lsh_pairs", "dp_lsh_verified_pairs", "dp_simhash_pairs", "dp_dedup_clusters", "dp_semdedup"}
 
+#: bench.py's headline queries (minus the bench-internal filter chain):
+#: the only rows measured at SFs past sf1 — the sf10 decade exists to
+#: extend the headline exponents, not to grind the whole catalog
+#: through a quadratic-oracle-free sweep.
+HEADLINE = {
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_topk_per_group",
+    "q_session_windows",
+    "q_cube_rollup",
+    "dp_dedup_exact",
+    "dp_dedup_incremental",
+    "dp_minhash_lsh_pairs",
+    "dp_simhash_pairs",
+    "dp_ann_topk",
+    "dp_token_counts",
+    "dp_scrub",
+    "dp_corpus_pipeline",
+}
+
+#: SFs past this run only HEADLINE queries
+FULL_SWEEP_MAX_SF = 1.0
+
 #: iterative (driver-round) queries: wall time at toy SFs is fixed
 #: per-round overhead, so their exponent reads low or negative.
 ITERATIVE = {"dp_kmeans_train", "dp_semdedup", "dp_pq_codes", "dp_pq_adc_topk", "dp_ivfpq_topk"}
@@ -120,7 +144,10 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     for sf in sfs:
         sf_dir = resolve_sf(sf)
+        headline_only = float(sf[2:]) > FULL_SWEEP_MAX_SF
         for name in REPORT_QUERIES:
+            if headline_only and name not in HEADLINE:
+                continue
             best = float("inf")
             for _ in range(N_RUNS):
                 t0 = time.perf_counter()
@@ -163,9 +190,10 @@ def main() -> None:
     ]
     for name in REPORT_QUERIES:
         row = results[name]
-        cells = [f"{row[sf]:.2f}s" for sf in sfs]
-        if len(sfs) >= 2:
-            a, b = sfs[-2], sfs[-1]
+        cells = [f"{row[sf]:.2f}s" if sf in row else "\u2014" for sf in sfs]
+        have = [sf for sf in sfs if sf in row]
+        if len(have) >= 2:
+            a, b = have[-2], have[-1]
             ratio_sf = float(b[2:]) / float(a[2:])
             exp = math.log(row[b] / row[a]) / math.log(ratio_sf)
             exp_s = f"{exp:.2f}"
