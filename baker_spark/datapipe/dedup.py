@@ -730,14 +730,28 @@ SELECT {id_col}, CAST({acc} AS BIGINT) AS simhash FROM bits
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Uses banded blocking (4 x 15-bit bands): by pigeonhole any pair within
     hamming 3 shares an intact band, so the banded join + hamming filter
     equals brute force while shuffling only (band, key) ints.
-    """
+
+    ``band_cap`` is simhash's version of lsh_pairs' ``bucket_cap``: drop
+    every (band, key) group with more members than the cap before the
+    self-join. Near-dup PAIR COUNT is inherently quadratic in dup-group
+    size — sf10's synthetic corpus emits 2.92 BILLION pairs uncapped
+    (measured; throughput holds at ~13M pairs/s, it is the output that
+    explodes) — and a boilerplate mega-band does the same on real data.
+    The trade is the same explicit one as minhash's: a pair whose every
+    intact band is hot goes undetected; that near-identical mass is what
+    exact/fingerprint dedup collapses upstream. None (default) keeps the
+    exact pigeonhole guarantee."""
     assert max_hamming <= 3, "banded blocking guarantees recall only for hamming <= bands-1"
     # persist: both sides of the band self-join read the signature; see
     # lsh_pairs — signatures are tiny (id + 1 long) at any corpus scale.
@@ -759,6 +773,18 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.key")
+    if band_cap is not None:
+        # hot bands are few by definition: tiny aggregate, broadcast
+        # anti-join — same shape as lsh_pairs' bucket_cap. The band
+        # table feeds the hot aggregate AND both join sides, so persist.
+        bands = managed_persist(bands)
+        hot = (
+            bands.groupBy("band", "key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > band_cap)
+            .select("band", "key")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     xor = F.expr("a.simhash ^ b.simhash")
     ham = F.bit_count(xor)
@@ -775,40 +801,63 @@ def simhash_pairs(
     first_match = F.col("a.band") == F.when(band_intact[0], 0).otherwise(
         F.when(band_intact[1], 1).otherwise(F.when(band_intact[2], 2).otherwise(3))
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .filter(first_match & (ham <= max_hamming))
-        .select(
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).filter(ham <= max_hamming)
+    if band_cap is not None:
+        # under the cap the first-match-band predicate is WRONG: a pair
+        # whose xor-first intact band was dropped as hot would never
+        # surface in its surviving band. Dedup with distinct instead —
+        # affordable exactly because the cap made candidates sparse.
+        return joined.select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             ham.alias("hamming"),
-        )
+        ).distinct()
+    return joined.filter(first_match).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        ham.alias("hamming"),
     )
 
 
 def duck_simhash_pairs(
-    table: str = "documents", text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_cap: int | None = None,
 ) -> str:
     # the oracle bands exactly like the Spark side — pigeonhole makes
     # banded blocking provably equal to brute force at hamming <= 3, and
     # the equi-join on (band, key) is a parallel hash join where the
     # n^2 theta-join this replaces ran one core for an hour at sf1.
     # DISTINCT (instead of Spark's first-match-band predicate) collapses
-    # multi-band duplicates AFTER the cheap hamming filter.
+    # multi-band duplicates AFTER the cheap hamming filter. band_cap
+    # mirrors the Spark side's hot-band exclusion.
     base = duck_simhash(table, text_col, id_col)
+    if band_cap is not None:
+        cap_cte = (
+            ",\nbands AS (SELECT b.* FROM bands0 b "
+            "LEFT JOIN (SELECT band, key FROM bands0 GROUP BY band, key "
+            f"HAVING count(*) > {band_cap}) hot "
+            "ON b.band = hot.band AND b.key = hot.key WHERE hot.key IS NULL)"
+        )
+        bands_name = "bands0"
+    else:
+        cap_cte = ""
+        bands_name = "bands"
     return f"""
 WITH sim AS ({base}),
-bands AS (
+{bands_name} AS (
   SELECT {id_col}, simhash,
          (simhash >> (CAST(r.b AS INTEGER) * {SIMHASH_BAND_BITS})) & {SIMHASH_BAND_MASK} AS key,
          CAST(r.b AS INTEGER) AS band
   FROM sim CROSS JOIN range(0, 4) r(b)
-)
+){cap_cte}
 SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM bands a JOIN bands b

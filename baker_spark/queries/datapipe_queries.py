@@ -68,6 +68,16 @@ def dp_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@query("dp_simhash_capped", dedup.duck_simhash_pairs(band_cap=40))
+def dp_simhash_capped(spark, sf_dir):
+    """simhash_pairs with the hot-band cap — near-dup pair count is
+    quadratic in dup-group size (sf10's corpus emits 2.92B pairs
+    uncapped), and a boilerplate mega-band does the same on real data;
+    the cap drops (band, key) groups above the threshold before the
+    self-join, identical rule in the oracle."""
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), band_cap=40)
+
+
 @query(
     "dp_dedup_incremental",
     dedup.duck_incremental_dedup(

@@ -323,3 +323,35 @@ def test_ivfpq_search_filters_by_centroid_id_without_assignment_join(spark):
     import re
 
     assert re.search(r"Condition : .*cid#\d+L = 0\)", plan)
+
+
+def test_simhash_band_cap_drops_mega_band_keeps_rest(spark):
+    """simhash's band_cap mirrors lsh_pairs' bucket_cap: identical docs
+    form a mega-(band,key) group whose |group|^2/2 pairs are dropped,
+    while a genuine near-dup pair in small bands survives — and the
+    capped path's distinct-dedup keeps a pair even when one of its
+    matching bands was hot."""
+    from baker_spark.datapipe import dedup
+
+    boiler = "the same boilerplate text repeated in every mirror page of the site"
+    # 40 shared words + 1 swap -> hamming(simhash) == 3 (measured): a
+    # genuine near-dup pair inside the banding guarantee
+    base = " ".join(f"word{i}" for i in range(40))
+    near_a = base + " shuffles"
+    near_b = base + " exchanges"
+    rows = [(i, boiler) for i in range(10)]          # one mega-band per band
+    rows += [(100, near_a), (101, near_b)]           # a real near-dup pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(df).collect()}
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_pairs(df, band_cap=5).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped  # survivor
+    assert any(a < 10 and b < 10 for a, b in uncapped)      # mega-pairs existed
+    assert not any(a < 10 and b < 10 for a, b in capped)    # and are dropped
+    assert capped <= uncapped                               # cap only removes
+    # each surviving pair appears exactly once despite multi-band matches
+    rows_capped = dedup.simhash_pairs(df, band_cap=5).collect()
+    assert len(rows_capped) == len({(r["doc_a"], r["doc_b"]) for r in rows_capped})
