@@ -65,6 +65,7 @@ REPORT_QUERIES = [
     "dp_minhash_lsh_pairs",
     "dp_lsh_verified_pairs",
     "dp_simhash_pairs",
+    "dp_simhash_capped",
     "dp_dedup_clusters",
     "dp_ann_topk",
     "dp_vocab_topk",
@@ -79,7 +80,7 @@ REPORT_QUERIES = [
 
 #: queries whose work is inherently pairwise on candidate sets — an
 #: exponent above 1 at tiny SFs is expected noise there, not a smell.
-PAIRWISE = {"dp_minhash_lsh_pairs", "dp_lsh_verified_pairs", "dp_simhash_pairs", "dp_dedup_clusters", "dp_semdedup"}
+PAIRWISE = {"dp_minhash_lsh_pairs", "dp_lsh_verified_pairs", "dp_simhash_pairs", "dp_simhash_capped", "dp_dedup_clusters", "dp_semdedup"}
 
 #: bench.py's headline queries (minus the bench-internal filter chain):
 #: the only rows measured at SFs past sf1 — the sf10 decade exists to
@@ -96,6 +97,7 @@ HEADLINE = {
     "dp_dedup_incremental",
     "dp_minhash_lsh_pairs",
     "dp_simhash_pairs",
+    "dp_simhash_capped",
     "dp_ann_topk",
     "dp_token_counts",
     "dp_scrub",
@@ -170,20 +172,44 @@ def main() -> None:
         "11.2x repeated grams at these SFs), not plan growth: the plan is",
         "one explode + one aggregation, linear in tokens.",
         "",
-        "sf1 is repo-generated (tools/gen_testdata.py — one decade past the",
-        "driver's data; PARITY_SF1.md records the 99/99 oracle sweep there).",
-        "After this round's fan_out fixes (repeated-passage grams 17.2s -> 2.2s,",
-        "jaccard-verify shingles 6.4s -> 4.0s: expensive per-row expressions no",
-        "longer bound to the parquet's 2 scan splits) every sf0.1->sf1 exponent",
-        "is <= ~0.6. Named causes for the rows above 0.5:",
-        "dp_dedup_incremental grows with the persisted seen-ledger it anti-joins",
-        "(corpus + ledger both 10x); q_percentile_by_group is exact-percentile",
-        "sort growth. The pairwise rows (*) sit at 0.27-0.48 — candidate growth",
-        "under the synthetic corpus's 30-word vocabulary skew, the banding trade",
-        "the SimHash 60-bit/15-bit-band rework sized for (512x candidate",
-        "reduction vs 8-bit bands); their verify stages stay candidate-bound,",
-        "never corpus-quadratic, and lsh_pairs' bucket_cap (dp_minhash_capped)",
-        "bounds the mega-bucket worst case.",
+        "sf1 and sf10 are repo-generated (tools/gen_testdata.py — one and two",
+        "decades past the driver's data; PARITY_SF1.md records the 100/100",
+        "oracle sweep at sf1). Rows marked — were not run at that SF: past",
+        "sf1 only bench.py's headline queries are measured, so each row's",
+        "exponent fits its LAST MEASURED pair (sf1->sf10 for headliners,",
+        "sf0.1->sf1 for the rest).",
+        "",
+        "dp_dedup_incremental's catalog row derives batch AND ledger from the",
+        "same growing table (both 10x per decade — the worst case). The",
+        "production path is write_seen_ledger + incremental_dedup_against_ledger:",
+        "fp-bucketed ledger, per-batch hash anti-join with no ledger shuffle or",
+        "sort. tools/ledger_bench.py holds the batch constant while the ledger",
+        "grows 10x (1M -> 10M keys): bucketed 0.83s vs plain 1.35s per batch,",
+        "growth exponent 0.15 vs 0.27 — the ledger's growth leaks into per-batch",
+        "cost at roughly half the rate, and what remains is the linear scan of",
+        "one narrow pre-bucketed column, not shuffle traffic.",
+        "",
+        "q_percentile_by_group (>0.5) is exact-percentile sort growth. The",
+        "pairwise rows (*) grow with candidate count under the synthetic",
+        "corpus's 30-word vocabulary skew. dp_simhash_pairs' 1.68 exponent is",
+        "pure OUTPUT growth: the corpus emits 2,919,770,281 pairs at sf10 vs",
+        "29.68M at sf1 (measured — x98 pairs for x10 docs, because every doc",
+        "draws from 30 words), while engine throughput IMPROVES (12.9M pairs/s",
+        "at sf10 vs 8M at sf1). The capped twin dp_simhash_capped (band_cap=40,",
+        "same exclusion rule in its oracle) is the production shape: 4.1s and",
+        "exp 0.06 across the same decade. lsh_pairs' bucket_cap",
+        "(dp_minhash_capped) bounds the minhash mega-bucket the same way.",
+        "ngram-jaccard's verify now regroups the prefix stage's persisted",
+        "shingle table (13 -> 9 exchanges, one fewer document scan). IVF-PQ",
+        "search carries centroid_id in the codes table: probing is a",
+        "pushed-down cell filter, nothing corpus-sized broadcast.",
+        "",
+        "Round-7 regression fixed BY this sweep: fingerprint() spent ~20s of",
+        "dp_dedup_incremental's and dp_corpus_pipeline's sf10 cells inside ONE",
+        "regexp_replace char-class pass (Spark's RegExpReplace scans",
+        "~125ns/char even with zero matches). Tokenizing via split on delimiter",
+        "runs — identical tokens — cut both rows ~8x (21.9s -> 3.7s, 23.6s ->",
+        "2.8s) and their exponents from 1.07/0.92 to 0.42/0.35.",
         "",
         "| query | " + " | ".join(sfs) + " | exp(last pair) |",
         "|---|" + "---|" * (len(sfs) + 1),
