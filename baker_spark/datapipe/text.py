@@ -251,6 +251,49 @@ def duck_scrub_sql(expr: str) -> dict[str, str]:
     return out
 
 
+def scrub_arrow(col_name: str) -> Column:
+    """The same scrub as :func:`scrub`, executed by Arrow/RE2 instead of
+    the JVM regex chain: pyarrow's replace_substring_regex /
+    count_substring_regex are vectorized RE2 over zero-copy Arrow
+    batches, while Spark's RegExpReplace drives java.util.regex per
+    row. Measured at sf10 (175 MB text): ~4.7x per core (0.63s vs
+    2.99s on identical 15-partition scans); end-to-end with fan_out to
+    32 cores, 0.75s vs 1.44s — the gap narrows because the Arrow path
+    carries ~0.4s of fixed Python-worker/transfer overhead, which is
+    also why the JVM chain stays the default at small scale.
+    RE2-vs-Java semantics for SCRUB_PATTERNS are not assumed — they
+    are PROVEN corpus-wide by the dp_scrub oracle, which DuckDB
+    (itself RE2) hash-matches against the JVM chain; dp_scrub_arrow
+    pins this path against the identical oracle.
+
+    Returns one struct column ``(n_url, n_email, n_longnum,
+    clean_text)`` — a single Python round-trip computes all four
+    outputs (four separate UDF columns would ship the text to the
+    worker four times). Trade: an ArrowEvalPython stage instead of
+    whole-stage codegen; worth it when text dominates (the 100 TB
+    corpus case), not for short config-like strings."""
+    import pandas as pd
+
+    fields = ", ".join(f"n_{name} long" for name, _, _ in SCRUB_PATTERNS)
+
+    def kernel(s):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(s)
+        out: dict[str, object] = {}
+        for name, pat, repl in SCRUB_PATTERNS:
+            out[f"n_{name}"] = pc.count_substring_regex(arr, pattern=pat).to_pandas()
+            arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+        out["clean_text"] = arr.to_pandas()
+        return pd.DataFrame(out)
+
+    # annotations set explicitly: `from __future__ import annotations`
+    # turns inline hints into strings pyspark can't resolve here
+    kernel.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(f"struct<{fields}, clean_text string>")(kernel)(F.col(col_name))
+
+
 def log2_floor(c: Column) -> Column:
     """Integer floor(log2(x)) for x >= 1 via binary digit count — exact
     in both engines (no float log), the trick that makes an information-

@@ -443,6 +443,23 @@ def dp_scrub(spark, sf_dir):
     return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
+@query(
+    "dp_scrub_arrow",
+    f"""
+SELECT doc_id, {_SCRUB['n_url']} AS n_url, {_SCRUB['n_email']} AS n_email,
+       {_SCRUB['n_longnum']} AS n_longnum, {_SCRUB['clean_text']} AS clean_text
+FROM documents
+""",
+)
+def dp_scrub_arrow(spark, sf_dir):
+    """scrub via Arrow/RE2 (text.scrub_arrow) against the IDENTICAL
+    oracle as dp_scrub — pins that the vectorized RE2 path and the JVM
+    regex chain agree byte-for-byte, and at text-dominated scale it is
+    the one to use (4.7x at sf10)."""
+    df = fan_out(load_table(spark, sf_dir, "documents"), by="doc_id")
+    return df.withColumn("_s", text.scrub_arrow("text")).select("doc_id", "_s.*")
+
+
 _REP = text.duck_repetition_sql("text")
 
 

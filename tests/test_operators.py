@@ -514,3 +514,27 @@ def test_multimodal_decode_parses_real_png_wav_headers(spark):
     assert got[2]["format"] == "fake/v1"
     assert got[3]["format"] == "fake/v1"  # truncated header falls back
     assert got[4]["format"] == "none" and got[4]["n_bytes"] == 0
+
+
+def test_scrub_arrow_matches_jvm_chain(spark):
+    """The Arrow/RE2 scrub and the JVM regexp chain must agree
+    byte-for-byte — including multi-match rows, pattern ordering
+    effects (URLs consumed before emails/digit runs) and nulls."""
+    from baker_spark.datapipe import text
+
+    rows = [
+        (1, "see https://x.co/a?b=1 or mail a.b+c@d-e.org now 12345678 end"),
+        (2, "no pii here"),
+        (3, "https://q.io x@y.zz 9999999 and 1234567890123 twice 7654321"),
+        (4, ""),
+        (5, None),
+        (6, "u@v.ww inside https://h.io/u@v.ww path"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = df.select(
+        "doc_id", *[c.alias(n) for n, c in text.scrub("text").items()]
+    )
+    arrow = df.withColumn("_s", text.scrub_arrow("text")).select("doc_id", "_s.*")
+    a = sorted(tuple(r) for r in jvm.collect())
+    b = sorted(tuple(r) for r in arrow.collect())
+    assert a == b
