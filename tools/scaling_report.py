@@ -147,6 +147,15 @@ def main() -> None:
     for sf in sfs:
         sf_dir = resolve_sf(sf)
         headline_only = float(sf[2:]) > FULL_SWEEP_MAX_SF
+        # warm the page cache for THIS SF's files before timing anything:
+        # without it the first queries at a big SF pay a cold disk read
+        # the later ones don't (measured: q1 at sf10 read 7.3s cold vs
+        # 2.6s warm), which corrupts the fitted exponents with an
+        # IO-order artifact rather than plan cost
+        import glob as _glob
+
+        for tbl in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            force(spark.read.parquet(tbl))
         for name in REPORT_QUERIES:
             if headline_only and name not in HEADLINE:
                 continue
@@ -196,8 +205,8 @@ def main() -> None:
         "29.68M at sf1 (measured — x98 pairs for x10 docs, because every doc",
         "draws from 30 words), while engine throughput IMPROVES (12.9M pairs/s",
         "at sf10 vs 8M at sf1). The capped twin dp_simhash_capped (band_cap=40,",
-        "same exclusion rule in its oracle) is the production shape: 4.1s and",
-        "exp 0.06 across the same decade. lsh_pairs' bucket_cap",
+        "same exclusion rule in its oracle) is the production shape: 4.8s and",
+        "exp 0.29 across the same decade. lsh_pairs' bucket_cap",
         "(dp_minhash_capped) bounds the minhash mega-bucket the same way.",
         "ngram-jaccard's verify now regroups the prefix stage's persisted",
         "shingle table (13 -> 9 exchanges, one fewer document scan). IVF-PQ",
@@ -208,8 +217,8 @@ def main() -> None:
         "dp_dedup_incremental's and dp_corpus_pipeline's sf10 cells inside ONE",
         "regexp_replace char-class pass (Spark's RegExpReplace scans",
         "~125ns/char even with zero matches). Tokenizing via split on delimiter",
-        "runs — identical tokens — cut both rows ~8x (21.9s -> 3.7s, 23.6s ->",
-        "2.8s) and their exponents from 1.07/0.92 to 0.42/0.35.",
+        "runs — identical tokens — cut both rows ~7x (21.9s -> 3.5s, 23.6s ->",
+        "3.5s) and their exponents from 1.07/0.92 to 0.40/0.47.",
         "",
         "| query | " + " | ".join(sfs) + " | exp(last pair) |",
         "|---|" + "---|" * (len(sfs) + 1),
