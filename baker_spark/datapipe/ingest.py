@@ -45,12 +45,32 @@ class CorpusIngest:
     ledger_dir: str
     key: object  # pyspark Column
     id_col: str = "doc_id"
+    #: opt-in bucketed ledger: when set, the ledger is maintained as a
+    #: catalog table CLUSTERED BY (fp) over ``ledger_dir`` — the
+    #: per-batch anti-join then reads the ledger in place (no shuffle,
+    #: no sort; see dedup.write_seen_ledger) instead of re-shuffling
+    #: the whole ever-growing key set every batch. The table is
+    #: registered idempotently each write, so a restarted session (or
+    #: a fresh metastore) recovers from the directory alone.
+    ledger_buckets: int | None = None
+    ledger_table: str = "corpus_ingest_ledger"
     #: cumulative stats across writes (InputStats analog)
     ingested: int = 0
     dropped: int = 0
     batches: int = 0
 
     def _ledger(self, spark) -> DataFrame:
+        if self.ledger_buckets:
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {self.ledger_table} (fp STRING) "
+                f"USING PARQUET CLUSTERED BY (fp) SORTED BY (fp) "
+                f"INTO {self.ledger_buckets} BUCKETS "
+                f"LOCATION '{self.ledger_dir}'"
+            )
+            # shuffle_hash: without it the bucketed side falls into a
+            # sort-merge join that re-sorts the whole ledger per batch
+            # (see incremental_dedup_against_ledger)
+            return spark.table(self.ledger_table).hint("shuffle_hash")
         # existence must be checked through Hadoop's FS, not os.path —
         # a driver-local isdir() is always False for s3a://, hdfs://,
         # etc., which would silently disable dedup forever (every
@@ -96,7 +116,21 @@ class CorpusIngest:
             # corpus BEFORE ledger: replay re-admits (duplicates), never
             # loses — see module doc
             admitted.write.mode("append").parquet(self.corpus_dir)
-            kept.select("fp").write.mode("append").parquet(self.ledger_dir)
+            if self.ledger_buckets:
+                # bucketed append: rows land in their fp bucket so the
+                # next batch's anti-join stays exchange-free
+                (
+                    kept.select("fp")
+                    .repartition(self.ledger_buckets, F.col("fp"))
+                    .write.mode("append")
+                    .bucketBy(self.ledger_buckets, "fp")
+                    .sortBy("fp")
+                    .format("parquet")
+                    .option("path", self.ledger_dir)
+                    .saveAsTable(self.ledger_table)
+                )
+            else:
+                kept.select("fp").write.mode("append").parquet(self.ledger_dir)
         finally:
             kept.unpersist()
         self.ingested += n_kept

@@ -108,3 +108,66 @@ def test_streaming_ingest_via_file_source(spark, tmp_path):
         assert "brand new doc" in {r.text for r in corpus.collect()}
     finally:
         q2.stop()
+
+
+def test_bucketed_ledger_ingest_dedups_and_survives_restart(spark, tmp_path):
+    """ledger_buckets mode: the ledger is a catalog table CLUSTERED BY
+    fp over ledger_dir — per-batch anti-joins read it in place, appends
+    land in their bucket, and a fresh session (simulated by dropping
+    the catalog entry; the directory survives) re-registers it and
+    keeps deduplicating against everything already ingested."""
+    import contextlib
+    import io
+
+    table = "corpus_ingest_ledger_test"
+    sink = CorpusIngest(
+        corpus_dir=str(tmp_path / "corpus"),
+        ledger_dir=str(tmp_path / "ledger"),
+        key=F.md5(F.col("text")),
+        id_col="doc_id",
+        ledger_buckets=4,
+        ledger_table=table,
+    )
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+        )
+        assert sink.write(b1) == 2
+        # the anti-join against the registered ledger is a hash join over
+        # the bucketed scan — no sort-merge of the stored side
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            from baker_spark.datapipe.dedup import incremental_dedup_against_keys
+
+            probe = incremental_dedup_against_keys(
+                b1, sink._ledger(spark), F.md5(F.col("text"))
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                probe.explain("formatted")
+            plan = buf.getvalue()
+            assert "Bucketed: true" in plan
+            assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # "restart": catalog entry gone, directory intact
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        sink2 = CorpusIngest(
+            corpus_dir=sink.corpus_dir,
+            ledger_dir=sink.ledger_dir,
+            key=F.md5(F.col("text")),
+            id_col="doc_id",
+            ledger_buckets=4,
+            ledger_table=table,
+        )
+        b2 = spark.createDataFrame(
+            [(4, "beta"), (5, "gamma")], ["doc_id", "text"]
+        )
+        assert sink2.write(b2) == 1  # beta still deduped across the restart
+        corpus = spark.read.parquet(sink.corpus_dir)
+        assert {r.doc_id for r in corpus.collect()} == {1, 2, 5}
+        assert spark.table(table).count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
