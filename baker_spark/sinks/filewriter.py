@@ -33,6 +33,17 @@ from pyspark.sql import DataFrame, functions as F
 
 _PLACEHOLDER_RX = re.compile(r"\{\{\s*\.(\w+)\s*\}\}")
 
+#: Hadoop ZlibCompressor.CompressionLevel enum name per deflate level —
+#: the value the per-job ``zlib.compress.level`` option carries into the
+#: write job's Hadoop conf (file-source options overlay it via
+#: SessionState.newHadoopConfWithOptions, same ride as the zstd level).
+#: BuiltInGzipCompressor honors it since Hadoop 3.3, native zlib or not.
+_GZIP_LEVELS = {
+    -1: "DEFAULT_COMPRESSION", 0: "NO_COMPRESSION", 1: "BEST_SPEED",
+    2: "TWO", 3: "THREE", 4: "FOUR", 5: "FIVE", 6: "SIX",
+    7: "SEVEN", 8: "EIGHT", 9: "BEST_COMPRESSION",
+}
+
 _SIZE_RX = re.compile(r"^\s*([0-9]*\.?[0-9]+)\s*([a-zA-Z]*)\s*$")
 #: go-humanize unit table (size_bytes.go:30-36 delegates to
 #: humanize.ParseBytes): SI decimal, IEC binary, bare/single-letter forms
@@ -146,6 +157,11 @@ class FileWriter:
     #: ZstdCompressionLevel (filewriter.go:98,116-117: default 3,
     #: 1=BestSpeed .. 19=BestCompression)
     zstd_level: int = 3
+    #: gzip deflate level. The reference hardcodes BestSpeed
+    #: (filewriter.go:392-394: gzip.NewWriterLevel(countw,
+    #: gzip.BestSpeed)), so 1 is the fidelity default — and measurably
+    #: cheaper CPU than java's level-6 default at 100 TB write volume.
+    gzip_level: int = 1
     separator: str = ","
     partition_by: str | None = None  # ≈ {{.Field0}} fan-out
     max_records_per_file: int | None = None  # ≈ RotateSize / {{.Rotation}}
@@ -170,6 +186,10 @@ class FileWriter:
     batch_time: datetime | None = None
 
     def __post_init__(self):
+        if self.gzip_level not in _GZIP_LEVELS:
+            raise ValueError(
+                f"gzip_level {self.gzip_level} not in -1..9"
+            )
         if self.compression is None:
             base = self.path.rstrip("/")
             # .d output dirs keep the configured file extension visible
@@ -229,10 +249,11 @@ class FileWriter:
         if self.compression == "gzip":
             import gzip as _gzip
 
-            # level 6 = java.util.zip default, what Spark's GzipCodec
-            # actually writes here — the estimate must model THIS
-            # writer's files, not the reference newFile's BestSpeed
-            nbytes = len(_gzip.compress(blob, compresslevel=6))
+            # the estimate must model THIS writer's files — same level
+            # the write job will carry in its per-job Hadoop conf
+            nbytes = len(
+                _gzip.compress(blob, compresslevel=max(0, self.gzip_level))
+            )
         elif self.compression == "zstd":
             import pyarrow as _pa
 
@@ -299,6 +320,12 @@ class FileWriter:
             # writers with different levels don't clobber a session-global
             # key — the codec reads LEVEL_KEY from its job conf
             writer = writer.option("bakerspark.zstd.level", str(self.zstd_level))
+        elif self.compression == "gzip":
+            # same per-job overlay for the deflate level; default 1 is
+            # the reference's hardcoded BestSpeed (filewriter.go:392-394)
+            writer = writer.option(
+                "zlib.compress.level", _GZIP_LEVELS[self.gzip_level]
+            )
         if max_records:
             writer = writer.option("maxRecordsPerFile", max_records)
         if partition_cols:

@@ -127,6 +127,10 @@ def main() -> None:
             df.select(line.alias("value"))
             .write.mode("overwrite")
             .option("compression", "gzip")
+            # the reference writes gzip BestSpeed (filewriter.go:392-394);
+            # Hadoop 3.3+'s BuiltInGzipCompressor honors this per-job
+            # option, so the chain pays the same deflate CPU it would
+            .option("zlib.compress.level", "BEST_SPEED")
             .text(os.path.join(out_dir, f"csv_gz_{i}"))
         )
         runs.append(round(time.perf_counter() - t0, 3))

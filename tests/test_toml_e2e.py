@@ -755,6 +755,46 @@ def test_zstd_level_is_per_job_not_session_global(spark, tmp_path):
     assert size_best < size_fast  # level 19 actually applied to its own job
 
 
+def test_gzip_level_is_per_job_and_defaults_to_bestspeed(spark, tmp_path):
+    """The reference hardcodes gzip BestSpeed (filewriter.go:392-394);
+    FileWriter's gzip_level default must match, ride each write as a
+    per-job option (never the session-global conf), and actually reach
+    the deflater — level 9 files must come out smaller than level 1."""
+    import gzip as _gzip
+
+    import pytest
+
+    from baker_spark.sinks.filewriter import FileWriter
+
+    df = spark.range(4000).selectExpr(
+        "concat_ws(',', cast(id as string), repeat(concat('w', cast(id % 97 as string), ' '), 40)) AS line"
+    ).select("line")
+    w_fast = FileWriter(path=str(tmp_path / "fast.csv.gz.d"))  # default = 1
+    w_best = FileWriter(path=str(tmp_path / "best.csv.gz.d"), gzip_level=9)
+    assert w_fast.gzip_level == 1
+    w_fast.write(df)
+    w_best.write(df)
+    assert spark._jsc.hadoopConfiguration().get("zlib.compress.level") is None
+
+    def _read(d):
+        names, total = [], 0
+        for r, _, fs in os.walk(d):
+            for f in fs:
+                if f.endswith(".csv.gz"):
+                    p = os.path.join(r, f)
+                    total += os.path.getsize(p)
+                    with _gzip.open(p, "rt") as s:
+                        names += [ln for ln in s.read().splitlines() if ln]
+        return sorted(names), total
+
+    rows_fast, size_fast = _read(tmp_path / "fast.csv.gz.d")
+    rows_best, size_best = _read(tmp_path / "best.csv.gz.d")
+    assert rows_fast == rows_best and len(rows_fast) == 4000
+    assert size_best < size_fast  # level 9 actually applied to its own job
+    with pytest.raises(ValueError, match="gzip_level"):
+        FileWriter(path=str(tmp_path / "bad.csv.gz.d"), gzip_level=10)
+
+
 def test_zstd_codec_finish_ends_frame_without_closing_stream(spark):
     """Hadoop's CompressionOutputStream.finish() contract: write the
     stream trailer but keep the underlying stream open. After finish()
