@@ -3,9 +3,14 @@ locations (/root/reference/input/list.go:30-54,89-164,393-418).
 
 Reference capabilities and their Spark disposition:
 
-- local path / ``file://`` / ``s3://`` / ``http(s)://``  -> Hadoop FS URIs
-  (``s3://`` rewritten to ``s3a://``; http(s) fetched to a local spool
-  since Hadoop has no http filesystem by default)
+- local path / ``file://`` / ``s3://``  -> Hadoop FS URIs
+  (``s3://`` rewritten to ``s3a://``)
+- ``http(s)://`` -> the ``bakerhttp`` Python data source
+  (sources/http_datasource.py): one input partition per URL, fetched
+  and decompressed INSIDE the task, never through the driver, with the
+  reference's metadata fidelity — ``url`` is the original URL and
+  ``last_modified`` the Last-Modified response header
+  (input/list.go:142-157), not a spool path and its local mtime
 - recursive directory walk with ``MatchPath`` regex -> explicit listing +
   ``recursiveFileLookup`` (regex applied on the driver, like the
   reference's filepath.Walk)
@@ -23,7 +28,6 @@ inferred, /root/reference/config.go:427-468).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import re
 import sys
@@ -60,18 +64,9 @@ class ListSource:
         self.separator = separator
         self.match_path = re.compile(match_path) if match_path else None
         self.attach_metadata = attach_metadata
-        self._spool = tempfile.mkdtemp(prefix="baker_spark_http_")
-
-    def _fetch_http(self, url: str) -> str:
-        # spool name carries a URL hash: two URLs sharing a basename
-        # (http://a/x/data.csv, http://b/y/data.csv) must not overwrite
-        # each other — that would read one file twice and lose the other
-        digest = hashlib.md5(url.encode()).hexdigest()[:12]
-        local = os.path.join(
-            self._spool, f"{digest}-{os.path.basename(url) or 'download'}"
-        )
-        urllib.request.urlretrieve(url, local)  # noqa: S310 — user-supplied source list
-        return local
+        self._spool = tempfile.mkdtemp(prefix="baker_spark_stdin_")
+        #: http(s) URLs split out by resolve() for the bakerhttp source
+        self._http_urls: list[str] = []
 
     def _spool_stdin(self) -> str:
         local = os.path.join(self._spool, "stdin")
@@ -80,18 +75,30 @@ class ListSource:
         return local
 
     def resolve(self) -> list[str]:
-        """Expand @listfiles, directories, schemes -> concrete paths."""
+        """Expand @listfiles, directories, schemes -> concrete paths.
+        http(s) data URLs go to ``self._http_urls`` (executor-side
+        fetch); everything else returns as a scannable path."""
         out: list[str] = []
+        self._http_urls = []
         queue = list(self.files)
         while queue:
             item = queue.pop(0)
             if item == "-":
                 out.append(self._spool_stdin())
             elif item.startswith("@"):
-                with open(item[1:]) as fh:
-                    queue.extend(line.strip() for line in fh if line.strip())
+                src = item[1:]
+                if src.startswith(("http://", "https://")):
+                    # an http LIST file (list.go:367-374): the list text
+                    # itself is tiny coordinator metadata — read it here,
+                    # its entries fan out like any other
+                    with urllib.request.urlopen(src) as fh:  # noqa: S310
+                        body = fh.read().decode()
+                    queue.extend(ln.strip() for ln in body.splitlines() if ln.strip())
+                else:
+                    with open(src) as fh:
+                        queue.extend(line.strip() for line in fh if line.strip())
             elif item.startswith("http://") or item.startswith("https://"):
-                out.append(self._fetch_http(item))
+                self._http_urls.append(item)
             elif item.startswith("s3://"):
                 if self.match_path is not None and item.endswith("/"):
                     # MatchPath filtering is implemented via local
@@ -118,6 +125,10 @@ class ListSource:
         return out
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
+        paths = self.resolve()
+        http_df = self._http_dataframe(spark) if self._http_urls else None
+        if http_df is not None and not paths:
+            return http_df
         reader = (
             spark.read.schema(string_schema(self.fields))
             .option("sep", self.separator)
@@ -130,8 +141,31 @@ class ListSource:
             # files load like the local walk does (input/list.go dirs)
             .option("recursiveFileLookup", "true")
         )
-        df = reader.csv(self.resolve())
-        return self._attach_metadata(df)
+        df = self._attach_metadata(reader.csv(paths))
+        return df.unionByName(http_df) if http_df is not None else df
+
+    def _http_dataframe(self, spark: SparkSession) -> DataFrame:
+        """http(s) URLs through the bakerhttp data source: executor-side
+        fetch, then the same no-quote single-separator split the CSV
+        branch applies — ``split`` + positional ``element_at`` matches
+        PERMISSIVE exactly (missing trailing fields -> NULL, empty
+        fields -> "", extra separators dropped)."""
+        from baker_spark.sources import http_datasource
+
+        http_datasource.register(spark)
+        raw = (
+            spark.read.format(http_datasource.HttpLinesDataSource.name())
+            .option(http_datasource.URLS_OPTION, "\n".join(self._http_urls))
+            .load()
+        )
+        parts = F.split(F.col("value"), re.escape(self.separator))
+        cols = [
+            F.element_at(parts, i + 1).alias(name)
+            for i, name in enumerate(self.fields)
+        ]
+        if self.attach_metadata:
+            cols += [F.col(URL_COL), F.col(LASTMOD_COL)]
+        return raw.select(*cols)
 
     def _attach_metadata(self, df: DataFrame) -> DataFrame:
         """url + last_modified metadata columns (api.go:12-21 keys),
