@@ -4,10 +4,11 @@ with typed metadata, processed by Arrow-batched pandas UDFs.
 The Spark-side machinery (schema, batch iteration, partition sizing) is
 real and tested. The decode is a real stdlib ``struct`` parse for the
 container formats whose headers need no codec — PNG (IHDR:
-width/height/bit-depth) and WAV (fmt chunk: channels/sample-rate, data
-chunk: duration) — and a clearly-labeled deterministic fake
-(``fake/v1``) for anything else; swap in PIL/librosa/pyav for pixel and
-sample access in production. Pattern: binary in, ``mapInPandas`` over
+width/height/bit-depth), WAV (fmt chunk: channels/sample-rate, data
+chunk: duration), JPEG (SOFn marker scan: precision/height/width/
+components), GIF (logical screen descriptor) — and a clearly-labeled
+deterministic fake (``fake/v1``) for anything else; swap in
+PIL/librosa/pyav for pixel and sample access in production. Pattern: binary in, ``mapInPandas`` over
 Arrow batches out, so decode cost scales per partition and never pulls
 bytes to the driver.
 """
@@ -64,6 +65,32 @@ def wav_bytes(channels: int, sample_rate: int, n_samples: int, bits: int = 16) -
     )
 
 
+def jpeg_bytes(width: int, height: int, filler: int = 0) -> bytes:
+    """A minimal syntactically-valid JPEG prefix: SOI + SOF0 (baseline,
+    8-bit precision, 3 components) + EOI, plus ``filler`` trailing
+    bytes. 23 + filler bytes total."""
+    sof = struct.pack(">BHHB", 8, height, width, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+        + b"\x00" * filler
+    )
+
+
+def gif_bytes(width: int, height: int, filler: int = 0) -> bytes:
+    """A minimal valid GIF89a: header + logical screen descriptor (color
+    resolution 8, no global color table) + trailer, plus ``filler``
+    trailing bytes. 14 + filler bytes total."""
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0x70, 0, 0])  # packed: color resolution 8, no GCT
+        + b"\x3b"
+        + b"\x00" * filler
+    )
+
+
 def _parse_png(payload: bytes) -> dict | None:
     """PNG IHDR parse (RFC 2083 §4.1.1): the 13-byte IHDR payload starts
     at byte 16 — width, height (big-endian u32), bit depth (u8)."""
@@ -109,13 +136,76 @@ def _parse_wav(payload: bytes) -> dict | None:
     }
 
 
+#: SOFn markers carrying frame dimensions — every 0xFFC0..0xFFCF except
+#: DHT (C4), JPG (C8), DAC (CC), which are table/extension segments
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _parse_jpeg(payload: bytes) -> dict | None:
+    """JPEG marker walk from SOI to the first SOFn segment (ITU T.81
+    §B.2.2): precision u8, height u16, width u16, component count u8.
+    Skips other segments by their length field; tolerates fill bytes
+    (0xFF padding) between markers."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None  # lost marker sync — not a parseable JPEG
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in _JPEG_SOF:
+            if pos + 10 > len(payload):
+                return None
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", payload[pos + 4 : pos + 10]
+            )
+            return {
+                **_ZEROES,
+                "width": int(width),
+                "height": int(height),
+                "bit_depth": int(precision),
+                "channels": int(ncomp),
+                "format": "jpeg",
+            }
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        pos += 2 + seglen
+    return None
+
+
+def _parse_gif(payload: bytes) -> dict | None:
+    """GIF header + logical screen descriptor (GIF89a spec §17-18):
+    width/height little-endian u16 at bytes 6-10, color resolution from
+    the packed byte's bits 4-6 (stored as depth-1)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack("<HH", payload[6:10])
+    return {
+        **_ZEROES,
+        "width": int(width),
+        "height": int(height),
+        "bit_depth": ((payload[10] >> 4) & 0x7) + 1,
+        "format": "gif",
+    }
+
+
 def decode_payload(payload: bytes) -> dict:
-    """Sniff-and-parse: real stdlib header decode for PNG/WAV; anything
-    unrecognized (including truncated headers) falls back to the labeled
-    deterministic fake so the pipeline shape stays total."""
+    """Sniff-and-parse: real stdlib header decode for PNG/WAV/JPEG/GIF;
+    anything unrecognized (including truncated headers) falls back to
+    the labeled deterministic fake so the pipeline shape stays total."""
     if payload is None:
         return {"n_bytes": 0, "head_hex": "", **_ZEROES, "format": "none"}
-    meta = _parse_png(payload) or _parse_wav(payload)
+    meta = (
+        _parse_png(payload)
+        or _parse_wav(payload)
+        or _parse_jpeg(payload)
+        or _parse_gif(payload)
+    )
     if meta is None:
         meta = {
             **_ZEROES,
@@ -148,21 +238,27 @@ def decode_media(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
 def with_media_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out_col: str = "payload"
 ) -> DataFrame:
-    """Deterministic media fixture source: rows cycle PNG / WAV / raw
-    text by ``id_col % 3``, with header fields derived arithmetically
-    from the id — so an oracle can compute the EXPECTED width/height/
-    channels/sample-rate independently while the decoder genuinely
-    parses them out of real bytes. Runs as an Arrow-batched UDF (this
-    is a stand-in for reading real media files into a binary column)."""
+    """Deterministic media fixture source: rows cycle PNG / WAV / JPEG /
+    GIF / raw text by ``id_col % 5``, with header fields derived
+    arithmetically from the id — so an oracle can compute the EXPECTED
+    width/height/channels/sample-rate independently while the decoder
+    genuinely parses them out of real bytes. Runs as an Arrow-batched
+    UDF (this is a stand-in for reading real media files into a binary
+    column)."""
 
     @F.pandas_udf("binary")
     def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
         def one(i, t):
             i = int(i)
-            if i % 3 == 0:
+            m = i % 5
+            if m == 0:
                 return png_bytes((i % 640) + 1, (i % 480) + 1, 8, filler=i % 7)
-            if i % 3 == 1:
+            if m == 1:
                 return wav_bytes(1 + i % 2, 8000 * (1 + i % 3), 100 + i % 50)
+            if m == 2:
+                return jpeg_bytes((i % 640) + 1, (i % 480) + 1, filler=i % 9)
+            if m == 3:
+                return gif_bytes((i % 640) + 1, (i % 480) + 1, filler=i % 6)
             return ("" if t is None else t).encode("utf-8")
 
         return pd.Series([one(i, t) for i, t in zip(ids, texts)])

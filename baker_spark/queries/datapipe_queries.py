@@ -529,40 +529,53 @@ def _le32hex(x: str) -> str:
     )
 
 
+#: hex of one byte, lowercase zero-padded — head_hex oracle building block
+def _b2hex(x: str) -> str:
+    return f"lower(lpad(to_hex({x}), 2, '0'))"
+
+
 @query(
     "dp_multimodal_decode",
     f"""
 SELECT doc_id,
-       CAST(CASE doc_id % 3
+       CAST(CASE doc_id % 5
             WHEN 0 THEN 33 + doc_id % 7
             WHEN 1 THEN 44 + {_WAV_DATA}
+            WHEN 2 THEN 23 + doc_id % 9
+            WHEN 3 THEN 14 + doc_id % 6
             ELSE octet_length(encode(coalesce(text, ''))) END AS BIGINT) AS n_bytes,
-       CASE doc_id % 3
+       CASE doc_id % 5
             WHEN 0 THEN '89504e470d0a1a0a'
             WHEN 1 THEN '52494646' || {_le32hex(f"(36 + {_WAV_DATA})")}
+            WHEN 2 THEN 'ffd8ffc0001108' || {_b2hex("(((doc_id % 480) + 1) // 256)")}
+            WHEN 3 THEN '474946383961'
+                 || {_b2hex("(((doc_id % 640) + 1) % 256)")}
+                 || {_b2hex("(((doc_id % 640) + 1) // 256)")}
             ELSE substring(lower(hex(encode(coalesce(text, '')))), 1, 16) END AS head_hex,
-       CAST(CASE doc_id % 3
-            WHEN 0 THEN (doc_id % 640) + 1
+       CAST(CASE doc_id % 5
             WHEN 1 THEN 0
-            ELSE octet_length(encode(coalesce(text, ''))) % 640 END AS INTEGER) AS width,
-       CAST(CASE doc_id % 3
-            WHEN 0 THEN (doc_id % 480) + 1
+            WHEN 4 THEN octet_length(encode(coalesce(text, ''))) % 640
+            ELSE (doc_id % 640) + 1 END AS INTEGER) AS width,
+       CAST(CASE doc_id % 5
             WHEN 1 THEN 0
-            ELSE (octet_length(encode(coalesce(text, ''))) * 7) % 480 END AS INTEGER) AS height,
-       CAST(CASE doc_id % 3 WHEN 0 THEN 8 ELSE 0 END AS INTEGER) AS bit_depth,
-       CAST(CASE doc_id % 3 WHEN 1 THEN {_WAV_CH} ELSE 0 END AS INTEGER) AS channels,
-       CAST(CASE doc_id % 3 WHEN 1 THEN {_WAV_SR} ELSE 0 END AS INTEGER) AS sample_rate,
-       CAST(CASE doc_id % 3 WHEN 1 THEN ({_WAV_NS} * 1000) // {_WAV_SR} ELSE 0 END AS INTEGER) AS duration_ms,
-       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'fake/v1' END AS format
+            WHEN 4 THEN (octet_length(encode(coalesce(text, ''))) * 7) % 480
+            ELSE (doc_id % 480) + 1 END AS INTEGER) AS height,
+       CAST(CASE doc_id % 5 WHEN 1 THEN 0 WHEN 4 THEN 0 ELSE 8 END AS INTEGER) AS bit_depth,
+       CAST(CASE doc_id % 5 WHEN 1 THEN {_WAV_CH} WHEN 2 THEN 3 ELSE 0 END AS INTEGER) AS channels,
+       CAST(CASE doc_id % 5 WHEN 1 THEN {_WAV_SR} ELSE 0 END AS INTEGER) AS sample_rate,
+       CAST(CASE doc_id % 5 WHEN 1 THEN ({_WAV_NS} * 1000) // {_WAV_SR} ELSE 0 END AS INTEGER) AS duration_ms,
+       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'jpeg'
+            WHEN 3 THEN 'gif' ELSE 'fake/v1' END AS format
 FROM documents
 """,
 )
 def dp_multimodal_decode(spark, sf_dir):
-    """Binary-column decode: generate real PNG/WAV/text payloads per row
-    (deterministic from doc_id), then struct-parse headers via
-    mapInPandas — width/height/bit-depth from PNG IHDR, channels/
-    sample-rate/duration from the WAV fmt+data chunks, labeled fake for
-    raw text. The oracle recomputes expectations arithmetically."""
+    """Binary-column decode: generate real PNG/WAV/JPEG/GIF/text
+    payloads per row (deterministic from doc_id), then struct-parse
+    headers via mapInPandas — width/height/bit-depth from PNG IHDR or
+    the JPEG SOFn / GIF screen descriptor, channels/sample-rate/duration
+    from the WAV fmt+data chunks, labeled fake for raw text. The oracle
+    recomputes expectations arithmetically."""
     df = load_table(spark, sf_dir, "documents")
     packed = multimodal.with_media_payload(df)
     return multimodal.decode_media(packed)

@@ -516,6 +516,42 @@ def test_multimodal_decode_parses_real_png_wav_headers(spark):
     assert got[4]["format"] == "none" and got[4]["n_bytes"] == 0
 
 
+def test_multimodal_decode_parses_jpeg_gif_headers(spark):
+    """JPEG dimensions come from a marker WALK to the first SOFn — not a
+    fixed offset — so a leading APP0/comment segment must not break the
+    parse; GIF from the little-endian logical screen descriptor."""
+    from baker_spark.datapipe import multimodal
+
+    jpg = multimodal.jpeg_bytes(1920, 1080, filler=3)
+    # same SOF0 but preceded by an APP0 (JFIF) segment and a fill byte
+    app0 = b"\xff\xe0" + (2 + 14).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    jpg_app0 = b"\xff\xd8" + app0 + b"\xff" + multimodal.jpeg_bytes(320, 200)[2:]
+    gif = multimodal.gif_bytes(800, 600, filler=2)
+    rows = [
+        (0, bytearray(jpg)),
+        (1, bytearray(jpg_app0)),
+        (2, bytearray(gif)),
+        (3, bytearray(b"GIF89a\x01")),  # truncated descriptor
+        (4, bytearray(b"\xff\xd8\x00\x00")),  # SOI then lost marker sync
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in multimodal.decode_media(df).collect()}
+
+    j = got[0]
+    assert (j["format"], j["width"], j["height"]) == ("jpeg", 1920, 1080)
+    assert (j["bit_depth"], j["channels"]) == (8, 3)
+    assert j["n_bytes"] == len(jpg) and j["head_hex"] == jpg[:8].hex()
+
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("jpeg", 320, 200)
+
+    g = got[2]
+    assert (g["format"], g["width"], g["height"], g["bit_depth"]) == ("gif", 800, 600, 8)
+    assert (g["channels"], g["sample_rate"], g["duration_ms"]) == (0, 0, 0)
+
+    assert got[3]["format"] == "fake/v1"
+    assert got[4]["format"] == "fake/v1"
+
+
 def test_scrub_arrow_matches_jvm_chain(spark):
     """The Arrow/RE2 scrub and the JVM regexp chain must agree
     byte-for-byte — including multi-match rows, pattern ordering
