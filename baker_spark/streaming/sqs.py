@@ -235,6 +235,39 @@ class SQSPoller:
         while not stop.wait(interval):
             self.poll_once()
 
+    def poll_pending(self, max_messages: int = 10) -> list[tuple[str, str, str]]:
+        """One receive per queue deferring the ADMITTED deletes: returns
+        ``(path, queue_url, receipt_handle)`` per admitted message. The
+        streaming data source uses this to move the delete to checkpoint
+        COMMIT time (delete-after-handoff upgraded to
+        delete-after-commit). Same per-message contract as ``poll_once``
+        otherwise: a parse failure is left undeleted for redelivery, a
+        FilePathFilter miss is deleted right here — the reference
+        deletes every parsed message, filtered-out included."""
+        out: list[tuple[str, str, str]] = []
+        for url in self.queue_urls():
+            resp = self.client.receive_message(
+                QueueUrl=url, MaxNumberOfMessages=max_messages, WaitTimeSeconds=0
+            )
+            for msg in resp.get("Messages", []):
+                body = msg["Body"]
+                try:
+                    path = self.parse(body)
+                except ValueError as exc:
+                    self.on_error(body, exc)
+                    continue
+                path = urllib.parse.unquote_plus(path)
+                if self.filepath_rx is None or self.filepath_rx.search(path):
+                    out.append((path, url, msg["ReceiptHandle"]))
+                else:
+                    try:
+                        self.client.delete_message(
+                            QueueUrl=url, ReceiptHandle=msg["ReceiptHandle"]
+                        )
+                    except Exception as exc:  # noqa: BLE001 — sqs.go:242-244
+                        self.on_error(body, exc)
+        return out
+
 
 @dataclass
 class SQSFileSource(FileStreamSource):
