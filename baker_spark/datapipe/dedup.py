@@ -920,14 +920,30 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 5,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
     n-gram with a benchmark/eval set — the standard leakage check before
-    training. The benchmark shingle set is distinct'd and broadcast
-    (eval sets are tiny next to a 100 TB corpus), so the corpus is
-    scanned once: explode -> broadcast semi-probe -> count per doc.
+    training. The benchmark shingle set is distinct'd once, then the
+    corpus is scanned once: explode -> semi-probe -> count per doc.
     Returns every input doc with its hit count and a contaminated flag.
+
+    ``strategy`` picks the probe's physical shape; results are
+    identical:
+
+    - ``"broadcast"`` — ship the shingle set to every executor. Right
+      while the eval union stays broadcast-sized (a handful of
+      benchmarks: MBs of shingles against a 100 TB corpus).
+    - ``"shuffle"`` — hash-partition both sides on the shingle
+      (``shuffle_hash`` hint builds the table on the benchmark side).
+      Right when the eval union grows past broadcast comfort (a
+      hundred-suite union reaches GBs of distinct shingles — broadcast
+      would replicate that per executor); Spark's runtime bloom filter
+      (spark.sql.optimizer.runtime.bloomFilter.enabled) then prunes
+      corpus shingles before the exchange.
     """
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown decontaminate strategy {strategy!r}")
     bench_sh = (
         benchmark.select(
             F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s")
@@ -938,11 +954,12 @@ def decontaminate(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
     )
-    hits = (
+    probe = (
         doc_sh.join(F.broadcast(bench_sh), "s")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+        if strategy == "broadcast"
+        else doc_sh.join(bench_sh.hint("shuffle_hash"), "s")
     )
+    hits = probe.groupBy(id_col).agg(F.count("*").alias("n_hits"))
     return (
         df.select(id_col)
         .join(hits, id_col, "left")

@@ -809,6 +809,18 @@ def dp_decontaminate(spark, sf_dir):
     return dedup.decontaminate(rest, bench)
 
 
+@query("dp_decontaminate_shuffle", dedup.duck_decontaminate())
+def dp_decontaminate_shuffle(spark, sf_dir):
+    """The shuffle-strategy twin of dp_decontaminate — identical rows,
+    different physical plan: both sides hash-partitioned on the
+    shingle (benchmark side builds the hash table), for eval unions
+    too large to broadcast. Same oracle, byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    rest = docs.filter(F.col("doc_id") >= 20)
+    return dedup.decontaminate(rest, bench, strategy="shuffle")
+
+
 # ------------------------------------------------------- corpus statistics ---
 
 @query(

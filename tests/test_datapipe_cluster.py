@@ -207,6 +207,38 @@ def test_cluster_query_plan_shapes(spark, name, forbidden):
         assert "BroadcastHashJoin" in p
 
 
+def test_decontaminate_strategies_agree_and_shuffle_never_broadcasts(spark):
+    """Both probe strategies must return identical rows; the shuffle
+    strategy must keep the benchmark shingles OUT of any broadcast
+    (that's its whole point — eval unions too large to replicate per
+    executor) and build a shuffled hash join instead."""
+    import contextlib
+    import io
+
+    import pytest
+
+    from baker_spark.datapipe import dedup
+    from baker_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    a = all_queries()["dp_decontaminate"](spark, SF_DIR)
+    b = all_queries()["dp_decontaminate_shuffle"](spark, SF_DIR)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        b.explain("formatted")
+    p = buf.getvalue()
+    # the SHINGLE probe (the only Inner join) is shuffled; a broadcast
+    # may appear only as the tiny per-doc hits aggregate feeding the
+    # final LeftOuter
+    assert "ShuffledHashJoin Inner" in p
+    assert "BroadcastHashJoin Inner" not in p
+
+    with pytest.raises(ValueError, match="strategy"):
+        dedup.decontaminate(a, a, strategy="bloom")
+
+
 def test_pq_codes_shape_and_range(spark):
     from baker_spark.datapipe.vectors import PQ_KSUB, pq_train_encode
 
