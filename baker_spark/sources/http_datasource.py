@@ -37,11 +37,6 @@ SCHEMA = T.StructType(
     ]
 )
 
-#: rows per emitted Arrow batch — large enough to amortize the Arrow
-#: transfer, small enough to keep per-batch memory bounded for fat rows
-_BATCH_ROWS = 1 << 16
-
-
 def _parse_last_modified(header: str | None):
     """``Last-Modified: Mon, 02 Jan 2006 15:04:05 GMT`` -> naive UTC
     datetime, or None when absent/unparseable (reference drops the
@@ -66,8 +61,16 @@ def fetch_lines(url: str):
     """Yield decoded text lines of one URL — runs in the task. Split on
     ``\\n`` with a trailing-``\\r`` strip, the same newline dialect the
     Hadoop text/CSV readers apply to the file-backed branch."""
+    stream, last_modified = open_url_stream(url)
+    for block in iter_line_blocks(stream):
+        for line in block:
+            yield line, last_modified
+
+
+def open_url_stream(url: str):
+    """GET one URL -> (decompressed byte stream, Last-Modified or None).
+    Non-200 raises like the reference's httpGet (list.go:437-439)."""
     import gzip
-    import io
     import urllib.request
 
     resp = urllib.request.urlopen(url)  # noqa: S310 — user-supplied source list
@@ -84,13 +87,43 @@ def fetch_lines(url: str):
         stream = pa.input_stream(resp, compression="zstd")
     else:
         stream = resp
-    text = io.TextIOWrapper(stream, encoding="utf-8", errors="replace")
-    for line in text:
-        line = line.rstrip("\n")
-        if line.endswith("\r"):
-            line = line[:-1]
-        if line:
-            yield line, last_modified
+    return stream, last_modified
+
+
+#: bytes pulled per block — also the Arrow batch granularity, so one
+#: knob bounds both network buffering and per-batch memory
+_BLOCK_BYTES = 8 << 20
+
+
+def iter_line_blocks(stream):
+    """Chunked line splitter: read ~8 MB, split on ``\\n`` with
+    ``str.split`` (one C call per block instead of a Python-level loop
+    per line — measured ~2x on the 16-URL localhost bench), carry the
+    partial last line into the next block. A multi-byte UTF-8 char
+    spanning a block boundary is handled by the incremental decoder;
+    ``\\r`` stripping and empty-line drops only pay when present."""
+    import codecs
+
+    dec = codecs.getincrementaldecoder("utf-8")("replace")
+    carry = ""
+    while True:
+        data = stream.read(_BLOCK_BYTES)
+        if not data:
+            break
+        text = carry + dec.decode(data)
+        lines = text.split("\n")
+        carry = lines.pop()
+        if "\r" in text:
+            lines = [ln[:-1] if ln.endswith("\r") else ln for ln in lines]
+        if "" in lines:
+            lines = [ln for ln in lines if ln]
+        if lines:
+            yield lines
+    tail = carry + dec.decode(b"", True)
+    if tail.endswith("\r"):
+        tail = tail[:-1]
+    if tail:
+        yield [tail]
 
 
 class _UrlPartition(InputPartition):
@@ -112,28 +145,18 @@ class HttpLinesReader(DataSourceReader):
         import pyarrow as pa
 
         url = partition.url
-        values, lastmod = [], None
         arrow_ts = pa.timestamp("us")
-
-        def batch():
-            n = len(values)
-            return pa.RecordBatch.from_arrays(
+        stream, lastmod = open_url_stream(url)
+        for block in iter_line_blocks(stream):
+            n = len(block)
+            yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(values, pa.string()),
+                    pa.array(block, pa.string()),
                     pa.array([url] * n, pa.string()),
                     pa.array([lastmod] * n, arrow_ts),
                 ],
                 names=["value", "_bk_url", "_bk_last_modified"],
             )
-
-        for line, lm in fetch_lines(url):
-            lastmod = lm
-            values.append(line)
-            if len(values) >= _BATCH_ROWS:
-                yield batch()
-                values = []
-        if values:
-            yield batch()
 
 
 class HttpLinesDataSource(DataSource):
