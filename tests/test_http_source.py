@@ -112,6 +112,39 @@ def test_http_listfile_and_mixed_local_union(spark, http_base, tmp_path):
     assert got[0][1] == "local.csv" and got[0][2] is not None
 
 
+def test_toml_list_input_over_http(spark, http_base):
+    """The full TOML surface over a live http List input: MetadataUrl
+    must stamp the ORIGINAL url (the reference's api.go metadata), not
+    any local path."""
+    from baker_spark.plans import compile_toml
+
+    url = f"{http_base}/plain.csv"
+    rows = compile_toml(
+        f"""
+[fields]
+names=["a","b","c"]
+
+[input]
+name="List"
+    [input.config]
+    files=["{url}"]
+
+[[filter]]
+name="MetadataUrl"
+    [filter.config]
+    DstField="b"
+
+[output]
+name="Recorder"
+fields=["a","b","c"]
+"""
+    ).run(spark)
+    assert sorted((r.a, r.b, r.c) for r in rows) == [
+        ("value1", url, "value3"),
+        ("value4", url, "value6"),
+    ]
+
+
 def test_http_non_200_fails_loudly(spark, http_base):
     df = ListSource(files=[f"{http_base}/absent.csv"], fields=["a"]).dataframe(spark)
     with pytest.raises(Exception, match="404|HTTP Error"):
