@@ -98,7 +98,23 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             pass
     _ship_package(spark)
+    _register_python_sources(spark)
     return spark
+
+
+def _register_python_sources(spark: SparkSession) -> None:
+    """Register the repo's Python data sources so
+    ``spark.read.format("bakerhttp")`` / ``readStream.format("bakersqs")``
+    work out of the box on any configured session. Idempotent;
+    registration is name->class only, so it costs nothing until used."""
+    try:
+        from baker_spark.sources.http_datasource import HttpLinesDataSource
+        from baker_spark.streaming.sqs_datasource import SQSStreamDataSource
+
+        spark.dataSource.register(HttpLinesDataSource)
+        spark.dataSource.register(SQSStreamDataSource)
+    except Exception:  # pragma: no cover — a foreign session may forbid it
+        pass
 
 
 #: DataFrames persisted by operator builders (LSH band tables, shingle
