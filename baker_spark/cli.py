@@ -265,12 +265,24 @@ def cmd_run(
             except KeyboardInterrupt:
                 query.stop()
             return 0
+        # a WebSocket sink's server binds at topology-run start (the
+        # reference's output Run calls ListenAndServe up front) so
+        # clients get the whole run to connect, not just the instant
+        # between first write and process exit
+        server = getattr(getattr(pipeline, "sink", None), "server", None)
+        if server is not None and not server.running:
+            server.start()
         result = pipeline.run(spark)
         if result is not None and not isinstance(result, (str, list, dict, int)):
             result.show(20, truncate=False)  # sink-less topology: show rows
         elif result is not None:
             print(result)
     finally:
+        # stop any sink-held resources (the reference's topology Stop()
+        # closes outputs) — without this the CLI leaks the ws server
+        close = getattr(pipeline, "close", None)
+        if callable(close):
+            close()
         spark.stop()
     return 0
 

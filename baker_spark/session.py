@@ -107,13 +107,19 @@ def _register_python_sources(spark: SparkSession) -> None:
     ``spark.read.format("bakerhttp")`` / ``readStream.format("bakersqs")``
     work out of the box on any configured session. Idempotent;
     registration is name->class only, so it costs nothing until used."""
+    # independent try per source: a failure in one must not silently
+    # unregister the other
     try:
         from baker_spark.sources.http_datasource import HttpLinesDataSource
-        from baker_spark.streaming.sqs_datasource import SQSStreamDataSource
 
         spark.dataSource.register(HttpLinesDataSource)
-        spark.dataSource.register(SQSStreamDataSource)
     except Exception:  # pragma: no cover — a foreign session may forbid it
+        pass
+    try:
+        from baker_spark.streaming.sqs_datasource import SQSStreamDataSource
+
+        spark.dataSource.register(SQSStreamDataSource)
+    except Exception:  # pragma: no cover
         pass
 
 

@@ -251,9 +251,10 @@ class FileWriter:
 
             # the estimate must model THIS writer's files — same level
             # the write job will carry in its per-job Hadoop conf
-            nbytes = len(
-                _gzip.compress(blob, compresslevel=max(0, self.gzip_level))
-            )
+            # (-1 = zlib DEFAULT_COMPRESSION, which deflates like 6;
+            # python's gzip rejects -1, so map it explicitly)
+            lvl = 6 if self.gzip_level == -1 else self.gzip_level
+            nbytes = len(_gzip.compress(blob, compresslevel=lvl))
         elif self.compression == "zstd":
             import pyarrow as _pa
 

@@ -67,27 +67,37 @@ def fetch_lines(url: str):
             yield line, last_modified
 
 
+#: no response (or no body bytes) for this long -> fail the task rather
+#: than wedge it forever: Spark retries tasks, it cannot time them out
+FETCH_TIMEOUT_S = 60.0
+
+
+def decompress_by_extension(raw, name: str):
+    """``raw byte stream + file name -> decompressed byte stream`` —
+    the one extension-to-codec dispatch every fetch path shares
+    (http, the bakersqs local branch)."""
+    if name.endswith(".gz"):
+        import gzip
+
+        return gzip.GzipFile(fileobj=raw)
+    if name.endswith((".zst", ".zstd")):
+        import pyarrow as pa
+
+        return pa.input_stream(raw, compression="zstd")
+    return raw
+
+
 def open_url_stream(url: str):
     """GET one URL -> (decompressed byte stream, Last-Modified or None).
     Non-200 raises like the reference's httpGet (list.go:437-439)."""
-    import gzip
     import urllib.request
 
-    resp = urllib.request.urlopen(url)  # noqa: S310 — user-supplied source list
+    resp = urllib.request.urlopen(url, timeout=FETCH_TIMEOUT_S)  # noqa: S310 — user-supplied source list
     status = getattr(resp, "status", 200)
     if status != 200:
         raise IOError(f"error file {url!r} return {status} code")
     last_modified = _parse_last_modified(resp.headers.get("Last-Modified"))
-    base = url.split("?", 1)[0]
-    if base.endswith(".gz"):
-        stream = gzip.GzipFile(fileobj=resp)
-    elif base.endswith((".zst", ".zstd")):
-        import pyarrow as pa
-
-        stream = pa.input_stream(resp, compression="zstd")
-    else:
-        stream = resp
-    return stream, last_modified
+    return decompress_by_extension(resp, url.split("?", 1)[0]), last_modified
 
 
 #: bytes pulled per block — also the Arrow batch granularity, so one

@@ -91,7 +91,11 @@ class ListSource:
                     # an http LIST file (list.go:367-374): the list text
                     # itself is tiny coordinator metadata — read it here,
                     # its entries fan out like any other
-                    with urllib.request.urlopen(src) as fh:  # noqa: S310
+                    from baker_spark.sources.http_datasource import FETCH_TIMEOUT_S
+
+                    with urllib.request.urlopen(  # noqa: S310
+                        src, timeout=FETCH_TIMEOUT_S
+                    ) as fh:
                         body = fh.read().decode()
                     queue.extend(ln.strip() for ln in body.splitlines() if ln.strip())
                 else:
@@ -159,8 +163,12 @@ class ListSource:
             .load()
         )
         parts = F.split(F.col("value"), re.escape(self.separator))
+        # try_element_at, not element_at: a short line must yield NULL
+        # for its missing trailing fields (the CSV branch's PERMISSIVE
+        # behavior) even on a session with ANSI mode on, where plain
+        # element_at throws INVALID_ARRAY_INDEX instead
         cols = [
-            F.element_at(parts, i + 1).alias(name)
+            F.try_element_at(parts, F.lit(i + 1)).alias(name)
             for i, name in enumerate(self.fields)
         ]
         if self.attach_metadata:

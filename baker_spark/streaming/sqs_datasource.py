@@ -93,28 +93,52 @@ def _local_lines(path: str):
     newline + extension-codec dialect as the http branch, with the
     file's mtime as last_modified (list.go uses the store's own
     timestamp per scheme)."""
-    import gzip
-    import io
+    from baker_spark.sources.http_datasource import (
+        decompress_by_extension,
+        iter_line_blocks,
+    )
 
     if path.startswith("file://"):
         path = path[len("file://"):]
     lastmod = datetime.fromtimestamp(os.stat(path).st_mtime, tz=timezone.utc).replace(
         tzinfo=None
     )
-    raw = open(path, "rb")
-    if path.endswith(".gz"):
-        stream = gzip.GzipFile(fileobj=raw)
-    elif path.endswith((".zst", ".zstd")):
-        import pyarrow as pa
+    stream = decompress_by_extension(open(path, "rb"), path)
+    for block in iter_line_blocks(stream):
+        for line in block:
+            yield line, lastmod
 
-        stream = pa.input_stream(raw, compression="zstd")
-    else:
-        stream = raw
-    for line in io.TextIOWrapper(stream, encoding="utf-8", errors="replace"):
-        line = line.rstrip("\n")
-        if line.endswith("\r"):
-            line = line[:-1]
-        if line:
+
+def _s3_lines(path: str, region: str):
+    """Executor-side line reader for an s3:// object — boto3 GetObject
+    (the executor analog of sqs.go's openFile S3 branch, which also
+    reads LastModified off the response). boto3 is not bundled in this
+    repo's sandbox; the import is guarded so the error names the real
+    dependency instead of a FileNotFoundError on a 's3://...' path."""
+    try:
+        import boto3
+    except ImportError as e:  # pragma: no cover — boto3 absent here
+        raise RuntimeError(
+            f"bakersqs: {path!r} needs boto3 on the executors to fetch "
+            "S3 objects (pip install boto3 in the cluster environment)"
+        ) from e
+    from urllib.parse import urlsplit
+
+    from baker_spark.sources.http_datasource import (  # pragma: no cover
+        decompress_by_extension,
+        iter_line_blocks,
+    )
+
+    u = urlsplit(path)  # pragma: no cover — the rest needs live S3
+    resp = boto3.client("s3", region_name=region).get_object(
+        Bucket=u.netloc, Key=u.path.lstrip("/")
+    )
+    lastmod = resp.get("LastModified")
+    if lastmod is not None:
+        lastmod = lastmod.astimezone(timezone.utc).replace(tzinfo=None)
+    stream = decompress_by_extension(resp["Body"], u.path)
+    for block in iter_line_blocks(stream):
+        for line in block:
             yield line, lastmod
 
 
@@ -154,6 +178,8 @@ class SQSStreamReader(DataSourceStreamReader):
             )
         self._poller = SQSPoller(cfg, client, on_file=lambda p: None)
         self._client = client
+        self._bucket = cfg.bucket
+        self._region = cfg.aws_region
         self._max_messages = int(options.get("max_messages", "10"))
         self._seq = 0
         #: (queue_url, path) -> newest receipt handle, awaiting commit
@@ -175,6 +201,11 @@ class SQSStreamReader(DataSourceStreamReader):
         pending = self._poller.poll_pending(self._max_messages)
         new = []
         for path, queue_url, handle in pending:
+            if self._bucket and "://" not in path:
+                # a configured Bucket makes the parser emit bare keys
+                # (sqs.py parse, sqs.go:183-187) — qualify them here so
+                # the offset journals a fetchable URL
+                path = f"s3://{self._bucket}/{path}"
             key = (queue_url, path)
             if key in self._replayed:
                 # this file's batch is already journaled (planned before
@@ -229,11 +260,12 @@ class SQSStreamReader(DataSourceStreamReader):
 
     def read(self, partition):
         path = partition.path
-        lines = (
-            fetch_lines(path)
-            if path.startswith(("http://", "https://"))
-            else _local_lines(path)
-        )
+        if path.startswith(("http://", "https://")):
+            lines = fetch_lines(path)
+        elif path.startswith("s3://"):
+            lines = _s3_lines(path, self._region)
+        else:
+            lines = _local_lines(path)
         for line, lastmod in lines:
             yield line, path, lastmod
 

@@ -224,7 +224,10 @@ def main() -> None:
         "|---|" + "---|" * (len(sfs) + 1),
     ]
     for name in REPORT_QUERIES:
-        row = results[name]
+        # a headline-only sweep (every SF past FULL_SWEEP_MAX_SF) never
+        # measures the non-headline names at all — render their rows as
+        # all-dash instead of dying on the lookup after the timed sweep
+        row = results.get(name, {})
         cells = [f"{row[sf]:.2f}s" if sf in row else "\u2014" for sf in sfs]
         have = [sf for sf in sfs if sf in row]
         if len(have) >= 2:
