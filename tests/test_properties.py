@@ -405,3 +405,49 @@ def test_split_chain_equivalent_to_plain_chain(spark, chain, rows):
         pre = pre.filter(p)
     got = sorted(map(tuple, ops.chain(pre.repartition(3), rest).collect()))
     assert got == want
+
+
+# ------------------------------------------------- http line splitting ---
+
+@given(
+    lines=st.lists(
+        st.text(
+            # printable unicode incl. multi-byte chars, no line breaks
+            st.characters(blacklist_categories=("Cs", "Cc")),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    crlf=st.booleans(),
+    trailing_newline=st.booleans(),
+    block=st.integers(1, 64),
+)
+@settings(**SETTINGS)
+def test_iter_line_blocks_matches_line_model(lines, crlf, trailing_newline, block):
+    """iter_line_blocks must produce exactly the non-empty lines of the
+    payload — regardless of block size (multi-byte UTF-8 chars split
+    across read() boundaries), \\r\\n vs \\n, and a missing final
+    newline. The model is the reference's newline-record dialect: split
+    on \\n, strip one trailing \\r, drop empties."""
+    import io
+
+    from baker_spark.sources import http_datasource as hd
+
+    lines = [ln.replace("\n", "").replace("\r", "") for ln in lines]
+    sep = "\r\n" if crlf else "\n"
+    payload = sep.join(lines) + (sep if trailing_newline and lines else "")
+    data = payload.encode("utf-8")
+
+    expected = [ln for ln in payload.split("\n")]
+    expected = [ln[:-1] if ln.endswith("\r") else ln for ln in expected]
+    expected = [ln for ln in expected if ln]
+
+    old = hd._BLOCK_BYTES
+    hd._BLOCK_BYTES = block  # force many boundary crossings
+    try:
+        got = [ln for blk in hd.iter_line_blocks(io.BytesIO(data)) for ln in blk]
+    finally:
+        hd._BLOCK_BYTES = old
+    assert got == expected
