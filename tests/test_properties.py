@@ -451,3 +451,49 @@ def test_iter_line_blocks_matches_line_model(lines, crlf, trailing_newline, bloc
     finally:
         hd._BLOCK_BYTES = old
     assert got == expected
+
+
+# ------------------------------------------------- multimodal decode ---
+
+@given(
+    w=st.integers(1, 65535),
+    h=st.integers(1, 65535),
+    apps=st.lists(
+        st.tuples(st.integers(0xE0, 0xEF), st.binary(min_size=0, max_size=12)),
+        min_size=0,
+        max_size=3,
+    ),
+    fills=st.integers(0, 2),
+)
+@settings(**SETTINGS)
+def test_jpeg_marker_walk_skips_arbitrary_app_segments(w, h, apps, fills):
+    """The SOFn scan must survive any prefix of APPn segments (with
+    arbitrary payloads) and 0xFF fill bytes, and still read the true
+    dimensions from the first SOF0."""
+    import struct
+
+    from baker_spark.datapipe import multimodal
+
+    blob = b"\xff\xd8"
+    for marker, payload in apps:
+        blob += bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+    blob += b"\xff" * fills
+    blob += multimodal.jpeg_bytes(w, h)[2:]  # SOF0 + EOI from the fixture
+    meta = multimodal.decode_payload(blob)
+    assert (meta["format"], meta["width"], meta["height"]) == ("jpeg", w, h)
+
+
+@given(blob=st.binary(min_size=0, max_size=120))
+@settings(**SETTINGS)
+def test_decode_payload_is_total_on_arbitrary_bytes(blob):
+    """Whatever bytes arrive (truncated headers, hostile lengths), the
+    decoder returns a full metadata row — never raises. Fields stay
+    non-negative and n_bytes/head_hex always reflect the payload."""
+    from baker_spark.datapipe import multimodal
+
+    meta = multimodal.decode_payload(blob)
+    assert meta["n_bytes"] == len(blob)
+    assert meta["head_hex"] == blob[:8].hex()
+    assert meta["format"] in ("png", "wav", "jpeg", "gif", "fake/v1")
+    for k in ("width", "height", "bit_depth", "channels", "sample_rate", "duration_ms"):
+        assert meta[k] >= 0
