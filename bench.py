@@ -95,8 +95,35 @@ def force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def cpu_canary() -> dict[str, float]:
+    """Machine-state stamp for cross-run comparability: the same fixed
+    md5 loop single-process and 32-processes-wide. On an idle 32-core
+    box the wide wall ~= the single wall; under host-level contention
+    it stretches proportionally — so a slow suite with a stretched
+    canary is machine drift, not an engine regression (and vice
+    versa). ~0.7s total, measured before any Spark work."""
+    import hashlib
+    import subprocess
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        for _ in range(2_000_000):
+            h.update(b"x" * 32)
+        return round(time.perf_counter() - t0, 3)
+
+    single = one()
+    code = "import hashlib\nh=hashlib.md5()\nfor i in range(2_000_000): h.update(b'x'*32)"
+    t0 = time.perf_counter()
+    procs = [subprocess.Popen([sys.executable, "-c", code]) for _ in range(32)]
+    for p in procs:
+        p.wait()
+    return {"canary_1p_s": single, "canary_32p_s": round(time.perf_counter() - t0, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    canary = cpu_canary()
     spark = get_spark("baker_spark_bench")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -160,6 +187,7 @@ def main() -> None:
                 "sf": sf,
                 "records_per_sec": records_per_sec,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+                **canary,
             }
         )
     )
