@@ -107,6 +107,12 @@ def _register_python_sources(spark: SparkSession) -> None:
     ``spark.read.format("bakerhttp")`` / ``readStream.format("bakersqs")``
     work out of the box on any configured session. Idempotent;
     registration is name->class only, so it costs nothing until used."""
+    # once per session object: DataSourceManager logs a WARN
+    # ("replaced a previously registered data source") on every
+    # re-register, which spams configure_session callers (bench runs
+    # the sweep through here 100+ times)
+    if getattr(spark, "_baker_sources_registered", False):
+        return
     # independent try per source: a failure in one must not silently
     # unregister the other
     try:
@@ -121,6 +127,13 @@ def _register_python_sources(spark: SparkSession) -> None:
         spark.dataSource.register(SQSStreamDataSource)
     except Exception:  # pragma: no cover
         pass
+    try:
+        from baker_spark.streaming.kinesis_datasource import KinesisStreamDataSource
+
+        spark.dataSource.register(KinesisStreamDataSource)
+    except Exception:  # pragma: no cover
+        pass
+    spark._baker_sources_registered = True
 
 
 #: DataFrames persisted by operator builders (LSH band tables, shingle

@@ -38,11 +38,31 @@ _PLACEHOLDER_RX = re.compile(r"\{\{\s*\.(\w+)\s*\}\}")
 #: write job's Hadoop conf (file-source options overlay it via
 #: SessionState.newHadoopConfWithOptions, same ride as the zstd level).
 #: BuiltInGzipCompressor honors it since Hadoop 3.3, native zlib or not.
+#: The intermediate names TWO..EIGHT only exist since Hadoop 3.3.2
+#: (HADOOP-17825) — on an older classpath Configuration.getEnum throws,
+#: so _gzip_level_name snaps 2-8 to the nearest always-present endpoint
+#: there instead of failing the write job.
 _GZIP_LEVELS = {
     -1: "DEFAULT_COMPRESSION", 0: "NO_COMPRESSION", 1: "BEST_SPEED",
     2: "TWO", 3: "THREE", 4: "FOUR", 5: "FIVE", 6: "SIX",
     7: "SEVEN", 8: "EIGHT", 9: "BEST_COMPRESSION",
 }
+
+
+def _gzip_level_name(spark, level: int) -> str:
+    name = _GZIP_LEVELS[level]
+    if level in (-1, 0, 1, 9):
+        return name  # present in every Hadoop with CompressionLevel
+    try:
+        ver = spark.sparkContext._jvm.org.apache.hadoop.util.VersionInfo.getVersion()
+        major, minor, patch = (int(x) for x in ver.split("-")[0].split(".")[:3])
+        if (major, minor, patch) >= (3, 3, 2):
+            return name
+    except Exception:  # noqa: BLE001 — unparseable vendor version: be safe
+        pass
+    return "BEST_SPEED" if level <= 4 else (
+        "DEFAULT_COMPRESSION" if level <= 7 else "BEST_COMPRESSION"
+    )
 
 _SIZE_RX = re.compile(r"^\s*([0-9]*\.?[0-9]+)\s*([a-zA-Z]*)\s*$")
 #: go-humanize unit table (size_bytes.go:30-36 delegates to
@@ -325,7 +345,8 @@ class FileWriter:
             # same per-job overlay for the deflate level; default 1 is
             # the reference's hardcoded BestSpeed (filewriter.go:392-394)
             writer = writer.option(
-                "zlib.compress.level", _GZIP_LEVELS[self.gzip_level]
+                "zlib.compress.level",
+                _gzip_level_name(df.sparkSession, self.gzip_level),
             )
         if max_records:
             writer = writer.option("maxRecordsPerFile", max_records)

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from datetime import datetime, timezone
 
 from pyspark.sql.datasource import (
@@ -182,6 +183,15 @@ class SQSStreamReader(DataSourceStreamReader):
         self._region = cfg.aws_region
         self._max_messages = int(options.get("max_messages", "10"))
         self._seq = 0
+        #: per-run nonce stamped into every offset this reader emits.
+        #: _seq restarts at 0 after a checkpoint restore; without the
+        #: nonce the first post-restart offset can COLLIDE with the
+        #: WAL's last offset (same seq + files — e.g. batch committed,
+        #: its delete failed, then crash), Spark sees no offset change,
+        #: partitions() never runs, and the redelivered message wedges
+        #: in _inflight forever. A fresh nonce makes post-restart
+        #: offsets always differ, costing exactly one empty batch.
+        self._run = uuid.uuid4().hex[:12]
         #: (queue_url, path) -> newest receipt handle, awaiting commit
         self._inflight: dict[tuple[str, str], str] = {}
         #: keys replayed from the WAL whose delete never ran (crash
@@ -191,7 +201,7 @@ class SQSStreamReader(DataSourceStreamReader):
         #: last offset handed to Spark — re-returned VERBATIM while no
         #: new files arrive (a changed-but-equal-seq offset would plan
         #: an endless run of empty batches)
-        self._last_offset = {"seq": 0, "files": []}
+        self._last_offset = {"seq": 0, "run": self._run, "files": []}
 
     # --- driver-side planning -------------------------------------------
     def initialOffset(self) -> dict:
@@ -218,12 +228,27 @@ class SQSStreamReader(DataSourceStreamReader):
                 continue
             if key not in self._inflight:
                 new.append([path, queue_url])
-            # always keep the NEWEST handle: after a visibility-timeout
-            # redelivery only the latest one deletes successfully
+            else:
+                # duplicate notification for an in-flight file (two
+                # messages naming the same path, or a visibility-timeout
+                # redelivery): keep the NEWEST handle — only it deletes
+                # reliably — and delete the superseded message NOW.
+                # Dropping it silently would let a distinct duplicate
+                # message redeliver after partitions() popped this key
+                # and re-admit the same file as a fresh batch (the
+                # reference deletes every parsed message, sqs.go:242).
+                # For a redelivery the old handle is already dead and
+                # the delete is a harmless no-op/error.
+                try:
+                    self._client.delete_message(
+                        QueueUrl=queue_url, ReceiptHandle=self._inflight[key]
+                    )
+                except Exception:  # noqa: BLE001
+                    pass
             self._inflight[key] = handle
         if new:
             self._seq += 1
-            self._last_offset = {"seq": self._seq, "files": new}
+            self._last_offset = {"seq": self._seq, "run": self._run, "files": new}
         return self._last_offset
 
     def partitions(self, start: dict, end: dict):

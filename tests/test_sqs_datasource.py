@@ -197,3 +197,53 @@ def test_file_path_filter_leaves_filtered_pending(spark, stream):
     # the filtered message is deleted like any parsed message — the
     # reference deletes filtered-out ones too (only parse failures stay)
     assert _pending(qdir) == []
+
+
+def test_duplicate_messages_same_path_both_deleted(tmp_path):
+    """Two DISTINCT messages naming the same (queue, path) in one poll:
+    the file is admitted once and BOTH messages are deleted — the
+    superseded one immediately, the kept one at partition planning.
+    (Dropping the superseded handle would let its message redeliver
+    after the key was popped and re-admit the file as a new batch.)"""
+    from baker_spark.streaming.sqs_datasource import SQSStreamReader
+
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    f = tmp_path / "x.csv"
+    f.write_text("row\n")
+    _msg(qdir, "a", str(f))
+    _msg(qdir, "b", str(f))
+
+    r = SQSStreamReader({"fake_dir": str(qdir), "message_format": "plain"})
+    off = r.latestOffset()
+    assert [p for p, _ in off["files"]] == [str(f)]  # admitted once
+    assert _pending(qdir) == ["b.msg"]  # superseded 'a' deleted in-poll
+    r.partitions(r.initialOffset(), off)
+    assert _pending(qdir) == []  # kept handle deleted post-WAL
+    # nothing re-admitted: the offset is re-returned verbatim (same
+    # seq), so Spark plans no further batch
+    assert r.latestOffset() is off
+
+
+def test_restart_offset_never_collides_with_wal(tmp_path):
+    """Batch committed, delete failed, crash: the restarted reader's
+    first offset must DIFFER from the WAL's last one even at the same
+    seq/files (the per-run nonce), or Spark plans no batch and the
+    redelivered message wedges in the in-flight map forever."""
+    from baker_spark.streaming.sqs_datasource import SQSStreamReader
+
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    f = tmp_path / "x.csv"
+    f.write_text("row\n")
+    _msg(qdir, "m", str(f))
+    opts = {"fake_dir": str(qdir), "message_format": "plain"}
+
+    a = SQSStreamReader(opts)
+    wal_last = a.latestOffset()  # seq 1, files=[x.csv] — journaled
+    # crash before delete; restart:
+    b = SQSStreamReader(opts)
+    off = b.latestOffset()  # re-admits the pending message at seq 1
+    assert [p for p, _ in off["files"]] == [str(f)]
+    assert off["seq"] == wal_last["seq"]
+    assert off != wal_last  # the nonce breaks the tie
