@@ -181,6 +181,17 @@ FROM batch b WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
 
 # -------------------------------------------------------------- minhash ----
 
+#: Default hot-group caps for the candidate-pair emitters. Near-dup
+#: PAIR output is quadratic in duplicate-group size (sf10's synthetic
+#: corpus emits 2.92B pairs uncapped — x98 pairs for x10 docs), so the
+#: production default is CAPPED: any (band, key) group larger than this
+#: is excluded before the self-join, bounding the worst group at
+#: ~cap^2/2 pairs. Pass ``None`` explicitly for the exhaustive audit
+#: shape (exact pigeonhole / LSH recall guarantee, unbounded output);
+#: the dp_*_exhaustive catalog entries do exactly that.
+DEFAULT_BUCKET_CAP = 200
+DEFAULT_BAND_CAP = 200
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16, shingle_n: int = 3
 ) -> DataFrame:
@@ -226,7 +237,7 @@ def lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     sig: DataFrame | None = None,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing >= 1 LSH band.
     With k=16, b=4 (r=4) the jaccard threshold is ~(1/b)^(1/r) ~= 0.7.
@@ -240,7 +251,8 @@ def lsh_pairs(
     EVERY matching band is hot goes undetected; hot-bucket members are
     precisely the near-identical mass that exact/fingerprint dedup
     (dp_dedup_exact, incremental_dedup) already collapses upstream.
-    None (default) disables."""
+    Default DEFAULT_BUCKET_CAP; pass None for the exhaustive audit
+    shape (unbounded quadratic output)."""
     r = k // bands
     # persist: the band table feeds both sides of the self-join; without
     # it the shingle->md5 pipeline (the expensive part) runs twice.
@@ -301,7 +313,7 @@ def duck_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> str:
     r = k // bands
     mins = ",\n  ".join(
@@ -734,7 +746,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    band_cap: int | None = None,
+    band_cap: int | None = DEFAULT_BAND_CAP,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -750,8 +762,9 @@ def simhash_pairs(
     explodes) — and a boilerplate mega-band does the same on real data.
     The trade is the same explicit one as minhash's: a pair whose every
     intact band is hot goes undetected; that near-identical mass is what
-    exact/fingerprint dedup collapses upstream. None (default) keeps the
-    exact pigeonhole guarantee."""
+    exact/fingerprint dedup collapses upstream. Default DEFAULT_BAND_CAP;
+    pass None for the exhaustive audit shape, which keeps the exact
+    pigeonhole guarantee at unbounded output."""
     assert max_hamming <= 3, "banded blocking guarantees recall only for hamming <= bands-1"
     # persist: both sides of the band self-join read the signature; see
     # lsh_pairs — signatures are tiny (id + 1 long) at any corpus scale.
@@ -829,7 +842,7 @@ def duck_simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    band_cap: int | None = None,
+    band_cap: int | None = DEFAULT_BAND_CAP,
 ) -> str:
     # the oracle bands exactly like the Spark side — pigeonhole makes
     # banded blocking provably equal to brute force at hamming <= 3, and

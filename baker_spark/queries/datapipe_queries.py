@@ -40,7 +40,19 @@ def dp_dedup_fingerprint(spark, sf_dir):
 
 @query("dp_minhash_lsh_pairs", dedup.duck_lsh_pairs())
 def dp_minhash_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs at the PRODUCTION default: hot buckets over
+    DEFAULT_BUCKET_CAP members are excluded (oracle applies the
+    identical rule), so the default name is safe on a boilerplate-heavy
+    100 TB corpus. dp_minhash_exhaustive is the uncapped audit shape."""
     return dedup.lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("dp_minhash_exhaustive", dedup.duck_lsh_pairs(bucket_cap=None))
+def dp_minhash_exhaustive(spark, sf_dir):
+    """The explicit cap opt-out: full LSH recall, output quadratic in
+    dup-group size — an audit/verification shape, not the default (at
+    sf10 the synthetic corpus emits 2.92B pairs through this)."""
+    return dedup.lsh_pairs(load_table(spark, sf_dir, "documents"), bucket_cap=None)
 
 
 @query("dp_minhash_capped", dedup.duck_lsh_pairs(bucket_cap=3))
@@ -65,7 +77,19 @@ def dp_simhash(spark, sf_dir):
 
 @query("dp_simhash_pairs", dedup.duck_simhash_pairs())
 def dp_simhash_pairs(spark, sf_dir):
+    """Simhash near-dup pairs at the PRODUCTION default: (band, key)
+    groups over DEFAULT_BAND_CAP members are excluded before the
+    self-join (oracle mirrors the rule). dp_simhash_exhaustive keeps
+    the exact pigeonhole guarantee for audits."""
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("dp_simhash_exhaustive", dedup.duck_simhash_pairs(band_cap=None))
+def dp_simhash_exhaustive(spark, sf_dir):
+    """The explicit cap opt-out: exact banded-pigeonhole equivalence to
+    brute force at hamming <= 3, unbounded quadratic output (2.92B
+    pairs at sf10) — audit shape, not the default."""
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), band_cap=None)
 
 
 @query("dp_simhash_capped", dedup.duck_simhash_pairs(band_cap=40))

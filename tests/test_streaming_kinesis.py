@@ -144,3 +144,153 @@ name = "Nop"
         compile_toml(base.format(app="", pos="LATEST"))
     with pytest.raises(ValueError, match="invalid 'InitialPosition'"):
         compile_toml(base.format(app="ok_app", pos="YESTERDAY"))
+
+
+# ------------------------- bakerkinesis Python streaming data source ----
+# (kinesis.go:58-66 + kcl.go:27-49 semantics as executable code — shard
+# -> partition, sequence-number offsets in the checkpoint WAL, fake
+# client over a spool directory)
+
+import pytest
+
+
+@pytest.fixture()
+def kstream(spark, tmp_path):
+    from baker_spark.streaming.kinesis_datasource import DirStreamClient, register
+
+    root = tmp_path / "kin"
+    root.mkdir()
+    register(spark)
+    client = DirStreamClient(str(root))
+    queries = []
+
+    def start(name=None, checkpoint=None, **opts):
+        import os, time
+        name = name or f"kin_mem_{len(queries)}_{os.getpid()}_{time.time_ns()}"
+        reader = (
+            spark.readStream.format("bakerkinesis")
+            .option("fake_dir", str(root))
+            .option("stream", "events")
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        w = reader.load().writeStream.format("memory").queryName(name)
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        q = w.start()
+        queries.append(q)
+        return q, name
+
+    yield client, start
+    for q in queries:
+        q.stop()
+
+
+def test_kinesis_source_microbatch_loop(spark, kstream):
+    """Records put across two triggers arrive exactly once, with the
+    aws-kinesis connector layout (data/streamName/partitionKey/
+    sequenceNumber/arrival ts) intact."""
+    client, start = kstream
+    client.put_record("events", b"a,1\nb,2\n", "pk0", Ts=42.0)
+    q, name = start(initial_position="TRIM_HORIZON")
+    q.processAllAvailable()
+    client.put_record("events", b"c,3", "pk1")
+    q.processAllAvailable()
+    rows = spark.sql(f"SELECT * FROM {name} ORDER BY sequenceNumber").collect()
+    assert [bytes(r.data) for r in rows] == [b"a,1\nb,2\n", b"c,3"]
+    assert [r.partitionKey for r in rows] == ["pk0", "pk1"]
+    assert [r.sequenceNumber for r in rows] == ["0", "1"]
+    assert rows[0].streamName == "events"
+    assert rows[0].approximateArrivalTimestamp == datetime(1970, 1, 1, 0, 0, 42)
+
+
+def test_kinesis_source_parses_through_kinesis_records(spark, kstream):
+    """The source composes with the connector-agnostic parse: blobs ->
+    newline-split lines -> positional fields."""
+    client, start = kstream
+    client.put_record("events", b"x,9\ny,8\n", "pk")
+    q, name = start(initial_position="TRIM_HORIZON")
+    q.processAllAvailable()
+    parsed = kinesis_records(spark.sql(f"SELECT * FROM {name}"), ["k", "v"])
+    assert sorted((r.k, r.v) for r in parsed.collect()) == [("x", "9"), ("y", "8")]
+
+
+def test_kinesis_source_latest_skips_preexisting(spark, kstream):
+    """InitialPosition=LATEST (the tail contract, kinesis.go:111): only
+    records put AFTER the stream starts surface."""
+    client, start = kstream
+    client.put_record("events", b"old", "pk")
+    q, name = start()  # default LATEST
+    q.processAllAvailable()
+    client.put_record("events", b"new", "pk")
+    q.processAllAvailable()
+    assert [bytes(r.data) for r in spark.sql(f"SELECT * FROM {name}").collect()] == [b"new"]
+
+
+def test_kinesis_source_shards_fan_out_and_reshard(spark, kstream):
+    """One input partition per shard; a shard created mid-stream (the
+    resharding case, kinesis.go refreshShards) is picked up at its
+    initial position."""
+    client, start = kstream
+    client.put_record("events", b"s0-r0", "pk", ShardId="shardId-000000000000")
+    client.put_record("events", b"s1-r0", "pk", ShardId="shardId-000000000001")
+    q, name = start(initial_position="TRIM_HORIZON")
+    q.processAllAvailable()
+    client.put_record("events", b"s2-r0", "pk", ShardId="shardId-000000000002")
+    q.processAllAvailable()
+    got = sorted(bytes(r.data) for r in spark.sql(f"SELECT * FROM {name}").collect())
+    assert got == [b"s0-r0", b"s1-r0", b"s2-r0"]
+
+
+def test_kinesis_source_checkpoint_resume(spark, kstream, tmp_path):
+    """Stop/restart against the same checkpoint continues from the
+    journaled sequence numbers — KCL's lease-table resume without the
+    DynamoDB sidecar — with no duplicates."""
+    client, start = kstream
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_query():
+        return (
+            spark.readStream.format("bakerkinesis")
+            .option("fake_dir", client.root)
+            .option("stream", "events")
+            .option("initial_position", "TRIM_HORIZON")
+            .load()
+            .selectExpr("CAST(data AS STRING) AS v")
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    client.put_record("events", b"r1", "pk")
+    q1 = run_query()
+    q1.processAllAvailable()
+    q1.stop()
+    client.put_record("events", b"r2", "pk")
+    q2 = run_query()
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(r.v for r in spark.read.json(out).collect())
+    assert got == ["r1", "r2"]
+
+
+def test_kinesis_source_max_records_per_trigger(spark, kstream):
+    """Admission cap: a backlog drains across micro-batches, all
+    records exactly once (Kafka's maxOffsetsPerTrigger analog)."""
+    client, start = kstream
+    for i in range(10):
+        client.put_record("events", f"r{i}".encode(), "pk")
+    q, name = start(initial_position="TRIM_HORIZON", max_records_per_trigger="3")
+    q.processAllAvailable()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert sorted(bytes(r.data) for r in rows) == sorted(f"r{i}".encode() for i in range(10))
+    assert len({r.sequenceNumber for r in rows}) == 10
+
+
+def test_kinesis_source_rejects_bad_initial_position(spark, kstream):
+    from baker_spark.streaming.kinesis_datasource import KinesisStreamReader
+
+    with pytest.raises(ValueError, match="LATEST|TRIM_HORIZON"):
+        KinesisStreamReader({"fake_dir": "/tmp/x", "initial_position": "AT_DAWN"})
