@@ -605,6 +605,77 @@ def dp_multimodal_decode(spark, sf_dir):
     return multimodal.decode_media(packed)
 
 
+@query(
+    "dp_multimodal_features",
+    """
+WITH png AS (
+  SELECT doc_id, (doc_id % 16) + 1 AS w, (doc_id % 12) + 1 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+png_x AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM png
+),
+png_px AS (
+  SELECT doc_id, w, h,
+         (x + 2 * unnest(generate_series(0, h - 1)) + doc_id) % 256 AS v
+  FROM png_x
+),
+png_rows AS (
+  SELECT doc_id, 'png' AS format,
+         CAST(any_value(w) AS INTEGER) AS width,
+         CAST(any_value(h) AS INTEGER) AS height,
+         CAST(1 AS INTEGER) AS channels,
+         CAST(count(*) AS BIGINT) AS units,
+         CAST(sum(v) AS BIGINT) AS val_sum,
+         -- FLOOR division (Python // semantics, negative sums too):
+         -- subtract the non-negative remainder first so DuckDB's
+         -- truncating // sees an exactly-divisible numerator
+         CAST((sum(v) * 1000000
+               - ((sum(v) * 1000000 % count(*)) + count(*)) % count(*))
+              // count(*) AS BIGINT) AS val_mean_c6
+  FROM png_px GROUP BY doc_id
+),
+wav AS (
+  SELECT doc_id, (doc_id % 64) + 16 AS n FROM documents WHERE doc_id % 3 = 1
+),
+wav_s AS (
+  SELECT doc_id, ((37 * unnest(generate_series(0, n - 1)) + doc_id) % 2000) - 1000 AS v
+  FROM wav
+),
+wav_rows AS (
+  SELECT doc_id, 'wav' AS format,
+         CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+         CAST(1 AS INTEGER) AS channels,
+         CAST(count(*) AS BIGINT) AS units,
+         CAST(sum(v) AS BIGINT) AS val_sum,
+         -- FLOOR division (Python // semantics, negative sums too):
+         -- subtract the non-negative remainder first so DuckDB's
+         -- truncating // sees an exactly-divisible numerator
+         CAST((sum(v) * 1000000
+               - ((sum(v) * 1000000 % count(*)) + count(*)) % count(*))
+              // count(*) AS BIGINT) AS val_mean_c6
+  FROM wav_s GROUP BY doc_id
+)
+SELECT * FROM png_rows UNION ALL SELECT * FROM wav_rows
+""",
+)
+def dp_multimodal_features(spark, sf_dir):
+    """SAMPLE-level media features, not header fields: generate
+    full-pixel PNGs (real zlib IDAT, filters cycling None/Sub/Up/
+    Average/Paeth per row) and PCM WAVs deterministically from doc_id,
+    pixel-decode them back with the stdlib-only decoder (inflate +
+    unfilter) and emit exact unit counts / value sums / micro-mean.
+    The oracle NEVER touches the binary: it regenerates the pixel and
+    sample grids arithmetically with range() and aggregates — so a
+    hash match proves the whole encode->decode->unfilter path is
+    value-exact, row by row. Raw-text rows (doc_id % 3 == 2) produce
+    no output on either side: pixel access for byte-stub formats is
+    honestly absent rather than faked."""
+    df = load_table(spark, sf_dir, "documents")
+    packed = multimodal.with_pixel_payload(df)
+    return multimodal.media_features(packed)
+
+
 # ---------------------------------------------------------- full pipeline ---
 
 _P_CLEAN = _SCRUB["clean_text"]  # same binding as dp_scrub's oracle — must not drift

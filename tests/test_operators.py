@@ -574,3 +574,84 @@ def test_scrub_arrow_matches_jvm_chain(spark):
     a = sorted(tuple(r) for r in jvm.collect())
     b = sorted(tuple(r) for r in arrow.collect())
     assert a == b
+
+
+def test_png_pixel_roundtrip_all_filters(spark):
+    """png_pixel_bytes writes scanlines with filters cycling None/Sub/
+    Up/Average/Paeth; the stdlib decoder must undo every one to recover
+    the exact (x + 2y + seed) % 256 gradient."""
+    from baker_spark.datapipe import multimodal as M
+
+    for w, h, seed in [(1, 1, 0), (5, 7, 3), (16, 12, 123), (2, 6, 42)]:
+        got = M.decode_png_pixels(M.png_pixel_bytes(w, h, seed))
+        assert got is not None
+        gw, gh, ch, px = got
+        assert (gw, gh, ch) == (w, h, 1)
+        assert bytes(px) == bytes((x + 2 * y + seed) % 256 for y in range(h) for x in range(w))
+
+
+def test_pixel_decoders_are_total(spark):
+    """Random bytes and every truncation of valid files must return
+    None, never raise — the sniff-don't-crash contract."""
+    import random
+
+    from baker_spark.datapipe import multimodal as M
+
+    rng = random.Random(7)
+    for _ in range(500):
+        junk = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 80)))
+        M.decode_png_pixels(junk)
+        M.decode_wav_samples(junk)
+    png = M.png_pixel_bytes(9, 9, 1)
+    wav = M.wav_pcm_bytes(8000, 20, 2)
+    assert all(M.decode_png_pixels(png[:i]) is None for i in range(33))
+    for i in range(len(png)):
+        M.decode_png_pixels(png[:i])
+    for i in range(len(wav)):
+        M.decode_wav_samples(wav[:i])
+    # interlaced and 16-bit depth are outside the decodable envelope
+    bad = bytearray(png)
+    bad[28] = 1  # IHDR interlace byte (8 sig + 8 len/tag + body[12])
+    assert M.decode_png_pixels(bytes(bad)) is None
+
+
+def test_resize_media_real_png_and_wav(spark):
+    """resize_media is REAL for PNG (nearest-neighbor, re-encoded,
+    still decodable) and WAV (decimated samples, rewritten header),
+    byte-truncation only for the codec-bound rest."""
+    from baker_spark.datapipe import multimodal as M
+
+    rows = [(0, "a"), (4, "b"), (6, "c")]  # 6 % 3 == 0 -> 7x7 png
+    df = make_df(spark, rows, ["doc_id", "text"])
+    packed = M.with_pixel_payload(df)
+    out = {r.doc_id: bytes(r.payload) for r in M.resize_media(packed, max_side=4).collect()}
+
+    # doc 6: 7x7 png, step ceil(7/4)=2 -> 4x4 nearest-neighbor
+    w, h, ch, px = M.decode_png_pixels(out[6])
+    assert (w, h, ch) == (4, 4, 1)
+    big = M.decode_png_pixels(M.png_pixel_bytes(7, 7, 6))[3]
+    assert bytes(px) == bytes(big[y * 2 * 7 + x * 2] for y in range(4) for x in range(4))
+
+    # doc 4: wav seed 4, n=(4%64)+16=20 samples decimated by 2
+    ch, rate, samples = M.decode_wav_samples(out[4])
+    orig = [((37 * j + 4) % 2000) - 1000 for j in range(20)]
+    assert samples == orig[::2]
+    assert rate == 8000 * (1 + 4 % 3) // 2
+
+
+def test_extract_features_uses_real_pixels(spark):
+    """Two PNGs with identical byte LENGTH but different pixels must
+    produce different features (the old byte-stripe stub on the raw
+    payload could not see through the zlib layer deterministically;
+    the real path decodes first)."""
+    from baker_spark.datapipe import multimodal as M
+
+    df = make_df(spark, [(3,), (6,)], ["doc_id"])
+    a = M.png_pixel_bytes(8, 8, 1)
+    b = M.png_pixel_bytes(8, 8, 2)
+    pdf = spark.createDataFrame([(1, a), (2, b)], "doc_id long, payload binary")
+    feats = {r.doc_id: r.features for r in M.extract_features(pdf).collect()}
+    assert feats[1] != feats[2]
+    # and they equal stripe sums over the DECODED pixels, not the bytes
+    px = M.decode_png_pixels(a)[3]
+    assert feats[1] == [float(sum(px[j::8]) % 997) for j in range(8)]
