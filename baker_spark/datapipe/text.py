@@ -294,6 +294,71 @@ def scrub_arrow(col_name: str) -> Column:
     return F.pandas_udf(f"struct<{fields}, clean_text string>")(kernel)(F.col(col_name))
 
 
+#: Measured crossover for the scrub engine pick: the Arrow/RE2 path
+#: carries ~0.4s of fixed Python-worker/transfer overhead per stage but
+#: runs ~4.7x faster per core on the regex work itself (PERFORMANCE.md
+#: round 7). On this corpus shape the win shows at the sf10 decade
+#: (~60 MB parquet / 175 MB text) and not below it — so the auto pick
+#: switches on compressed input size, a driver-side metadata stat.
+SCRUB_ARROW_MIN_INPUT_BYTES = 32 << 20
+
+
+def _input_bytes(df, cap_files: int = 1000) -> int | None:
+    """Sum of the DataFrame scan's input file sizes — driver-side
+    FileStatus metadata only, no data read. Capped listing with linear
+    extrapolation past ``cap_files`` (at 100 TB the point is only
+    'bigger than the crossover', not an exact byte count). None when
+    the plan has no file scan (in-memory test frames) or a filesystem
+    refuses to answer — callers treat that as 'small'."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        return None
+    if not files:
+        return None
+    sess = df.sparkSession
+    jvm = sess._jvm
+    hconf = sess._jsc.hadoopConfiguration()
+    total = 0
+    for f in files[:cap_files]:
+        try:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            fs = path.getFileSystem(hconf)
+            total += fs.getFileStatus(path).getLen()
+        except Exception:  # noqa: BLE001
+            return None
+    if len(files) > cap_files:
+        total = total * len(files) // cap_files
+    return total
+
+
+def scrub_engine(df, engine: str = "auto") -> str:
+    """Resolve 'auto' to 'arrow' | 'jvm' by the measured crossover."""
+    if engine == "auto":
+        n = _input_bytes(df)
+        engine = "arrow" if n is not None and n >= SCRUB_ARROW_MIN_INPUT_BYTES else "jvm"
+    if engine not in ("arrow", "jvm"):
+        raise ValueError(f"scrub engine {engine!r}: expected auto|arrow|jvm")
+    return engine
+
+
+def scrubbed(df, col_name: str = "text", engine: str = "auto"):
+    """``df`` + the four scrub outputs (n_url, n_email, n_longnum,
+    clean_text) as top-level columns, computed by whichever engine the
+    crossover picks — identical results either way (both engines
+    hash-match the same DuckDB oracle: dp_scrub / dp_scrub_arrow).
+    This is the entry the corpus pipeline and examples call, so a 100 TB
+    run gets the Arrow path without anyone remembering to ask."""
+    engine = scrub_engine(df, engine)
+    if engine == "arrow":
+        out = df.withColumn("_scrub", scrub_arrow(col_name))
+        return out.select(
+            *[c for c in df.columns], "_scrub.*"
+        )
+    cols = scrub(col_name)
+    return df.select(*[F.col(c) for c in df.columns], *[c.alias(n) for n, c in cols.items()])
+
+
 def log2_floor(c: Column) -> Column:
     """Integer floor(log2(x)) for x >= 1 via binary digit count — exact
     in both engines (no float log), the trick that makes an information-

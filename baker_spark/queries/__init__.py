@@ -17,75 +17,74 @@ from __future__ import annotations
 
 from baker_spark.queries import analytics, baker_ops, datapipe_queries, extended
 
-# the driver's 50-query correctness window, in order
+# the driver's 50-query correctness window, in order.
+#
+# ROUND-8 ROTATION: every catalog query that had NEVER appeared in a
+# driver CORRECTNESS artifact (41 of them, VERDICT r7 "next round" #2)
+# is rotated IN this round, so by the round-8 artifact the entire
+# catalog has at least one hard driver-gated row. Rotated out to make
+# room: the §2.2 filter/topology ops and round-5/6/7 flagships, each
+# with 4-7 consecutive green rounds (r01-r07) and still swept at four
+# SFs every CI run by tests/test_oracle_parity.py.
 GATE_ORDER = [
-    # §2.2 — the 24 reference filters (invert/semi-anti/metadata variants
-    # merged so each filter keeps a green row without spending two slots)
-    "op_clausefilter",
-    "op_clearfields",
-    "op_concatenate",
-    "op_countandtag",
-    "op_crypt",
-    "op_dedup",
-    "op_expandjson",
-    "op_expandlist",
-    "op_externalmatch",
-    "op_formattime",
-    "op_hash",
-    "op_metadata",
-    "op_notnull",
-    "op_partialclone",
-    "op_regexmatch",
-    "op_replacefields",
-    "op_setstringfromurl",
-    "op_slice",
-    "op_stringmatch",
-    "op_timestamp",
-    "op_timestamprange",
-    "op_urlescape",
-    "op_urlparam",
-    # §2.5 — topology-level operators
-    "op_validation",
-    "op_sharding",
-    "op_explode",
-    "op_fieldselect",
-    # analytics — every benched query gets a hard correctness row
+    # changed THIS round — capped defaults / auto scrub engine — so the
+    # semantics change lands with a fresh driver row, plus the flagship
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q_topk_per_group",
-    "q_session_windows",
-    "q_cube_rollup",
-    # Stats sink (output/stats.go) — the one-row size+quantile report
-    # (the q_stats_sizes / q_stats_quantiles facets stay in the catalog,
-    # swept by the parity tests; merging them freed gate slots for the
-    # round-5 clustering flagships below)
-    "q_stats_report",
-    "q_field_frequency",
-    # datapipe — benched queries + flagship scale paths
-    "dp_dedup_exact",
-    "dp_minhash_lsh_pairs",
-    "dp_ngram_jaccard_pairs",
-    "dp_simhash_pairs",
+    "dp_minhash_lsh_pairs",   # now capped by default (DEFAULT_BUCKET_CAP)
+    "dp_simhash_pairs",       # now capped by default (DEFAULT_BAND_CAP)
+    "dp_corpus_pipeline",     # scrub engine auto-pick wired in
+    "dp_scrub",               # jvm-pinned scrub sibling
+    "dp_dedup_exact",         # flagship scale path continuity
+    "dp_ngram_jaccard_pairs", # r7 exchange-count change continuity
     "dp_ann_topk",
-    "dp_token_counts",
-    "dp_scrub",
-    "dp_corpus_pipeline",
-    # round-5 clustering / data-selection flagships
-    "dp_kmeans_train",
-    "dp_semdedup",
-    # round-6/7 additions rotated INTO the window so each gets a driver
-    # correctness artifact (PQ/IVF-PQ search, the LSH hot-bucket cap,
-    # and the real PNG/WAV header decode). Rotated out to make room —
-    # each with green rows in CORRECTNESS_r05+r06 and still swept at
-    # four SFs by tests/test_oracle_parity.py: dp_cosine_pairs_bucketed,
-    # dp_dedup_clusters, dp_lsh_verified_pairs, dp_decontaminate,
-    # dp_sequence_packing.
-    "dp_pq_codes",
-    "dp_pq_adc_topk",
-    "dp_ivfpq_topk",
-    "dp_minhash_capped",
-    "dp_multimodal_decode",
+    # never-gated backlog: dedup/pairs family
+    "dp_minhash_exhaustive",  # new: explicit cap opt-out
+    "dp_simhash_exhaustive",  # new: explicit cap opt-out
+    "dp_simhash",
+    "dp_simhash_capped",
+    "dp_dedup_incremental",
+    "dp_minhash_jaccard_est",
+    "dp_fingerprint",
+    "dp_embedding_dedup",
+    "dp_decontaminate_shuffle",
+    # never-gated: vectors / ANN family
+    "dp_cosine_pairs",
+    "dp_ann_lsh_buckets",
+    "dp_ann_topk_bucketed",
+    "dp_ann_recall",
+    "dp_ivf_assign",
+    "dp_ivf_topk",
+    # never-gated: text analysis family
+    "dp_langid",
+    "dp_quality",
+    "dp_quality_filter",
+    "dp_tfidf_topk",
+    "dp_unigram_logprob",
+    "dp_dsir_weights",
+    "dp_scrub_arrow",
+    "dp_repetition",
+    "dp_chunking",
+    "dp_vocab_topk",
+    "dp_bigram_topk",
+    "dp_kmv_distinct",
+    "dp_repeated_passages",
+    "dp_passage_scrub",
+    # never-gated: corpus assembly / sampling family
+    "dp_sample_stratified",
+    "dp_train_split",
+    "dp_shard_manifest",
+    "dp_source_quota",
+    "dp_lang_mix_weights",
+    # never-gated: extended SQL surface
+    "q_asof_join",
+    "q_set_ops",
+    "q_pivot",
+    "q_unpivot",
+    "q_range_join",
+    "q_scalar_subquery",
+    "q_grouping_sets",
+    # new this round: sample-exact pixel/PCM decode
+    "dp_multimodal_features",
 ]
 
 

@@ -721,8 +721,11 @@ def dp_corpus_pipeline(spark, sf_dir):
     tradeoff holds per-partition — one cached pass (spilling to disk)
     vs ~6 recomputed regex passes over every document."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), by="doc_id")
+    # engine auto-pick: JVM regex chain below the measured crossover,
+    # Arrow/RE2 (~4.7x/core) above it — identical output either way,
+    # both pinned to the same oracle (dp_scrub / dp_scrub_arrow)
     cleaned = managed_persist(
-        docs.select("doc_id", text.scrub("text")["clean_text"].alias("clean_text"))
+        text.scrubbed(docs, "text").select("doc_id", "clean_text")
     )
     qf = text.quality_flags("clean_text")
     n_bpe = text.token_counts("clean_text")[1]

