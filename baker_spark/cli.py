@@ -45,7 +45,7 @@ def _io_registry() -> dict[str, dict[str, type]]:
     from baker_spark.sinks.upload import S3Upload
     from baker_spark.sources.list_source import ListSource
     from baker_spark.sources.structured import JsonLinesSource, ParquetSource
-    from baker_spark.streaming.connectors import KinesisSource, KinesisStandinSource
+    from baker_spark.streaming.connectors import KinesisPythonSource, KinesisStandinSource
     from baker_spark.streaming.daemon import FileStreamSource, RateSource
     from baker_spark.streaming.sqs import SQSFileSource
     from baker_spark.streaming.tcp import TCPFileSource
@@ -55,8 +55,8 @@ def _io_registry() -> dict[str, dict[str, type]]:
         "JsonLines": JsonLinesSource,
         "Parquet": ParquetSource,
         "SQS": SQSFileSource,
-        "Kinesis": KinesisSource,
-        "KCL": KinesisSource,
+        "Kinesis": KinesisPythonSource,
+        "KCL": KinesisPythonSource,
         "TCP": TCPFileSource,
     }
     sink_cls = {

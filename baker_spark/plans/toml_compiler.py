@@ -177,12 +177,30 @@ def _build_streaming_input(section: dict, fields: list[str], separator: str):
                     f"invalid 'InitialPosition' {position!r}, accepts only "
                     "'LATEST' or 'TRIM_HORIZON'"
                 )
-        src = KinesisSource(
-            stream_name=stream,
-            region=cfg.get("aws_region", "us-west-2"),
-            starting_position=position,
-            app_name=app_name,
-        )
+        if cfg.get("connector") == "jar":
+            # explicit opt-in to the spark-sql-kinesis jar connector
+            from baker_spark.streaming.connectors import KinesisSource
+
+            src = KinesisSource(
+                stream_name=stream,
+                region=cfg.get("aws_region", "us-west-2"),
+                starting_position=position,
+                app_name=app_name,
+            )
+        else:
+            # default: the jar-free bakerkinesis Python data source —
+            # executable everywhere (boto3 in prod, fake_dir in tests),
+            # same record layout either way
+            from baker_spark.streaming.connectors import KinesisPythonSource
+
+            src = KinesisPythonSource(
+                stream_name=stream,
+                region=cfg.get("aws_region", "us-west-2"),
+                initial_position=position,
+                app_name=app_name,
+                fake_dir=cfg.get("fake_dir"),
+                max_records_per_trigger=cfg.get("max_records_per_trigger"),
+            )
         if not fields:
             return src  # no [fields]: hand the raw connector layout through
         # with [fields] the chain sees record columns: the connector's

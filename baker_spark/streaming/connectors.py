@@ -144,6 +144,54 @@ class KinesisRecordsSource:
 
 
 @dataclass
+class KinesisPythonSource:
+    """The jar-free Kinesis reader: ``readStream.format("bakerkinesis")``
+    (streaming/kinesis_datasource.py — shard -> partition, sequence
+    numbers in the checkpoint WAL, boto3 on executors, same
+    :data:`KINESIS_RECORD_SCHEMA` out). This is what the TOML compiler
+    emits by default, because it is executable code everywhere: real
+    AWS via boto3, or the observable ``fake_dir`` spool in tests —
+    where :class:`KinesisSource` needs the spark-sql-kinesis jar on the
+    classpath."""
+
+    stream_name: str
+    region: str = "us-west-2"
+    initial_position: str = "LATEST"
+    app_name: str | None = None
+    fake_dir: str | None = None  # test backdoor: directory-spool client
+    max_records_per_trigger: int | None = None
+
+    def checkpoint_dir(self, base: str) -> str:
+        """AppName-scoped checkpoint location (kcl.go:43 isolation)."""
+        return f"{base.rstrip('/')}/{self.app_name or self.stream_name}"
+
+    def dataframe(self, spark: SparkSession) -> DataFrame:
+        from baker_spark.streaming.kinesis_datasource import register
+
+        register(spark)
+        reader = (
+            spark.readStream.format("bakerkinesis")
+            .option("stream", self.stream_name)
+            .option("aws_region", self.region)
+            .option("initial_position", self.initial_position)
+        )
+        if self.fake_dir:
+            reader = reader.option("fake_dir", self.fake_dir)
+        if self.max_records_per_trigger:
+            reader = reader.option(
+                "max_records_per_trigger", str(self.max_records_per_trigger)
+            )
+        return reader.load()
+
+    __call__ = dataframe
+
+    def records(
+        self, spark: SparkSession, fields: list[str], separator: str = ","
+    ) -> DataFrame:
+        return kinesis_records(self.dataframe(spark), fields, separator)
+
+
+@dataclass
 class KinesisStandinSource:
     """Dev/test stand-in emitting the EXACT ``aws-kinesis`` connector
     layout (:data:`KINESIS_RECORD_SCHEMA`) from the built-in rate

@@ -135,7 +135,7 @@ name = "Nop"
     plan = compile_toml(base.format(app="my_app_1", pos="TRIM_HORIZON"))
     src = plan.source.inner
     assert src.app_name == "my_app_1"
-    assert src.starting_position == "TRIM_HORIZON"
+    assert src.initial_position == "TRIM_HORIZON"
     assert src.checkpoint_dir("/ckpt") == "/ckpt/my_app_1"
 
     with pytest.raises(ValueError, match="invalid 'AppName'"):
@@ -294,3 +294,65 @@ def test_kinesis_source_rejects_bad_initial_position(spark, kstream):
 
     with pytest.raises(ValueError, match="LATEST|TRIM_HORIZON"):
         KinesisStreamReader({"fake_dir": "/tmp/x", "initial_position": "AT_DAWN"})
+
+
+def test_toml_kinesis_defaults_to_python_source_and_runs(spark, tmp_path):
+    """[input] name='Kinesis' now compiles to the jar-free bakerkinesis
+    source by default — and actually RUNS a micro-batch end to end via
+    the fake_dir spool (the jar contract stays behind connector='jar')."""
+    from baker_spark.plans import compile_toml
+    from baker_spark.streaming.connectors import KinesisPythonSource, KinesisSource
+    from baker_spark.streaming.kinesis_datasource import DirStreamClient
+
+    root = tmp_path / "kin"
+    root.mkdir()
+    client = DirStreamClient(str(root))
+    client.put_record("events-stream", b"7,click,u7\n8,view,u8", "pk")
+
+    plan = compile_toml(
+        f"""
+[fields]
+names = ["id", "etype", "user"]
+
+[input]
+name = "Kinesis"
+  [input.config]
+  Stream = "events-stream"
+  InitialPosition = "TRIM_HORIZON"
+  FakeDir = "{root}"
+
+[output]
+name = "Nop"
+"""
+    )
+    src = plan.source
+    assert isinstance(src, KinesisRecordsSource)
+    assert isinstance(src.inner, KinesisPythonSource)
+    parsed = src.dataframe(spark)
+    name = f"toml_kin_{id(plan)}"
+    q = parsed.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        rows = sorted((r.id, r.etype, r.user)
+                      for r in spark.sql(f"SELECT * FROM {name}").collect())
+        assert rows == [("7", "click", "u7"), ("8", "view", "u8")]
+    finally:
+        q.stop()
+
+    # jar opt-in still compiles to the connector contract
+    plan = compile_toml(
+        """
+[fields]
+names = ["id"]
+
+[input]
+name = "Kinesis"
+  [input.config]
+  Stream = "s"
+  Connector = "jar"
+
+[output]
+name = "Nop"
+"""
+    )
+    assert isinstance(plan.source.inner, KinesisSource)

@@ -63,8 +63,10 @@ REPORT_QUERIES = [
     "dp_repeated_passages",
     "dp_passage_scrub",
     "dp_minhash_lsh_pairs",
+    "dp_minhash_exhaustive",
     "dp_lsh_verified_pairs",
     "dp_simhash_pairs",
+    "dp_simhash_exhaustive",
     "dp_simhash_capped",
     "dp_dedup_clusters",
     "dp_ann_topk",
@@ -76,11 +78,16 @@ REPORT_QUERIES = [
     "dp_pq_codes",
     "dp_pq_adc_topk",
     "dp_ivfpq_topk",
+    "dp_multimodal_features",
 ]
 
 #: queries whose work is inherently pairwise on candidate sets — an
 #: exponent above 1 at tiny SFs is expected noise there, not a smell.
-PAIRWISE = {"dp_minhash_lsh_pairs", "dp_lsh_verified_pairs", "dp_simhash_pairs", "dp_simhash_capped", "dp_dedup_clusters", "dp_semdedup"}
+PAIRWISE = {
+    "dp_minhash_lsh_pairs", "dp_minhash_exhaustive", "dp_lsh_verified_pairs",
+    "dp_simhash_pairs", "dp_simhash_exhaustive", "dp_simhash_capped",
+    "dp_dedup_clusters", "dp_semdedup",
+}
 
 #: bench.py's headline queries (minus the bench-internal filter chain):
 #: the only rows measured at SFs past sf1 — the sf10 decade exists to
