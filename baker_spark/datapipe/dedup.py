@@ -182,14 +182,28 @@ FROM batch b WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
 # -------------------------------------------------------------- minhash ----
 
 #: Default hot-group caps for the candidate-pair emitters. Near-dup
-#: PAIR output is quadratic in duplicate-group size (sf10's synthetic
-#: corpus emits 2.92B pairs uncapped — x98 pairs for x10 docs), so the
-#: production default is CAPPED: any (band, key) group larger than this
-#: is excluded before the self-join, bounding the worst group at
-#: ~cap^2/2 pairs. Pass ``None`` explicitly for the exhaustive audit
-#: shape (exact pigeonhole / LSH recall guarantee, unbounded output);
-#: the dp_*_exhaustive catalog entries do exactly that.
-DEFAULT_BUCKET_CAP = 200
+#: CANDIDATE volume is quadratic in (band, key) group size (sf10's
+#: synthetic corpus emits 2.92B simhash pairs uncapped — x98 pairs for
+#: x10 docs), so the production default is CAPPED: any group larger
+#: than this is excluded before the self-join, bounding the worst
+#: group at ~cap^2/2 candidates. Pass ``None`` explicitly for the
+#: exhaustive audit shape (exact pigeonhole / LSH recall guarantee,
+#: unbounded output); the dp_*_exhaustive catalog entries do that.
+#:
+#: The values are MEASURED (cap sweeps at sf1/sf10, round 8), and the
+#: two algorithms earn DIFFERENT defaults. Minhash: the final DISTINCT
+#: pair set is IDENTICAL at cap 50 vs 200 vs uncapped on both decades
+#: (27,265 pairs at sf10 — buckets above 50 only re-derive pairs found
+#: in smaller buckets), and cold-cache wall is cap-insensitive (10-20s
+#: at sf10 under all caps: the cost is the signature explode+min-agg,
+#: linear in corpus, not the candidates) — so 50 costs nothing here
+#: and is pure insurance against a boilerplate corpus whose mega-
+#: buckets WOULD blow up candidate volume. Simhash is the opposite:
+#: its (band, key) groups under hamming<=3 are genuinely large, cap 50
+#: loses real pairs (70,761 -> 6,846 at sf1), while cap 200 bounds the
+#: sf10 blowup (2.92B pairs uncapped -> exp 0.27) with the documented
+#: hot-band recall trade.
+DEFAULT_BUCKET_CAP = 50
 DEFAULT_BAND_CAP = 200
 
 def minhash_signature(
