@@ -11,11 +11,14 @@ deterministic fake (``fake/v1``) for anything else.
 
 SAMPLE-level access is real too where no codec is required:
 non-interlaced 8-bit PNG pixels via stdlib zlib (inflate + unfilter,
-``decode_png_pixels``) and 16-bit PCM WAV samples (``decode_wav_samples``)
-feed ``media_features`` / ``extract_features`` / ``resize_media`` with
-actual pixel/sample values; only the entropy-coded formats (JPEG/GIF
-pixels, video frames) stay byte-level stubs, labeled at each site —
-swap in PIL/librosa/pyav there in production. Pattern throughout:
+``decode_png_pixels``), GIF pixels via a pure-python LZW codec
+(``decode_gif_pixels`` — encoder too, so fixtures carry genuine
+compressed bitstreams), and 16-bit PCM WAV samples
+(``decode_wav_samples``) feed ``media_features`` / ``extract_features``
+/ ``resize_media`` with actual pixel/sample values; only the
+entropy-coded formats (JPEG pixels, video frames) stay byte-level
+stubs, labeled at each site — swap in PIL/librosa/pyav there in
+production. Pattern throughout:
 binary in, ``mapInPandas``/pandas UDF over Arrow batches out, so decode
 cost scales per partition and never pulls bytes to the driver.
 """
@@ -338,7 +341,7 @@ def extract_features(
             if b is None:
                 return [0.0] * dim
             b = bytes(b)
-            png = decode_png_pixels(b)
+            png = decode_png_pixels(b) or decode_gif_pixels(b)
             if png is not None:
                 vals = png[3]  # real pixels
             else:
@@ -501,6 +504,196 @@ def decode_png_pixels(payload: bytes):
     return int(width), int(height), int(bpp), out
 
 
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW (GIF89a spec appendix F): variable-width codes
+    LSB-first, clear code emitted up front, dictionary reset at 4096.
+    Pure stdlib — enough to write REAL compressed image data into the
+    gif_pixel_bytes fixture so the decoder is tested against a genuine
+    bitstream, not a stub."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    buf = b""
+    for byte in data:
+        nxt = buf + bytes([byte])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF LZW decode; returns a bytearray of pixel indices or None on
+    a corrupt stream. Tolerates truncation mid-stream (GIF renderers
+    do) but never emits more than ``max_pixels``."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while len(out) < max_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # truncated stream: keep what decoded
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+            if not entry:
+                return None
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # code gap — corrupt
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:max_pixels]
+
+
+def gif_pixel_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """A COMPLETE valid GIF89a whose pixel at (x, y) is
+    ``(3 * x + y + seed) % 256`` — real LZW-compressed image data and a
+    256-entry grayscale identity palette (r=g=b=index), so the decoded
+    index IS the gray value and an oracle regenerates the grid
+    arithmetically. Non-interlaced."""
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    pixels = bytes((3 * x + y + seed) % 256 for y in range(height) for x in range(width))
+    lzw = _lzw_encode(pixels, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+        + gct
+        + b","  # image descriptor
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + b"\x00"  # no local color table, not interlaced
+        + bytes([8])  # LZW min code size
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif_pixels(payload: bytes):
+    """Full GIF pixel decode via pure-python LZW for the first image of
+    a non-interlaced GIF with a global color table: walks the header,
+    skips extensions, inflates the LZW stream, maps indices through the
+    palette's red channel (for the fixture's grayscale identity palette
+    that IS the gray value). Returns ``(width, height, 1,
+    bytearray_of_gray)`` or None (interlaced, local-palette, corrupt —
+    totality matches the other decoders)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = payload[pos : pos + 3 * n]
+        if len(palette) < 3 * n:
+            return None
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                return None
+            _l, _t, w, h = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x40:
+                return None  # interlaced: out of envelope
+            if ipacked & 0x80:  # local color table overrides
+                n = 2 << (ipacked & 0x07)
+                palette = payload[pos : pos + 3 * n]
+                if len(palette) < 3 * n:
+                    return None
+                pos += 3 * n
+            if palette is None or pos >= len(payload):
+                return None
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                return None
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                size = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            idx = _lzw_decode(bytes(lzw), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            npal = len(palette) // 3
+            if any(i >= npal for i in idx):
+                return None
+            gray = bytearray(palette[3 * i] for i in idx)  # red channel
+            return int(w), int(h), 1, gray
+        if b0 == 0x3B:
+            return None  # trailer before any image
+        return None  # unknown block
+    return None
+
+
 def decode_wav_samples(payload: bytes):
     """16-bit PCM sample read via the same RIFF chunk walk as
     ``_parse_wav``: returns ``(channels, sample_rate, list_of_ints)``
@@ -537,9 +730,10 @@ def media_features(df: DataFrame, payload_col: str = "payload", id_col: str = "d
     unit count (pixels x channels for PNG, samples for WAV), exact sum
     of sample values, and the mean in micro-units (floor(sum*1e6/units),
     exact integer arithmetic — the repo's c6 convention). Rows come out
-    only for payloads that fully pixel-decode; byte-level formats
-    (JPEG/GIF — entropy decode needs codecs absent here) are skipped,
-    making the output contract honest rather than silently fake."""
+    only for payloads that fully pixel-decode (PNG via zlib, GIF via
+    the pure-python LZW, WAV PCM); JPEG — whose entropy decode needs
+    codecs absent here — is skipped, making the output contract honest
+    rather than silently fake."""
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -554,6 +748,14 @@ def media_features(df: DataFrame, payload_col: str = "payload", id_col: str = "d
                     units = len(px)
                     total = sum(px)
                     rows.append((int(i), "png", w, h, ch, units, total,
+                                 total * 1_000_000 // units if units else 0))
+                    continue
+                gif = decode_gif_pixels(b)
+                if gif is not None:
+                    w, h, ch, px = gif
+                    units = len(px)
+                    total = sum(px)
+                    rows.append((int(i), "gif", w, h, ch, units, total,
                                  total * 1_000_000 // units if units else 0))
                     continue
                 wav = decode_wav_samples(b)
@@ -581,7 +783,7 @@ def with_pixel_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out_col: str = "payload"
 ) -> DataFrame:
     """Pixel-level media fixture: rows cycle full-pixel PNG / PCM WAV /
-    raw text by ``id_col % 3``, every sample value derived
+    LZW GIF / raw text by ``id_col % 4``, every sample value derived
     arithmetically from the id so an oracle regenerates the exact
     pixel/sample grids with generate_series. Dimensions stay small
     (<= 16x12 px, <= 79 samples) — the point is sample-exactness, not
@@ -591,11 +793,13 @@ def with_pixel_payload(
     def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
         def one(i, t):
             i = int(i)
-            m = i % 3
+            m = i % 4
             if m == 0:
                 return png_pixel_bytes((i % 16) + 1, (i % 12) + 1, seed=i)
             if m == 1:
                 return wav_pcm_bytes(8000 * (1 + i % 3), (i % 64) + 16, seed=i)
+            if m == 2:
+                return gif_pixel_bytes((i % 16) + 1, (i % 12) + 1, seed=i)
             return ("" if t is None else t).encode("utf-8")
 
         return pd.Series([one(i, t) for i, t in zip(ids, texts)])
@@ -610,10 +814,11 @@ def resize_media(
     """Binary -> binary resize over Arrow batches, REAL where the
     format pixel-decodes: PNG is nearest-neighbor downscaled to fit
     ``max_side`` and re-encoded (filter 0 + zlib, a valid PNG out);
-    WAV is decimated to every ``audio_decimate``-th sample with the
-    header rewritten; anything else falls back to byte truncation at
-    ``max_bytes`` (the labeled stub path — JPEG/GIF re-encode needs
-    codecs absent here)."""
+    GIF likewise through the pure-python LZW round-trip (a valid
+    GIF89a out); WAV is decimated to every ``audio_decimate``-th
+    sample with the header rewritten; anything else falls back to byte
+    truncation at ``max_bytes`` (the labeled stub path — JPEG
+    re-encode needs codecs absent here)."""
 
     @F.pandas_udf("binary")
     def resize_one(s: pd.Series) -> pd.Series:
@@ -640,6 +845,27 @@ def resize_media(
                     _PNG_SIG + _png_chunk(b"IHDR", ihdr)
                     + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
                     + _png_chunk(b"IEND", b"")
+                )
+            gif = decode_gif_pixels(b)
+            if gif is not None:
+                w, h, ch, px = gif
+                sw = max(1, (w + max_side - 1) // max_side)
+                sh = max(1, (h + max_side - 1) // max_side)
+                nw, nh = (w + sw - 1) // sw, (h + sh - 1) // sh
+                small = bytes(px[y * sh * w + x * sw] for y in range(nh) for x in range(nw))
+                gct = bytes(v for i in range(256) for v in (i, i, i))
+                lzw = _lzw_encode(small, 8)
+                blocks = bytearray()
+                for i in range(0, len(lzw), 255):
+                    chunk = lzw[i : i + 255]
+                    blocks.append(len(chunk))
+                    blocks += chunk
+                blocks.append(0)
+                return (
+                    b"GIF89a" + struct.pack("<HH", nw, nh)
+                    + bytes([0xF7, 0, 0]) + gct
+                    + b"," + struct.pack("<HHHH", 0, 0, nw, nh) + b"\x00"
+                    + bytes([8]) + bytes(blocks) + b"\x3b"
                 )
             wav = decode_wav_samples(b)
             if wav is not None:

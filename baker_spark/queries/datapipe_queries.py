@@ -610,7 +610,7 @@ def dp_multimodal_decode(spark, sf_dir):
     """
 WITH png AS (
   SELECT doc_id, (doc_id % 16) + 1 AS w, (doc_id % 12) + 1 AS h
-  FROM documents WHERE doc_id % 3 = 0
+  FROM documents WHERE doc_id % 4 = 0
 ),
 png_x AS (
   SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM png
@@ -619,6 +619,30 @@ png_px AS (
   SELECT doc_id, w, h,
          (x + 2 * unnest(generate_series(0, h - 1)) + doc_id) % 256 AS v
   FROM png_x
+),
+gif AS (
+  SELECT doc_id, (doc_id % 16) + 1 AS w, (doc_id % 12) + 1 AS h
+  FROM documents WHERE doc_id % 4 = 2
+),
+gif_x AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM gif
+),
+gif_px AS (
+  SELECT doc_id, w, h,
+         (3 * x + unnest(generate_series(0, h - 1)) + doc_id) % 256 AS v
+  FROM gif_x
+),
+gif_rows AS (
+  SELECT doc_id, 'gif' AS format,
+         CAST(any_value(w) AS INTEGER) AS width,
+         CAST(any_value(h) AS INTEGER) AS height,
+         CAST(1 AS INTEGER) AS channels,
+         CAST(count(*) AS BIGINT) AS units,
+         CAST(sum(v) AS BIGINT) AS val_sum,
+         CAST((sum(v) * 1000000
+               - ((sum(v) * 1000000 % count(*)) + count(*)) % count(*))
+              // count(*) AS BIGINT) AS val_mean_c6
+  FROM gif_px GROUP BY doc_id
 ),
 png_rows AS (
   SELECT doc_id, 'png' AS format,
@@ -636,7 +660,7 @@ png_rows AS (
   FROM png_px GROUP BY doc_id
 ),
 wav AS (
-  SELECT doc_id, (doc_id % 64) + 16 AS n FROM documents WHERE doc_id % 3 = 1
+  SELECT doc_id, (doc_id % 64) + 16 AS n FROM documents WHERE doc_id % 4 = 1
 ),
 wav_s AS (
   SELECT doc_id, ((37 * unnest(generate_series(0, n - 1)) + doc_id) % 2000) - 1000 AS v
@@ -656,21 +680,23 @@ wav_rows AS (
               // count(*) AS BIGINT) AS val_mean_c6
   FROM wav_s GROUP BY doc_id
 )
-SELECT * FROM png_rows UNION ALL SELECT * FROM wav_rows
+SELECT * FROM png_rows UNION ALL SELECT * FROM gif_rows
+UNION ALL SELECT * FROM wav_rows
 """,
 )
 def dp_multimodal_features(spark, sf_dir):
     """SAMPLE-level media features, not header fields: generate
     full-pixel PNGs (real zlib IDAT, filters cycling None/Sub/Up/
-    Average/Paeth per row) and PCM WAVs deterministically from doc_id,
-    pixel-decode them back with the stdlib-only decoder (inflate +
-    unfilter) and emit exact unit counts / value sums / micro-mean.
-    The oracle NEVER touches the binary: it regenerates the pixel and
-    sample grids arithmetically with range() and aggregates — so a
-    hash match proves the whole encode->decode->unfilter path is
-    value-exact, row by row. Raw-text rows (doc_id % 3 == 2) produce
-    no output on either side: pixel access for byte-stub formats is
-    honestly absent rather than faked."""
+    Average/Paeth per row), LZW-compressed GIFs (pure-python codec,
+    grayscale identity palette) and PCM WAVs deterministically from
+    doc_id, pixel-decode them back with the stdlib-only decoders
+    (inflate + unfilter / LZW / struct) and emit exact unit counts /
+    value sums / micro-mean. The oracle NEVER touches the binary: it
+    regenerates the pixel and sample grids arithmetically with
+    generate_series and aggregates — so a hash match proves each
+    encode->decode path is value-exact, row by row. Raw-text rows
+    (doc_id % 4 == 3) produce no output on either side: pixel access
+    for the byte-stub format (JPEG) is honestly absent, not faked."""
     df = load_table(spark, sf_dir, "documents")
     packed = multimodal.with_pixel_payload(df)
     return multimodal.media_features(packed)

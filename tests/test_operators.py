@@ -621,22 +621,28 @@ def test_resize_media_real_png_and_wav(spark):
     byte-truncation only for the codec-bound rest."""
     from baker_spark.datapipe import multimodal as M
 
-    rows = [(0, "a"), (4, "b"), (6, "c")]  # 6 % 3 == 0 -> 7x7 png
+    rows = [(8, "a"), (5, "b"), (6, "c")]  # %4 cycle: png / wav / gif
     df = make_df(spark, rows, ["doc_id", "text"])
     packed = M.with_pixel_payload(df)
     out = {r.doc_id: bytes(r.payload) for r in M.resize_media(packed, max_side=4).collect()}
 
-    # doc 6: 7x7 png, step ceil(7/4)=2 -> 4x4 nearest-neighbor
-    w, h, ch, px = M.decode_png_pixels(out[6])
+    # doc 8: 9x9 png, step ceil(9/4)=3 -> 3x3 nearest-neighbor
+    w, h, ch, px = M.decode_png_pixels(out[8])
+    assert (w, h, ch) == (3, 3, 1)
+    big = M.decode_png_pixels(M.png_pixel_bytes(9, 9, 8))[3]
+    assert bytes(px) == bytes(big[y * 3 * 9 + x * 3] for y in range(3) for x in range(3))
+
+    # doc 6: 7x7 gif, step 2 -> 4x4, still a decodable GIF89a
+    w, h, ch, px = M.decode_gif_pixels(out[6])
     assert (w, h, ch) == (4, 4, 1)
-    big = M.decode_png_pixels(M.png_pixel_bytes(7, 7, 6))[3]
+    big = M.decode_gif_pixels(M.gif_pixel_bytes(7, 7, 6))[3]
     assert bytes(px) == bytes(big[y * 2 * 7 + x * 2] for y in range(4) for x in range(4))
 
-    # doc 4: wav seed 4, n=(4%64)+16=20 samples decimated by 2
-    ch, rate, samples = M.decode_wav_samples(out[4])
-    orig = [((37 * j + 4) % 2000) - 1000 for j in range(20)]
+    # doc 5: wav seed 5, n=(5%64)+16=21 samples decimated by 2
+    ch, rate, samples = M.decode_wav_samples(out[5])
+    orig = [((37 * j + 5) % 2000) - 1000 for j in range(21)]
     assert samples == orig[::2]
-    assert rate == 8000 * (1 + 4 % 3) // 2
+    assert rate == 8000 * (1 + 5 % 3) // 2
 
 
 def test_extract_features_uses_real_pixels(spark):
@@ -690,3 +696,33 @@ def test_scrubbed_auto_engine_pick(spark, tmp_path):
         assert T.scrub_engine(scanned) == "arrow"
     finally:
         T.SCRUB_ARROW_MIN_INPUT_BYTES = old
+
+
+def test_gif_lzw_roundtrip_and_totality(spark):
+    """gif_pixel_bytes writes a genuine LZW bitstream (dictionary
+    growth, width bumps, 4096 reset on big images); the pure-python
+    decoder must recover the exact (3x + y + seed) % 256 grid — and
+    return None, never raise, on junk/truncation."""
+    import random
+
+    from baker_spark.datapipe import multimodal as M
+
+    for w, h, seed in [(1, 1, 0), (5, 7, 3), (16, 12, 123), (120, 90, 9)]:
+        got = M.decode_gif_pixels(M.gif_pixel_bytes(w, h, seed))
+        assert got is not None
+        gw, gh, ch, px = got
+        assert (gw, gh, ch) == (w, h, 1)
+        assert bytes(px) == bytes((3 * x + y + seed) % 256 for y in range(h) for x in range(w))
+
+    rng = random.Random(11)
+    for _ in range(400):
+        M.decode_gif_pixels(bytes(rng.randrange(256) for _ in range(rng.randrange(0, 90))))
+    g = M.gif_pixel_bytes(9, 9, 1)
+    for i in range(0, len(g), 7):
+        M.decode_gif_pixels(g[:i])
+    # interlace flag is outside the envelope
+    bad = bytearray(g)
+    di = 13 + 768  # header+LSD (13) + 256-entry GCT -> image descriptor
+    assert bad[di] == 0x2C
+    bad[di + 9] |= 0x40  # interlace flag in the descriptor's packed byte
+    assert M.decode_gif_pixels(bytes(bad)) is None
