@@ -210,14 +210,19 @@ fields=["id","etype"]
 
 
 def test_toml_daemon_kinesis_compiles(spark):
-    """Kinesis/KCL/TCP daemon TOMLs compile (connector jars absent here;
-    .dataframe raises the documented classpath error at run time)."""
+    """Kinesis/KCL/TCP daemon TOMLs compile. The default Kinesis source
+    is the jar-free ``bakerkinesis`` Python data source; the
+    spark-sql-kinesis jar connector stays behind Connector="jar"
+    (absent here; .dataframe raises the documented classpath error)."""
     from baker_spark.plans import compile_toml
-    from baker_spark.streaming.connectors import KinesisSource, SocketSource
+    from baker_spark.streaming.connectors import (
+        KinesisPythonSource,
+        KinesisSource,
+        SocketSource,
+    )
     from baker_spark.streaming.daemon import StreamingPipeline
 
-    pipe = compile_toml(
-        """
+    kcl_toml = """
 [input]
 name="KCL"
 [input.config]
@@ -226,10 +231,14 @@ AppName="bakerapp"
 AWSRegion="us-east-1"
 InitialPosition="TRIM_HORIZON"
 """
-    )
+    pipe = compile_toml(kcl_toml)
     assert isinstance(pipe, StreamingPipeline)
-    assert isinstance(pipe.source, KinesisSource)
-    assert pipe.source.starting_position == "TRIM_HORIZON"
+    assert isinstance(pipe.source, KinesisPythonSource)
+    assert pipe.source.initial_position == "TRIM_HORIZON"
+
+    jar = compile_toml(kcl_toml.replace('[input.config]', '[input.config]\nConnector="jar"'))
+    assert isinstance(jar.source, KinesisSource)
+    assert jar.source.starting_position == "TRIM_HORIZON"
 
     tcp = compile_toml('[input]\nname="TCP"\n[input.config]\nListenAddress=":7100"\n')
     assert isinstance(tcp.source, SocketSource)
