@@ -9,16 +9,17 @@ chunk: duration), JPEG (SOFn marker scan: precision/height/width/
 components), GIF (logical screen descriptor) — and a clearly-labeled
 deterministic fake (``fake/v1``) for anything else.
 
-SAMPLE-level access is real too where no codec is required:
+SAMPLE-level access is real for all four fixture formats:
 non-interlaced 8-bit PNG pixels via stdlib zlib (inflate + unfilter,
 ``decode_png_pixels``), GIF pixels via a pure-python LZW codec
 (``decode_gif_pixels`` — encoder too, so fixtures carry genuine
-compressed bitstreams), and 16-bit PCM WAV samples
-(``decode_wav_samples``) feed ``media_features`` / ``extract_features``
-/ ``resize_media`` with actual pixel/sample values; only the
-entropy-coded formats (JPEG pixels, video frames) stay byte-level
-stubs, labeled at each site — swap in PIL/librosa/pyav there in
-production. Pattern throughout:
+compressed bitstreams), 16-bit PCM WAV samples
+(``decode_wav_samples``), and baseline grayscale JPEG via the
+pure-python+numpy entropy codec in ``jpegcodec`` (Huffman + dequant +
+IDCT, ``decode_jpeg_pixels``) — all feeding ``media_features`` /
+``extract_features`` / ``resize_media`` with actual pixel/sample
+values. Only video frame decode stays a byte-level stub, labeled at
+its site — swap in pyav there in production. Pattern throughout:
 binary in, ``mapInPandas``/pandas UDF over Arrow batches out, so decode
 cost scales per partition and never pulls bytes to the driver.
 """
@@ -31,6 +32,8 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from baker_spark.datapipe.jpegcodec import decode_jpeg_pixels, encode_gray_jpeg
 
 DECODE_SCHEMA = (
     "doc_id long, n_bytes long, head_hex string, width int, height int, "
@@ -327,11 +330,11 @@ def extract_features(
 ) -> DataFrame:
     """Feature extraction plumbing: binary payload -> fixed-dim
     array<float>, directly consumable by datapipe.vectors (cosine /
-    LSH / IVF). REAL sample access where the format allows it: PNG
-    payloads are pixel-decoded (zlib inflate + unfilter) and WAV
-    payloads sample-decoded, and the stripe sums run over actual
-    pixel/sample values; anything else (JPEG/GIF — entropy decode
-    needs codecs absent here — and raw bytes) keeps the labeled
+    LSH / IVF). REAL sample access for every fixture format: PNG/GIF/
+    baseline-JPEG payloads are pixel-decoded (zlib inflate + unfilter /
+    pure-python LZW / jpegcodec Huffman + IDCT) and WAV payloads
+    sample-decoded, and the stripe sums run over actual pixel/sample
+    values; anything else (video, raw bytes) keeps the labeled
     byte-stripe stub. A production extractor would swap the stripe
     sum for a vision/audio model per Arrow batch."""
 
@@ -341,7 +344,7 @@ def extract_features(
             if b is None:
                 return [0.0] * dim
             b = bytes(b)
-            png = decode_png_pixels(b) or decode_gif_pixels(b)
+            png = decode_png_pixels(b) or decode_gif_pixels(b) or decode_jpeg_pixels(b)
             if png is not None:
                 vals = png[3]  # real pixels
             else:
@@ -362,10 +365,11 @@ def extract_features(
 
 
 # ---------------------------------------------------------- pixel layer ----
-# Real sample access for the codec-free formats: non-interlaced PNG via
-# stdlib zlib (inflate IDAT + undo scanline filters per RFC 2083 §6),
-# and WAV PCM via struct. JPEG/GIF pixel access needs entropy decoders
-# absent from this environment and stays byte-level (labeled below).
+# Real sample access for all four fixture formats: non-interlaced PNG
+# via stdlib zlib (inflate IDAT + undo scanline filters per RFC 2083
+# §6), WAV PCM via struct, GIF via the pure-python LZW codec below, and
+# baseline grayscale JPEG via the pure-python+numpy entropy codec in
+# jpegcodec.py (canonical Huffman + dequant + IDCT).
 
 
 def _png_chunk(tag: bytes, payload: bytes) -> bytes:
@@ -411,6 +415,25 @@ def png_pixel_bytes(width: int, height: int, seed: int = 0) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def jpeg_pixel_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """A COMPLETE baseline grayscale JPEG (real Huffman-coded scan via
+    jpegcodec) whose pixel at (x, y) is
+    ``(5 * (x // 8) + 3 * (y // 8) + seed) % 256`` — constant within
+    each 8x8 DCT block. A constant block's DCT is DC-only and an
+    all-ones quantization table stores the DC exactly, so the round
+    trip through the REAL float FDCT/IDCT is bit-exact and a SQL
+    oracle regenerates the grid arithmetically (the AC/run-length
+    paths are covered by non-constant round-trip property tests).
+    Edge-replication padding keeps partial edge blocks constant too,
+    so non-multiple-of-8 dimensions stay exact."""
+    px = bytes(
+        (5 * (x // 8) + 3 * (y // 8) + seed) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+    return encode_gray_jpeg(px, width, height)
 
 
 def wav_pcm_bytes(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
@@ -727,12 +750,13 @@ FEATURES_SCHEMA = (
 
 def media_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """REAL sample-level features for the decodable formats: per-payload
-    unit count (pixels x channels for PNG, samples for WAV), exact sum
-    of sample values, and the mean in micro-units (floor(sum*1e6/units),
-    exact integer arithmetic — the repo's c6 convention). Rows come out
-    only for payloads that fully pixel-decode (PNG via zlib, GIF via
-    the pure-python LZW, WAV PCM); JPEG — whose entropy decode needs
-    codecs absent here — is skipped, making the output contract honest
+    unit count (pixels x channels for images, samples for WAV), exact
+    sum of sample values, and the mean in micro-units
+    (floor(sum*1e6/units), exact integer arithmetic — the repo's c6
+    convention). Rows come out only for payloads that fully
+    pixel-decode (PNG via zlib, GIF via the pure-python LZW, baseline
+    grayscale JPEG via the jpegcodec entropy decoder, WAV PCM);
+    anything else is skipped, keeping the output contract honest
     rather than silently fake."""
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -756,6 +780,14 @@ def media_features(df: DataFrame, payload_col: str = "payload", id_col: str = "d
                     units = len(px)
                     total = sum(px)
                     rows.append((int(i), "gif", w, h, ch, units, total,
+                                 total * 1_000_000 // units if units else 0))
+                    continue
+                jpg = decode_jpeg_pixels(b)
+                if jpg is not None:
+                    w, h, ch, px = jpg
+                    units = len(px)
+                    total = sum(px)
+                    rows.append((int(i), "jpeg", w, h, ch, units, total,
                                  total * 1_000_000 // units if units else 0))
                     continue
                 wav = decode_wav_samples(b)
@@ -783,23 +815,27 @@ def with_pixel_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out_col: str = "payload"
 ) -> DataFrame:
     """Pixel-level media fixture: rows cycle full-pixel PNG / PCM WAV /
-    LZW GIF / raw text by ``id_col % 4``, every sample value derived
-    arithmetically from the id so an oracle regenerates the exact
-    pixel/sample grids with generate_series. Dimensions stay small
-    (<= 16x12 px, <= 79 samples) — the point is sample-exactness, not
-    volume; with_media_payload remains the header-scale fixture."""
+    LZW GIF / baseline JPEG / raw text by ``id_col % 5``, every sample
+    value derived arithmetically from the id so an oracle regenerates
+    the exact pixel/sample grids with generate_series. Dimensions stay
+    small (<= 31x23 px, <= 79 samples) — the point is sample-exactness,
+    not volume; with_media_payload remains the header-scale fixture."""
 
     @F.pandas_udf("binary")
     def build(ids: pd.Series, texts: pd.Series) -> pd.Series:
         def one(i, t):
             i = int(i)
-            m = i % 4
+            m = i % 5
             if m == 0:
                 return png_pixel_bytes((i % 16) + 1, (i % 12) + 1, seed=i)
             if m == 1:
                 return wav_pcm_bytes(8000 * (1 + i % 3), (i % 64) + 16, seed=i)
             if m == 2:
                 return gif_pixel_bytes((i % 16) + 1, (i % 12) + 1, seed=i)
+            if m == 3:
+                # multi-block on purpose (up to 4x3 MCUs, non-multiple-
+                # of-8 edges) so DC prediction + padding are exercised
+                return jpeg_pixel_bytes((i % 24) + 8, (i % 16) + 8, seed=i)
             return ("" if t is None else t).encode("utf-8")
 
         return pd.Series([one(i, t) for i, t in zip(ids, texts)])
@@ -815,10 +851,12 @@ def resize_media(
     format pixel-decodes: PNG is nearest-neighbor downscaled to fit
     ``max_side`` and re-encoded (filter 0 + zlib, a valid PNG out);
     GIF likewise through the pure-python LZW round-trip (a valid
-    GIF89a out); WAV is decimated to every ``audio_decimate``-th
-    sample with the header rewritten; anything else falls back to byte
-    truncation at ``max_bytes`` (the labeled stub path — JPEG
-    re-encode needs codecs absent here)."""
+    GIF89a out); baseline grayscale JPEG through the jpegcodec
+    entropy round-trip (a valid baseline JPEG out, all-ones quant);
+    WAV is decimated to every ``audio_decimate``-th sample with the
+    header rewritten; anything else falls back to byte truncation at
+    ``max_bytes`` (the labeled stub path — video frame re-encode
+    needs codecs absent here)."""
 
     @F.pandas_udf("binary")
     def resize_one(s: pd.Series) -> pd.Series:
@@ -867,6 +905,14 @@ def resize_media(
                     + b"," + struct.pack("<HHHH", 0, 0, nw, nh) + b"\x00"
                     + bytes([8]) + bytes(blocks) + b"\x3b"
                 )
+            jpg = decode_jpeg_pixels(b)
+            if jpg is not None:
+                w, h, _ch, px = jpg
+                sw = max(1, (w + max_side - 1) // max_side)
+                sh = max(1, (h + max_side - 1) // max_side)
+                nw, nh = (w + sw - 1) // sw, (h + sh - 1) // sh
+                small = bytes(px[y * sh * w + x * sw] for y in range(nh) for x in range(nw))
+                return encode_gray_jpeg(small, nw, nh)
             wav = decode_wav_samples(b)
             if wav is not None:
                 ch, rate, samples = wav

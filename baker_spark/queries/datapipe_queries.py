@@ -610,7 +610,7 @@ def dp_multimodal_decode(spark, sf_dir):
     """
 WITH png AS (
   SELECT doc_id, (doc_id % 16) + 1 AS w, (doc_id % 12) + 1 AS h
-  FROM documents WHERE doc_id % 4 = 0
+  FROM documents WHERE doc_id % 5 = 0
 ),
 png_x AS (
   SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM png
@@ -622,7 +622,7 @@ png_px AS (
 ),
 gif AS (
   SELECT doc_id, (doc_id % 16) + 1 AS w, (doc_id % 12) + 1 AS h
-  FROM documents WHERE doc_id % 4 = 2
+  FROM documents WHERE doc_id % 5 = 2
 ),
 gif_x AS (
   SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM gif
@@ -659,8 +659,34 @@ png_rows AS (
               // count(*) AS BIGINT) AS val_mean_c6
   FROM png_px GROUP BY doc_id
 ),
+jpg AS (
+  SELECT doc_id, (doc_id % 24) + 8 AS w, (doc_id % 16) + 8 AS h
+  FROM documents WHERE doc_id % 5 = 3
+),
+jpg_x AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM jpg
+),
+jpg_px AS (
+  -- constant 8x8 DCT blocks: the value depends only on the block cell,
+  -- which is what makes the REAL entropy round-trip bit-exact
+  SELECT doc_id, w, h,
+         (5 * (x // 8) + 3 * (unnest(generate_series(0, h - 1)) // 8) + doc_id) % 256 AS v
+  FROM jpg_x
+),
+jpg_rows AS (
+  SELECT doc_id, 'jpeg' AS format,
+         CAST(any_value(w) AS INTEGER) AS width,
+         CAST(any_value(h) AS INTEGER) AS height,
+         CAST(1 AS INTEGER) AS channels,
+         CAST(count(*) AS BIGINT) AS units,
+         CAST(sum(v) AS BIGINT) AS val_sum,
+         CAST((sum(v) * 1000000
+               - ((sum(v) * 1000000 % count(*)) + count(*)) % count(*))
+              // count(*) AS BIGINT) AS val_mean_c6
+  FROM jpg_px GROUP BY doc_id
+),
 wav AS (
-  SELECT doc_id, (doc_id % 64) + 16 AS n FROM documents WHERE doc_id % 4 = 1
+  SELECT doc_id, (doc_id % 64) + 16 AS n FROM documents WHERE doc_id % 5 = 1
 ),
 wav_s AS (
   SELECT doc_id, ((37 * unnest(generate_series(0, n - 1)) + doc_id) % 2000) - 1000 AS v
@@ -681,22 +707,24 @@ wav_rows AS (
   FROM wav_s GROUP BY doc_id
 )
 SELECT * FROM png_rows UNION ALL SELECT * FROM gif_rows
-UNION ALL SELECT * FROM wav_rows
+UNION ALL SELECT * FROM jpg_rows UNION ALL SELECT * FROM wav_rows
 """,
 )
 def dp_multimodal_features(spark, sf_dir):
     """SAMPLE-level media features, not header fields: generate
     full-pixel PNGs (real zlib IDAT, filters cycling None/Sub/Up/
     Average/Paeth per row), LZW-compressed GIFs (pure-python codec,
-    grayscale identity palette) and PCM WAVs deterministically from
-    doc_id, pixel-decode them back with the stdlib-only decoders
-    (inflate + unfilter / LZW / struct) and emit exact unit counts /
-    value sums / micro-mean. The oracle NEVER touches the binary: it
-    regenerates the pixel and sample grids arithmetically with
-    generate_series and aggregates — so a hash match proves each
-    encode->decode path is value-exact, row by row. Raw-text rows
-    (doc_id % 4 == 3) produce no output on either side: pixel access
-    for the byte-stub format (JPEG) is honestly absent, not faked."""
+    grayscale identity palette), baseline grayscale JPEGs (real
+    Huffman-coded scans via jpegcodec, constant 8x8 blocks + all-ones
+    quant so the entropy round-trip is bit-exact) and PCM WAVs
+    deterministically from doc_id, pixel-decode them back with the
+    pure-python decoders (inflate + unfilter / LZW / Huffman + IDCT /
+    struct) and emit exact unit counts / value sums / micro-mean. The
+    oracle NEVER touches the binary: it regenerates the pixel and
+    sample grids arithmetically with generate_series and aggregates —
+    so a hash match proves each encode->decode path is value-exact,
+    row by row. Raw-text rows (doc_id % 5 == 4) produce no output on
+    either side."""
     df = load_table(spark, sf_dir, "documents")
     packed = multimodal.with_pixel_payload(df)
     return multimodal.media_features(packed)

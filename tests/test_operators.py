@@ -615,34 +615,43 @@ def test_pixel_decoders_are_total(spark):
     assert M.decode_png_pixels(bytes(bad)) is None
 
 
-def test_resize_media_real_png_and_wav(spark):
-    """resize_media is REAL for PNG (nearest-neighbor, re-encoded,
-    still decodable) and WAV (decimated samples, rewritten header),
-    byte-truncation only for the codec-bound rest."""
+def test_resize_media_real_formats(spark):
+    """resize_media is REAL for PNG/GIF/JPEG (nearest-neighbor,
+    re-encoded, still decodable in-format) and WAV (decimated samples,
+    rewritten header), byte-truncation only for the codec-bound rest."""
     from baker_spark.datapipe import multimodal as M
 
-    rows = [(8, "a"), (5, "b"), (6, "c")]  # %4 cycle: png / wav / gif
+    rows = [(10, "a"), (6, "b"), (7, "c"), (8, "d")]  # %5: png/wav/gif/jpeg
     df = make_df(spark, rows, ["doc_id", "text"])
     packed = M.with_pixel_payload(df)
     out = {r.doc_id: bytes(r.payload) for r in M.resize_media(packed, max_side=4).collect()}
 
-    # doc 8: 9x9 png, step ceil(9/4)=3 -> 3x3 nearest-neighbor
-    w, h, ch, px = M.decode_png_pixels(out[8])
-    assert (w, h, ch) == (3, 3, 1)
-    big = M.decode_png_pixels(M.png_pixel_bytes(9, 9, 8))[3]
-    assert bytes(px) == bytes(big[y * 3 * 9 + x * 3] for y in range(3) for x in range(3))
-
-    # doc 6: 7x7 gif, step 2 -> 4x4, still a decodable GIF89a
-    w, h, ch, px = M.decode_gif_pixels(out[6])
+    # doc 10: 11x11 png, step ceil(11/4)=3 -> 4x4 nearest-neighbor
+    w, h, ch, px = M.decode_png_pixels(out[10])
     assert (w, h, ch) == (4, 4, 1)
-    big = M.decode_gif_pixels(M.gif_pixel_bytes(7, 7, 6))[3]
-    assert bytes(px) == bytes(big[y * 2 * 7 + x * 2] for y in range(4) for x in range(4))
+    big = M.decode_png_pixels(M.png_pixel_bytes(11, 11, 10))[3]
+    assert bytes(px) == bytes(big[y * 3 * 11 + x * 3] for y in range(4) for x in range(4))
 
-    # doc 5: wav seed 5, n=(5%64)+16=21 samples decimated by 2
-    ch, rate, samples = M.decode_wav_samples(out[5])
-    orig = [((37 * j + 5) % 2000) - 1000 for j in range(21)]
+    # doc 7: 8x8 gif, step 2 -> 4x4, still a decodable GIF89a
+    w, h, ch, px = M.decode_gif_pixels(out[7])
+    assert (w, h, ch) == (4, 4, 1)
+    big = M.decode_gif_pixels(M.gif_pixel_bytes(8, 8, 7))[3]
+    assert bytes(px) == bytes(big[y * 2 * 8 + x * 2] for y in range(4) for x in range(4))
+
+    # doc 8: 16x16 jpeg, step 4 -> 4x4, a valid baseline JPEG out; the
+    # downscale breaks block-constancy so re-encode is near-lossless
+    # (all-ones quant), not bit-exact: tolerance 1
+    w, h, ch, px = M.decode_jpeg_pixels(out[8])
+    assert (w, h, ch) == (4, 4, 1)
+    big = M.decode_jpeg_pixels(M.jpeg_pixel_bytes(16, 16, 8))[3]
+    want = [big[y * 4 * 16 + x * 4] for y in range(4) for x in range(4)]
+    assert all(abs(a - b) <= 1 for a, b in zip(px, want))
+
+    # doc 6: wav seed 6, n=(6%64)+16=22 samples decimated by 2
+    ch, rate, samples = M.decode_wav_samples(out[6])
+    orig = [((37 * j + 6) % 2000) - 1000 for j in range(22)]
     assert samples == orig[::2]
-    assert rate == 8000 * (1 + 5 % 3) // 2
+    assert rate == 8000 * (1 + 6 % 3) // 2
 
 
 def test_extract_features_uses_real_pixels(spark):
@@ -726,3 +735,69 @@ def test_gif_lzw_roundtrip_and_totality(spark):
     assert bad[di] == 0x2C
     bad[di + 9] |= 0x40  # interlace flag in the descriptor's packed byte
     assert M.decode_gif_pixels(bytes(bad)) is None
+
+
+def test_jpeg_codec_exact_on_constant_blocks(spark):
+    """jpeg_pixel_bytes fixtures decode BIT-EXACTLY through the real
+    entropy codec: constant 8x8 blocks have DC-only DCTs, and an
+    all-ones quant table stores the DC losslessly — including
+    non-multiple-of-8 edges (edge-replication padding keeps partial
+    blocks constant)."""
+    from baker_spark.datapipe import multimodal as M
+
+    for w, h, seed in [(8, 8, 0), (27, 21, 7), (24, 16, 3), (9, 10, 255), (31, 23, 13)]:
+        got = M.decode_jpeg_pixels(M.jpeg_pixel_bytes(w, h, seed))
+        assert got is not None
+        gw, gh, ch, px = got
+        assert (gw, gh, ch) == (w, h, 1)
+        want = bytes(
+            (5 * (x // 8) + 3 * (y // 8) + seed) % 256
+            for y in range(h) for x in range(w)
+        )
+        assert bytes(px) == want
+
+
+def test_jpeg_codec_general_roundtrip(spark):
+    """The codec is a GENERAL baseline coder, not a constant-block
+    trick: pseudorandom images exercise the full AC run/size + ZRL
+    path and round-trip within 1 gray level at all-ones quant
+    (float DCT rounding), restart markers resync the DC predictor,
+    and a coarse quant table still decodes to plausible pixels."""
+    import random
+
+    import numpy as np
+
+    from baker_spark.datapipe.jpegcodec import decode_jpeg_pixels, encode_gray_jpeg
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(24, 40), dtype=np.uint8)
+    j = encode_gray_jpeg(img.tobytes(), 40, 24)
+    w, h, ch, px = decode_jpeg_pixels(j)
+    assert (w, h, ch) == (40, 24, 1)
+    got = np.frombuffer(bytes(px), dtype=np.uint8).astype(int).reshape(24, 40)
+    assert np.abs(got - img.astype(int)).max() <= 1
+
+    # restart markers: DRI + RSTn every 2 MCUs, still within 1
+    j2 = encode_gray_jpeg(img.tobytes(), 40, 24, restart_interval=2)
+    assert b"\xff\xd0" in j2 or b"\xff\xd1" in j2
+    w, h, ch, px2 = decode_jpeg_pixels(j2)
+    got2 = np.frombuffer(bytes(px2), dtype=np.uint8).astype(int).reshape(24, 40)
+    assert np.abs(got2 - img.astype(int)).max() <= 1
+
+    # a coarse quant table quantizes hard but must stay decodable and
+    # land within half a quant step per coefficient's worst case
+    q = [16] * 64
+    j3 = encode_gray_jpeg(img.tobytes(), 40, 24, qtable=q)
+    out3 = decode_jpeg_pixels(j3)
+    assert out3 is not None and (out3[0], out3[1]) == (40, 24)
+
+    # totality: junk, truncations, and progressive SOF -> None, no raise
+    rnd = random.Random(17)
+    for _ in range(400):
+        decode_jpeg_pixels(bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 90))))
+    for i in range(0, len(j), 5):
+        decode_jpeg_pixels(j[:i])
+    prog = bytearray(j)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # progressive DCT: out of envelope
+    assert decode_jpeg_pixels(bytes(prog)) is None
