@@ -235,6 +235,7 @@ def cmd_run(
     cpus: int | None,
     checkpoint: str | None = None,
     verbosity: str | None = None,
+    pprof: str | None = None,
 ) -> int:
     from baker_spark.session import get_spark
     from baker_spark.streaming.daemon import StreamingPipeline
@@ -243,6 +244,12 @@ def cmd_run(
     spark = get_spark("baker_spark_cli", cpus=cpus)
     if verbosity:  # -v / -q, like the reference's MainCLI (baker_cli.go)
         spark.sparkContext.setLogLevel({"v": "INFO", "q": "ERROR"}[verbosity])
+    if pprof:  # reference: -pprof host:port (baker_cli.go:40,61)
+        from baker_spark.profiling import serve_pprof
+
+        srv = serve_pprof(pprof, spark)
+        host, port = srv.address[0], srv.address[1]
+        print(f"running pprof server on {host}:{port}", file=sys.stderr)
     try:
         if isinstance(pipeline, StreamingPipeline):
             # daemon topology: runs until interrupted, like the
@@ -315,6 +322,14 @@ def main(argv: list[str] | None = None) -> int:
     verb.add_argument(
         "-q", action="store_true", help="errors only (reference: -q)"
     )
+    run_p.add_argument(
+        "--pprof",
+        default="",
+        metavar="HOST:PORT",
+        help="run a diagnostics server on host:port (reference: -pprof; "
+        "use 'localhost:' for a free port) — /debug/pprof/profile, "
+        "/debug/pprof/threads, /debug/spark/status",
+    )
     exp_p = sub.add_parser("explain", help="print the physical plan of a topology")
     exp_p.add_argument("toml")
     help_p = sub.add_parser("help", help="help for a component")
@@ -324,7 +339,7 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     if args.cmd == "run":
         verbosity = "v" if args.v else ("q" if args.q else None)
-        return cmd_run(args.toml, args.cpus, args.checkpoint, verbosity)
+        return cmd_run(args.toml, args.cpus, args.checkpoint, verbosity, args.pprof)
     if args.cmd == "explain":
         return cmd_explain(args.toml)
     if args.cmd == "help":
