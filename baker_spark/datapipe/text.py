@@ -427,6 +427,89 @@ FROM j GROUP BY {id_col}
 """
 
 
+def bigram_surprisal(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-self BIGRAM LM quality score — the conditional-probability
+    counterpart of :func:`unigram_logprob` (CCNet-style perplexity
+    filtering one order up, made integer-exact). Per bigram occurrence
+    (w1, w2), the surprisal of seeing w2 after w1 is
+
+        floor(log2(c(w1 ·))) - floor(log2(c(w1 w2)))   >= 0
+
+    where c(w1 ·) counts corpus bigrams starting with w1 and c(w1 w2)
+    the exact bigram — an integer floor of log2(1 / P(w2|w1)) under the
+    corpus MLE. Per document: bigram count, summed surprisal, and the
+    fixed-point mean (c2). Gibberish/OCR noise has improbable
+    transitions -> high mean; templated boilerplate -> near-zero.
+    Unigram frequency can't see word ORDER: "the of and the of" scores
+    as perfectly ordinary unigrams but as wildly surprising bigrams.
+
+    Scale shape: one pass builds adjacent pairs INSIDE the token array
+    (transform over a slice — no positional self-join, no second
+    explode), then two count aggregations and one equi-join on
+    (w1, w2), all on the same persisted exploded table. The bigram
+    table is never broadcast (vocabulary² is unbounded at corpus
+    scale); head-bigram skew ("of the") is probe-side skew against
+    UNIQUE build keys, exactly the shape AQE skew-join splitting
+    handles. Shuffles carry (token, token, count) — never documents.
+    No floats anywhere: bit-length log2 keeps the result
+    hash-identical to the DuckDB oracle."""
+    from baker_spark.session import fan_out, managed_persist
+
+    pairs = F.expr(
+        "transform(slice(_ws, 1, greatest(size(_ws) - 1, 0)), "
+        "(x, i) -> struct(x AS w1, element_at(_ws, i + 2) AS w2))"
+    )
+    bg = managed_persist(
+        fan_out(df, by=id_col)
+        .select(id_col, words(text_col).alias("_ws"))
+        .select(id_col, F.explode(pairs).alias("_bg"))
+        .select(id_col, F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2"))
+    )
+    c12 = bg.groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
+    c1 = bg.groupBy("_w1").agg(F.count("*").alias("_c1"))
+    scored = bg.join(c12, ["_w1", "_w2"]).join(c1, ["_w1"])
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(log2_floor(F.col("_c1")) - log2_floor(F.col("_c12")))
+        .cast("long")
+        .alias("sum_surprisal"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "sum_surprisal",
+        F.floor(F.col("sum_surprisal") * 100 / F.col("n_bigrams"))
+        .cast("long")
+        .alias("mean_surprisal_c2"),
+    )
+
+
+def duck_bigram_surprisal(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    s = f"({duck_log2_floor('c1')} - {duck_log2_floor('c12')})"
+    return f"""
+WITH t AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS ws FROM {table}
+),
+pos AS (
+  SELECT {id_col}, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+  FROM t WHERE len(ws) > 1
+),
+bg AS (SELECT {id_col}, ws[i] AS w1, ws[i + 1] AS w2 FROM pos),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+j AS (
+  SELECT b.{id_col}, c1.c1, c12.c12
+  FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum({s}) AS BIGINT) AS sum_surprisal,
+       CAST(floor(sum({s}) * 100 / count(*)) AS BIGINT) AS mean_surprisal_c2
+FROM j GROUP BY {id_col}
+"""
+
+
 def dsir_weights(
     df,
     target: Column,

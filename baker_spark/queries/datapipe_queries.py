@@ -389,6 +389,19 @@ def dp_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+@query("dp_bigram_surprisal", text.duck_bigram_surprisal())
+def dp_bigram_surprisal(spark, sf_dir):
+    """Bigram-LM quality score (integer-exact conditional surprisal):
+    per document, the summed/mean floor(log2 c(w1·)) - floor(log2
+    c(w1 w2)) over its adjacent word pairs — the word-ORDER-aware
+    counterpart of dp_unigram_logprob (scrambled boilerplate scores
+    ordinary on unigrams but surprising on bigrams). One persisted
+    bigram explode, two count aggs, one (w1,w2) equi-join; nothing
+    broadcast (vocabulary² is unbounded); see text.bigram_surprisal
+    for the AQE skew-join rationale on head bigrams."""
+    return text.bigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
 @query("dp_dsir_weights", text.duck_dsir_weights("lang = 'en'"))
 def dp_dsir_weights(spark, sf_dir):
     """DSIR importance weights: rank every document by hashed-unigram

@@ -177,12 +177,34 @@ def test_dsir_emits_token_counts(spark):
     assert out == {0: 3, 1: 2}
 
 
+def test_bigram_surprisal_sees_word_order(spark):
+    """Same unigram BAG, different order: the bigram score separates
+    what unigram_logprob cannot. A doc following the corpus-dominant
+    'a b a b' transition pattern scores near zero; the same tokens
+    grouped 'a a a b b b' have rare transitions and score higher."""
+    from baker_spark.datapipe.text import bigram_surprisal
+
+    rows = [(i, "a b a b a b", "en") for i in range(8)]
+    rows += [(100, "a a a b b b", "en")]
+    out = {r["doc_id"]: r for r in bigram_surprisal(docs_df(spark, rows)).collect()}
+    assert out[0]["n_bigrams"] == 5
+    assert out[100]["n_bigrams"] == 5
+    assert out[100]["mean_surprisal_c2"] > out[0]["mean_surprisal_c2"]
+    # identical docs score identically, and the mean is the fixed-point
+    # floor of sum*100/n
+    assert out[0]["mean_surprisal_c2"] == out[7]["mean_surprisal_c2"]
+    assert out[0]["mean_surprisal_c2"] == out[0]["sum_surprisal"] * 100 // 5
+
+
 @pytest.mark.parametrize(
     "name, forbidden",
     [
         ("dp_kmeans_train", ["SortMergeJoin", "CartesianProduct", "Window", "BroadcastHashJoin"]),
         ("dp_semdedup", ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
         ("dp_dsir_weights", ["CartesianProduct", "Window", "SortMergeJoin"]),
+        # bigram join may hash- or broadcast-join at tiny SF (AQE's
+        # call); it must never cartesian or sort a window
+        ("dp_bigram_surprisal", ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
     ],
 )
 def test_cluster_query_plan_shapes(spark, name, forbidden):
