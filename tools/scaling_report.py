@@ -57,6 +57,7 @@ REPORT_QUERIES = [
     "dp_dedup_incremental",
     "dp_quality_filter",
     "dp_unigram_logprob",
+    "dp_bigram_surprisal",
     "dp_tfidf_topk",
     "dp_train_split",
     "dp_source_quota",
