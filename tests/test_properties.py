@@ -497,3 +497,60 @@ def test_decode_payload_is_total_on_arbitrary_bytes(blob):
     assert meta["format"] in ("png", "wav", "jpeg", "gif", "fake/v1")
     for k in ("width", "height", "bit_depth", "channels", "sample_rate", "duration_ms"):
         assert meta[k] >= 0
+
+
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 32),
+    seed=st.integers(0, 10_000),
+)
+@settings(**SETTINGS)
+def test_jpeg_codec_roundtrip_any_image_within_one(w, h, seed):
+    """Arbitrary pixel content (not just the constant-block fixture)
+    round-trips through the REAL entropy codec within 1 gray level at
+    all-ones quant — the bound set by FDCT coefficient rounding. Covers
+    1xN / Nx1 degenerate dims, non-multiple-of-8 edges, and the AC
+    run/size + ZRL paths that the exact fixture never emits."""
+    import random
+
+    import numpy as np
+
+    from baker_spark.datapipe.jpegcodec import decode_jpeg_pixels, encode_gray_jpeg
+
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    out = decode_jpeg_pixels(encode_gray_jpeg(px, w, h))
+    assert out is not None
+    gw, gh, ch, got = out
+    assert (gw, gh, ch) == (w, h, 1)
+    a = np.frombuffer(bytes(got), dtype=np.uint8).astype(int)
+    b = np.frombuffer(px, dtype=np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 1
+
+
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 1000),
+    cut=st.integers(0, 400),
+    flip_at=st.integers(0, 400),
+    flip_to=st.integers(0, 255),
+)
+@settings(**SETTINGS)
+def test_jpeg_decoder_total_under_truncation_and_mutation(w, h, seed, cut, flip_at, flip_to):
+    """Any truncation or single-byte mutation of a valid JPEG either
+    decodes (to the right dimensions) or returns None — never raises,
+    never emits a wrong-sized buffer. The sniff-don't-crash contract the
+    other three format decoders already hold."""
+    from baker_spark.datapipe.jpegcodec import decode_jpeg_pixels
+    from baker_spark.datapipe.multimodal import jpeg_pixel_bytes
+
+    j = jpeg_pixel_bytes(w, h, seed)
+    out = decode_jpeg_pixels(j[: cut % (len(j) + 1)])
+    assert out is None or (out[0], out[1], out[2]) == (w, h, 1)
+    mutated = bytearray(j)
+    mutated[flip_at % len(j)] = flip_to
+    out = decode_jpeg_pixels(bytes(mutated))
+    if out is not None:
+        ow, oh, ch, px = out
+        assert len(px) == ow * oh * ch
