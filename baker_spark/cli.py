@@ -230,12 +230,36 @@ def _compile(path: str):
     return compile_toml_file(path)
 
 
+def _log(msg: str, pretty: bool, level: str = "info", **fields) -> None:
+    """The CLI's own operational lines, in the reference's two formats:
+    logrus-JSONFormatter-shaped JSON by DEFAULT (baker_cli.go:31
+    ``log.SetFormatter(&log.JSONFormatter{})``; keys level/msg/time plus
+    structured fields) — ``-pretty`` switches to plain text
+    (baker_cli.go:39, 'human-readable logging'). Spark's own JVM log4j
+    stream is untouched either way; -v/-q govern its level."""
+    import datetime
+    import json
+
+    if pretty:
+        extra = " ".join(f"{k}={v}" for k, v in fields.items())
+        print(f"{msg}{' ' + extra if extra else ''}", file=sys.stderr)
+    else:
+        doc = {
+            "level": level,
+            "msg": msg,
+            "time": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            **fields,
+        }
+        print(json.dumps(doc), file=sys.stderr)
+
+
 def cmd_run(
     path: str,
     cpus: int | None,
     checkpoint: str | None = None,
     verbosity: str | None = None,
     pprof: str | None = None,
+    pretty: bool = False,
 ) -> int:
     from baker_spark.session import get_spark
     from baker_spark.streaming.daemon import StreamingPipeline
@@ -249,6 +273,9 @@ def cmd_run(
 
         srv = serve_pprof(pprof, spark)
         host, port = srv.address[0], srv.address[1]
+        _log("running pprof server", pretty, level="warning", addr=f"{host}:{port}")
+        # the reference logs this exact phrase at warn level; keep the
+        # greppable plain form too for the pretty/legacy consumers
         print(f"running pprof server on {host}:{port}", file=sys.stderr)
     try:
         if isinstance(pipeline, StreamingPipeline):
@@ -265,7 +292,11 @@ def cmd_run(
             src = getattr(pipeline.source, "inner", pipeline.source)
             if hasattr(src, "checkpoint_dir"):
                 ckpt = src.checkpoint_dir(ckpt)
-            print(f"daemon topology started (checkpoint: {ckpt}); Ctrl-C to stop")
+            _log(
+                "daemon topology started; Ctrl-C to stop",
+                pretty,
+                checkpoint=ckpt,
+            )
             query = pipeline.start(spark, ckpt)
             try:
                 query.awaitTermination()
@@ -330,6 +361,12 @@ def main(argv: list[str] | None = None) -> int:
         "use 'localhost:' for a free port) — /debug/pprof/profile, "
         "/debug/pprof/threads, /debug/spark/status",
     )
+    run_p.add_argument(
+        "--pretty",
+        action="store_true",
+        help="human-readable CLI log lines instead of the default JSON "
+        "format (reference: -pretty)",
+    )
     exp_p = sub.add_parser("explain", help="print the physical plan of a topology")
     exp_p.add_argument("toml")
     help_p = sub.add_parser("help", help="help for a component")
@@ -339,7 +376,9 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     if args.cmd == "run":
         verbosity = "v" if args.v else ("q" if args.q else None)
-        return cmd_run(args.toml, args.cpus, args.checkpoint, verbosity, args.pprof)
+        return cmd_run(
+            args.toml, args.cpus, args.checkpoint, verbosity, args.pprof, args.pretty
+        )
     if args.cmd == "explain":
         return cmd_explain(args.toml)
     if args.cmd == "help":

@@ -109,3 +109,32 @@ PathString="{out}/out.csv.gz"
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "running pprof server on" in proc.stderr
+    # default log format is JSON lines (reference: logrus JSONFormatter;
+    # -pretty opts into text) — the structured twin of the line above
+    jl = [ln for ln in proc.stderr.splitlines() if ln.startswith('{"level"')]
+    assert any('"running pprof server"' in ln and '"addr"' in ln for ln in jl)
+
+
+def test_cli_log_formats():
+    """_log emits logrus-shaped JSON by default and plain text under
+    --pretty (reference baker_cli.go:31,39)."""
+    import io
+    import json
+    from contextlib import redirect_stderr
+
+    from baker_spark.cli import _log
+
+    err = io.StringIO()
+    with redirect_stderr(err):
+        _log("daemon topology started; Ctrl-C to stop", pretty=False, checkpoint="/tmp/c")
+    doc = json.loads(err.getvalue())
+    assert doc["level"] == "info"
+    assert doc["msg"] == "daemon topology started; Ctrl-C to stop"
+    assert doc["checkpoint"] == "/tmp/c"
+    assert "time" in doc
+
+    err = io.StringIO()
+    with redirect_stderr(err):
+        _log("daemon topology started; Ctrl-C to stop", pretty=True, checkpoint="/tmp/c")
+    line = err.getvalue().strip()
+    assert line == "daemon topology started; Ctrl-C to stop checkpoint=/tmp/c"
