@@ -82,6 +82,9 @@ def main() -> None:
         "\ncontention (canary 32p/1p per run): "
         + ", ".join(f"{d['value']:.3f}s @ {_contention(d)}" for d in docs)
     )
+    with open(os.path.join(REPO, "bench_variance_runs.json"), "w") as fh:
+        json.dump(docs, fh, indent=1)
+    print("\nraw per-run docs -> bench_variance_runs.json", file=sys.stderr)
 
 
 def compare(path_a: str, path_b: str) -> None:
@@ -106,9 +109,6 @@ def compare(path_a: str, path_b: str) -> None:
         if vb is None:
             continue
         print(f"| {name} | {va:.3f} | {vb:.3f} | {(vb / va - 1) * 100:+.0f}% |")
-    with open(os.path.join(REPO, "bench_variance_runs.json"), "w") as fh:
-        json.dump(docs, fh, indent=1)
-    print("\nraw per-run docs -> bench_variance_runs.json", file=sys.stderr)
 
 
 if __name__ == "__main__":
