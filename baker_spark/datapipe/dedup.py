@@ -268,12 +268,12 @@ def lsh_pairs(
     Default DEFAULT_BUCKET_CAP; pass None for the exhaustive audit
     shape (unbounded quadratic output)."""
     r = k // bands
-    # persist: the band table feeds both sides of the self-join; without
-    # it the shingle->md5 pipeline (the expensive part) runs twice.
     # Signatures are (id + k longs) — tiny relative to the corpus even at
     # 100 TB, the standard LSH materialization point. A caller that also
-    # needs the signatures passes its (persisted) sig to avoid a third
-    # recompute.
+    # needs the signatures passes its (persisted) sig to avoid a
+    # recompute. The capped (default) shape reads them exactly once; the
+    # exhaustive self-join persists its band table below so the
+    # shingle->md5 pipeline (the expensive part) doesn't run twice.
     if sig is None:
         sig = minhash_signature(df, text_col, id_col, k, shingle_n)
     band_structs = []
@@ -282,21 +282,46 @@ def lsh_pairs(
         band_structs.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("h"))
         )
-    bands_df = managed_persist(
-        sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bh"))
-        .select(id_col, "bh.band", "bh.h")
-    )
+    bands_df = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bh")
+    ).select(id_col, "bh.band", "bh.h")
     if bucket_cap is not None:
-        # hot buckets are FEW by definition (each holds > cap docs), so
-        # the exclusion list is a tiny aggregate broadcast into an
-        # anti-join — no second corpus shuffle
-        hot = (
-            bands_df.groupBy("band", "h")
-            .agg(F.count("*").alias("_bn"))
-            .filter(F.col("_bn") > bucket_cap)
-            .select("band", "h")
+        # GROUP-AND-ENUMERATE: the capped shape needs no self-join at
+        # all. One exchange on (band, h); a row_number bound of cap+1
+        # (Spark rewrites it to WindowGroupLimit, truncating hot
+        # buckets map-side BEFORE the shuffle, so a 100M-member
+        # boilerplate bucket ships <= cap+1 rows per map partition);
+        # any group still holding cap+1 members after the window is
+        # ">cap" and dropped — exactly the anti-join semantics; the
+        # survivors' pairs are enumerated locally from a <= cap array.
+        # Replaces the broadcast-anti-join shape, whose build side ran
+        # the whole shingle->minhash pipeline as its own serialized job
+        # (the measured premium, PERFORMANCE.md round 8): 1.12s vs
+        # 1.50s best-of-3 at sf0.1, identical output.
+        w = Window.partitionBy("band", "h").orderBy(id_col)
+        bounded = (
+            bands_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap + 1)
+            .groupBy("band", "h")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+            .filter(F.size("_ids") <= bucket_cap)
         )
-        bands_df = bands_df.join(F.broadcast(hot), ["band", "h"], "left_anti")
+        return (
+            bounded.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(_ids, (x, i) -> "
+                        "transform(slice(_ids, i + 2, size(_ids)), y -> "
+                        "struct(x AS doc_a, y AS doc_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+            # multi-band duplicates: sparse under the cap, tiny exchange
+            .distinct()
+        )
+    # exhaustive shape: persist — the band table feeds both join sides
+    bands_df = managed_persist(bands_df)
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
     return (
@@ -780,9 +805,12 @@ def simhash_pairs(
     pass None for the exhaustive audit shape, which keeps the exact
     pigeonhole guarantee at unbounded output."""
     assert max_hamming <= 3, "banded blocking guarantees recall only for hamming <= bands-1"
-    # persist: both sides of the band self-join read the signature; see
-    # lsh_pairs — signatures are tiny (id + 1 long) at any corpus scale.
-    sig = managed_persist(simhash(df, text_col, id_col))
+    sig = simhash(df, text_col, id_col)
+    if band_cap is None:
+        # persist: both sides of the exhaustive band self-join read the
+        # signature; tiny (id + 1 long) at any corpus scale. The capped
+        # (default) shape reads it exactly once — no persist needed.
+        sig = managed_persist(sig)
     bands = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -801,17 +829,45 @@ def simhash_pairs(
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.key")
     if band_cap is not None:
-        # hot bands are few by definition: tiny aggregate, broadcast
-        # anti-join — same shape as lsh_pairs' bucket_cap. The band
-        # table feeds the hot aggregate AND both join sides, so persist.
-        bands = managed_persist(bands)
-        hot = (
-            bands.groupBy("band", "key")
-            .agg(F.count("*").alias("_bn"))
-            .filter(F.col("_bn") > band_cap)
-            .select("band", "key")
+        # GROUP-AND-ENUMERATE, same shape and rationale as lsh_pairs'
+        # capped path: one exchange on (band, key), WindowGroupLimit
+        # truncates hot bands to cap+1 rows map-side before the shuffle,
+        # a group still at cap+1 after the window is ">cap" and dropped
+        # (identical to the former anti-join semantics), and the
+        # survivors' pairs + hamming distances are computed locally from
+        # a <= cap member array — no self-join, no broadcast build job.
+        # The member struct carries the full simhash so hamming is a
+        # local bit_count, and the array filter drops non-pairs before
+        # the explode ever materializes them as rows.
+        w = Window.partitionBy("band", "key").orderBy(id_col)
+        bounded = (
+            bands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= band_cap + 1)
+            .groupBy("band", "key")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+                    )
+                ).alias("_m")
+            )
+            .filter(F.size("_m") <= band_cap)
         )
-        bands = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
+        pair_expr = (
+            "filter(flatten(transform(_m, (x, i) -> "
+            "transform(slice(_m, i + 2, size(_m)), y -> "
+            "struct(x.i AS doc_a, y.i AS doc_b, bit_count(x.s ^ y.s) AS hamming)))), "
+            f"p -> p.hamming <= {int(max_hamming)})"
+        )
+        return (
+            bounded.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.doc_a", "p.doc_b", "p.hamming")
+            # a pair can share several surviving bands (the first-match-
+            # band trick is unsound under a cap — its xor-first intact
+            # band may be the dropped hot one); candidates are sparse
+            # under the cap, so the distinct exchange is tiny.
+            .distinct()
+        )
     a, b = bands.alias("a"), bands.alias("b")
     xor = F.expr("a.simhash ^ b.simhash")
     ham = F.bit_count(xor)
@@ -834,16 +890,6 @@ def simhash_pairs(
         & (F.col("a.key") == F.col("b.key"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).filter(ham <= max_hamming)
-    if band_cap is not None:
-        # under the cap the first-match-band predicate is WRONG: a pair
-        # whose xor-first intact band was dropped as hot would never
-        # surface in its surviving band. Dedup with distinct instead —
-        # affordable exactly because the cap made candidates sparse.
-        return joined.select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            ham.alias("hamming"),
-        ).distinct()
     return joined.filter(first_match).select(
         F.col(f"a.{id_col}").alias("doc_a"),
         F.col(f"b.{id_col}").alias("doc_b"),
