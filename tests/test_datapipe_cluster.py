@@ -321,6 +321,44 @@ def test_lsh_bucket_cap_drops_mega_bucket_keeps_rest(spark):
     assert capped <= uncapped                               # cap only removes
 
 
+def test_group_enumerate_matches_self_join_when_cap_binds_nothing(spark):
+    """The capped emitters use group-and-enumerate while the exhaustive
+    twins keep the band self-join — two independent implementations of
+    the same pair semantics. With a cap no bucket reaches, they must
+    produce identical pair sets (and identical hammings for simhash):
+    a disagreement means one shape's enumeration, dedup, or ordering
+    logic drifted."""
+    import random
+
+    from baker_spark.datapipe import dedup
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 30))))
+        for i in range(60)
+    ]
+    # guarantee pairs in both emitters: exact clones and one-word edits
+    # of a subset (random short docs alone rarely share an intact band)
+    rows += [(100 + i, rows[i][1]) for i in range(10)]
+    rows += [(200 + i, rows[i][1] + " tail") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    lsh_cap = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_pairs(df, bucket_cap=10_000).collect()}
+    lsh_unc = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_pairs(df, bucket_cap=None).collect()}
+    assert lsh_cap == lsh_unc and lsh_cap  # non-trivial corpus: pairs exist
+
+    sim_cap = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_pairs(df, band_cap=10_000).collect()
+    }
+    sim_unc = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_pairs(df, band_cap=None).collect()
+    }
+    assert sim_cap == sim_unc and sim_cap
+
+
 def test_ivfpq_probes_near_cells_and_ranks_duplicate_first(spark):
     from baker_spark.datapipe.vectors import ivfpq_topk
 

@@ -69,6 +69,24 @@ def test_lsh_join_is_hash_not_cartesian(plans):
     assert "BroadcastNestedLoopJoin" not in p  # band-key equi-join, not a theta join
 
 
+def test_capped_emitters_group_enumerate_shape(plans):
+    """The capped (default) pair emitters must keep the group-and-
+    enumerate plan: hot buckets truncate MAP-SIDE via WindowGroupLimit
+    (a mega-bucket ships <= cap+1 rows per map partition), and there is
+    no self-join and no broadcast build job (whose build side serialized
+    the whole signature pipeline — the measured round-8 cap premium)."""
+    for name in ("dp_minhash_lsh_pairs", "dp_simhash_pairs"):
+        p = plans(name)
+        assert "WindowGroupLimit" in p, name  # rn <= cap+1 pushed below the exchange
+        assert "Join" not in p, name  # no band self-join, no broadcast anti-join
+    # the exhaustive audit twins keep the streamed self-join: enumerating
+    # an unbounded bucket into one in-memory array is the OOM the join avoids
+    for name in ("dp_minhash_exhaustive", "dp_simhash_exhaustive"):
+        p = plans(name)
+        assert "Join" in p, name
+        assert "WindowGroupLimit" not in p, name
+
+
 def test_ann_scan_prunes_to_vec_columns(plans):
     p = plans("dp_ann_topk")
     assert "EqualTo(vec_id,0)" in p  # query-row lookup pushed to the scan
