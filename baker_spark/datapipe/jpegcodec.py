@@ -397,7 +397,7 @@ def decode_jpeg_pixels(payload: bytes):
                 hufftabs[(tc, th)] = table
                 i += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
-            if len(body) < 8:
+            if len(body) < 9:  # 6 fixed + 3 per-component, comp_q = body[8]
                 return None
             precision, height, width, nf = struct.unpack(">BHHB", body[:6])
             if precision != 8 or nf != 1:
@@ -406,6 +406,8 @@ def decode_jpeg_pixels(payload: bytes):
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # progressive/lossless/arithmetic: out of envelope
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                return None
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if width is None or len(body) < 4 or body[0] != 1:

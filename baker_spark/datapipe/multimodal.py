@@ -622,14 +622,14 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
     return out[:max_pixels]
 
 
-def gif_pixel_bytes(width: int, height: int, seed: int = 0) -> bytes:
-    """A COMPLETE valid GIF89a whose pixel at (x, y) is
-    ``(3 * x + y + seed) % 256`` — real LZW-compressed image data and a
-    256-entry grayscale identity palette (r=g=b=index), so the decoded
-    index IS the gray value and an oracle regenerates the grid
-    arithmetically. Non-interlaced."""
+def encode_gray_gif(pixels: bytes, width: int, height: int) -> bytes:
+    """Assemble a COMPLETE valid grayscale GIF89a: real LZW-compressed
+    image data behind a 256-entry identity palette (r=g=b=index), so a
+    decoded index IS the gray value. Non-interlaced, no local color
+    table. The single container-assembly site — the fixture generator
+    and resize_media's GIF re-encode both call it, so a layout fix can
+    never diverge between them."""
     gct = bytes(v for i in range(256) for v in (i, i, i))
-    pixels = bytes((3 * x + y + seed) % 256 for y in range(height) for x in range(width))
     lzw = _lzw_encode(pixels, 8)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
@@ -649,6 +649,14 @@ def gif_pixel_bytes(width: int, height: int, seed: int = 0) -> bytes:
         + bytes(blocks)
         + b"\x3b"
     )
+
+
+def gif_pixel_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """A COMPLETE valid GIF89a whose pixel at (x, y) is
+    ``(3 * x + y + seed) % 256`` so an oracle regenerates the grid
+    arithmetically; container assembled by :func:`encode_gray_gif`."""
+    pixels = bytes((3 * x + y + seed) % 256 for y in range(height) for x in range(width))
+    return encode_gray_gif(pixels, width, height)
 
 
 def decode_gif_pixels(payload: bytes):
@@ -891,20 +899,7 @@ def resize_media(
                 sh = max(1, (h + max_side - 1) // max_side)
                 nw, nh = (w + sw - 1) // sw, (h + sh - 1) // sh
                 small = bytes(px[y * sh * w + x * sw] for y in range(nh) for x in range(nw))
-                gct = bytes(v for i in range(256) for v in (i, i, i))
-                lzw = _lzw_encode(small, 8)
-                blocks = bytearray()
-                for i in range(0, len(lzw), 255):
-                    chunk = lzw[i : i + 255]
-                    blocks.append(len(chunk))
-                    blocks += chunk
-                blocks.append(0)
-                return (
-                    b"GIF89a" + struct.pack("<HH", nw, nh)
-                    + bytes([0xF7, 0, 0]) + gct
-                    + b"," + struct.pack("<HHHH", 0, 0, nw, nh) + b"\x00"
-                    + bytes([8]) + bytes(blocks) + b"\x3b"
-                )
+                return encode_gray_gif(small, nw, nh)
             jpg = decode_jpeg_pixels(b)
             if jpg is not None:
                 w, h, _ch, px = jpg

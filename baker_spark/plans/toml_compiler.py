@@ -200,6 +200,7 @@ def _build_streaming_input(section: dict, fields: list[str], separator: str):
                 app_name=app_name,
                 fake_dir=cfg.get("fake_dir"),
                 max_records_per_trigger=cfg.get("max_records_per_trigger"),
+                lease_dir=cfg.get("lease_dir"),
             )
         if not fields:
             return src  # no [fields]: hand the raw connector layout through

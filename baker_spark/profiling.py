@@ -7,10 +7,10 @@ Python + Spark have no goroutine dump, so the endpoints map the
 *intent* onto this runtime — all stdlib, zero deps, daemon thread:
 
 - ``/debug/pprof/``                 index (mirrors Go's pprof index page)
-- ``/debug/pprof/profile?seconds=N`` drive-side CPU profile: runs
-  cProfile over the driver for N seconds (default 5) and returns the
-  pstats table sorted by cumulative time (text, not Go's protobuf —
-  this is a human surface here).
+- ``/debug/pprof/profile?seconds=N`` driver-side CPU profile: samples
+  every thread's stack for N seconds (default 5) — the same statistical
+  model Go's pprof uses — and returns hottest-frames/hottest-stacks
+  tables (text, not Go's protobuf — this is a human surface here).
 - ``/debug/pprof/threads``          all Python thread stacks (the
   goroutine-dump analog), via ``sys._current_frames``.
 - ``/debug/spark/status``           JSON snapshot from the
@@ -27,10 +27,7 @@ sinks, Python data sources all run on the driver.
 
 from __future__ import annotations
 
-import cProfile
-import io
 import json
-import pstats
 import sys
 import threading
 import time
@@ -41,29 +38,59 @@ from urllib.parse import parse_qs, urlparse
 _INDEX = """<html><head><title>baker_spark pprof</title></head><body>
 <h1>baker_spark diagnostics</h1>
 <ul>
-<li><a href="/debug/pprof/profile?seconds=5">profile</a> — driver CPU profile (cProfile, pstats text)</li>
+<li><a href="/debug/pprof/profile?seconds=5">profile</a> — driver CPU profile (all-thread stack sampling)</li>
 <li><a href="/debug/pprof/threads">threads</a> — python thread stacks</li>
 <li><a href="/debug/spark/status">spark status</a> — active jobs/stages JSON</li>
 </ul></body></html>"""
 
 
-def _profile_driver(seconds: float) -> str:
-    """cProfile the driver process for ``seconds`` wall-clock.
-
-    cProfile hooks THIS thread's interpreter; to see cross-thread work
-    we enable the profiler via threading.setprofile too, then sample
-    for the window. Cheap enough to run on demand; never on by default.
-    """
-    prof = cProfile.Profile()
-    prof.enable()
-    try:
-        time.sleep(max(0.0, min(seconds, 60.0)))  # cap: it's a web endpoint
-    finally:
-        prof.disable()
-    out = io.StringIO()
-    stats = pstats.Stats(prof, stream=out)
-    stats.sort_stats("cumulative").print_stats(60)
-    return out.getvalue() or "(no samples in window)\n"
+def _profile_driver(seconds: float, interval: float = 0.005) -> str:
+    """Statistical all-thread driver profile for ``seconds`` wall-clock:
+    poll ``sys._current_frames()`` every ``interval`` and aggregate
+    samples by innermost frame and by (depth-capped) stack — the same
+    sampling model Go's pprof uses. cProfile is NOT usable here: it
+    instruments only the calling thread, and this handler thread just
+    waits out the window, so a cProfile-based endpoint returns nothing
+    but its own sleep (the round-8 review catch). Sampling sees every
+    thread — TOML compiles, plan construction, Py4J callbacks, Python
+    data source planners, collect-side sinks. Cheap enough to run on
+    demand; never on by default."""
+    deadline = time.perf_counter() + max(0.0, min(seconds, 60.0))
+    own = threading.get_ident()
+    leaves: dict[str, int] = {}
+    stacks: dict[str, int] = {}
+    samples = 0
+    while time.perf_counter() < deadline:
+        names = {t.ident: t.name for t in threading.enumerate()}
+        for ident, frame in list(sys._current_frames().items()):
+            if ident == own:
+                continue
+            samples += 1
+            code = frame.f_code
+            leaf = (
+                f"{names.get(ident, '?')}: {code.co_filename}:"
+                f"{frame.f_lineno} {code.co_name}"
+            )
+            leaves[leaf] = leaves.get(leaf, 0) + 1
+            chain, f, depth = [], frame, 0
+            while f is not None and depth < 12:
+                chain.append(f.f_code.co_name)
+                f = f.f_back
+                depth += 1
+            stack = f"{names.get(ident, '?')}: " + " < ".join(chain)
+            stacks[stack] = stacks.get(stack, 0) + 1
+        time.sleep(interval)
+    if not samples:
+        return "(no samples in window)\n"
+    out = [f"{samples} samples over {seconds:g}s ({interval * 1000:g}ms interval)",
+           "", "hottest frames (thread: file:line function  samples  share):"]
+    for leaf, n in sorted(leaves.items(), key=lambda kv: -kv[1])[:40]:
+        out.append(f"  {leaf}  {n}  {n / samples:.1%}")
+    out.append("")
+    out.append("hottest stacks (innermost < caller < ...):")
+    for stack, n in sorted(stacks.items(), key=lambda kv: -kv[1])[:15]:
+        out.append(f"  [{n}] {stack}")
+    return "\n".join(out) + "\n"
 
 
 def _thread_dump() -> str:

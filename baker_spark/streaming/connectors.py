@@ -160,6 +160,13 @@ class KinesisPythonSource:
     app_name: str | None = None
     fake_dir: str | None = None  # test backdoor: directory-spool client
     max_records_per_trigger: int | None = None
+    #: KCL-lease-table analog (kcl.go:27-49): a directory where commit()
+    #: journals committed per-shard positions, making restart resume
+    #: exact even when the committed backlog exceeds one trigger budget
+    #: (without it, a TRIM_HORIZON restart re-probes from 0 and is
+    #: at-least-once across the probe window). Point it next to the
+    #: query checkpoint dir.
+    lease_dir: str | None = None
 
     def checkpoint_dir(self, base: str) -> str:
         """AppName-scoped checkpoint location (kcl.go:43 isolation)."""
@@ -181,6 +188,8 @@ class KinesisPythonSource:
             reader = reader.option(
                 "max_records_per_trigger", str(self.max_records_per_trigger)
             )
+        if self.lease_dir:
+            reader = reader.option("lease_dir", self.lease_dir)
         return reader.load()
 
     __call__ = dataframe

@@ -182,15 +182,48 @@ class KinesisStreamReader(DataSourceStreamReader):
         )
         self._client = _make_client(options)
         #: shard -> last sequence number PROBED (seen by the driver);
-        #: -1 = nothing yet. Rebuilt lazily after a restart: tips only
-        #: ever move forward, so re-probing from the initial position
-        #: yields an offset >= the WAL's and partitions() slices by the
-        #: WAL's start — no duplicate admission.
+        #: -1 = nothing yet. After a restart the tips are rebuilt from,
+        #: in priority order: the lease file (exact committed positions,
+        #: see ``lease_dir``), the healing in :meth:`partitions` (a WAL
+        #: replay hands back the journaled end), then the initial
+        #: position. The last is only a FLOOR: under TRIM_HORIZON a
+        #: budget-bounded probe from 0 can stop BELOW the WAL's
+        #: committed offset, so without a lease a restart whose
+        #: committed backlog exceeds one trigger budget re-admits up to
+        #: one probe window (at-least-once); with a lease, resume is
+        #: exact.
         self._tips: dict[str, int | None] = {}
         #: shard -> first sequence number ever admitted for shards that
         #: started in unseeded-latest mode (no prior concrete position);
         #: carried in offsets so a WAL replay can AT_SEQUENCE_NUMBER it
         self._first: dict[str, int] = {}
+        #: shard -> concrete LATEST seed for shards DISCOVERED
+        #: mid-stream (resharding): journaled in every end offset so
+        #: partitions() can lower-bound a shard absent from the start
+        #: offset at its discovery tip instead of -1 — without this, a
+        #: new shard's entire pre-existing backlog would be admitted in
+        #: one uncapped batch, violating both LATEST semantics and
+        #: max_records_per_trigger.
+        self._seeded: dict[str, int] = {}
+        #: KCL-lease-table analog (kcl.go:27-49): when set, commit()
+        #: journals the committed per-shard positions into
+        #: <lease_dir>/tips.json and a restarted reader seeds its tips
+        #: from it — exactly-once resume independent of probe budgets.
+        lease_dir = options.get("lease_dir") or options.get("leasedir")
+        self._lease_path = (
+            os.path.join(lease_dir, "tips.json") if lease_dir else None
+        )
+        for shard, tip in self._read_lease().items():
+            self._tips[shard] = tip
+
+    def _read_lease(self) -> dict[str, int]:
+        if not self._lease_path:
+            return {}
+        try:
+            with open(self._lease_path) as fh:
+                return {s: int(t) for s, t in json.load(fh).items()}
+        except (FileNotFoundError, ValueError, OSError):
+            return {}
 
     # --- driver-side planning -------------------------------------------
     def _shards(self) -> list[str]:
@@ -227,7 +260,13 @@ class KinesisStreamReader(DataSourceStreamReader):
         c = self.client()
         for shard in self._shards():
             if shard not in self._tips:
-                self._tips[shard] = self._seed(shard)
+                seed = self._seed(shard)
+                self._tips[shard] = seed
+                if seed is not None and seed >= 0:
+                    # discovered mid-stream under LATEST: journal the
+                    # discovery tip so partitions() can bound this
+                    # shard's first slice (see _seeded)
+                    self._seeded[shard] = seed
             if budget <= 0:
                 continue
             tip = self._tips[shard]
@@ -261,16 +300,33 @@ class KinesisStreamReader(DataSourceStreamReader):
         return {
             "shards": dict(self._tips),
             **({"first": dict(self._first)} if self._first else {}),
+            **({"seeded": dict(self._seeded)} if self._seeded else {}),
         }
 
     def partitions(self, start: dict, end: dict):
         out = []
         starts = start.get("shards", {})
         first = end.get("first", {})
+        seeded = end.get("seeded", {})
         for shard, tip in end.get("shards", {}).items():
             if tip is None:
                 continue  # unseeded-latest shard with nothing admitted yet
-            lo = starts.get(shard, -1)
+            if shard in starts:
+                lo = starts[shard]
+            else:
+                # shard absent from the start offset = discovered
+                # mid-stream during this batch's planning: its lower
+                # bound is the journaled discovery seed (LATEST), else
+                # the initial position
+                lo = seeded.get(shard, -1)
+            # heal driver tips from the journaled offsets: after a
+            # restart this floors the next probe at the WAL positions
+            # (a replayed batch's end, or a committed start), so a
+            # budget-bounded re-probe can never plan a regressed slice
+            cur = self._tips.get(shard)
+            floor = max(tip, lo if isinstance(lo, int) else -1)
+            if cur is None or (isinstance(cur, int) and cur < floor):
+                self._tips[shard] = floor
             if lo is None:
                 # the shard's first concrete batch under LATEST: start
                 # AT the first probed sequence number (journaled in the
@@ -281,7 +337,23 @@ class KinesisStreamReader(DataSourceStreamReader):
         return out
 
     def commit(self, end: dict) -> None:
-        pass  # positions live in the offset WAL; nothing external to ack
+        """Offsets live in Spark's WAL; the lease file (when configured)
+        additionally journals committed positions so a RESTARTED reader
+        resumes exactly where the last run committed instead of
+        re-probing from the initial position (kcl.go checkpoint
+        semantics). Written atomically (tmp + rename); merged monotonic
+        so a stale write can never move a position backwards."""
+        if not self._lease_path:
+            return
+        tips = self._read_lease()
+        for shard, tip in end.get("shards", {}).items():
+            if isinstance(tip, int) and tip > tips.get(shard, -1):
+                tips[shard] = tip
+        tmp = self._lease_path + ".tmp"
+        os.makedirs(os.path.dirname(self._lease_path), exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump(tips, fh)
+        os.replace(tmp, self._lease_path)
 
     # --- executor-side ---------------------------------------------------
     def __getstate__(self):

@@ -44,6 +44,9 @@ AppName = "exampleapp"
 AWSRegion = "us-east-1"
 InitialPosition = "TRIM_HORIZON"
 FakeDir = "{fake_dir}"
+# KCL lease-table analog: committed per-shard positions journal here, so
+# a restart resumes exactly even when the backlog exceeds one trigger
+LeaseDir = "{lease_dir}"
 
 [[filter]]
 name = "StringMatch"
@@ -59,6 +62,7 @@ name = "StringMatch"
 def main() -> None:
     spool = tempfile.mkdtemp(prefix="kinesis_spool_")
     ckpt = tempfile.mkdtemp(prefix="kinesis_ckpt_")
+    lease = tempfile.mkdtemp(prefix="kinesis_lease_")
     client = DirStreamClient(spool)
 
     # seed two shards, then reshard mid-run from the producer thread
@@ -73,7 +77,7 @@ def main() -> None:
                           ShardId="shardId-000000000002")  # reshard: new shard
 
     spark = get_spark("kinesis_daemon_example", cpus=4)
-    pipeline = compile_toml(TOML.format(fake_dir=spool))
+    pipeline = compile_toml(TOML.format(fake_dir=spool, lease_dir=lease))
     out_dir = tempfile.mkdtemp(prefix="kinesis_out_")
 
     def start_query():

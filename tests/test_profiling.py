@@ -37,23 +37,26 @@ def test_pprof_endpoints(spark):
         code, _, body = _get(port, "/debug/pprof/threads")
         assert code == 200 and "MainThread" in body
 
-        # CPU profile: burn driver CPU during the window so pstats has
-        # real entries from this module
+        # CPU profile: burn driver CPU on ANOTHER thread during the
+        # window — the sampler must attribute samples to it by function
+        # name (the cProfile version measured only its own sleep and
+        # could never see this; round-8 review catch)
         stop = threading.Event()
 
-        def burn():
+        def burn_for_profile():
             x = 0
             while not stop.is_set():
                 x += sum(i * i for i in range(500))
 
-        t = threading.Thread(target=burn, daemon=True)
+        t = threading.Thread(target=burn_for_profile, daemon=True)
         t.start()
         try:
             code, _, body = _get(port, "/debug/pprof/profile?seconds=0.3")
         finally:
             stop.set()
             t.join()
-        assert code == 200 and "cumulative" in body  # pstats table header
+        assert code == 200 and "hottest frames" in body
+        assert "burn_for_profile" in body  # the busy thread was sampled
 
         # spark status is JSON with the app id and a UI link
         code, ctype, body = _get(port, "/debug/spark/status")

@@ -554,3 +554,21 @@ def test_jpeg_decoder_total_under_truncation_and_mutation(w, h, seed, cut, flip_
     if out is not None:
         ow, oh, ch, px = out
         assert len(px) == ow * oh * ch
+
+
+def test_jpeg_decoder_total_on_short_sof_and_dri_bodies():
+    """Two totality holes the random fuzz never drew (found in review):
+    an SOF whose length field reads 10 (body shorter than the 9 bytes
+    the single-component layout needs) must return None, not IndexError;
+    a DRI segment with an empty body must return None, not struct.error."""
+    from baker_spark.datapipe.jpegcodec import decode_jpeg_pixels
+    from baker_spark.datapipe.multimodal import jpeg_pixel_bytes
+
+    j = jpeg_pixel_bytes(8, 8, 0)
+    sof_at = j.index(b"\xff\xc0")
+    shortened = bytearray(j)
+    shortened[sof_at + 3] = 10  # length 11 -> 10: comp_q now out of range
+    assert decode_jpeg_pixels(bytes(shortened)) is None
+
+    empty_dri = j[: sof_at] + b"\xff\xdd\x00\x02" + j[sof_at:]
+    assert decode_jpeg_pixels(empty_dri) is None

@@ -356,3 +356,113 @@ name = "Nop"
 """
     )
     assert isinstance(plan.source.inner, KinesisSource)
+
+
+def test_kinesis_restart_with_backlog_past_budget_resumes_exact_with_lease(
+    spark, kstream, tmp_path
+):
+    """The committed backlog exceeds one trigger budget, then the query
+    restarts. A budget-bounded TRIM_HORIZON re-probe from 0 would stop
+    BELOW the committed offset (the regressed-end restart bug); with the
+    lease_dir journal (the KCL lease-table analog) the restarted reader
+    seeds its tips at the committed positions and resume is exact — no
+    duplicates, no loss."""
+    client, _ = kstream
+    ckpt = str(tmp_path / "ckpt")
+    lease = str(tmp_path / "lease")
+    out = str(tmp_path / "out")
+
+    def run_query():
+        return (
+            spark.readStream.format("bakerkinesis")
+            .option("fake_dir", client.root)
+            .option("stream", "events")
+            .option("initial_position", "TRIM_HORIZON")
+            .option("max_records_per_trigger", "5")
+            .option("lease_dir", lease)
+            .load()
+            .selectExpr("CAST(data AS STRING) AS v")
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    for i in range(20):
+        client.put_record("events", f"r{i:02d}".encode(), "pk")
+    q1 = run_query()
+    q1.processAllAvailable()
+    q1.stop()
+    for i in range(20, 25):
+        client.put_record("events", f"r{i:02d}".encode(), "pk")
+    q2 = run_query()
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(r.v for r in spark.read.json(out).collect())
+    assert got == [f"r{i:02d}" for i in range(25)]  # exactly once
+
+
+def test_kinesis_restart_without_lease_loses_nothing(spark, kstream, tmp_path):
+    """Same restart-past-budget shape WITHOUT a lease: the documented
+    contract degrades to at-least-once (the WAL-journaled regressed end
+    re-admits up to one probe window) but must never LOSE records, and
+    the partitions() tip-healing must keep every record's dup count
+    bounded by one extra admission."""
+    client, _ = kstream
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_query():
+        return (
+            spark.readStream.format("bakerkinesis")
+            .option("fake_dir", client.root)
+            .option("stream", "events")
+            .option("initial_position", "TRIM_HORIZON")
+            .option("max_records_per_trigger", "5")
+            .load()
+            .selectExpr("CAST(data AS STRING) AS v")
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    for i in range(12):
+        client.put_record("events", f"r{i:02d}".encode(), "pk")
+    q1 = run_query()
+    q1.processAllAvailable()
+    q1.stop()
+    for i in range(12, 15):
+        client.put_record("events", f"r{i:02d}".encode(), "pk")
+    q2 = run_query()
+    q2.processAllAvailable()
+    q2.stop()
+    got = [r.v for r in spark.read.json(out).collect()]
+    assert set(got) == {f"r{i:02d}" for i in range(15)}  # no loss
+    from collections import Counter
+
+    assert max(Counter(got).values()) <= 2  # at-least-once, bounded
+
+
+def test_kinesis_new_shard_under_latest_tails_from_discovery(spark, kstream):
+    """A shard discovered mid-stream under LATEST starts at ITS tip
+    (the journaled discovery seed): its pre-existing backlog must not
+    be admitted — previously the shard was absent from the start offset,
+    defaulted to -1, and its whole history landed in one uncapped
+    batch."""
+    client, start = kstream
+    client.put_record("events", b"s0-live", "pk", ShardId="shardId-000000000000")
+    q, name = start()  # LATEST
+    q.processAllAvailable()
+    # new shard appears already holding a backlog
+    for i in range(3):
+        client.put_record(
+            "events", f"s1-pre{i}".encode(), "pk", ShardId="shardId-000000000001"
+        )
+    q.processAllAvailable()
+    # only records put AFTER discovery surface
+    client.put_record("events", b"s1-post", "pk", ShardId="shardId-000000000001")
+    client.put_record("events", b"s0-post", "pk", ShardId="shardId-000000000000")
+    q.processAllAvailable()
+    got = sorted(bytes(r.data) for r in spark.sql(f"SELECT * FROM {name}").collect())
+    assert got == [b"s0-post", b"s1-post"]
