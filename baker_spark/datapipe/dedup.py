@@ -345,6 +345,26 @@ def lsh_pairs(
     )
 
 
+def _duck_cap_cte(key_col: str, cap: int | None) -> tuple[str, str]:
+    """The oracle's hot-group exclusion, shared by duck_lsh_pairs
+    (key ``h``) and duck_simhash_pairs (key ``key``): returns
+    (cap_cte, bands_name) so the band CTE is named ``bands0`` and
+    filtered into ``bands`` when a cap applies, or emitted directly as
+    ``bands`` when not. One implementation keeps the two oracles'
+    cap semantics (strictly ``> cap`` dropped) in lockstep with each
+    other and with the Spark side's group-and-enumerate bound."""
+    if cap is None:
+        return "", "bands"
+    cte = (
+        ",\nbands AS (SELECT b.* FROM bands0 b "
+        f"LEFT JOIN (SELECT band, {key_col} FROM bands0 GROUP BY band, {key_col} "
+        f"HAVING count(*) > {cap}) hot "
+        f"ON b.band = hot.band AND b.{key_col} = hot.{key_col} "
+        f"WHERE hot.{key_col} IS NULL)"
+    )
+    return cte, "bands0"
+
+
 def duck_lsh_pairs(
     table: str = "documents",
     text_col: str = "text",
@@ -364,18 +384,8 @@ def duck_lsh_pairs(
         f"md5(concat_ws(',', {', '.join(f'm{b * r + j}' for j in range(r))})) AS h FROM sig"
         for b in range(bands)
     )
-    if bucket_cap is not None:
-        # identical hot-bucket exclusion as the Spark side's anti-join
-        cap_cte = (
-            ",\nbands AS (SELECT b.* FROM bands0 b "
-            "LEFT JOIN (SELECT band, h FROM bands0 GROUP BY band, h "
-            f"HAVING count(*) > {bucket_cap}) hot "
-            "ON b.band = hot.band AND b.h = hot.h WHERE hot.h IS NULL)"
-        )
-        bands_name = "bands0"
-    else:
-        cap_cte = ""
-        bands_name = "bands"
+    # identical hot-bucket exclusion as the Spark side's cap bound
+    cap_cte, bands_name = _duck_cap_cte("h", bucket_cap)
     return f"""
 WITH sh AS (
   SELECT DISTINCT {id_col}, unnest({duck_word_shingles(text_col, shingle_n)}) AS s
@@ -804,7 +814,15 @@ def simhash_pairs(
     exact/fingerprint dedup collapses upstream. Default DEFAULT_BAND_CAP;
     pass None for the exhaustive audit shape, which keeps the exact
     pigeonhole guarantee at unbounded output."""
-    assert max_hamming <= 3, "banded blocking guarantees recall only for hamming <= bands-1"
+    if max_hamming > 3:
+        # a hard error, not an assert: asserts strip under python -O,
+        # and past bands-1 differing bits the pigeonhole guarantee is
+        # gone — the function would silently return an incomplete pair
+        # set while claiming exact banded recall
+        raise ValueError(
+            "banded blocking guarantees recall only for max_hamming <= 3 "
+            "(pairs can differ in all 4 bands beyond bands-1 bits)"
+        )
     sig = simhash(df, text_col, id_col)
     if band_cap is None:
         # persist: both sides of the exhaustive band self-join read the
@@ -912,17 +930,7 @@ def duck_simhash_pairs(
     # multi-band duplicates AFTER the cheap hamming filter. band_cap
     # mirrors the Spark side's hot-band exclusion.
     base = duck_simhash(table, text_col, id_col)
-    if band_cap is not None:
-        cap_cte = (
-            ",\nbands AS (SELECT b.* FROM bands0 b "
-            "LEFT JOIN (SELECT band, key FROM bands0 GROUP BY band, key "
-            f"HAVING count(*) > {band_cap}) hot "
-            "ON b.band = hot.band AND b.key = hot.key WHERE hot.key IS NULL)"
-        )
-        bands_name = "bands0"
-    else:
-        cap_cte = ""
-        bands_name = "bands"
+    cap_cte, bands_name = _duck_cap_cte("key", band_cap)
     return f"""
 WITH sim AS ({base}),
 {bands_name} AS (

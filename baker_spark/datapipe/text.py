@@ -96,7 +96,11 @@ def langid(col_name: str, stopwords: list[str] | None = None, threshold_pct: int
     # caller-supplied stopwords may carry regex metacharacters ("c++");
     # escape each alternative so they match literally instead of
     # throwing PatternSyntaxException at execution
-    rx = "(?<=^| )(" + "|".join(_re.escape(s) for s in sw) + ")(?= |$)"
+    # \z, not $: Java's $ also matches BEFORE a final trailing line
+    # terminator, so "... see the\n" would count a stopword the oracle's
+    # space-split token equality (token = "the\n") does not — a
+    # threshold-boundary doc would then langid differently per engine
+    rx = "(?<=^| )(" + "|".join(_re.escape(s) for s in sw) + r")(?= |\z)"
     # long casts: same int32-wrap class as the other fixed-point sites
     # (a ~100 MB doc of stopwords would wrap n_stop * 100)
     n_stop = F.regexp_count(F.col(col_name), F.lit(rx)).cast("long")

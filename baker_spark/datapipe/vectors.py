@@ -63,6 +63,40 @@ def duck_cosine(a: str, b: str) -> str:
     return f"({duck_dot(a, b)} / (sqrt({duck_dot(a, a)}) * sqrt({duck_dot(b, b)})))"
 
 
+def cosine_c4(a: Column, b: Column) -> Column:
+    """floor(cosine * 1e4) as long, with the zero-norm pin: an all-zero
+    vector's cosine is undefined, and the engines disagree on what the
+    raw expression does (Spark ansi=off division by zero -> NULL, which
+    sorts LAST under desc; DuckDB 0/0 -> NaN, which sorts FIRST and then
+    crashes the BIGINT cast). Pinning the score to 0 ("not similar")
+    keeps every consumer engine-independent — same rule as the int64
+    pair kernels (cosine_pairs_bucketed, semdedup)."""
+    zero = (dot(a, a) == 0) | (dot(b, b) == 0)
+    return F.when(zero, F.lit(0)).otherwise(F.floor(cosine(a, b) * 10000)).cast("long")
+
+
+def duck_cosine_c4(a: str, b: str) -> str:
+    """The DuckDB mirror of :func:`cosine_c4` (float arrays)."""
+    return (
+        f"CASE WHEN {duck_dot(a, a)} = 0 OR {duck_dot(b, b)} = 0 THEN 0 "
+        f"ELSE floor(({duck_cosine(a, b)}) * 10000) END"
+    )
+
+
+def duck_c4_quant(a: str, b: str) -> str:
+    """Quantized-int c4: exact int64 dots, zero-norm pinned to 0 — the
+    ONE source for the expression previously copy-pasted across
+    duck_cosine_pairs / duck_semdedup / duck_cosine_pairs_bucketed
+    (three hand-maintained copies invite oracle drift)."""
+    dot_ = duck_dot_int(a, b)
+    na, nb = duck_dot_int(a, a), duck_dot_int(b, b)
+    return (
+        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0 ELSE "
+        f"floor(CAST({dot_} AS DOUBLE) * 10000 / "
+        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))) END"
+    )
+
+
 #: fixed-point quantization scale for the all-pairs kernel: v * 2^20,
 #: floored. float32 -> float64 is exact, scaling by a power of two is
 #: exact, so the quantized BIGINT is identical in every engine — and an
@@ -192,15 +226,7 @@ def duck_cosine_pairs(
     id_col: str = "vec_id",
     threshold_c4: int = 4500,
 ) -> str:
-    dot = duck_dot_int("a.q", "b.q")
-    na, nb = duck_dot_int("a.q", "a.q"), duck_dot_int("b.q", "b.q")
-    # zero-norm guard, mirrored from duck_semdedup: without it DuckDB
-    # keeps the NaN row (NaN sorts above all) then fails the BIGINT cast
-    c4 = (
-        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0 ELSE "
-        f"floor(CAST({dot} AS DOUBLE) * 10000 / "
-        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))) END"
-    )
+    c4 = duck_c4_quant("a.q", "b.q")
     return f"""
 WITH e AS (SELECT {id_col} AS id, {duck_quantize(f'CAST({vec_col} AS DOUBLE[])')} AS q FROM {table})
 SELECT a.id AS id_a, b.id AS id_b, CAST({c4} AS BIGINT) AS cosine_c4
@@ -237,7 +263,7 @@ def ann_topk(
         q = row_guard(q, max_rows, "ann_topk_bucketed", count_of=df)
     scored = fan_out(df, by=id_col).crossJoin(F.broadcast(q)).select(
         F.col(id_col),
-        F.floor(cosine(as_double(vec_col), F.col("qv")) * 10000).cast("long").alias("cosine_c4"),
+        cosine_c4(as_double(vec_col), F.col("qv")).alias("cosine_c4"),
     )
     return scored.orderBy(F.desc("cosine_c4"), F.col(id_col)).limit(k)
 
@@ -249,11 +275,11 @@ def duck_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> str:
-    cos = duck_cosine("e.v", "q.v")
+    c4 = duck_cosine_c4("e.v", "q.v")
     return f"""
 WITH e AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
 q AS (SELECT v FROM e WHERE id = {query_id})
-SELECT e.id AS {id_col}, CAST(floor(({cos}) * 10000) AS BIGINT) AS cosine_c4
+SELECT e.id AS {id_col}, CAST({c4} AS BIGINT) AS cosine_c4
 FROM e, q
 ORDER BY cosine_c4 DESC, e.id
 LIMIT {k}
@@ -268,9 +294,20 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = EMBED_DIM, seed: int = 42) 
 
 
 def lsh_buckets(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", planes: list[list[float]] | None = None
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: list[list[float]] | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign bits of dot(v, plane_j)."""
+    """Random-hyperplane LSH: bucket = sign bits of dot(v, plane_j).
+
+    ``keep`` carries extra columns (typically the vector itself) through
+    the projection: the bucket is a narrow map over the scan, so a
+    consumer that needs (id, vec, bucket) should ask for it HERE rather
+    than re-join the corpus to itself on id — that join is a full
+    shuffle of the embedding payload at 100 TB for data this very scan
+    already held."""
     planes = planes or hyperplanes()
     df = fan_out(df, by=id_col)  # 8 plane-dots per row: split the scan across cores
     v = as_double(vec_col)
@@ -278,7 +315,7 @@ def lsh_buckets(
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(x).cast("double") for x in plane])
         bucket = bucket + F.when(dot(v, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    return df.select(F.col(id_col), *[F.col(c) for c in keep], bucket.alias("bucket"))
 
 
 def duck_lsh_buckets(
@@ -318,15 +355,16 @@ def ann_topk_bucketed(
 ) -> DataFrame:
     """ANN restricted to the query's LSH bucket — the IVF-style scale
     path: the equi-join on bucket prunes the scan to ~n/2^planes rows."""
-    buckets = lsh_buckets(df, vec_col, id_col)
-    with_b = df.join(buckets, id_col)
+    # bucket carried on the scan itself (keep=): rejoining df to its
+    # own bucket table on id would shuffle the whole embedding payload
+    with_b = lsh_buckets(df, vec_col, id_col, keep=(vec_col,))
     qb = with_b.filter(F.col(id_col) == query_id).select(
         F.col("bucket").alias("qbucket"), as_double(vec_col).alias("qv")
     )
     cands = with_b.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
     scored = cands.select(
         F.col(id_col),
-        F.floor(cosine(as_double(vec_col), F.col("qv")) * 10000).cast("long").alias("cosine_c4"),
+        cosine_c4(as_double(vec_col), F.col("qv")).alias("cosine_c4"),
     )
     return scored.orderBy(F.desc("cosine_c4"), F.col(id_col)).limit(k)
 
@@ -334,18 +372,35 @@ def ann_topk_bucketed(
 def duck_ann_topk_bucketed(
     table: str = "embeddings", query_id: int = 0, k: int = 5, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> str:
-    cos = duck_cosine("e.v", "q.v")
+    c4 = duck_cosine_c4("e.v", "q.v")
     buckets = duck_lsh_buckets(table, vec_col, id_col)
     return f"""
 WITH b AS ({buckets}),
 e AS (SELECT t.{id_col} AS id, CAST(t.{vec_col} AS DOUBLE[]) AS v, b.bucket
       FROM {table} t JOIN b ON b.{id_col} = t.{id_col}),
 q AS (SELECT v, bucket FROM e WHERE id = {query_id})
-SELECT e.id AS {id_col}, CAST(floor(({cos}) * 10000) AS BIGINT) AS cosine_c4
+SELECT e.id AS {id_col}, CAST({c4} AS BIGINT) AS cosine_c4
 FROM e JOIN q ON e.bucket = q.bucket
 ORDER BY cosine_c4 DESC, e.id
 LIMIT {k}
 """
+
+
+def _c4_matrix(mat: "np.ndarray") -> "np.ndarray":
+    """Pairwise quantized cosine as floor(x*1e4), exact int64 dots,
+    zero-norm pinned to 0 — the ONE numpy implementation of
+    duck_c4_quant's semantics. An all-zero quantized vector has
+    undefined cosine; pinning keeps the decision engine-independent
+    (numpy's NaN compares False/kept where DuckDB sorts NaN above every
+    number/dropped). Shared by cosine_pairs_bucketed's bucket kernel
+    and semdedup's cell kernel, which previously carried line-for-line
+    copies a one-sided fix could split."""
+    dots = mat @ mat.T  # exact int64
+    norm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+    nprod = norm[:, None] * norm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c4 = np.floor(dots.astype(np.float64) * 10000.0 / nprod)
+    return np.where(nprod == 0.0, 0.0, c4)
 
 
 def cosine_pairs_bucketed(
@@ -376,10 +431,15 @@ def cosine_pairs_bucketed(
     import pandas as pd
 
     if buckets is None:
-        buckets = lsh_buckets(df, vec_col, id_col, planes)
-    q = (
-        df.join(buckets, id_col)
-        .select(F.col(id_col), F.col("bucket"), quantize(as_double(vec_col)).alias("q"))
+        # default LSH path: bucket computed as a column on the ONE scan
+        # (see lsh_buckets keep=) — no corpus self-join
+        with_b = lsh_buckets(df, vec_col, id_col, planes, keep=(vec_col,))
+    else:
+        # caller-supplied partition (e.g. k-means cells): the join is
+        # the contract — buckets may come from anywhere
+        with_b = df.join(buckets, id_col)
+    q = with_b.select(
+        F.col(id_col), F.col("bucket"), quantize(as_double(vec_col)).alias("q")
     )
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -389,16 +449,7 @@ def cosine_pairs_bucketed(
             )
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["q"]), dtype=np.int64)
-        dots = mat @ mat.T  # exact int64
-        norm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
-        nprod = norm[:, None] * norm[None, :]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            c4 = np.floor(dots.astype(np.float64) * 10000.0 / nprod)
-        # zero-norm guard: an all-zero quantized vector has undefined
-        # cosine; pin it to 0 ("not similar") in BOTH engines — numpy's
-        # NaN compares False (kept) while DuckDB sorts NaN above every
-        # number (dropped), so leaving the NaN in diverges cross-engine
-        c4 = np.where(nprod == 0.0, 0.0, c4)
+        c4 = _c4_matrix(mat)
         ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (c4 >= threshold_c4))
         return pd.DataFrame(
             {"id_a": ids[ia], "id_b": ids[ib], "cosine_c4": c4[ia, ib].astype(np.int64)}
@@ -665,7 +716,13 @@ def semdedup(
     group_cols = ["centroid_id"]
     if cell_cap:
         from baker_spark.functions.hashing import md5_long
+        from baker_spark.session import managed_persist
 
+        # persist: the cap splits assign into TWO consumers (the counts
+        # aggregate's broadcast build + the probe side of the join);
+        # without the boundary the mapInPandas assignment kernel — a
+        # full-corpus numpy pass — executes once per branch
+        assign = managed_persist(assign)
         counts = assign.groupBy("centroid_id").agg(F.count("*").alias("_n"))
         nsub = F.greatest(
             F.lit(1), F.ceil(F.col("_n") / F.lit(cell_cap)).cast("long")
@@ -681,14 +738,7 @@ def semdedup(
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["q"]), dtype=np.int64)
-        dots = mat @ mat.T  # exact int64 (same kernel as cosine_pairs_bucketed)
-        norm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
-        nprod = norm[:, None] * norm[None, :]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            c4 = np.floor(dots.astype(np.float64) * 10000.0 / nprod)
-        # zero-norm guard — see cosine_pairs_bucketed: c4 := 0 keeps the
-        # decision engine-independent when a vector quantizes to all-zero
-        c4 = np.where(nprod == 0.0, 0.0, c4)
+        c4 = _c4_matrix(mat)
         dominated = ((ids[:, None] < ids[None, :]) & (c4 >= threshold_c4)).any(axis=0)
         return pdf.loc[~dominated, [id_col, "centroid_id"]]
 
@@ -709,16 +759,7 @@ def duck_semdedup(
     from baker_spark.functions.hashing import duck_md5_long
 
     km = duck_kmeans_train(table, k, iters, vec_col, id_col)
-    dot = duck_dot_int("a.q2", "b.q2")
-    na, nb = duck_dot_int("a.q2", "a.q2"), duck_dot_int("b.q2", "b.q2")
-    # CASE mirrors the numpy kernel's zero-norm guard (c4 := 0): DuckDB
-    # would otherwise evaluate NaN >= threshold as TRUE (NaN sorts last)
-    # while numpy evaluates it as False
-    c4 = (
-        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0 ELSE "
-        f"floor(CAST({dot} AS DOUBLE) * 10000 / "
-        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))) END"
-    )
+    c4 = duck_c4_quant("a.q2", "b.q2")
     # the _sub computation is the oracle mirror of the Spark side's
     # cell_cap split: md5(id) % ceil(cell_size / cap), identical hash
     if cell_cap:
@@ -762,14 +803,7 @@ def duck_cosine_pairs_bucketed(
     planes: list[list[float]] | None = None,
 ) -> str:
     buckets = duck_lsh_buckets(table, vec_col, id_col, planes)
-    dot = duck_dot_int("a.q", "b.q")
-    na, nb = duck_dot_int("a.q", "a.q"), duck_dot_int("b.q", "b.q")
-    # zero-norm guard, mirrored from the numpy kernel (see duck_semdedup)
-    c4 = (
-        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0 ELSE "
-        f"floor(CAST({dot} AS DOUBLE) * 10000 / "
-        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))) END"
-    )
+    c4 = duck_c4_quant("a.q", "b.q")
     return f"""
 WITH bk AS ({buckets}),
 e AS (SELECT t.{id_col} AS id, bk.bucket,

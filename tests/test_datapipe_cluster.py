@@ -447,3 +447,31 @@ def test_simhash_band_cap_drops_mega_band_keeps_rest(spark):
     # each surviving pair appears exactly once despite multi-band matches
     rows_capped = dedup.simhash_pairs(df, band_cap=5).collect()
     assert len(rows_capped) == len({(r["doc_a"], r["doc_b"]) for r in rows_capped})
+
+
+def test_ann_topk_zero_norm_scores_zero_in_both_engines(spark, tmp_path):
+    """A zero-norm vector (all-zero embedding, or one that quantizes to
+    zero) has undefined cosine, and the raw expression diverges: Spark
+    ansi=off division by zero -> NULL (sorts last), DuckDB 0/0 -> NaN
+    (sorts first, then crashes the BIGINT cast). Both engines must pin
+    the score to 0 — the same rule the int64 pair kernels apply."""
+    import duckdb
+
+    from baker_spark.datapipe.vectors import ann_topk, duck_ann_topk
+
+    rows = [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0] * 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["cosine_c4"]
+        for r in ann_topk(df, query_id=0, k=3, max_rows=None).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0}  # zero-norm query: every score pinned
+
+    pq = str(tmp_path / "emb")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    oracle = {k: v for k, v in con.execute(duck_ann_topk(k=3)).fetchall()}
+    assert oracle == got
