@@ -45,11 +45,21 @@ def duck_word_shingles(expr: str, n: int = 3) -> str:
     )
 
 
+def n_words(col: Column | str) -> Column:
+    """Word count with NULL text -> NULL: under ansi=false (the engine's
+    baker-fidelity setting) ``size(split(NULL))`` is the legacy -1,
+    while every DuckDB oracle computes ``len(string_split(NULL, ' '))``
+    = NULL — a silent cross-engine divergence on nullable text columns.
+    ``nullif(size, -1)`` pins them together; -1 occurs ONLY for null
+    input ('' splits to [''], size 1), so nothing else changes."""
+    return F.nullif(F.size(words(col)), F.lit(-1))
+
+
 def token_counts(col: Column | str) -> tuple[Column, Column]:
     """(whitespace token count, BPE-ish estimate ceil(chars/4)) — integer
     arithmetic only, so cross-engine deterministic."""
     c = F.col(col) if isinstance(col, str) else col
-    n_ws = F.size(words(c))
+    n_ws = n_words(c)
     n_bpe = F.floor((F.length(c) + F.lit(3)) / F.lit(4)).cast("long")
     return n_ws, n_bpe
 
@@ -104,8 +114,8 @@ def langid(col_name: str, stopwords: list[str] | None = None, threshold_pct: int
     # long casts: same int32-wrap class as the other fixed-point sites
     # (a ~100 MB doc of stopwords would wrap n_stop * 100)
     n_stop = F.regexp_count(F.col(col_name), F.lit(rx)).cast("long")
-    n_words = F.size(words(col_name)).cast("long")
-    return F.when(n_stop * 100 > n_words * threshold_pct, F.lit("en")).otherwise(F.lit("unk"))
+    nw = n_words(col_name).cast("long")
+    return F.when(n_stop * 100 > nw * threshold_pct, F.lit("en")).otherwise(F.lit("unk"))
 
 
 def duck_langid(expr: str, stopwords: list[str] | None = None, threshold_pct: int = 5) -> str:
@@ -128,13 +138,13 @@ def quality_flags(col_name: str) -> dict[str, Column]:
     # fixed-point multiplies below wrap at 2^31 under ansi=false for
     # mega-documents (>~21M chars) while the DuckDB oracle's BIGINT
     # arithmetic stays exact
-    n_words = F.size(words(c)).cast("long")
+    nw = n_words(c).cast("long")
     n_punct = F.regexp_count(c, F.lit(r"[.!?,;:]")).cast("long")
     n_chars = F.length(c).cast("long")
-    mean_word_len_c2 = F.floor((n_chars - (n_words - 1)) * 100 / n_words).cast("long")
-    ok = (n_words >= 20) & (n_punct * 5 <= n_words) & (mean_word_len_c2.between(150, 1200))
+    mean_word_len_c2 = F.floor((n_chars - (nw - 1)) * 100 / nw).cast("long")
+    ok = (nw >= 20) & (n_punct * 5 <= nw) & (mean_word_len_c2.between(150, 1200))
     return {
-        "n_words": n_words,
+        "n_words": nw,
         "n_punct": n_punct,
         "mean_word_len_c2": mean_word_len_c2,
         "quality_ok": ok,

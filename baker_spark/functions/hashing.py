@@ -29,10 +29,17 @@ def md5_long(col: Column | str, salt: str | None = None, nchars: int = HEX_CHARS
 
 
 def duck_md5_long(expr: str, salt: str | None = None, nchars: int = HEX_CHARS) -> str:
-    """DuckDB SQL string computing the identical 60-bit hash."""
+    """DuckDB SQL string computing the identical 60-bit hash.
+
+    ``||``, not ``concat()``: DuckDB's concat SKIPS null arguments, so a
+    NULL input would become md5('salt|') — a real hash where Spark's
+    md5_long yields NULL — and the unsalted form would try
+    CAST('0x' AS BIGINT) and crash the oracle. The ANSI ``||`` operator
+    propagates NULL exactly like Spark's concat, keeping the two
+    engines' hashes (and their NULL handling) identical."""
     if salt is not None:
-        expr = f"concat('{salt}|', {expr})"
-    return f"CAST(concat('0x', substr(md5({expr}), 1, {nchars})) AS BIGINT)"
+        expr = f"('{salt}|' || {expr})"
+    return f"CAST('0x' || substr(md5({expr}), 1, {nchars}) AS BIGINT)"
 
 
 #: Carter-Wegman universal-hash family for minhash: one 32-bit md5-derived

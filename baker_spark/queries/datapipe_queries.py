@@ -4,7 +4,7 @@ the identical md5/fixed-point arithmetic."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from baker_spark.datapipe import dedup, multimodal, text, vectors
 from baker_spark.session import fan_out, managed_persist
@@ -155,7 +155,7 @@ def dp_ann_topk_bucketed(spark, sf_dir):
 
 
 _RECALL_Q, _RECALL_K = 10, 5
-_RECALL_COS = vectors.duck_cosine("e.v", "q.v")
+_RECALL_C4 = vectors.duck_cosine_c4("e.v", "q.v")
 
 
 @query(
@@ -169,7 +169,7 @@ exact AS (
   SELECT qid, id FROM (
     SELECT q.qid, e.id,
            row_number() OVER (PARTITION BY q.qid
-             ORDER BY CAST(floor(({_RECALL_COS}) * 10000) AS BIGINT) DESC, e.id) AS rn
+             ORDER BY CAST({_RECALL_C4} AS BIGINT) DESC, e.id) AS rn
     FROM e, q
   ) WHERE rn <= {_RECALL_K}
 ),
@@ -177,7 +177,7 @@ approx AS (
   SELECT qid, id FROM (
     SELECT q.qid, e.id,
            row_number() OVER (PARTITION BY q.qid
-             ORDER BY CAST(floor(({_RECALL_COS}) * 10000) AS BIGINT) DESC, e.id) AS rn
+             ORDER BY CAST({_RECALL_C4} AS BIGINT) DESC, e.id) AS rn
     FROM e JOIN q ON e.bucket = q.bucket
   ) WHERE rn <= {_RECALL_K}
 ),
@@ -189,7 +189,7 @@ approx_mp AS (
   SELECT qid, id FROM (
     SELECT q.qid, e.id,
            row_number() OVER (PARTITION BY q.qid
-             ORDER BY CAST(floor(({_RECALL_COS}) * 10000) AS BIGINT) DESC, e.id) AS rn
+             ORDER BY CAST({_RECALL_C4} AS BIGINT) DESC, e.id) AS rn
     FROM e JOIN probes q ON e.bucket = q.pbucket
   ) WHERE rn <= {_RECALL_K}
 )
@@ -226,8 +226,6 @@ def dp_ann_recall(spark, sf_dir):
     engines makes even the rank cut deterministic. A corpus row matches
     at most one probe of a query (XOR is a bijection), so the
     multi-probe join introduces no duplicate candidates."""
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = vectors.lsh_buckets(emb)
     # persisted: three candidate generators (exact, probe, multiprobe)
@@ -242,7 +240,10 @@ def dp_ann_recall(spark, sf_dir):
     q = e.filter(F.col("id") < _RECALL_Q).select(
         F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
     )
-    score = F.floor(vectors.cosine(F.col("v"), F.col("qv")) * 10000).cast("long")
+    # cosine_c4, not raw floor(cosine*1e4): the zero-norm pin keeps a
+    # padding/dead vector from NULL-vs-NaN ranking divergence (and the
+    # oracle's BIGINT cast crash) — see vectors.cosine_c4
+    score = vectors.cosine_c4(F.col("v"), F.col("qv"))
     rn = F.row_number().over(
         Window.partitionBy("qid").orderBy(F.desc("_s"), F.col("id"))
     )
@@ -365,8 +366,6 @@ def dp_tfidf_topk(spark, sf_dir):
     # without the boundary the corpus explode + tf aggregate run twice
     tf = managed_persist(toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
     df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
-    from pyspark.sql import Window
-
     win = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("w").asc()
     )
@@ -879,19 +878,24 @@ def dp_minhash_jaccard_est(spark, sf_dir):
     exact set intersection when the shingle sets are too big to move.
     The signature aggregate is computed ONCE and persisted; the band
     table and both compare sides read it from cache instead of
-    re-running the shingle->md5->agg pipeline three times."""
-    from baker_spark.session import managed_persist
+    re-running the shingle->md5->agg pipeline three times.
 
+    No forced broadcasts: the candidate-pair table grows LINEARLY with
+    the corpus (the bucket cap bounds per-bucket blowup, not pair
+    count), so a broadcast hint here would collect a corpus-sized table
+    to the driver at scale and hit the 8 GB broadcast wall. The joins
+    carry (pair ids + 16 longs) — plain shuffle joins, AQE promotes
+    them to broadcast when the run-time size is actually small."""
     docs = load_table(spark, sf_dir, "documents")
     sig = managed_persist(dedup.minhash_signature(docs))
     cands = dedup.lsh_pairs(docs, sig=sig)
     a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(_JK)])
     b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(_JK)])
     agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_JK))
-    with_a = a.join(F.broadcast(cands), "doc_a")
+    with_a = a.join(cands, "doc_a")
     est = F.lit(1000000 // _JK).cast("long") * agree  # exact: 1e6/16 divides evenly
     return (
-        b.join(F.broadcast(with_a), "doc_b")
+        b.join(with_a, "doc_b")
         .select("doc_a", "doc_b", est.cast("long").alias("jaccard_est_c6"))
     )
 
@@ -1243,6 +1247,11 @@ def dp_passage_scrub(spark, sf_dir):
         F.posexplode(text.chunks("text", size=5, step=5)).alias("idx", "chunk"),
     )
     blocks = blocks.withColumn("hv", _hashing.md5_long("chunk"))
+    # persist: blocks feeds BOTH the repetition aggregate and the
+    # anti-join probe; without the boundary the chunk explode + md5
+    # pipeline (the expensive per-row stage) runs twice — same pattern
+    # as dp_tfidf_topk's tf persist
+    blocks = managed_persist(blocks)
     repeated = (
         blocks.groupBy("hv")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -1333,7 +1342,9 @@ def dp_lang_mix_weights(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(text.words("text"))).cast("long").alias("n_tokens"),
+        # n_words, not raw size(words()): legacy size(NULL) = -1 would
+        # SUBTRACT one per null-text doc where the oracle's sum skips it
+        F.sum(text.n_words("text")).cast("long").alias("n_tokens"),
         F.floor(F.sqrt(F.count("*").cast("double")) * 1000000)
         .cast("long")
         .alias("weight_sqrt_c6"),
@@ -1375,8 +1386,6 @@ def dp_sequence_packing(spark, sf_dir):
     each stream's window state is one running sum, and S grows with the
     cluster at 100 TB. The per-doc start offset inside its sequence
     comes out of the same window pass."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",

@@ -69,19 +69,35 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), f"baker_spark_pkg_{os.getpid()}.zip")
+    # the zip is keyed by a CONTENT hash, not pid: a pid-keyed path could
+    # reuse a stale zip after the source tree changed (or after pid
+    # recycling against a persistent /tmp), shipping old module code to
+    # executors under new driver code. Hash of (relpath, mtime, size)
+    # per file is cheap and changes whenever any shipped file does.
+    import hashlib
+
+    members = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for name in files:
+            if name.endswith(".py"):
+                full = os.path.join(root, name)
+                st = os.stat(full)
+                members.append((full, os.path.relpath(full, pkg_dir), st.st_mtime_ns, st.st_size))
+    members.sort(key=lambda m: m[1])
+    digest = hashlib.md5(
+        "\n".join(f"{r}|{m}|{z}" for _, r, m, z in members).encode()
+    ).hexdigest()[:16]
+    zpath = os.path.join(tempfile.gettempdir(), f"baker_spark_pkg_{digest}.zip")
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for name in files:
-                    if name.endswith(".py"):
-                        full = os.path.join(root, name)
-                        rel = os.path.join(
-                            "baker_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        zf.write(full, rel)
+        # write-then-rename: a concurrent session builder never observes
+        # (or addPyFile-reads) a half-written archive
+        tmp = f"{zpath}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full, rel, _m, _z in members:
+                zf.write(full, os.path.join("baker_spark", rel))
+        os.replace(tmp, zpath)
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:
@@ -177,8 +193,16 @@ def fan_out(df, multiple: int = 1, by: str | None = None):
     retry-deterministic per row, so it skips that sort: ~2x cheaper on
     this exchange, identical balance when the key is unique. Callers
     that know their id column should always pass it."""
-    target = df.sparkSession.sparkContext.defaultParallelism * multiple
-    if df.rdd.getNumPartitions() < target:
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism * multiple
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect sessions expose neither sparkContext nor df.rdd;
+        # configure()'s contract is graceful degradation there (see
+        # _ship_package), so the split heuristic becomes a no-op rather
+        # than crashing every UDF-free catalog build that calls fan_out
+        return df
+    if current < target:
         if by is not None:
             from pyspark.sql import functions as F
 
