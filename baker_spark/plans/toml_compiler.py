@@ -361,6 +361,8 @@ def _build_upload(section: dict):
             bucket=cfg["bucket"],
             prefix=cfg.get("prefix", ""),
             retries=int(cfg.get("retries", 3)),
+            # s3.go ExitOnError (default false: log-and-continue drain)
+            exit_on_error=bool(cfg.get("exit_on_error", False)),
         )
     raise ValueError(f"unknown upload {section.get('name')!r}")
 

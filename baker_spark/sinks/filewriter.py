@@ -325,7 +325,16 @@ class FileWriter:
         # escape machinery does nothing useful here. coalesce('') keeps
         # empty==null fidelity AND the separator count (concat_ws would
         # silently skip a NULL field, eating its separator).
-        record_cols = [c for c in df.columns if c not in partition_cols]
+        # exclude only the SYNTHETIC time-partition columns from the
+        # serialized line. partition_by ({{.Field0}}) is a record field:
+        # the reference writes the record in FULL and uses Fields[0] for
+        # the path only (filewriter.go:192), so its value must stay in
+        # every line — a migrating consumer reads the same columns at
+        # the same positions, just grouped into per-value directories.
+        synthetic = set(partition_cols)
+        if self.partition_by:
+            synthetic.discard(self.partition_by)
+        record_cols = [c for c in df.columns if c not in synthetic]
         if self.rotate_size_bytes and not max_records:
             # sample AFTER the partition split so the estimate covers
             # exactly the bytes each rotated file will hold

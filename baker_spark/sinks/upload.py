@@ -33,6 +33,20 @@ class S3Upload:
     #: upload_fn(local_path, bucket, key) — injected (boto3's upload_file
     #: has this exact signature via functools.partial)
     upload_fn: Callable[[str, str, str], None] | None = None
+    #: the reference DELETES each file after a successful upload
+    #: (upload/s3.go:316 os.Remove) — that is what makes repeated run()
+    #: calls a DRAIN: daemon mode calls run() after every micro-batch,
+    #: and without the remove each pass re-uploads the whole ever-growing
+    #: staging dir (O(batches x files) PUTs). False keeps files for
+    #: callers doing a one-shot post-hoc copy they want to retain.
+    remove_after: bool = True
+    #: upload/s3.go:271-276: failures are logged and the drain continues
+    #: unless ExitOnError — raising mid-scan would skip every remaining
+    #: file this pass and, in daemon mode, kill the streaming query.
+    exit_on_error: bool = False
+    #: (key, error-string) pairs from the last run() when
+    #: exit_on_error=False — the reference's log-and-continue trail
+    errors: list | None = None
 
     def _default_upload(self):
         try:
@@ -47,7 +61,13 @@ class S3Upload:
         (upload/s3.go:126-187,234-287). Returns uploaded keys."""
         upload = self.upload_fn or self._default_upload()
         uploaded = []
-        for root, _dirs, files in os.walk(self.source_base_path):
+        self.errors = []
+        for root, dirs, files in os.walk(self.source_base_path):
+            # prune '.'/'_' DIRECTORIES too: a crashed Spark write leaves
+            # _temporary/.spark-staging trees whose uncommitted part
+            # files must never reach S3 (filtering only basenames walked
+            # straight into them)
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
             for name in sorted(files):
                 if name.startswith((".", "_")):
                     # Hadoop convention: '.'/'_'-prefixed files are
@@ -65,10 +85,18 @@ class S3Upload:
                     try:
                         upload(full, self.bucket, key)
                         uploaded.append(key)
+                        if self.remove_after:
+                            try:
+                                os.remove(full)
+                            except OSError:
+                                pass  # already gone / unwritable: re-upload is safe
                         break
-                    except Exception:
+                    except Exception as exc:
                         if attempt == self.retries:
-                            raise
+                            if self.exit_on_error:
+                                raise
+                            self.errors.append((key, str(exc)))
+                            break
                         time.sleep(delay)
                         delay *= 2
         return uploaded

@@ -180,7 +180,10 @@ class SQSStreamReader(DataSourceStreamReader):
         self._poller = SQSPoller(cfg, client, on_file=lambda p: None)
         self._client = client
         self._bucket = cfg.bucket
-        self._region = cfg.aws_region
+        # the option, not the dataclass default: cfg.aws_region is never
+        # populated from options, and read()'s executor-side S3 fetches
+        # must hit the same regional endpoint the user configured
+        self._region = options.get("aws_region") or cfg.aws_region
         self._max_messages = int(options.get("max_messages", "10"))
         self._seq = 0
         #: per-run nonce stamped into every offset this reader emits.
@@ -196,8 +199,18 @@ class SQSStreamReader(DataSourceStreamReader):
         self._inflight: dict[tuple[str, str], str] = {}
         #: keys replayed from the WAL whose delete never ran (crash
         #: between journal and delete): the next poll deletes them
-        #: instead of re-admitting — their rows are already in a batch
-        self._replayed: set[tuple[str, str]] = set()
+        #: instead of re-admitting — their rows are already in a batch.
+        #: Value = suppression deadline (monotonic): if no redelivery
+        #: arrives within the window, the pre-crash delete evidently
+        #: SUCCEEDED and the entry must expire — a permanent entry would
+        #: swallow a future legitimate re-notification of the same path
+        #: (producer re-puts new content at the same key) forever.
+        #: Window default 900s: past any sane SQS visibility timeout, so
+        #: a genuine straggler redelivers well inside it.
+        self._replay_suppress_secs = float(
+            options.get("replay_suppress_secs", "900")
+        )
+        self._replayed: dict[tuple[str, str], float] = {}
         #: last offset handed to Spark — re-returned VERBATIM while no
         #: new files arrive (a changed-but-equal-seq offset would plan
         #: an endless run of empty batches)
@@ -208,6 +221,11 @@ class SQSStreamReader(DataSourceStreamReader):
         return {"seq": 0, "files": []}
 
     def latestOffset(self) -> dict:
+        import time as _time
+
+        now = _time.monotonic()
+        for k in [k for k, dl in self._replayed.items() if dl < now]:
+            del self._replayed[k]
         pending = self._poller.poll_pending(self._max_messages)
         new = []
         for path, queue_url, handle in pending:
@@ -222,7 +240,7 @@ class SQSStreamReader(DataSourceStreamReader):
                 # a restart): delete the straggler, never re-admit it
                 try:
                     self._client.delete_message(QueueUrl=queue_url, ReceiptHandle=handle)
-                    self._replayed.discard(key)
+                    del self._replayed[key]
                 except Exception:  # noqa: BLE001 — retry next poll
                     pass
                 continue
@@ -262,9 +280,12 @@ class SQSStreamReader(DataSourceStreamReader):
             if handle is None:
                 # checkpoint replay after restart: the handle died with
                 # the old process. If the message still exists it will
-                # redeliver — mark it so the next poll deletes instead
-                # of re-admitting rows that are already in this batch
-                self._replayed.add(key)
+                # redeliver — mark it (bounded by the suppression window,
+                # see _replayed) so the next poll deletes instead of
+                # re-admitting rows that are already in this batch
+                import time as _time
+
+                self._replayed[key] = _time.monotonic() + self._replay_suppress_secs
                 continue
             try:
                 self._client.delete_message(QueueUrl=queue_url, ReceiptHandle=handle)

@@ -58,11 +58,30 @@ class TCPGzipListener:
         self.connections = 0
         self.num_lines = 0  # InputStats analog (tcp.go:126-131)
         self.errors: list[str] = []  # per-connection failures (log-and-continue)
-        self._seq = 0
+        # resume the spool counter past any files a PREVIOUS run left:
+        # restarting at 1 would os.rename() onto tcp-00000001.csv — if
+        # the file source already ingested that path the new chunk is
+        # never read (seen paths are never reprocessed), and if it had
+        # not, the old contents are overwritten. Either way: data loss.
+        self._seq = self._max_existing_seq(spool_dir)
         self._lock = threading.Lock()
         self._server: socketserver.ThreadingTCPServer | None = None
         self._thread: threading.Thread | None = None
         os.makedirs(spool_dir, exist_ok=True)
+
+    @staticmethod
+    def _max_existing_seq(spool_dir: str) -> int:
+        import re
+
+        top = 0
+        try:
+            for name in os.listdir(spool_dir):
+                m = re.fullmatch(r"tcp-(\d{8})\.csv", name)
+                if m:
+                    top = max(top, int(m.group(1)))
+        except FileNotFoundError:
+            pass
+        return top
 
     # ---------------------------------------------------------- spooling
 
@@ -119,8 +138,13 @@ class TCPGzipListener:
                 except (OSError, EOFError, zlib.error) as exc:
                     listener.errors.append(str(exc))
 
-        socketserver.ThreadingTCPServer.allow_reuse_address = True
-        self._server = socketserver.ThreadingTCPServer((self.host, self.port), Handler)
+        class Server(socketserver.ThreadingTCPServer):
+            # on the subclass, NOT the stdlib class: mutating
+            # ThreadingTCPServer.allow_reuse_address would leak the
+            # setting into every other TCP server in the process
+            allow_reuse_address = True
+
+        self._server = Server((self.host, self.port), Handler)
         self.host, self.port = self._server.server_address
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._thread.start()

@@ -19,6 +19,7 @@ chain, closes outputs; restart resumes where the checkpoint left off):
 """
 
 import gzip
+import shutil
 import os
 
 from baker_spark.operators.transforms import StringMatch
@@ -47,7 +48,17 @@ def _read_parts(out_dir) -> dict[str, list[str]]:
     return parts
 
 
-def _pipeline(watch, out_dir, uploaded):
+def _pipeline(watch, out_dir, s3_dir, uploaded):
+    # the fake uploader COPIES to the destination dir: the upload stage
+    # drains its staging dir after each success (the reference's
+    # os.Remove, upload/s3.go:316), so the durable record of the run —
+    # the thing the exactly-once assertions must read — is the S3 side
+    def upload_fn(path, bucket, key):
+        dst = os.path.join(s3_dir, key)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(path, dst)
+        uploaded.add(key)
+
     return StreamingPipeline(
         source=FileStreamSource(
             str(watch), fields=["rid", "flag", "val"], max_files_per_trigger=1
@@ -57,7 +68,7 @@ def _pipeline(watch, out_dir, uploaded):
         upload=S3Upload(
             source_base_path=str(out_dir),
             bucket="test-bucket",
-            upload_fn=lambda path, bucket, key: uploaded.add(key),
+            upload_fn=upload_fn,
         ),
     )
 
@@ -65,6 +76,7 @@ def _pipeline(watch, out_dir, uploaded):
 def test_daemon_soak_kill_resume_exactly_once(spark, tmp_path):
     watch = tmp_path / "incoming"
     out_dir = tmp_path / "out"
+    s3_dir = str(tmp_path / "s3")
     ckpt = str(tmp_path / "ckpt")
     watch.mkdir()
     uploaded: set[str] = set()
@@ -73,7 +85,7 @@ def test_daemon_soak_kill_resume_exactly_once(spark, tmp_path):
     # ---- phase 1: seven arrivals, seven micro-batches, then stop ----
     for i in range(3):
         expected += _drop_file(watch, i)
-    pipe = _pipeline(watch, out_dir, uploaded)
+    pipe = _pipeline(watch, out_dir, s3_dir, uploaded)
     q = pipe.start(spark, checkpoint_dir=ckpt)
     try:
         q.processAllAvailable()
@@ -84,16 +96,19 @@ def test_daemon_soak_kill_resume_exactly_once(spark, tmp_path):
         q.stop()  # the SIGINT drain (topology.go:282-314)
         q.awaitTermination(30)
 
-    mid = _read_parts(out_dir)
+    # the staging dir is DRAINED batch-by-batch; the uploaded copies
+    # are the output under test
+    mid = _read_parts(s3_dir)
     mid_rows = [r for rows in mid.values() for r in rows]
     assert sorted(mid_rows) == sorted(expected), "drained output incomplete at stop"
+    assert _read_parts(out_dir) == {}, "staging dir not drained after upload"
 
     # ---- phase 2: five more arrivals land while the daemon is down ----
     for i in range(7, 12):
         expected += _drop_file(watch, i)
 
     # ---- phase 3: resume from checkpoint with a FRESH pipeline object ----
-    pipe2 = _pipeline(watch, out_dir, uploaded)
+    pipe2 = _pipeline(watch, out_dir, s3_dir, uploaded)
     q2 = pipe2.start(spark, checkpoint_dir=ckpt)
     try:
         q2.processAllAvailable()
@@ -101,7 +116,7 @@ def test_daemon_soak_kill_resume_exactly_once(spark, tmp_path):
         q2.stop()
         q2.awaitTermination(30)
 
-    parts = _read_parts(out_dir)
+    parts = _read_parts(s3_dir)
     all_rows = [r for rows in parts.values() for r in rows]
 
     # exactly-once across the restart: nothing lost, nothing replayed

@@ -247,3 +247,56 @@ def test_filewriter_time_partition_name_collision_rejected(spark, tmp_path):
     df_mixed = spark.createDataFrame([Row(ts="2024-01-01 00:00:00", Hour="07", msg="m")])
     with _pytest.raises(ValueError, match="collide"):
         fw.write(df_mixed)
+
+
+def test_filewriter_field0_partition_keeps_field_in_lines(spark, tmp_path):
+    """{{.Field0}} groups files into per-value directories but the
+    reference writes the RECORD IN FULL (filewriter.go:192, Fields[0]
+    is only the path) — the partition field's value must stay in every
+    serialized line at its original position."""
+    import glob
+    import gzip as _gzip
+
+    from baker_spark.sinks.filewriter import FileWriter
+
+    df = spark.createDataFrame(
+        [("us", "1", "a"), ("us", "2", "b"), ("eu", "3", "c")],
+        ["region", "id", "v"],
+    )
+    out = str(tmp_path / "out")
+    FileWriter(path=out, compression="gzip", partition_by="region").write(df)
+    lines = []
+    for part in glob.glob(f"{out}/region=*/*.gz"):
+        with _gzip.open(part, "rt") as fh:
+            lines += [ln.strip() for ln in fh]
+    assert sorted(lines) == ["eu,3,c", "us,1,a", "us,2,b"]  # full records
+
+
+def test_s3_upload_drains_and_skips_staging_dirs(tmp_path):
+    """run() removes uploaded files (the reference's os.Remove drain,
+    s3.go:316) so the next pass uploads nothing; '_'-prefixed DIRS
+    (crashed-write _temporary trees) are pruned, not walked into; and
+    a persistently failing file is logged and skipped, not allowed to
+    abort the rest of the scan (s3.go:271-276 log-and-continue)."""
+    from baker_spark.sinks.upload import S3Upload
+
+    staging = tmp_path / "staging"
+    (staging / "_temporary" / "0").mkdir(parents=True)
+    (staging / "_temporary" / "0" / "part-00000.gz").write_text("uncommitted")
+    (staging / "good.gz").write_text("x")
+    (staging / "bad.gz").write_text("y")
+
+    uploaded = []
+
+    def flaky(path, bucket, key):
+        if key.endswith("bad.gz"):
+            raise IOError("persistent")
+        uploaded.append(key)
+
+    up = S3Upload(source_base_path=str(staging), bucket="b", retries=1, upload_fn=flaky)
+    keys = up.run()
+    assert keys == ["good.gz"]  # _temporary pruned, bad.gz failed
+    assert up.errors and up.errors[0][0] == "bad.gz"
+    assert not (staging / "good.gz").exists()  # drained
+    assert (staging / "bad.gz").exists()  # failed file left for next pass
+    assert up.run() == []  # nothing re-uploaded except the retrying bad.gz
