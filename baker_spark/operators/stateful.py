@@ -30,13 +30,24 @@ class Dedup(Operator):
         self.fields, self.order_by = list(fields), order_by
 
     def apply(self, df: DataFrame) -> DataFrame:
+        # key on coalesce(field, ''): the record model treats NULL and
+        # '' as the SAME empty value (record.go:35-39 — a short CSV line
+        # and an explicit empty cell both key as empty bytes in the
+        # reference's set), but dropDuplicates/partitionBy would keep
+        # one of each
+        keys = [
+            F.coalesce(F.col(f).cast("string"), F.lit("")).alias(f"_bk_k{i}")
+            for i, f in enumerate(self.fields)
+        ]
+        key_names = [f"_bk_k{i}" for i in range(len(self.fields))]
+        df = df.select("*", *keys)
         if self.order_by is None:
-            return df.dropDuplicates(self.fields)
-        w = Window.partitionBy(*self.fields).orderBy(F.col(self.order_by).asc())
+            return df.dropDuplicates(key_names).drop(*key_names)
+        w = Window.partitionBy(*key_names).orderBy(F.col(self.order_by).asc())
         return (
             df.withColumn("_bk_rn", F.row_number().over(w))
             .filter(F.col("_bk_rn") == 1)
-            .drop("_bk_rn")
+            .drop("_bk_rn", *key_names)
         )
 
 

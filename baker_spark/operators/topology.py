@@ -110,12 +110,19 @@ class Shard(Operator):
         self.field, self.procs, self.deterministic = field, procs, deterministic
 
     def shard_column(self):
-        return F.pmod(md5_long(F.col(self.field).cast("string")), F.lit(self.procs))
+        # coalesce to '': the record model's two empty encodings (NULL
+        # from a short CSV line, '' from an empty cell) must land on ONE
+        # shard — the reference hashes both as empty bytes. md5_long of
+        # NULL would be NULL (its own pmod), splitting the empty key.
+        key = F.coalesce(F.col(self.field).cast("string"), F.lit(""))
+        return F.pmod(md5_long(key), F.lit(self.procs))
 
     def apply(self, df: DataFrame) -> DataFrame:
         if self.deterministic:
             return df.repartition(self.procs, self.shard_column())
-        return df.repartition(self.procs, F.col(self.field))
+        return df.repartition(
+            self.procs, F.coalesce(F.col(self.field).cast("string"), F.lit(""))
+        )
 
 
 @register

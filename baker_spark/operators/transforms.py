@@ -120,11 +120,11 @@ class ExpandJSON(Operator):
         # jmespath UDF, whose json.loads sees the real type.
         return F.get_json_object(F.col(self.source), "$." + path)
 
-    def _jmespath_udf(self, path: str) -> Column:
+    def _searcher(self, path: str):
         try:
             import jmespath
 
-            searcher = jmespath.compile(path).search
+            return jmespath.compile(path).search
         except ImportError:
             if not self._is_simple(path):
                 raise
@@ -140,39 +140,72 @@ class ExpandJSON(Operator):
                     data = data.get(p)
                 return data
 
-        tf = self.tf
+            return searcher
 
-        @F.pandas_udf("string")
-        def extract(s: pd.Series) -> pd.Series:
+    def _jmespath_struct(self, paths: list[str]) -> Column:
+        """ONE pandas UDF for ALL udf-routed paths: the JSON source is
+        json.loads'ed once per row and every path searched on the parsed
+        document — the reference parses once per record too
+        (expand_json.go:103-146). One UDF per path would re-parse the
+        document N times per row in N separate Arrow invocations."""
+        searchers = [self._searcher(p) for p in paths]
+        tf = self.tf
+        names = [f"c{i}" for i in range(len(paths))]
+        schema = "struct<" + ",".join(f"{n}:string" for n in names) + ">"
+
+        @F.pandas_udf(schema)
+        def extract(s: pd.Series) -> pd.DataFrame:
             import json
 
-            def one(v):
+            rows = []
+            for v in s:
                 if not v:
-                    return None
+                    rows.append([None] * len(searchers))
+                    continue
                 try:
-                    r = searcher(json.loads(v))
+                    data = json.loads(v)
                 except Exception:
-                    return None
-                if r is None:
-                    return None
-                if isinstance(r, bool):
-                    return tf[0] if r else tf[1]
-                if isinstance(r, (int, float, str)):
-                    return str(r)
-                return json.dumps(r)
-
-            return s.map(one)
+                    rows.append([None] * len(searchers))
+                    continue
+                out = []
+                for search in searchers:
+                    try:
+                        r = search(data)
+                    except Exception:
+                        r = None
+                    if r is None:
+                        out.append(None)
+                    elif isinstance(r, bool):
+                        out.append(tf[0] if r else tf[1])
+                    elif isinstance(r, (int, float, str)):
+                        out.append(str(r))
+                    else:
+                        out.append(json.dumps(r))
+                rows.append(out)
+            return pd.DataFrame(rows, columns=names)
 
         return extract(F.col(self.source))
 
     def apply(self, df: DataFrame) -> DataFrame:
         updates = {}
+        udf_paths: list[tuple[str, str]] = []
         for path, dst in self.fields.items():
             fast = self._is_simple(path) and self.tf == ("true", "false")
-            val = self._native(path) if fast else self._jmespath_udf(path)
+            if fast:
+                prev = F.col(dst).cast("string") if dst in df.columns else F.lit("")
+                updates[dst] = F.coalesce(self._native(path), prev)
+            else:
+                udf_paths.append((path, dst))
+        if not udf_paths:
+            return df.withColumns(updates)
+        # materialize the struct as ONE column first: field extraction
+        # then prunes from a single UDF evaluation instead of re-running
+        # the UDF per destination
+        out = df.withColumn("_bk_ej", self._jmespath_struct([p for p, _ in udf_paths]))
+        for i, (_path, dst) in enumerate(udf_paths):
             prev = F.col(dst).cast("string") if dst in df.columns else F.lit("")
-            updates[dst] = F.coalesce(val, prev)
-        return df.withColumns(updates)
+            updates[dst] = F.coalesce(F.col("_bk_ej").getField(f"c{i}"), prev)
+        return out.withColumns(updates).drop("_bk_ej")
 
 
 #: Go time layout names -> Java datetime patterns (format_time.go:152-188).
@@ -186,7 +219,10 @@ GO_LAYOUTS = {
     "RFC1123": "EEE, dd MMM yyyy HH:mm:ss zzz",
     "RFC1123Z": "EEE, dd MMM yyyy HH:mm:ss xx",
     "RFC3339": "yyyy-MM-dd'T'HH:mm:ssXXX",
-    "RFC3339Nano": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    # parse side: [.SSSSSSSSS] accepts 0-9 fraction digits, exactly
+    # Go's trailing-zero-trimmed .999999999 (a whole second formats with
+    # NO fraction at all); format side is special-cased to trim like Go
+    "RFC3339Nano": "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]XXX",
     "Kitchen": "h:mma",
     "Stamp": "MMM d HH:mm:ss",
     "StampMilli": "MMM d HH:mm:ss.SSS",
@@ -202,6 +238,58 @@ _EPOCH_FORMATS = {"unix", "unixms", "unixns"}
 #: formatting emits no pad — so these layouts normalize space runs
 #: before parsing and space-pad the day explicitly when formatting.
 _GO_SPACE_PAD_DAY = {"ANSIC", "UnixDate", "Stamp", "StampMilli", "StampMicro"}
+
+
+_GO_TOKENS = [
+    # longest-match-first scan; Go reference layout components
+    ("2006", "yyyy"), ("January", "MMMM"), ("Monday", "EEEE"),
+    (".000000000", ".SSSSSSSSS"), (".000000", ".SSSSSS"), (".000", ".SSS"),
+    (".999999999", "[.SSSSSSSSS]"), (".999999", "[.SSSSSS]"), (".999", "[.SSS]"),
+    ("Z07:00", "XXX"), ("Z0700", "XX"),
+    ("-07:00", "xxx"), ("-0700", "xx"), ("-07", "x"),
+    ("Jan", "MMM"), ("Mon", "EEE"), ("MST", "zzz"),
+    ("15", "HH"), ("01", "MM"), ("02", "dd"), ("03", "hh"),
+    ("04", "mm"), ("05", "ss"), ("06", "yy"),
+    ("_2", "d"), ("PM", "a"), ("pm", "a"),
+    ("1", "M"), ("2", "d"), ("3", "h"), ("4", "m"), ("5", "s"),
+]
+
+
+def _go_layout_to_java(layout: str) -> str:
+    """Translate an arbitrary Go reference layout (format_time.go's
+    default case accepts ANY layout string) into a Java/Spark datetime
+    pattern. Without this, a reference-valid custom layout like
+    SrcFormat="2006-01-02" reached to_timestamp verbatim and threw
+    DATETIME_PATTERN_RECOGNITION at action time — digits are illegal
+    Java pattern chars — failing the whole job instead of converting.
+    Unrecognized characters become quoted literals (letters MUST be
+    quoted in Java patterns)."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        run = "".join(lit)
+        if any(ch.isalpha() for ch in run) or "'" in run:
+            out.append("'" + run.replace("'", "''") + "'")
+        else:
+            out.append(run)
+        lit.clear()
+
+    i = 0
+    while i < len(layout):
+        for tok, java in _GO_TOKENS:
+            if layout.startswith(tok, i):
+                flush()
+                out.append(java)
+                i += len(tok)
+                break
+        else:
+            lit.append(layout[i])
+            i += 1
+    flush()
+    return "".join(out)
 
 
 @register
@@ -234,31 +322,31 @@ class FormatTime(Operator):
             return F.timestamp_micros(
                 F.expr(f"CAST(`{self.src}` AS BIGINT) div 1000")
             )
-        pattern = GO_LAYOUTS.get(fmt, fmt)
-        if fmt in GO_LAYOUTS:
-            # Spark 3+ forbids day-of-week tokens in PARSE patterns
-            # (E is format-only; to_timestamp('EEE ...') throws
-            # DATETIME_PATTERN_RECOGNITION before seeing any data).
-            # The weekday is redundant for parsing, so strip it from the
-            # pattern AND require a REAL weekday name in the input — a
-            # row without one becomes NULL and clears dst, same as Go's
-            # time.Parse (which validates the name but not its
-            # consistency with the date).
-            dow = "(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)"
-            dow_full = (
-                "(?:Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday)"
-            )
-            strip = None
-            if pattern.startswith("EEEE, "):
-                strip, pattern = f"^{dow_full}, ", pattern[6:]
-            elif pattern.startswith("EEE, "):
-                strip, pattern = f"^{dow}, ", pattern[5:]
-            elif pattern.startswith("EEE "):
-                strip, pattern = f"^{dow} ", pattern[4:]
-            if strip is not None:
-                col = F.when(
-                    col.rlike(strip), F.regexp_replace(col, strip, "")
-                ).otherwise(F.lit(None).cast("string"))
+        pattern = GO_LAYOUTS.get(fmt) or _go_layout_to_java(fmt)
+        # Spark 3+ forbids day-of-week tokens in PARSE patterns
+        # (E is format-only; to_timestamp('EEE ...') throws
+        # DATETIME_PATTERN_RECOGNITION before seeing any data).
+        # The weekday is redundant for parsing, so strip it from the
+        # pattern AND require a REAL weekday name in the input — a
+        # row without one becomes NULL and clears dst, same as Go's
+        # time.Parse (which validates the name but not its
+        # consistency with the date). Applies to named layouts AND
+        # translated custom ones (both can lead with a weekday).
+        dow = "(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)"
+        dow_full = (
+            "(?:Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday)"
+        )
+        strip = None
+        if pattern.startswith("EEEE, "):
+            strip, pattern = f"^{dow_full}, ", pattern[6:]
+        elif pattern.startswith("EEE, "):
+            strip, pattern = f"^{dow}, ", pattern[5:]
+        elif pattern.startswith("EEE "):
+            strip, pattern = f"^{dow} ", pattern[4:]
+        if strip is not None:
+            col = F.when(
+                col.rlike(strip), F.regexp_replace(col, strip, "")
+            ).otherwise(F.lit(None).cast("string"))
         if fmt in _GO_SPACE_PAD_DAY:
             col = F.regexp_replace(col, "  +", " ")
         return F.to_timestamp(col, pattern)
@@ -271,7 +359,14 @@ class FormatTime(Operator):
             return _s(F.unix_millis(ts))
         if fmt == "unixns":
             return _s(F.unix_micros(ts) * 1000)
-        pattern = GO_LAYOUTS.get(fmt, fmt)
+        pattern = GO_LAYOUTS.get(fmt) or _go_layout_to_java(fmt)
+        if fmt == "RFC3339Nano":
+            # Go trims trailing fraction zeros (and a bare dot); Spark's
+            # date_format emits fixed-width digits, so format at micros
+            # then trim before the zone suffix
+            full = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            trimmed = F.regexp_replace(full, r"(\.\d*?)0+(?=Z|[+-])", r"$1")
+            return F.regexp_replace(trimmed, r"\.(?=Z|[+-])", "")
         if fmt in _GO_SPACE_PAD_DAY:
             # Java has no space-pad pattern letter Spark accepts, so the
             # padded day is spliced in between the two pattern halves
@@ -295,7 +390,11 @@ class Hash(Operator):
 
     name = "Hash"
 
-    def __init__(self, src_field: str, dst_field: str, function: str = "md5", encoding: str = "hex"):
+    def __init__(self, src_field: str, dst_field: str, function: str = "md5", encoding: str = ""):
+        # default '' = raw digest pass-through, matching hash.go:82-93
+        # (a reference TOML omitting Encoding gets raw bytes, not hex);
+        # raw lands in a BINARY column, which the line serializer and
+        # binary->string cast carry byte-verbatim like Go's []byte.
         self.writes = [dst_field]
         if function not in ("md5", "sha256"):
             raise ValueError(f"unsupported hash function {function!r}")
@@ -323,8 +422,12 @@ class NotNull(Operator):
         self.reads = list(fields)
 
     def keep_predicate(self) -> Column:
+        # initializer: Fields=[] is legal in the reference (its loop
+        # simply passes every record); a bare reduce() would TypeError
         return reduce(
-            lambda a, b: a & b, (~is_empty(_s(F.col(f))) for f in self.fields)
+            lambda a, b: a & b,
+            (~is_empty(_s(F.col(f))) for f in self.fields),
+            F.lit(True),
         )
 
     def apply(self, df: DataFrame) -> DataFrame:
@@ -366,9 +469,12 @@ class RegexMatch(Operator):
         self.reads = list(fields)
 
     def keep_predicate(self) -> Column:
+        # initializer: Fields=[] is legal in the reference — zero checks
+        # leave match vacuously true (keep; under invert, drop)
         match = reduce(
             lambda a, b: a & b,
             (F.coalesce(F.col(f).cast("string"), F.lit("")).rlike(rx) for f, rx in self.pairs),
+            F.lit(True),
         )
         return ~match if self.invert else match
 
@@ -499,8 +605,13 @@ class TimestampRange(Operator):
 
     def keep_predicate(self) -> Column:
         # via string so the predicate is identical on a natively-typed
-        # scan and on the all-string record frame (ParseInt semantics)
-        epoch = _s(F.col(self.field)).cast("long")  # non-numeric -> null -> dropped
+        # scan and on the all-string record frame. The rlike guard IS
+        # the ParseInt strictness: Spark's non-ANSI cast would accept
+        # '1700000000.9' (truncates) and ' 17 ' (trims) — rows the
+        # reference's strconv.ParseInt rejects and drops
+        # (timestamp_range.go:92)
+        raw = _s(F.col(self.field))
+        epoch = F.when(raw.rlike("^-?[0-9]+$"), raw.cast("long"))
         pred = epoch.isNotNull()
         if self.start is not None:
             pred = pred & (epoch >= F.lit(self.start))
@@ -541,5 +652,10 @@ class URLParam(Operator):
         self.src, self.dst, self.param = src_field, dst_field, param
 
     def apply(self, df: DataFrame) -> DataFrame:
-        out = F.parse_url(F.col(self.src).cast("string"), F.lit("QUERY"), F.lit(self.param))
-        return df.withColumn(self.dst, F.coalesce(out, F.lit("")))
+        # parse_url returns the still-PERCENT-ENCODED value; the
+        # reference goes through url.Query().Get, which both %XX-decodes
+        # and maps '+' to space (url_param.go:61-63). try_url_decode is
+        # exactly that x-www-form-urlencoded decode; an invalid escape
+        # yields NULL -> '' like Go's skipped bad pair.
+        raw = F.parse_url(F.col(self.src).cast("string"), F.lit("QUERY"), F.lit(self.param))
+        return df.withColumn(self.dst, F.coalesce(F.try_url_decode(raw), F.lit("")))

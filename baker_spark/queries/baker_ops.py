@@ -163,8 +163,8 @@ def op_formattime(spark, sf_dir):
 )
 def op_hash(spark, sf_dir):
     df = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    out = ops.Hash(src_field="c_name", dst_field="h_md5", function="md5").apply(df)
-    out = ops.Hash(src_field="c_name", dst_field="h_sha256", function="sha256").apply(out)
+    out = ops.Hash(src_field="c_name", dst_field="h_md5", function="md5", encoding="hex").apply(df)
+    out = ops.Hash(src_field="c_name", dst_field="h_sha256", function="sha256", encoding="hex").apply(out)
     return out.select("c_custkey", "h_md5", "h_sha256")
 
 

@@ -69,7 +69,12 @@ class ListSource:
         self._http_urls: list[str] = []
 
     def _spool_stdin(self) -> str:
-        local = os.path.join(self._spool, "stdin")
+        # unique file per call: a fixed name opened 'wb' would TRUNCATE
+        # the spool a previously-built (lazy) DataFrame still points at
+        # — its later action would silently read zero records
+        import uuid
+
+        local = os.path.join(self._spool, f"stdin-{uuid.uuid4().hex[:12]}")
         with open(local, "wb") as fh:
             fh.write(sys.stdin.buffer.read())
         return local

@@ -77,9 +77,13 @@ def baker_chain(spark, sf_dir):
         ops.NotNull(["l_orderkey", "l_partkey"]),
         ops.RegexMatch(fields=["l_linenumber"], regexs=["^[0-9]+$"]),
         ops.Concatenate(["l_orderkey", "l_linenumber"], target="line_id", separator="-"),
-        ops.Hash(src_field="line_id", dst_field="line_hash", function="md5"),
+        ops.Hash(src_field="line_id", dst_field="line_hash", function="md5", encoding="hex"),
         ops.TimestampRange(
-            field="l_quantity", start_datetime=None, end_datetime=None
+            # l_partkey, not l_quantity: the op now carries ParseInt
+            # strictness (a float's "23.0" string rightly drops), and the
+            # chain wants the parse-to-long WORK on every row, not a
+            # drop-everything filter
+            field="l_partkey", start_datetime=None, end_datetime=None
         ),  # parse-to-long predicate
     ]
     li = load_table(spark, sf_dir, "lineitem")

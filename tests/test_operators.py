@@ -102,12 +102,17 @@ def test_regex_match(spark, generic):
 def test_hash_and_slice(spark, generic):
     import hashlib
 
-    out = ops.Hash(src_field="f1", dst_field="h", function="md5").apply(generic)
+    out = ops.Hash(src_field="f1", dst_field="h", function="md5", encoding="hex").apply(generic)
     row = out.filter(F.col("f1") == "xyz").collect()[0]
     assert row.h == hashlib.md5(b"xyz").hexdigest()
-    out = ops.Hash(src_field="f1", dst_field="h", function="sha256").apply(generic)
+    out = ops.Hash(src_field="f1", dst_field="h", function="sha256", encoding="hex").apply(generic)
     row = out.filter(F.col("f1") == "xyz").collect()[0]
     assert row.h == hashlib.sha256(b"xyz").hexdigest()
+    # the DEFAULT is the reference's raw pass-through (hash.go:82-93,
+    # Encoding required:false default "") — raw digest bytes, not hex
+    out = ops.Hash(src_field="f1", dst_field="h", function="md5").apply(generic)
+    row = out.filter(F.col("f1") == "xyz").collect()[0]
+    assert bytes(row.h) == hashlib.md5(b"xyz").digest()
 
     out = ops.Slice(src="url", dst="s", start_idx=8, end_idx=13).apply(generic)
     assert "x.com" in {r.s for r in out.collect()}
@@ -801,3 +806,112 @@ def test_jpeg_codec_general_roundtrip(spark):
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2  # progressive DCT: out of envelope
     assert decode_jpeg_pixels(bytes(prog)) is None
+
+
+def test_url_param_decodes_like_go_query_get(spark):
+    """url.Query().Get returns the DECODED value (%XX and '+'→space,
+    url_param.go:61-63); parse_url alone returns the encoded text."""
+    df = spark.createDataFrame(
+        [
+            (1, "http://x/p?q=hello%20world&r=1"),
+            (2, "http://x/p?q=a+b"),
+            (3, "http://x/p?other=1"),
+        ],
+        ["id", "url"],
+    )
+    out = {r.id: r.q for r in ops.URLParam(src_field="url", dst_field="q", param="q").apply(df).collect()}
+    assert out == {1: "hello world", 2: "a b", 3: ""}
+
+
+def test_format_time_rfc3339nano_zero_to_nine_fraction_digits(spark):
+    """Go's .999999999 TRIMS trailing zeros: a whole second has NO
+    fraction at all, full precision has nine digits — both must parse;
+    the format side must trim like Go (no fixed-width zeros)."""
+    df = spark.createDataFrame(
+        [
+            (1, "2026-01-02T15:04:05Z"),
+            (2, "2026-01-02T15:04:05.5Z"),
+            (3, "2026-01-02T15:04:05.123456789Z"),
+        ],
+        ["id", "t"],
+    )
+    out = {
+        r.id: r.u
+        for r in ops.FormatTime(
+            src_field="t", dst_field="u", src_format="RFC3339Nano", dst_format="unixms"
+        ).apply(df).collect()
+    }
+    assert out[1].isdigit() and out[2].isdigit() and out[3].isdigit()
+    assert int(out[2]) - int(out[1]) == 500
+    rt = {
+        r.id: r.u
+        for r in ops.FormatTime(
+            src_field="t", dst_field="u", src_format="RFC3339Nano", dst_format="RFC3339Nano"
+        ).apply(df).collect()
+    }
+    assert rt[1] == "2026-01-02T15:04:05Z"  # no bare dot, no zero padding
+    assert rt[2] == "2026-01-02T15:04:05.5Z"
+    assert rt[3] == "2026-01-02T15:04:05.123456Z"  # micros precision
+
+
+def test_format_time_arbitrary_go_layout(spark):
+    """format_time.go's default case accepts ANY Go layout; the engine
+    translates it to a Java pattern instead of crashing the job with
+    DATETIME_PATTERN_RECOGNITION."""
+    df = spark.createDataFrame([(1, "2026/01/02 15:04")], ["id", "t"])
+    out = ops.FormatTime(
+        src_field="t", dst_field="u", src_format="2006/01/02 15:04", dst_format="DateOnly"
+    ).apply(df).collect()
+    assert out[0].u == "2026-01-02"
+
+
+def test_timestamp_range_parseint_strict(spark):
+    """strconv.ParseInt rejects floats and padded strings
+    (timestamp_range.go:92); Spark's lax cast must not re-admit them."""
+    df = spark.createDataFrame(
+        [(1, "1700000000"), (2, "1700000000.9"), (3, " 1700000000 "), (4, "x")],
+        ["id", "f"],
+    )
+    out = ops.TimestampRange(field="f", start_datetime=None, end_datetime=None).apply(df)
+    assert [r.id for r in out.collect()] == [1]
+
+
+def test_dedup_and_shard_unify_null_and_empty(spark):
+    """The record model keys NULL and '' as the SAME empty value
+    (record.go:35-39): Dedup must keep one of the pair, and Shard must
+    route both to one shard."""
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "x")], ["id", "k"])
+    kept = ops.Dedup(fields=["k"], order_by="id").apply(df)
+    assert sorted(r.id for r in kept.collect()) == [1, 3]
+
+    sharded = ops.Shard(field="k", procs=8, deterministic=True)
+    import pyspark.sql.functions as SF
+
+    shards = {
+        r.k: r.s
+        for r in df.select("k", sharded.shard_column().alias("s")).collect()
+    }
+    assert shards[None] == shards[""]
+
+
+def test_notnull_and_regexmatch_accept_empty_fields(spark):
+    """Fields=[] is legal in the reference (zero-iteration loop passes
+    every record); reduce() without an initializer raised TypeError."""
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    assert ops.NotNull(fields=[]).apply(df).count() == 1
+    assert ops.RegexMatch(fields=[], regexs=[]).apply(df).count() == 1
+    assert ops.RegexMatch(fields=[], regexs=[], invert_match=True).apply(df).count() == 0
+
+
+def test_expand_json_batches_jmespath_paths(spark):
+    """Multiple UDF-routed paths share ONE pandas UDF (one json.loads
+    per row), and custom true/false values map booleans only."""
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": 5}, "ok": true, "s": "true"}')], ["id", "j"]
+    )
+    out = ops.ExpandJSON(
+        source="j",
+        fields={"a.b": "ab", "ok": "okf", "s": "sf"},
+        true_false_values=("YES", "NO"),
+    ).apply(df).collect()[0]
+    assert (out.ab, out.okf, out.sf) == ("5", "YES", "true")
