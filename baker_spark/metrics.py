@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import socket
 import threading
+from collections import deque
 import time
 from dataclasses import dataclass, field
 
@@ -35,7 +36,11 @@ class MetricsClient:
 
 @dataclass
 class LogMetrics(MetricsClient):
-    lines: list[str] = field(default_factory=list)
+    #: bounded: a daemon-mode StatsDumper appends ~3 lines/second for
+    #: the life of the query — an unbounded list is a slow driver-memory
+    #: leak. 10k lines ~= the last hour at that rate, plenty for tests
+    #: and debugging (deque drops the oldest).
+    lines: "deque[str]" = field(default_factory=lambda: deque(maxlen=10_000))
     echo: bool = False
 
     def _emit(self, kind, name, value, tags):
@@ -187,6 +192,10 @@ class StatsDumper:
                 )
 
     def start(self):
+        # clear the stop flag: start()/stop() bracket individual actions,
+        # so a reused dumper must not inherit the previous stop() (the
+        # loop would exit on its first wait and silently emit nothing)
+        self._stop.clear()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self

@@ -16,6 +16,7 @@ from pyspark.sql import Window, functions as F
 
 from baker_spark.functions.numeric import DEC, c2_long, cents, dec, duck_c2_long, micros
 from baker_spark.sinks.stats import Stats
+from baker_spark.sinks.filewriter import serialize_line
 from baker_spark.sources.tables import load_table
 
 from baker_spark.queries.registry import make_registry
@@ -99,7 +100,14 @@ LIMIT 10
 )
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
-    customer is broadcast (small side); lineitem never shuffles twice."""
+
+    NO forced broadcasts: customer and orders both scale with SF, and a
+    F.broadcast hint is a hard override — at SF100 it would ship a
+    multi-GB orders-x-customer build to the driver past the 8 GB wall.
+    Unhinted, the static planner broadcasts them at small SF (the file
+    sizes are under the auto threshold) and AQE re-plans at runtime when
+    they are not — exactly the adaptive behavior a 100 TB run needs.
+    lineitem never shuffles twice either way."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
@@ -110,7 +118,7 @@ def q3_shipping_priority(spark, sf_dir):
     rev_c4 = c2_long("l_extendedprice") * (F.lit(100) - c2_long("l_discount"))
     return (
         li.join(
-            F.broadcast(o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))),
+            o.join(c, F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select("o_orderkey", "o_orderdate", rev_c4.alias("r4"))
@@ -143,8 +151,11 @@ GROUP BY n.n_name
 """,
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 shape: snowflake join with all dims broadcast — only the
-    lineitem<->orders join shuffles."""
+    """TPC-H Q5 shape: snowflake join. Forced broadcast ONLY on the
+    fixed-size dims (region 5 rows, nation 25 — constants at any SF);
+    supplier/customer/orders scale with SF, so their join strategy is
+    left to the planner: statically broadcast at small SF, shuffle at
+    the scale where a forced hint would OOM the driver."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
@@ -157,9 +168,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
     rev_c4 = c2_long("l_extendedprice") * (F.lit(100) - c2_long("l_discount"))
     return (
-        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == F.col("s_nationkey")))
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == F.col("s_nationkey")))
         .select(F.col("n_name").alias("nation"), rev_c4.alias("r4"))
         .groupBy("nation")
         # DECIMAL(38,0) sum buffer: int64 r4 sums wrap around SF~150 (see q1)
@@ -235,7 +246,7 @@ def q_session_windows(spark, sf_dir):
     "q_stats_sizes",
     """
 WITH sized AS (
-  SELECT strlen(concat_ws(',', CAST(event_id AS VARCHAR), event_type, props)) AS size
+  SELECT strlen(concat_ws(',', COALESCE(CAST(event_id AS VARCHAR), ''), COALESCE(event_type, ''), COALESCE(props, ''))) AS size
   FROM events
 )
 SELECT count(*) AS n, CAST(min(size) AS INTEGER) AS min_size,
@@ -250,7 +261,10 @@ def q_stats_sizes(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id").cast("string"), "event_type", "props"
     )
-    size = F.octet_length(F.concat_ws(",", *[F.col(c) for c in ev.columns])).alias("size")
+    # serialize_line semantics (sinks/filewriter.py): coalesce each
+    # field to '' so a NULL keeps its separator — bare concat_ws
+    # SKIPS nulls and under-counts the real output bytes
+    size = F.octet_length(serialize_line(list(ev.columns), ",")).alias("size")
     return ev.select(size).agg(
         F.count("*").alias("n"),
         F.min("size").alias("min_size"),
@@ -295,7 +309,7 @@ def q_stats_quantiles(spark, sf_dir):
     "q_stats_report",
     """
 WITH sized AS (
-  SELECT strlen(concat_ws(',', CAST(event_id AS VARCHAR), event_type, props)) AS size,
+  SELECT strlen(concat_ws(',', COALESCE(CAST(event_id AS VARCHAR), ''), COALESCE(event_type, ''), COALESCE(props, ''))) AS size,
          CAST(length(props) AS DOUBLE) AS plen
   FROM events
 )
@@ -319,7 +333,10 @@ def q_stats_report(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id").cast("string"), "event_type", "props"
     )
-    size = F.octet_length(F.concat_ws(",", *[F.col(c) for c in ev.columns])).alias("size")
+    # serialize_line semantics (sinks/filewriter.py): coalesce each
+    # field to '' so a NULL keeps its separator — bare concat_ws
+    # SKIPS nulls and under-counts the real output bytes
+    size = F.octet_length(serialize_line(list(ev.columns), ",")).alias("size")
     plen = F.length("props").cast("double").alias("plen")
     return ev.select(size, plen).agg(
         F.count("*").alias("n"),

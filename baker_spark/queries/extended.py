@@ -6,7 +6,13 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from baker_spark.datapipe.vectors import as_double, cosine, duck_cosine
+from baker_spark.datapipe.vectors import (
+    as_double,
+    cosine,
+    cosine_c4,
+    duck_cosine,
+    duck_cosine_c4,
+)
 from baker_spark.sources.tables import load_table
 
 from baker_spark.queries.registry import make_registry
@@ -154,7 +160,7 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 scored AS (
   SELECT e.vec_id, c.cid,
-         CAST(floor(({duck_cosine('e.v', 'c.cv')}) * 10000) AS BIGINT) AS sim_c4
+         CAST(CAST({duck_cosine_c4('e.v', 'c.cv')} AS BIGINT) AS BIGINT) AS sim_c4
   FROM e, c
 ),
 ranked AS (
@@ -180,7 +186,7 @@ def dp_ivf_assign(spark, sf_dir):
     scored = e.crossJoin(F.broadcast(c)).select(
         "vec_id",
         "cid",
-        F.floor(cosine(F.col("v"), F.col("cv")) * 10000).cast("long").alias("sim_c4"),
+        cosine_c4(F.col("v"), F.col("cv")).alias("sim_c4"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim_c4"), F.col("cid"))
     return (
@@ -235,7 +241,7 @@ assign AS (
     SELECT e.vec_id, c.cid,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY floor(({duck_cosine('e.v', 'c.cv')}) * 10000) DESC, c.cid
+             ORDER BY CAST({duck_cosine_c4('e.v', 'c.cv')} AS BIGINT) DESC, c.cid
            ) AS rn
     FROM e, c
   ) WHERE rn = 1
@@ -244,12 +250,12 @@ probes AS (
   SELECT cid FROM (
     SELECT c.cid,
            row_number() OVER (
-             ORDER BY floor(({duck_cosine('c.cv', 'q.qv')}) * 10000) DESC, c.cid
+             ORDER BY CAST({duck_cosine_c4('c.cv', 'q.qv')} AS BIGINT) DESC, c.cid
            ) AS rn
     FROM c, q
   ) WHERE rn <= {_IVF_NPROBE}
 )
-SELECT e.vec_id, CAST(floor(({duck_cosine('e.v', 'q.qv')}) * 10000) AS BIGINT) AS cosine_c4
+SELECT e.vec_id, CAST({duck_cosine_c4('e.v', 'q.qv')} AS BIGINT) AS cosine_c4
 FROM e
 JOIN assign a ON a.vec_id = e.vec_id
 JOIN probes p ON p.cid = a.cid
@@ -275,7 +281,7 @@ def dp_ivf_topk(spark, sf_dir):
 
     scored = e.crossJoin(F.broadcast(c)).select(
         "vec_id", "cid",
-        F.floor(cosine(F.col("v"), F.col("cv")) * 10000).cast("long").alias("sim_c4"),
+        cosine_c4(F.col("v"), F.col("cv")).alias("sim_c4"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim_c4"), F.col("cid"))
     assign = (
@@ -285,7 +291,7 @@ def dp_ivf_topk(spark, sf_dir):
     )
 
     wq = Window.partitionBy().orderBy(
-        F.desc(F.floor(cosine(F.col("cv"), F.col("qv")) * 10000)), F.col("cid")
+        F.desc(cosine_c4(F.col("cv"), F.col("qv"))), F.col("cid")
     )
     probes = (
         c.crossJoin(F.broadcast(q))
@@ -299,7 +305,7 @@ def dp_ivf_topk(spark, sf_dir):
         cands.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.floor(cosine(F.col("v"), F.col("qv")) * 10000).cast("long").alias("cosine_c4"),
+            cosine_c4(F.col("v"), F.col("qv")).alias("cosine_c4"),
         )
         .orderBy(F.desc("cosine_c4"), "vec_id")
         .limit(_IVF_K)

@@ -109,6 +109,14 @@ def write_batches(
                     break
                 stats["retries"] += 1
                 request = unprocessed
+                # retried items are REAL write traffic: charge them
+                # against max_writes_per_sec too, or a throttled table
+                # gets hammered outside the configured rate exactly when
+                # it is already over capacity. Retries stay unbounded
+                # with capped backoff — the reference's own semantics
+                # (dyndb.go:120-143 loops until UnprocessedItems drains,
+                # MaxBackoff caps the WAIT, not the attempts).
+                bucket.take(len(request[table]))
                 time.sleep(backoff)
                 backoff = min(backoff * 2, max_backoff)
         stats["written"] += len(batch)
@@ -160,11 +168,13 @@ class DynamoDBWriter:
     client_factory: Callable | None = None
 
     def __post_init__(self):
-        self._names = [c.split(":", 1)[1] for c in self.columns]
-        self._types = [c.split(":", 1)[0] for c in self.columns]
-        bad = [t for t in self._types if t not in ("s", "n")]
+        # validate BEFORE splitting: a column missing its ':' prefix must
+        # produce the clear error, not an IndexError from split()[1]
+        bad = [c for c in self.columns if ":" not in c or c.split(":", 1)[0] not in ("s", "n")]
         if bad:
             raise ValueError(f"column types must be 's:' or 'n:', got {bad}")
+        self._names = [c.split(":", 1)[1] for c in self.columns]
+        self._types = [c.split(":", 1)[0] for c in self.columns]
 
     def write(self, df: DataFrame) -> None:
         table, names, types = self.table, self._names, self._types

@@ -46,8 +46,16 @@ class SQLiteWriter:
             from baker_spark.sinks.filewriter import serialize_line
 
             df = df.withColumn("_record", serialize_line(df.columns, self.separator))
-        if self.single_file and "{shard}" not in self.path:
-            df = df.coalesce(1)
+        if "{shard}" not in self.path:
+            # ONE writer for one file, always: SQLite allows a single
+            # writer at a time, so N partitions committing into the same
+            # path serialize on the 5s busy timeout and fail under
+            # contention ("database is locked") — and on a multi-host
+            # cluster each executor would silently write a different
+            # LOCAL file. single_file=False only means "don't force it
+            # when the path shards per partition".
+            if self.single_file or df.rdd.getNumPartitions() > 1:
+                df = df.coalesce(1)
 
         columns = df.columns
         path, table = self.path, self.table
@@ -81,7 +89,27 @@ class SQLiteWriter:
             rows = list(rows)
             if not rows and "{shard}" in path:
                 return
-            conn = sqlite3.connect(path.replace("{shard}", str(pid)))
+            final_path = path.replace("{shard}", str(pid))
+            # write to a temp sibling and atomically rename on success:
+            # the commit below is NOT the end of the task (VACUUM, and
+            # the task itself, can still fail after it), and a Spark
+            # retry or speculative duplicate would otherwise re-insert
+            # every row into the already-committed file. For append-mode
+            # reruns over an EXISTING db (no Clear), start the temp from
+            # a copy so prior content survives.
+            _tc = TaskContext.get()
+            _attempt = _tc.taskAttemptId() if _tc else 0
+            # attempt id, not partition id: two SPECULATIVE attempts of
+            # one partition must not share a temp file
+            tmp_path = f"{final_path}.inflight.{_attempt}"
+            import os as _os
+            import shutil as _shutil
+
+            if _os.path.exists(final_path):
+                _shutil.copyfile(final_path, tmp_path)
+            elif _os.path.exists(tmp_path):
+                _os.remove(tmp_path)  # stale attempt: restart clean
+            conn = sqlite3.connect(tmp_path)
             try:
                 if page_size:
                     # must precede table creation (sqlite.go:163-200
@@ -106,5 +134,6 @@ class SQLiteWriter:
                     conn.execute("VACUUM")
             finally:
                 conn.close()
+            _os.replace(tmp_path, final_path)  # atomic publish
 
         df.foreachPartition(write_partition)

@@ -165,6 +165,13 @@ class WebSocketBroadcastServer:
                 conn.close()
                 continue
             with self._lock:
+                if not self._running:
+                    # stop() ran while this handshake was in flight: the
+                    # old client dict was already swapped and closed, so
+                    # registering now would leak the socket on a stopped
+                    # server (client_count > 0 forever)
+                    conn.close()
+                    return
                 self._next_id += 1
                 self._clients[self._next_id] = conn
 
