@@ -241,8 +241,12 @@ def _log(msg: str, pretty: bool, level: str = "info", **fields) -> None:
     import json
 
     if pretty:
+        # keep the level marker: logrus's TextFormatter prints it too,
+        # and warn-level filtering must work in both modes
         extra = " ".join(f"{k}={v}" for k, v in fields.items())
-        print(f"{msg}{' ' + extra if extra else ''}", file=sys.stderr)
+        print(
+            f"level={level} {msg}{' ' + extra if extra else ''}", file=sys.stderr
+        )
     else:
         doc = {
             "level": level,
@@ -274,9 +278,11 @@ def cmd_run(
         srv = serve_pprof(pprof, spark)
         host, port = srv.address[0], srv.address[1]
         _log("running pprof server", pretty, level="warning", addr=f"{host}:{port}")
-        # the reference logs this exact phrase at warn level; keep the
-        # greppable plain form too for the pretty/legacy consumers
-        print(f"running pprof server on {host}:{port}", file=sys.stderr)
+        if not pretty:
+            # alongside the JSON line, keep ONE greppable plain form for
+            # legacy consumers; in pretty mode the _log line above IS the
+            # plain form — printing both duplicated the startup marker
+            print(f"running pprof server on {host}:{port}", file=sys.stderr)
     try:
         if isinstance(pipeline, StreamingPipeline):
             # daemon topology: runs until interrupted, like the

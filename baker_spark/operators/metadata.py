@@ -28,6 +28,16 @@ def _url(df: DataFrame) -> Column:
 def _last_modified(df: DataFrame) -> Column:
     if LASTMOD_COL in df.columns:
         return F.col(LASTMOD_COL)
+    # the hidden _metadata struct only resolves on a frame DIRECTLY
+    # backed by a file scan; probe resolution so a created/aggregated
+    # frame degrades to "missing metadata clears the field" (the
+    # reference's rule, metadata_lastmodified.go) instead of killing the
+    # whole job with UNRESOLVED_COLUMN — MetadataUrl already degrades
+    # this way because input_file_name() just returns ''
+    try:
+        df.select(F.col("_metadata.file_modification_time"))
+    except Exception:
+        return F.lit(None).cast("timestamp")
     return F.col("_metadata.file_modification_time")
 
 

@@ -63,7 +63,13 @@ class Pipeline:
     def dataframe(self, spark: SparkSession) -> DataFrame:
         df = self._source_df(spark)
         ops = self.ops
-        if self.chain_procs and df.rdd.getNumPartitions() < self.chain_procs:
+        try:
+            n_parts = df.rdd.getNumPartitions() if self.chain_procs else None
+        except Exception:
+            # Spark Connect exposes no df.rdd; degrade chain_procs to a
+            # no-op like session.fan_out does rather than crash the build
+            n_parts = None
+        if self.chain_procs and n_parts is not None and n_parts < self.chain_procs:
             from baker_spark.operators.base import split_chain
 
             preds, ops = split_chain(ops)

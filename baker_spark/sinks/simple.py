@@ -17,6 +17,9 @@ class Nop:
     materializes exactly ONCE per write (a separate ``df.count()`` would
     run the whole upstream chain twice)."""
 
+    #: ACCUMULATES across writes (daemon mode calls write per
+    #: micro-batch; nop.go counts everything consumed — same convention
+    #: as Recorder's records.extend)
     count: int = 0
 
     def write(self, df: DataFrame) -> int:
@@ -24,7 +27,7 @@ class Nop:
         df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
             "overwrite"
         ).save()
-        self.count = obs.get["n"]
+        self.count += obs.get["n"]
         return self.count
 
 

@@ -140,4 +140,6 @@ def test_cli_log_formats():
     with redirect_stderr(err):
         _log("daemon topology started; Ctrl-C to stop", pretty=True, checkpoint="/tmp/c")
     line = err.getvalue().strip()
-    assert line == "daemon topology started; Ctrl-C to stop checkpoint=/tmp/c"
+    # level prefix kept in pretty mode too (logrus TextFormatter prints
+    # it; warn-level filtering must work in both modes)
+    assert line == "level=info daemon topology started; Ctrl-C to stop checkpoint=/tmp/c"
