@@ -96,7 +96,13 @@ class CorpusIngest:
         # for string fingerprints, a deterministic decimal rendering
         # for integer ones (identical on every batch, so dedup holds)
         key = F.col(self.key) if isinstance(self.key, str) else self.key
-        key = key.cast("string")
+        # coalesce the key: md5 of a NULL text yields a NULL fingerprint,
+        # and NULL never equals NULL in the ledger anti-join — so the
+        # "one survivor per empty document" the in-batch groupBy rightly
+        # picks (all NULL/empty docs ARE duplicates in the record model)
+        # was re-admitted EVERY batch and its ledger row re-appended
+        # forever. Keyed as '' the ledger match works like any other fp.
+        key = F.coalesce(key.cast("string"), F.lit(""))
         # batch size rides the dedup scan as an observation — a separate
         # batch_df.count() would re-execute the whole batch lineage just
         # for the dropped counter

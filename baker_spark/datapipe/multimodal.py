@@ -233,6 +233,11 @@ def decode_payload(payload: bytes) -> dict:
 def decode_media(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """mapInPandas decode: one Arrow batch in, one metadata batch out."""
 
+    # the output schema's id column must be NAMED id_col: PySpark 4
+    # matches pandas output columns to the schema by name
+    # (serializers.py df[field.name]) — a non-default id_col otherwise
+    # fails every task with KeyError: 'doc_id'
+    schema = DECODE_SCHEMA.replace("doc_id long", f"{id_col} long", 1)
     names = [id_col] + [c.strip().split(" ")[0] for c in DECODE_SCHEMA.split(",")][1:]
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -246,7 +251,7 @@ def decode_media(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
 
     # decode is per-row expensive: make sure every core gets a partition
     src = fan_out(df.select(id_col, payload_col), by=id_col)
-    return src.mapInPandas(decode_batches, DECODE_SCHEMA)
+    return src.mapInPandas(decode_batches, schema)
 
 
 def with_media_payload(
@@ -302,10 +307,14 @@ def frame_sample(
     every: int = 4,
 ) -> DataFrame:
     """Video frame sampling plumbing: binary payload -> every Nth
-    fixed-size window as its own row (posexplode keeps the frame index).
-    The stub 'decoder' slices byte windows; a real one yields encoded
-    frames via pyav. Row explosion happens JVM-side after the pandas UDF
-    returns array<binary>, so batch shape stays Arrow-friendly."""
+    fixed-size window as its own row. frame_idx is the ORIGINAL window
+    index in the source (0, every, 2*every, ...), not the position in
+    the sampled list — a consumer reconstructing the source offset as
+    frame_idx*frame_bytes, or aligning against a real decoder's frame
+    numbers, needs the pre-sampling index. The stub 'decoder' slices
+    byte windows; a real one yields encoded frames via pyav. Row
+    explosion happens JVM-side after the pandas UDF returns
+    array<binary>, so batch shape stays Arrow-friendly."""
 
     @F.pandas_udf("array<binary>")
     def frames(s: pd.Series) -> pd.Series:
@@ -321,7 +330,12 @@ def frame_sample(
 
     src = fan_out(df.select(id_col, payload_col), by=id_col)
     return src.select(
-        F.col(id_col), F.posexplode(frames(F.col(payload_col))).alias("frame_idx", "frame")
+        F.col(id_col),
+        F.posexplode(frames(F.col(payload_col))).alias("_pos", "frame"),
+    ).select(
+        id_col,
+        (F.col("_pos") * F.lit(every)).alias("frame_idx"),
+        "frame",
     )
 
 
@@ -816,7 +830,10 @@ def media_features(df: DataFrame, payload_col: str = "payload", id_col: str = "d
     from baker_spark.session import fan_out
 
     src = fan_out(df.select(id_col, payload_col), by=id_col)
-    return src.mapInPandas(feat_batches, FEATURES_SCHEMA)
+    # schema id column named id_col — see decode_media
+    return src.mapInPandas(
+        feat_batches, FEATURES_SCHEMA.replace("doc_id long", f"{id_col} long", 1)
+    )
 
 
 def with_pixel_payload(

@@ -118,22 +118,12 @@ def hoist_predicates(ops: list[Operator]) -> list[Column]:
     the unchanged chain can still run afterwards). An operator with
     unknown writes is a barrier — nothing after it hoists. This mirrors
     what Catalyst's PushDownPredicates does, but across the engine's own
-    fan-out/repartition barrier, which Catalyst must not cross."""
-    preds: list[Column] = []
-    written: set[str] = set()
-    for op in ops:
-        kp = op.keep_predicate()
-        if (
-            kp is not None
-            and not op.expensive_predicate
-            and op.reads is not None
-            and not (set(op.reads) & written)
-        ):
-            preds.append(kp)
-        if op.writes is None:
-            break
-        written |= set(op.writes)
-    return preds
+    fan-out/repartition barrier, which Catalyst must not cross.
+
+    Delegates to :func:`split_chain` — the five-clause hoist-legality
+    condition lives in exactly one place, so the two entry points can
+    never drift on which predicates run below the barrier."""
+    return split_chain(ops)[0]
 
 
 def prefilter(df: DataFrame, ops: list[Operator]) -> DataFrame:

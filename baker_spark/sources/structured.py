@@ -25,31 +25,53 @@ from baker_spark.operators.metadata import LASTMOD_COL, URL_COL
 from baker_spark.sources.list_source import ListSource, string_schema
 
 
-class JsonLinesSource(ListSource):
+class _NoHttpMixin:
+    def _resolve_no_http(self):
+        """resolve() DIVERTS http(s) URLs into _http_urls, which only
+        ListSource's CSV dataframe consumes (the bakerhttp line-record
+        source); silently returning the remaining paths here would make
+        an http JSONL/parquet input an EMPTY read with no error."""
+        paths = self.resolve()
+        if self._http_urls:
+            raise ValueError(
+                "http(s) inputs are only supported by the CSV List input "
+                f"(got {self._http_urls}); download to a file/s3 path for "
+                "JsonLines/Parquet"
+            )
+        return paths
+
+
+class JsonLinesSource(_NoHttpMixin, ListSource):
     def __init__(self, files, fields, match_path=None, attach_metadata=True):
         super().__init__(
             files, fields, separator=",", match_path=match_path, attach_metadata=attach_metadata
         )
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
+        paths = self._resolve_no_http()
         df = (
             spark.read.schema(string_schema(self.fields))
             .option("mode", "PERMISSIVE")
-            .json(self.resolve())
+            # remote directories need the reader to recurse (resolve()
+            # only walks local dirs) — same option the CSV branch sets
+            .option("recursiveFileLookup", "true")
+            .json(paths)
         )
         return self._attach_metadata(df)
 
     __call__ = dataframe
 
 
-class ParquetSource(ListSource):
+class ParquetSource(_NoHttpMixin, ListSource):
     def __init__(self, files, fields=None, match_path=None, attach_metadata=True):
         super().__init__(
             files, fields or [], separator=",", match_path=match_path, attach_metadata=attach_metadata
         )
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
-        df = spark.read.parquet(*self.resolve())
+        df = spark.read.option("recursiveFileLookup", "true").parquet(
+            *self._resolve_no_http()
+        )
         if self.fields:
             df = df.select(*self.fields)
         return self._attach_metadata(df)

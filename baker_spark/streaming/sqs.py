@@ -149,8 +149,14 @@ class FakeSQSClient:
         return {"Messages": messages}
 
     def delete_message(self, QueueUrl: str, ReceiptHandle: str) -> None:
-        name, body = self._handles.pop(ReceiptHandle)
-        self.queues[name].remove(body)
+        # idempotent like the real service: deleting via a superseded or
+        # already-actioned handle is a no-op, not a ValueError — callers
+        # legitimately delete every handle they ever held for a message
+        entry = self._handles.pop(ReceiptHandle, None)
+        if entry is not None:
+            name, body = entry
+            if body in self.queues.get(name, []):
+                self.queues[name].remove(body)
         self.deleted.append((QueueUrl, ReceiptHandle))
 
 

@@ -349,6 +349,9 @@ def test_multimodal_frame_sample_and_features(spark):
     rows = rows_to_tuples(frames.select("doc_id", "frame_idx"))
     # doc 1: 300 bytes -> 5 windows -> every 2nd = 3 frames; doc 2: 1; doc 3 (empty): 0
     assert [r[0] for r in rows] == [1, 1, 1, 2]
+    # frame_idx is the ORIGINAL window index (source offset = idx*bytes),
+    # not the position in the sampled list
+    assert [r[1] for r in rows] == [0, 2, 4, 0]
     feats = multimodal.extract_features(packed).collect()
     assert all(len(r.features) == 8 for r in feats)
     by_id = {r.doc_id: r.features for r in feats}
