@@ -342,10 +342,13 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg_pixels(payload: bytes):
+def decode_jpeg_pixels(payload: bytes, max_pixels: int = 16 * 1024 * 1024):
     """Full pixel decode for baseline/extended-sequential GRAYSCALE
     JPEG: returns ``(width, height, 1, bytearray)`` row-major or None
-    (progressive, multi-component, 12-bit, arithmetic-coded, corrupt).
+    (progressive, multi-component, 12-bit, arithmetic-coded, corrupt,
+    or SOF dims over ``max_pixels`` — the decode-bomb guard, same
+    default as multimodal.MAX_DECODE_PIXELS; uint16 dims reach 4.3G px
+    and the block loop's cost scales with them, not with payload size).
     """
     d = payload
     if len(d) < 4 or d[0:2] != b"\xff\xd8":
@@ -402,6 +405,8 @@ def decode_jpeg_pixels(payload: bytes):
             precision, height, width, nf = struct.unpack(">BHHB", body[:6])
             if precision != 8 or nf != 1:
                 return None  # 12-bit or color: out of envelope
+            if width * height > max_pixels:
+                return None  # decode budget guard (see docstring)
             comp_q = body[8]
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # progressive/lossless/arithmetic: out of envelope

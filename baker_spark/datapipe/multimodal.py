@@ -42,6 +42,26 @@ DECODE_SCHEMA = (
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: byte cap fed to the FULL pixel/PCM decoders (media_features /
+#: resize_media). The pure-python codecs are correctness-first and
+#: CPU-bound (~0.5-4 MB/s/core, PERFORMANCE.md "Media codec envelope"),
+#: so one multi-hundred-MB payload would pin an executor core for
+#: minutes; past the cap the row degrades to the cheap path (features:
+#: skipped like any undecodable payload; resize: passed through
+#: unchanged). Header sniffing (decode_media) reads a fixed prefix and
+#: needs no cap.
+MAX_DECODE_BYTES = 8 * 1024 * 1024
+
+#: sample cap INSIDE the pixel decoders. The byte cap alone doesn't
+#: bound work: decode time scales with DECODED samples, and a
+#: compressed payload under the byte cap can claim gigapixel dims
+#: (PNG zlib ~1000:1 expansion, GIF/JPEG uint16 dims to 4.3G px).
+#: Dims are known from the header before any inflate loop, so an
+#: over-cap image is rejected (None, the usual out-of-envelope
+#: answer) before the expensive part starts. 16.7M samples = a
+#: 4096x4096 gray image ~ a few seconds/core on the slowest codec.
+MAX_DECODE_PIXELS = 16 * 1024 * 1024
+
 #: metadata defaults so every format fills the full DECODE_SCHEMA row
 _ZEROES = {
     "width": 0, "height": 0, "bit_depth": 0,
@@ -473,14 +493,15 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png_pixels(payload: bytes):
+def decode_png_pixels(payload: bytes, max_pixels: int = MAX_DECODE_PIXELS):
     """Full PNG pixel decode for non-interlaced 8-bit grayscale (bpp 1)
     or truecolor (bpp 3) via stdlib zlib: walk chunks, concatenate
     IDATs, inflate, undo per-scanline filters. Returns
     ``(width, height, channels, bytearray_of_samples)`` row-major, or
     ``None`` for anything not a decodable PNG (other color types,
-    interlaced, truncated, corrupt zlib) — totality matches
-    decode_payload's sniff-don't-crash contract."""
+    interlaced, truncated, corrupt zlib, or over ``max_pixels``
+    samples — the zlib-bomb guard; inflation is also length-bounded so
+    a stream longer than its declared dims never materializes)."""
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
         return None
     pos, width, height, channels, idat = 8, None, None, None, bytearray()
@@ -505,12 +526,18 @@ def decode_png_pixels(payload: bytes):
         pos += 12 + size  # len + tag + body + crc
     if not width or not height or channels is None or not idat:
         return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
+    if width * height * channels > max_pixels:
+        return None  # header claims more samples than the decode budget
     stride = width * channels
-    if len(raw) != height * (1 + stride):
+    expected = height * (1 + stride)
+    try:
+        # bounded inflate: never materialize more than the header's
+        # declared size + 1 probe byte, whatever the stream contains
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected)
+        if len(raw) != expected or dec.decompress(b"", 1):
+            return None  # shorter or longer than declared dims
+    except zlib.error:
         return None
     out = bytearray(height * stride)
     prev = bytes(stride)
@@ -673,14 +700,15 @@ def gif_pixel_bytes(width: int, height: int, seed: int = 0) -> bytes:
     return encode_gray_gif(pixels, width, height)
 
 
-def decode_gif_pixels(payload: bytes):
+def decode_gif_pixels(payload: bytes, max_pixels: int = MAX_DECODE_PIXELS):
     """Full GIF pixel decode via pure-python LZW for the first image of
     a non-interlaced GIF with a global color table: walks the header,
     skips extensions, inflates the LZW stream, maps indices through the
     palette's red channel (for the fixture's grayscale identity palette
     that IS the gray value). Returns ``(width, height, 1,
-    bytearray_of_gray)`` or None (interlaced, local-palette, corrupt —
-    totality matches the other decoders)."""
+    bytearray_of_gray)`` or None (interlaced, local-palette, corrupt,
+    or descriptor dims over ``max_pixels`` — the decode-bomb guard;
+    checked before the LZW loop starts)."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     packed = payload[10]
@@ -706,6 +734,8 @@ def decode_gif_pixels(payload: bytes):
             _l, _t, w, h = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
             ipacked = payload[pos + 9]
             pos += 10
+            if w * h > max_pixels:
+                return None  # uint16 dims reach 4.3G px: budget guard
             if ipacked & 0x40:
                 return None  # interlaced: out of envelope
             if ipacked & 0x80:  # local color table overrides
@@ -770,7 +800,12 @@ FEATURES_SCHEMA = (
 )
 
 
-def media_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+def media_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_decode_bytes: int | None = MAX_DECODE_BYTES,
+) -> DataFrame:
     """REAL sample-level features for the decodable formats: per-payload
     unit count (pixels x channels for images, samples for WAV), exact
     sum of sample values, and the mean in micro-units
@@ -778,8 +813,9 @@ def media_features(df: DataFrame, payload_col: str = "payload", id_col: str = "d
     convention). Rows come out only for payloads that fully
     pixel-decode (PNG via zlib, GIF via the pure-python LZW, baseline
     grayscale JPEG via the jpegcodec entropy decoder, WAV PCM);
-    anything else is skipped, keeping the output contract honest
-    rather than silently fake."""
+    anything else — including payloads over ``max_decode_bytes``, the
+    CPU-bomb guard on the pure-python codecs — is skipped, keeping the
+    output contract honest rather than silently fake."""
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -787,6 +823,8 @@ def media_features(df: DataFrame, payload_col: str = "payload", id_col: str = "d
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
+                if max_decode_bytes is not None and len(b) > max_decode_bytes:
+                    continue  # same honest skip as an undecodable format
                 b = bytes(b)
                 png = decode_png_pixels(b)
                 if png is not None:
@@ -871,6 +909,7 @@ def with_pixel_payload(
 def resize_media(
     df: DataFrame, payload_col: str = "payload", max_side: int = 8,
     audio_decimate: int = 2, max_bytes: int = 1024,
+    max_decode_bytes: int | None = MAX_DECODE_BYTES,
 ) -> DataFrame:
     """Binary -> binary resize over Arrow batches, REAL where the
     format pixel-decodes: PNG is nearest-neighbor downscaled to fit
@@ -881,7 +920,9 @@ def resize_media(
     WAV is decimated to every ``audio_decimate``-th sample with the
     header rewritten; anything else falls back to byte truncation at
     ``max_bytes`` (the labeled stub path — video frame re-encode
-    needs codecs absent here)."""
+    needs codecs absent here). Payloads over ``max_decode_bytes`` pass
+    through UNCHANGED (never corrupted): the cap guards executor CPU
+    against decode bombs, not output size."""
 
     @F.pandas_udf("binary")
     def resize_one(s: pd.Series) -> pd.Series:
@@ -889,6 +930,10 @@ def resize_media(
             if b is None:
                 return None
             b = bytes(b)
+            if max_decode_bytes is not None and len(b) > max_decode_bytes:
+                return b  # too big for the pure-python codecs: pass
+                # through unchanged rather than corrupt (the guard is
+                # about CPU, not output size — see MAX_DECODE_BYTES)
             png = decode_png_pixels(b)
             if png is not None:
                 w, h, ch, px = png

@@ -1247,3 +1247,111 @@ ORDER BY d2_adc, cd._id
 LIMIT {k}
 """
     )
+
+
+# ----------------------------------------------------------- ann facade ---
+
+ANN_METHODS = ("brute", "lsh", "pq", "ivfpq")
+
+
+def ann_search(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    method: str = "auto",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    corpus_rows: int | None = None,
+    auto_brute_max: int = 1_000_000,
+    **kw,
+) -> DataFrame:
+    """One front door over the ANN family — picks the index so a user
+    doesn't have to know the menu. Returns a UNIFORM schema regardless
+    of method: ``(id_col, rank int, score long, method string)`` where
+    ``rank`` is 1..k (best first) and ``score`` is the method's native
+    measure (``cosine_c4``, higher=better, for brute/lsh; ``d2_adc``,
+    lower=better, for pq/ivfpq — ``rank`` is the cross-method contract,
+    ``score`` is for diagnostics).
+
+    Methods:
+      - ``brute``  — exact full-scan rerank baseline (:func:`ann_topk`;
+        row_guard refuses corpora past its ``max_rows``).
+      - ``lsh``    — hyperplane-bucket pruned scan
+        (:func:`ann_topk_bucketed`): train-free, ~n/2^planes of the
+        corpus touched per query.
+      - ``pq``     — product-quantization ADC over 8-byte codes
+        (:func:`pq_adc_topk`): scans codes, never vectors.
+      - ``ivfpq``  — coarse-cell prune + PQ ADC (:func:`ivfpq_topk`):
+        the 10^9-vector shape.
+      - ``auto``   — ``brute`` when the corpus is provably small
+        (``corpus_rows``/count <= ``auto_brute_max``), else ``lsh``.
+        Auto never picks pq/ivfpq: those TRAIN an index as a side
+        effect, which a facade should not do implicitly — opt in by
+        name. Pass ``corpus_rows`` (e.g. from table stats) to skip the
+        count job; on parquet the count is metadata-only anyway.
+
+    Recall-vs-cost at sf1 (tools/ann_recall_sweep.py output, see
+    PERFORMANCE.md §ANN): on the driver's isotropic synthetic
+    embeddings lsh recall@10 is low (documented honest finding on
+    dp_ann_recall) — on clustered real embeddings the ranking is
+    brute > ivfpq ~ lsh >> random, with cost brute O(n) >> lsh ~
+    n/2^planes > ivfpq ~ nprobe/kc of codes.
+    """
+    if method == "auto":
+        n = corpus_rows if corpus_rows is not None else df.count()
+        method = "brute" if n <= auto_brute_max else "lsh"
+    if method == "brute":
+        base, score_col, asc = ann_topk(df, query_id, k, vec_col, id_col, **kw), "cosine_c4", False
+    elif method == "lsh":
+        base, score_col, asc = ann_topk_bucketed(df, query_id, k, vec_col, id_col), "cosine_c4", False
+    elif method == "pq":
+        base, score_col, asc = (
+            pq_adc_topk(df, query_id, k, vec_col=vec_col, id_col=id_col, **kw),
+            "d2_adc",
+            True,
+        )
+    elif method == "ivfpq":
+        base, score_col, asc = (
+            ivfpq_topk(df, query_id, k, vec_col=vec_col, id_col=id_col, **kw),
+            "d2_adc",
+            True,
+        )
+    else:
+        raise ValueError(f"unknown ann method {method!r}; one of {ANN_METHODS} or 'auto'")
+    # the window runs over the ALREADY top-k-limited frame (<= k rows,
+    # one partition after the limit) — not the corpus
+    from pyspark.sql import Window
+
+    order = [F.col(score_col).asc() if asc else F.col(score_col).desc(), F.col(id_col).asc()]
+    w = Window.orderBy(*order)
+    return base.select(
+        F.col(id_col),
+        F.row_number().over(w).alias("rank"),
+        F.col(score_col).cast("long").alias("score"),
+        F.lit(method).alias("method"),
+    )
+
+
+def duck_ann_search(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Oracle for ann_search(method='lsh') — the bucketed path with the
+    facade's uniform (id, rank, score, method) shape."""
+    c4 = duck_cosine_c4("e.v", "q.v")
+    buckets = duck_lsh_buckets(table, vec_col, id_col)
+    return f"""
+WITH b AS ({buckets}),
+e AS (SELECT t.{id_col} AS id, CAST(t.{vec_col} AS DOUBLE[]) AS v, b.bucket
+      FROM {table} t JOIN b ON b.{id_col} = t.{id_col}),
+q AS (SELECT v, bucket FROM e WHERE id = {query_id})
+SELECT id AS {id_col}, CAST(rank AS INT) AS rank, score, 'lsh' AS method FROM (
+  SELECT e.id,
+         row_number() OVER (ORDER BY CAST({c4} AS BIGINT) DESC, e.id) AS rank,
+         CAST({c4} AS BIGINT) AS score
+  FROM e JOIN q ON e.bucket = q.bucket
+) WHERE rank <= {k}
+"""

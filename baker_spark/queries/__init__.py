@@ -19,72 +19,79 @@ from baker_spark.queries import analytics, baker_ops, datapipe_queries, extended
 
 # the driver's 50-query correctness window, in order.
 #
-# ROUND-8 ROTATION: every catalog query that had NEVER appeared in a
-# driver CORRECTNESS artifact (41 of them, VERDICT r7 "next round" #2)
-# is rotated IN this round, so by the round-8 artifact the entire
-# catalog has at least one hard driver-gated row. Rotated out to make
-# room: the §2.2 filter/topology ops and round-5/6/7 flagships, each
-# with 4-7 consecutive green rounds (r01-r07) and still swept at four
+# ROUND-9 ROTATION (VERDICT r8 "next round" #2): the freshness pass.
+# Rotated IN: dp_bigram_surprisal (the ONE catalog query with no driver
+# row ever — landed after the r8 window was pinned), dp_ann_search (new
+# this round), every §2.2/§2.5 op whose newest row is r07 — including
+# the four whose semantics round 8 touched (op_urlparam decode, op_hash
+# raw default, op_timestamprange ParseInt strictness, op_formattime
+# layout table) — the r07-gated q_* analytics/stats surface, and the
+# r07-gated dp tail (token_counts, dedup_clusters, kmeans, PQ family).
+# Rotated OUT: the 41 first-gated-in-r08 queries (1 round fresh) plus
+# eight r07 rows whose machinery a fresh r08 sibling row covers
+# (dp_dedup_fingerprint~dp_fingerprint, dp_minhash_capped~
+# dp_minhash_lsh_pairs, dp_multimodal_decode~dp_multimodal_features,
+# dp_decontaminate~dp_decontaminate_shuffle, dp_cosine_pairs_bucketed~
+# dp_cosine_pairs/dp_embedding_dedup, dp_lsh_verified_pairs~
+# dp_ann_lsh_buckets+dp_ngram_jaccard_pairs, dp_semdedup~
+# dp_embedding_dedup, dp_sequence_packing) — all still swept at four
 # SFs every CI run by tests/test_oracle_parity.py.
 GATE_ORDER = [
-    # changed THIS round — capped defaults / auto scrub engine — so the
-    # semantics change lands with a fresh driver row, plus the flagship
+    # flagship + new/never-gated
     "q1_pricing_summary",
-    "dp_minhash_lsh_pairs",   # now capped by default (DEFAULT_BUCKET_CAP)
-    "dp_simhash_pairs",       # now capped by default (DEFAULT_BAND_CAP)
-    "dp_corpus_pipeline",     # scrub engine auto-pick wired in
-    "dp_scrub",               # jvm-pinned scrub sibling
-    "dp_dedup_exact",         # flagship scale path continuity
-    "dp_ngram_jaccard_pairs", # r7 exchange-count change continuity
-    "dp_ann_topk",
-    # never-gated backlog: dedup/pairs family
-    "dp_minhash_exhaustive",  # new: explicit cap opt-out
-    "dp_simhash_exhaustive",  # new: explicit cap opt-out
-    "dp_simhash",
-    "dp_simhash_capped",
-    "dp_dedup_incremental",
-    "dp_minhash_jaccard_est",
-    "dp_fingerprint",
-    "dp_embedding_dedup",
-    "dp_decontaminate_shuffle",
-    # never-gated: vectors / ANN family
-    "dp_cosine_pairs",
-    "dp_ann_lsh_buckets",
-    "dp_ann_topk_bucketed",
-    "dp_ann_recall",
-    "dp_ivf_assign",
-    "dp_ivf_topk",
-    # never-gated: text analysis family
-    "dp_langid",
-    "dp_quality",
-    "dp_quality_filter",
-    "dp_tfidf_topk",
-    "dp_unigram_logprob",
-    "dp_dsir_weights",
-    "dp_scrub_arrow",
-    "dp_repetition",
-    "dp_chunking",
-    "dp_vocab_topk",
-    "dp_bigram_topk",
-    "dp_kmv_distinct",
-    "dp_repeated_passages",
-    "dp_passage_scrub",
-    # never-gated: corpus assembly / sampling family
-    "dp_sample_stratified",
-    "dp_train_split",
-    "dp_shard_manifest",
-    "dp_source_quota",
-    "dp_lang_mix_weights",
-    # never-gated: extended SQL surface
-    "q_asof_join",
-    "q_set_ops",
-    "q_pivot",
-    "q_unpivot",
-    "q_range_join",
-    "q_scalar_subquery",
-    "q_grouping_sets",
-    # new this round: sample-exact pixel/PCM decode
-    "dp_multimodal_features",
+    "dp_ann_search",          # NEW this round: the ANN facade
+    "dp_bigram_surprisal",    # never driver-gated until now
+    # §2.2 filters, newest rows r07 (four with r8-touched semantics)
+    "op_clausefilter",
+    "op_clearfields",
+    "op_concatenate",
+    "op_countandtag",
+    "op_crypt",
+    "op_dedup",
+    "op_expandjson",
+    "op_expandlist",
+    "op_externalmatch",
+    "op_formattime",          # r8-touched: Go layout table
+    "op_hash",                # r8-touched: raw-digest default
+    "op_metadata",            # r8-touched: graceful missing-metadata
+    "op_notnull",
+    "op_partialclone",
+    "op_regexmatch",
+    "op_replacefields",
+    "op_setstringfromurl",
+    "op_slice",
+    "op_stringmatch",
+    "op_timestamp",
+    "op_timestamprange",      # r8-touched: ParseInt strictness
+    "op_urlescape",
+    "op_urlparam",            # r8-touched: URL-decoded values
+    # §2.5 topology ops, newest rows r07
+    "op_validation",
+    "op_sharding",
+    "op_explode",
+    "op_fieldselect",
+    # analytics / stats surface, newest rows r07
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_topk_per_group",
+    "q_session_windows",
+    "q_stats_sizes",
+    "q_stats_quantiles",
+    "q_stats_report",
+    "q_stats_timestamps",
+    "q_field_frequency",
+    "q_cube_rollup",
+    "q_window_funcs",
+    "q_salted_agg",
+    "q_anti_join",
+    "q_percentile_by_group",
+    # dp tail, newest rows r07
+    "dp_token_counts",
+    "dp_dedup_clusters",
+    "dp_kmeans_train",
+    "dp_pq_codes",
+    "dp_pq_adc_topk",
+    "dp_ivfpq_topk",
 ]
 
 

@@ -154,6 +154,19 @@ def dp_ann_topk_bucketed(spark, sf_dir):
     return vectors.ann_topk_bucketed(load_table(spark, sf_dir, "embeddings"))
 
 
+@query("dp_ann_search", vectors.duck_ann_search())
+def dp_ann_search(spark, sf_dir):
+    """The ann_search facade (method pinned to 'lsh' so the static
+    oracle is SF-stable; 'auto' would flip brute->lsh across scales).
+    Verifies the uniform (id, rank, score, method) contract every
+    method normalizes into — the other methods' internals are gated by
+    their own queries (dp_ann_topk / dp_ann_topk_bucketed /
+    dp_pq_adc_topk / dp_ivfpq_topk)."""
+    return vectors.ann_search(
+        load_table(spark, sf_dir, "embeddings"), method="lsh", k=5
+    )
+
+
 _RECALL_Q, _RECALL_K = 10, 5
 _RECALL_C4 = vectors.duck_cosine_c4("e.v", "q.v")
 

@@ -475,3 +475,40 @@ def test_ann_topk_zero_norm_scores_zero_in_both_engines(spark, tmp_path):
     )
     oracle = {k: v for k, v in con.execute(duck_ann_topk(k=3)).fetchall()}
     assert oracle == got
+
+
+def test_ann_search_facade_uniform_schema_and_dispatch(spark):
+    """ann_search normalizes every method into (id, rank, score, method)
+    with rank the cross-method contract; 'auto' picks brute under the
+    threshold and lsh over it, and never trains pq/ivfpq implicitly."""
+    import pytest
+
+    from baker_spark.datapipe import vectors
+
+    rng_rows = [
+        (i, [float(((i * 37 + j * 11) % 19) - 9) for j in range(vectors.EMBED_DIM)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+
+    cols = ["vec_id", "rank", "score", "method"]
+    for method in vectors.ANN_METHODS:
+        out = vectors.ann_search(df, query_id=0, k=3, method=method)
+        assert out.columns == cols, method
+        rows = out.collect()
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1)), method
+        assert all(r["method"] == method for r in rows)
+        # rank 1 is the query itself for the exact methods (self-similarity)
+        if method in ("brute", "lsh"):
+            assert rows[0]["vec_id"] == 0
+
+    # auto: count(40) <= threshold -> brute; over threshold -> lsh
+    assert vectors.ann_search(df, k=2, method="auto").collect()[0]["method"] == "brute"
+    got = vectors.ann_search(df, k=2, method="auto", auto_brute_max=10)
+    assert got.collect()[0]["method"] == "lsh"
+    # corpus_rows hint skips the count job and drives the same policy
+    got = vectors.ann_search(df, k=2, method="auto", corpus_rows=10**9)
+    assert got.collect()[0]["method"] == "lsh"
+
+    with pytest.raises(ValueError, match="unknown ann method"):
+        vectors.ann_search(df, method="hnsw")

@@ -13,17 +13,18 @@ from baker_spark.queries import GATE_ORDER, all_oracles, all_queries
 
 # the CURRENT round's flagship scale paths. Rotation is deliberate:
 # once a query holds green rows in a driver artifact it may yield its
-# slot to newer operators (round 8 rotated the ENTIRE never-gated
-# backlog in — 41 queries — so each gets its first artifact; the
-# long-green §2.2 filter rows and round-5/6/7 flagships stepped out,
+# slot to newer operators (round 9 is the freshness pass: the never-
+# gated dp_bigram_surprisal, the new ann_search facade, and every
+# query whose newest row was r07 — the r8-semantics-touched §2.2 ops
+# first among them; the 41 first-gated-in-r08 queries stepped out,
 # still swept at four SFs by test_oracle_parity).
 FLAGSHIP_SCALE_PATHS = [
-    "dp_minhash_lsh_pairs",    # capped default — the round-8 change
-    "dp_simhash_pairs",        # capped default — the round-8 change
-    "dp_minhash_exhaustive",   # the explicit opt-out twin
-    "dp_simhash_exhaustive",
-    "dp_corpus_pipeline",      # scrub engine auto-pick
-    "dp_multimodal_features",  # sample-exact pixel/PCM decode
+    "dp_ann_search",        # NEW: the facade over brute/lsh/pq/ivfpq
+    "dp_bigram_surprisal",  # the last never-gated catalog query
+    "dp_dedup_clusters",    # iterative min-label propagation
+    "dp_kmeans_train",      # bounded-driver-traffic Lloyd's
+    "dp_pq_adc_topk",       # codes-only ADC search
+    "dp_ivfpq_topk",        # the 10^9-vector shape
 ]
 
 

@@ -918,3 +918,92 @@ def test_expand_json_batches_jmespath_paths(spark):
         true_false_values=("YES", "NO"),
     ).apply(df).collect()[0]
     assert (out.ab, out.okf, out.sf) == ("5", "YES", "true")
+
+
+def test_media_decode_payload_size_guard(spark):
+    """Payloads over max_decode_bytes never reach the pure-python pixel
+    codecs (the CPU-bomb guard): media_features skips them like any
+    undecodable payload, resize_media passes them through UNCHANGED
+    (never truncates/corrupts a decodable format it refused to decode),
+    and the default cap is high enough that normal payloads are
+    untouched."""
+    from baker_spark.datapipe import multimodal as M
+
+    small = M.png_pixel_bytes(6, 6, 1)
+    big = M.png_pixel_bytes(40, 40, 2)  # decodable, but over the tiny cap
+    assert len(big) > 256 >= len(small)
+    df = spark.createDataFrame(
+        [(1, bytearray(small)), (2, bytearray(big))], "doc_id long, payload binary"
+    )
+
+    feats = M.media_features(df, max_decode_bytes=256).collect()
+    assert [r.doc_id for r in feats] == [1]
+    # default cap (8 MiB): both decode
+    assert len(M.media_features(df).collect()) == 2
+
+    resized = {
+        r.doc_id: bytes(r.payload)
+        for r in M.resize_media(df, max_side=3, max_decode_bytes=256).collect()
+    }
+    assert resized[2] == big                      # oversized: untouched
+    assert M.decode_png_pixels(resized[1])[:2] == (3, 3)  # small: resized
+
+
+def test_media_decode_pixel_bomb_guard():
+    """The byte cap alone can't bound decode work — decode time scales
+    with DECODED samples, and headers can claim gigapixel dims from a
+    tiny payload. Each codec must reject over-max_pixels dims from the
+    header BEFORE its inflate loop, and the PNG inflate itself must be
+    length-bounded (a stream longer than its declared dims dies at the
+    bound, not after materializing)."""
+    import struct
+    import zlib
+
+    from baker_spark.datapipe import multimodal as M
+    from baker_spark.datapipe.jpegcodec import decode_jpeg_pixels
+
+    # PNG claiming 60000x60000 gray (3.6G samples) from ~100 bytes
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0)
+    bomb = (
+        M._PNG_SIG
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+        + M._png_chunk(b"IEND", b"")
+    )
+    assert M.decode_png_pixels(bomb) is None
+
+    # PNG whose zlib stream inflates LONGER than its declared 2x2 dims:
+    # must be rejected at the bound (len check), not trusted
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    overlong = (
+        M._PNG_SIG
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(b"\x00" * 100_000))
+        + M._png_chunk(b"IEND", b"")
+    )
+    assert M.decode_png_pixels(overlong) is None
+
+    # a good payload still decodes under the default budget
+    good = M.png_pixel_bytes(6, 6, 1)
+    assert M.decode_png_pixels(good) is not None
+    # and an explicit tiny budget rejects it the same way
+    assert M.decode_png_pixels(good, max_pixels=4) is None
+
+    # GIF descriptor claiming 65535x65535 from a tiny payload
+    gif = bytearray(M.gif_pixel_bytes(4, 4, 0))
+    # image descriptor = 0x2C with left=top=0 (a bare index(0x2C) would
+    # hit the gray value 44 inside the palette)
+    desc = bytes(gif).index(b"\x2c\x00\x00\x00\x00")
+    struct.pack_into("<HH", gif, desc + 5, 65535, 65535)
+    assert M.decode_gif_pixels(bytes(gif)) is None
+
+    # JPEG SOF claiming 65535x65535
+    jpg = bytearray(M.jpeg_pixel_bytes(8, 8, 0))
+    sof = jpg.index(b"\xff\xc0")
+    struct.pack_into(">HH", jpg, sof + 5, 65535, 65535)
+    assert decode_jpeg_pixels(bytes(jpg)) is None
+    # jpegcodec's literal default must track multimodal's constant
+    import inspect
+
+    sig = inspect.signature(decode_jpeg_pixels)
+    assert sig.parameters["max_pixels"].default == M.MAX_DECODE_PIXELS
