@@ -223,6 +223,9 @@ def _build_streaming_input(section: dict, fields: list[str], separator: str):
             separator=separator,
             listen_host=host or "127.0.0.1",
             listen_port=int(port),
+            # Decode="executor": raw-gz spool, inflate on executors —
+            # the scale path (see streaming/tcp.py module docstring)
+            decode=cfg.get("decode", "driver"),
         )
     # no SpoolDir: plaintext dev stand-in (spark's socket source)
     return SocketSource(host=host or "localhost", port=int(port))

@@ -9,8 +9,8 @@ is split (tcp.go:162-207).
 Spark-first split, same shape as the SQS input (streaming/sqs.py):
 
 - :class:`TCPGzipListener` is a small driver-side accept loop that
-  decodes the gzip framing and spools complete-line chunks as files
-  (written atomically: temp name, then rename) into a spool directory
+  spools each connection's stream as files (written atomically: temp
+  name, then rename) into a spool directory
 - Structured Streaming's file source
   (:class:`~baker_spark.streaming.daemon.FileStreamSource`) ingests the
   spool — micro-batch scheduling, exactly-once file tracking and
@@ -18,6 +18,29 @@ Spark-first split, same shape as the SQS input (streaming/sqs.py):
 - :class:`TCPFileSource` is the compiled form of a TOML
   ``[input] name="TCP"`` section with a ``SpoolDir``: the file stream
   plus a ``listener()`` factory bound to the same spool
+
+Two decode placements (``decode=``, TOML key ``Decode``):
+
+- ``"driver"`` (default — the reference's exact semantics,
+  tcp.go:146-210): the listener gzip-decodes on the driver and spools
+  complete-line chunks, so data is VISIBLE INCREMENTALLY while a
+  long-lived connection streams, and a torn stream keeps its decoded
+  prefix. The ceiling is the driver's single-process inflate rate
+  (~200 MB/s of compressed input per accept thread, measured in
+  PERFORMANCE.md "TCP ingest envelope") — fine for the dev-tool/relay
+  role this input plays in the reference, wrong for a firehose.
+- ``"executor"`` (the scale path): the listener copies RAW compressed
+  bytes to ``tcp-*.csv.gz`` (one file per connection, renamed at
+  close) and never inflates — the driver does kernel-speed socket->
+  disk copy, and Spark's file source decompresses BY EXTENSION on the
+  executors, in parallel across connections. Trade-offs, documented
+  rather than hidden: visibility is at connection close (gzip streams
+  are not splittable mid-flight), per-connection line counts move from
+  the listener to the streaming metrics, and a truncated stream is
+  spooled as-is — :class:`TCPFileSource` therefore sets
+  ``ignoreCorruptFiles`` on the reader in this mode so executors keep
+  the decodable prefix and the query survives, which is exactly the
+  reference's torn-connection behavior.
 
 The plaintext ``socket`` connector (connectors.SocketSource) remains the
 no-spool dev path; this module speaks the reference's actual format.
@@ -51,12 +74,17 @@ class TCPGzipListener:
         host: str = "127.0.0.1",
         port: int = 6000,
         chunk_bytes: int = TCP_CHUNK_BUFFER,
+        decode: str = "driver",
     ):
+        if decode not in ("driver", "executor"):
+            raise ValueError(f"decode must be 'driver' or 'executor', got {decode!r}")
         self.spool_dir = spool_dir
         self.host, self.port = host, port
         self.chunk_bytes = chunk_bytes
+        self.decode = decode
         self.connections = 0
-        self.num_lines = 0  # InputStats analog (tcp.go:126-131)
+        self.num_lines = 0  # InputStats analog (tcp.go:126-131); driver mode only
+        self.num_bytes = 0  # compressed bytes spooled (executor mode's stat)
         self.errors: list[str] = []  # per-connection failures (log-and-continue)
         # resume the spool counter past any files a PREVIOUS run left:
         # restarting at 1 would os.rename() onto tcp-00000001.csv — if
@@ -76,7 +104,7 @@ class TCPGzipListener:
         top = 0
         try:
             for name in os.listdir(spool_dir):
-                m = re.fullmatch(r"tcp-(\d{8})\.csv", name)
+                m = re.fullmatch(r"tcp-(\d{8})\.csv(\.gz)?", name)
                 if m:
                     top = max(top, int(m.group(1)))
         except FileNotFoundError:
@@ -102,9 +130,49 @@ class TCPGzipListener:
             fh.write(chunk)
         os.rename(tmp, final)
 
+    def _handle_stream_raw(self, rfile) -> None:
+        """Executor-decode path: copy the connection's compressed bytes
+        straight to one ``.csv.gz`` spool file (tmp + rename at close) —
+        no inflate on the driver. A stream that doesn't even start with
+        the gzip magic is rejected whole (the reference's bad-framing
+        log-and-continue); truncation deeper in can't be detected
+        without inflating, so the file ships as-is and the reader's
+        ``ignoreCorruptFiles`` keeps the decodable prefix."""
+        head = rfile.read(2)
+        if not head:
+            return  # empty connection: nothing to spool
+        if head != b"\x1f\x8b":
+            self.errors.append("not a gzip stream (bad magic)")
+            return
+        with self._lock:
+            self._seq += 1
+            seq = self._seq
+        final = os.path.join(self.spool_dir, f"tcp-{seq:08d}.csv.gz")
+        tmp = os.path.join(self.spool_dir, f".tcp-{seq:08d}.csv.gz.tmp")
+        copied = 0
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(head)
+                copied = 2
+                while True:
+                    data = rfile.read(self.chunk_bytes)
+                    if not data:
+                        break
+                    fh.write(data)
+                    copied += len(data)
+        except OSError as exc:
+            # torn socket: keep what arrived (reference keeps the
+            # decoded prefix; ignoreCorruptFiles gives the same here)
+            self.errors.append(str(exc))
+        with self._lock:
+            self.num_bytes += copied
+        os.rename(tmp, final)
+
     def _handle_stream(self, rfile) -> None:
         """tcp.go:146-210: gzip-decode, chunk, and never split a line —
         a chunk is cut at its last newline, the tail carries over."""
+        if self.decode == "executor":
+            return self._handle_stream_raw(rfile)
         gz = gzip.GzipFile(fileobj=rfile)
         pending = b""
         while True:
@@ -186,8 +254,21 @@ class TCPFileSource(FileStreamSource):
     listen_host: str = "127.0.0.1"
     listen_port: int = 6000
     chunk_bytes: int = TCP_CHUNK_BUFFER
+    decode: str = "driver"
+
+    def __post_init__(self):
+        if self.decode == "executor" and not self.reader_options:
+            # raw-gz spool: a truncated stream ships as-is, so the
+            # executor read must keep the decodable prefix and carry on
+            # (the reference's torn-connection behavior) instead of
+            # failing the query on the first torn connection
+            self.reader_options = {"ignoreCorruptFiles": "true"}
 
     def listener(self) -> TCPGzipListener:
         return TCPGzipListener(
-            self.path, host=self.listen_host, port=self.listen_port, chunk_bytes=self.chunk_bytes
+            self.path,
+            host=self.listen_host,
+            port=self.listen_port,
+            chunk_bytes=self.chunk_bytes,
+            decode=self.decode,
         )
