@@ -28,14 +28,15 @@ from pyspark.sql import DataFrame
 BATCH_SIZE = 25  # DynamoDB batch_write_item hard limit (dyndb.go:33)
 
 
-def _default_client_factory(regions: list[str]):
+def _default_client_factory(regions: list[str], endpoint_url: str = ""):
     try:
         import boto3  # type: ignore
     except ImportError as e:  # pragma: no cover - boto3 absent in this env
         raise RuntimeError(
             "boto3 is not installed; pass client_factory= to DynamoDBWriter"
         ) from e
-    return [boto3.client("dynamodb", region_name=r) for r in regions]
+    kw = {"endpoint_url": endpoint_url} if endpoint_url else {}
+    return [boto3.client("dynamodb", region_name=r, **kw) for r in regions]
 
 
 def _to_item(columns: list[str], types: list[str], row) -> dict:
@@ -166,6 +167,9 @@ class DynamoDBWriter:
     #: for UnprocessedItems before giving up growing the wait
     max_backoff: float = 120.0
     client_factory: Callable | None = None
+    #: LocalStack/moto/VPC endpoint for the DEFAULT factory (ignored
+    #: when client_factory is injected)
+    endpoint_url: str = ""
 
     def __post_init__(self):
         # validate BEFORE splitting: a column missing its ':' prefix must
@@ -180,7 +184,10 @@ class DynamoDBWriter:
         table, names, types = self.table, self._names, self._types
         regions, rate = self.regions, self.max_writes_per_sec
         backoff_cap = self.max_backoff
-        factory = self.client_factory or _default_client_factory
+        endpoint = self.endpoint_url
+        factory = self.client_factory or (
+            lambda rs: _default_client_factory(rs, endpoint)
+        )
 
         def per_partition(rows):
             clients = factory(regions)

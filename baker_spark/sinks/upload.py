@@ -47,13 +47,17 @@ class S3Upload:
     #: (key, error-string) pairs from the last run() when
     #: exit_on_error=False — the reference's log-and-continue trail
     errors: list | None = None
+    #: LocalStack/moto/VPC endpoint for the DEFAULT upload_fn (ignored
+    #: when upload_fn is injected)
+    endpoint_url: str = ""
 
     def _default_upload(self):
         try:
             import boto3  # type: ignore
         except ImportError as e:  # pragma: no cover — boto3 absent here
             raise RuntimeError("boto3 not installed; pass upload_fn=") from e
-        client = boto3.client("s3")
+        kw = {"endpoint_url": self.endpoint_url} if self.endpoint_url else {}
+        client = boto3.client("s3", **kw)
         return lambda path, bucket, key: client.upload_file(path, bucket, key)
 
     def run(self) -> list[str]:

@@ -141,11 +141,15 @@ def _make_client(options):
     fake_dir = options.get("fake_dir") or options.get("fakedir")
     if fake_dir:
         return DirStreamClient(fake_dir)
-    import boto3  # pragma: no cover — not bundled in this environment
+    import boto3
 
-    return boto3.client(  # pragma: no cover
-        "kinesis", region_name=options.get("aws_region", "us-west-2")
-    )
+    kw = {"region_name": options.get("aws_region", "us-west-2")}
+    # endpoint_url: LocalStack/moto wire-level testing and private
+    # VPC endpoints (covered by tests/test_moto_aws.py)
+    ep = options.get("endpoint_url") or options.get("endpointurl")
+    if ep:
+        kw["endpoint_url"] = ep
+    return boto3.client("kinesis", **kw)
 
 
 class _ShardSlice(InputPartition):

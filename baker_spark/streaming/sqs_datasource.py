@@ -110,12 +110,13 @@ def _local_lines(path: str):
             yield line, lastmod
 
 
-def _s3_lines(path: str, region: str):
+def _s3_lines(path: str, region: str, endpoint_url: str = ""):
     """Executor-side line reader for an s3:// object — boto3 GetObject
     (the executor analog of sqs.go's openFile S3 branch, which also
     reads LastModified off the response). boto3 is not bundled in this
     repo's sandbox; the import is guarded so the error names the real
-    dependency instead of a FileNotFoundError on a 's3://...' path."""
+    dependency instead of a FileNotFoundError on a 's3://...' path.
+    ``endpoint_url`` targets LocalStack/moto (test_moto_aws.py)."""
     try:
         import boto3
     except ImportError as e:  # pragma: no cover — boto3 absent here
@@ -125,13 +126,16 @@ def _s3_lines(path: str, region: str):
         ) from e
     from urllib.parse import urlsplit
 
-    from baker_spark.sources.http_datasource import (  # pragma: no cover
+    from baker_spark.sources.http_datasource import (
         decompress_by_extension,
         iter_line_blocks,
     )
 
-    u = urlsplit(path)  # pragma: no cover — the rest needs live S3
-    resp = boto3.client("s3", region_name=region).get_object(
+    u = urlsplit(path)
+    kw = {"region_name": region}
+    if endpoint_url:
+        kw["endpoint_url"] = endpoint_url
+    resp = boto3.client("s3", **kw).get_object(
         Bucket=u.netloc, Key=u.path.lstrip("/")
     )
     lastmod = resp.get("LastModified")
@@ -171,12 +175,14 @@ class SQSStreamReader(DataSourceStreamReader):
             client = DirQueueClient(fake_dir)
             if not cfg.queue_names and not cfg.queue_prefixes:
                 cfg.queue_names = [""]  # the spool root itself is the queue
-        else:  # pragma: no cover — boto3 absent in this environment
+        else:
             import boto3
 
-            client = boto3.client(
-                "sqs", region_name=options.get("aws_region") or cfg.aws_region
-            )
+            kw = {"region_name": options.get("aws_region") or cfg.aws_region}
+            ep = options.get("endpoint_url") or options.get("endpointurl")
+            if ep:
+                kw["endpoint_url"] = ep
+            client = boto3.client("sqs", **kw)
         self._poller = SQSPoller(cfg, client, on_file=lambda p: None)
         self._client = client
         self._bucket = cfg.bucket
@@ -184,6 +190,7 @@ class SQSStreamReader(DataSourceStreamReader):
         # populated from options, and read()'s executor-side S3 fetches
         # must hit the same regional endpoint the user configured
         self._region = options.get("aws_region") or cfg.aws_region
+        self._endpoint = options.get("endpoint_url") or options.get("endpointurl") or ""
         self._max_messages = int(options.get("max_messages", "10"))
         self._seq = 0
         #: per-run nonce stamped into every offset this reader emits.
@@ -309,7 +316,7 @@ class SQSStreamReader(DataSourceStreamReader):
         if path.startswith(("http://", "https://")):
             lines = fetch_lines(path)
         elif path.startswith("s3://"):
-            lines = _s3_lines(path, self._region)
+            lines = _s3_lines(path, self._region, self._endpoint)
         else:
             lines = _local_lines(path)
         for line, lastmod in lines:

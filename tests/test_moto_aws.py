@@ -1,0 +1,277 @@
+"""Wire-level tests for the boto3 branches against an in-process moto
+server.
+
+The engine's AWS sources/sinks normally run against injected fakes
+(DirStreamClient, DirQueueClient, fake dynamodb clients, upload_fn) —
+those prove the engine logic but never execute the PRODUCTION client
+construction and real request/response marshalling. moto's
+ThreadedMotoServer is a real HTTP endpoint speaking the real AWS wire
+protocol, so these tests drive the exact code a deployment runs —
+``_make_client``'s boto3 branch (including executor-side rebuilds in
+Python worker processes), ``DynamoDBWriter``'s default client factory,
+``S3Upload``'s default ``upload_fn``, ``_s3_lines``'s GetObject — end
+to end through ``endpoint_url``.
+
+The same four surfaces have LIVE twins in test_live_aws.py (opt-in via
+BAKER_SPARK_LIVE_AWS=1, LocalStack or real AWS); this module is the
+always-on CI version. Dummy creds come from conftest (set before the
+Spark JVM starts so executor workers inherit them for SigV4 signing).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pytest
+
+pytest.importorskip("boto3", reason="boto3 absent")
+moto_server = pytest.importorskip(
+    "moto.server", reason="moto server absent"
+)
+
+import boto3  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def endpoint():
+    server = moto_server.ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    _, port = server.get_host_and_port()
+    yield f"http://127.0.0.1:{port}"
+    server.stop()
+
+
+def _poll(fn, timeout=60.0, every=0.2, what="condition"):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        out = fn()
+        if out:
+            return out
+        time.sleep(every)
+    raise AssertionError(f"timed out waiting for {what}")
+
+
+def test_kinesis_boto3_branch_streams_records(spark, endpoint, tmp_path):
+    """bakerkinesis with a REAL boto3 client: stream discovery, shard
+    iterators, get_records paging and sequence-number offsets all run
+    against the wire protocol — including the executor-side client
+    rebuild (boto3 clients don't pickle; read() reconstructs from
+    options inside the Python worker process)."""
+    client = boto3.client("kinesis", region_name="us-west-2", endpoint_url=endpoint)
+    stream = f"moto-kin-{uuid.uuid4().hex[:8]}"
+    client.create_stream(StreamName=stream, ShardCount=2)
+    client.get_waiter("stream_exists").wait(StreamName=stream)
+    for i in range(6):
+        client.put_record(
+            StreamName=stream,
+            Data=f"{i},click,user_{i}".encode(),
+            PartitionKey=f"pk{i}",
+        )
+
+    from baker_spark.streaming.kinesis_datasource import register
+
+    register(spark)
+    name = f"moto_kin_{uuid.uuid4().hex[:6]}"
+    q = (
+        spark.readStream.format("bakerkinesis")
+        .option("stream", stream)
+        .option("aws_region", "us-west-2")
+        .option("endpoint_url", endpoint)
+        .option("initial_position", "TRIM_HORIZON")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        rows = _poll(
+            lambda: (
+                q.processAllAvailable(),
+                spark.sql(f"SELECT * FROM {name}").collect(),
+            )[1]
+            if q.isActive
+            else None,
+            what="kinesis records via moto",
+        )
+        assert len(rows) == 6
+        datas = {bytes(r.data).decode() if hasattr(r, "data") else str(r[0]) for r in rows}
+        assert any("user_3" in d for d in datas)
+
+        # a second batch arrives incrementally through the same offsets
+        client.put_record(StreamName=stream, Data=b"9,view,user_9", PartitionKey="pk9")
+        _poll(
+            lambda: (
+                q.processAllAvailable(),
+                len(spark.sql(f"SELECT * FROM {name}").collect()) == 7,
+            )[1],
+            what="second kinesis batch",
+        )
+    finally:
+        q.stop()
+        client.delete_stream(StreamName=stream)
+
+
+def test_sqs_boto3_branch_delivers_and_deletes(spark, endpoint, tmp_path):
+    """bakersqs with a REAL boto3 client: receive, WAL-journal, deliver,
+    delete-after-commit — over the wire."""
+    client = boto3.client("sqs", region_name="us-west-2", endpoint_url=endpoint)
+    qname = f"moto-sqs-{uuid.uuid4().hex[:8]}"
+    queue_url = client.create_queue(QueueName=qname)["QueueUrl"]
+
+    # plain format: the message body names a local file to ingest
+    data = tmp_path / "notified.csv"
+    data.write_text("5,click,user_5\n6,view,user_6\n")
+    client.send_message(QueueUrl=queue_url, MessageBody=str(data))
+
+    from baker_spark.streaming.sqs_datasource import register
+
+    register(spark)
+    name = f"moto_sqs_{uuid.uuid4().hex[:6]}"
+    q = (
+        spark.readStream.format("bakersqs")
+        .option("queue_names", qname)
+        .option("aws_region", "us-west-2")
+        .option("endpoint_url", endpoint)
+        .option("message_format", "plain")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        rows = _poll(
+            lambda: (
+                q.processAllAvailable(),
+                spark.sql(f"SELECT * FROM {name}").collect(),
+            )[1]
+            if q.isActive
+            else None,
+            what="sqs-notified file via moto",
+        )
+        assert {str(r[0]) for r in rows} == {"5,click,user_5", "6,view,user_6"}
+        # delete-after-commit drained the queue
+        _poll(
+            lambda: not client.receive_message(QueueUrl=queue_url).get("Messages"),
+            timeout=20,
+            what="queue drain",
+        )
+    finally:
+        q.stop()
+        client.delete_queue(QueueUrl=queue_url)
+
+
+def test_sqs_s3_object_fetch_on_executors(spark, endpoint, tmp_path):
+    """The S3-notification path: the queue message points at an
+    s3:// object and _s3_lines fetches it with boto3 INSIDE the
+    executor worker — the full sqs.go openFile S3 analog."""
+    s3 = boto3.client("s3", region_name="us-west-2", endpoint_url=endpoint)
+    bucket = f"moto-s3-{uuid.uuid4().hex[:8]}"
+    s3.create_bucket(
+        Bucket=bucket,
+        CreateBucketConfiguration={"LocationConstraint": "us-west-2"},
+    )
+    s3.put_object(Bucket=bucket, Key="in/events.csv", Body=b"8,click,user_8\n")
+
+    sqs = boto3.client("sqs", region_name="us-west-2", endpoint_url=endpoint)
+    qname = f"moto-sqs-s3-{uuid.uuid4().hex[:8]}"
+    queue_url = sqs.create_queue(QueueName=qname)["QueueUrl"]
+    sqs.send_message(QueueUrl=queue_url, MessageBody=f"s3://{bucket}/in/events.csv")
+
+    from baker_spark.streaming.sqs_datasource import register
+
+    register(spark)
+    name = f"moto_sqs_s3_{uuid.uuid4().hex[:6]}"
+    q = (
+        spark.readStream.format("bakersqs")
+        .option("queue_names", qname)
+        .option("aws_region", "us-west-2")
+        .option("endpoint_url", endpoint)
+        .option("message_format", "plain")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        rows = _poll(
+            lambda: (
+                q.processAllAvailable(),
+                spark.sql(f"SELECT * FROM {name}").collect(),
+            )[1]
+            if q.isActive
+            else None,
+            what="s3 object lines via moto",
+        )
+        assert [str(r[0]) for r in rows] == ["8,click,user_8"]
+    finally:
+        q.stop()
+        sqs.delete_queue(QueueUrl=queue_url)
+
+
+def test_dynamodb_default_factory_writes(spark, endpoint):
+    """DynamoDBWriter with its DEFAULT boto3 factory (built inside
+    foreachPartition on the executors): typed items land queryable."""
+    client = boto3.client("dynamodb", region_name="us-west-2", endpoint_url=endpoint)
+    table = f"moto-ddb-{uuid.uuid4().hex[:8]}"
+    client.create_table(
+        TableName=table,
+        KeySchema=[{"AttributeName": "id", "KeyType": "HASH"}],
+        AttributeDefinitions=[{"AttributeName": "id", "AttributeType": "S"}],
+        BillingMode="PAY_PER_REQUEST",
+    )
+    client.get_waiter("table_exists").wait(TableName=table)
+    try:
+        from baker_spark.sinks.dynamodb import DynamoDBWriter
+
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], "id string, v long"
+        )
+        DynamoDBWriter(
+            table=table,
+            columns=["s:id", "n:v"],
+            regions=["us-west-2"],
+            endpoint_url=endpoint,
+        ).write(df)
+        items = client.scan(TableName=table)["Items"]
+        assert {it["id"]["S"]: it["v"]["N"] for it in items} == {
+            "a": "1",
+            "b": "2",
+            "c": "3",
+        }
+    finally:
+        client.delete_table(TableName=table)
+
+
+def test_s3_upload_default_fn_drains(endpoint, tmp_path):
+    """S3Upload with its DEFAULT boto3 upload_fn: staging files arrive
+    under the prefix and are removed locally (the drain contract)."""
+    s3 = boto3.client("s3", region_name="us-west-2", endpoint_url=endpoint)
+    bucket = f"moto-up-{uuid.uuid4().hex[:8]}"
+    s3.create_bucket(
+        Bucket=bucket,
+        CreateBucketConfiguration={"LocationConstraint": "us-west-2"},
+    )
+    from baker_spark.sinks.upload import S3Upload
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    (stage / "part-00000.csv.gz").write_bytes(b"payload-a")
+    (stage / "part-00001.csv.gz").write_bytes(b"payload-b")
+    up = S3Upload(
+        source_base_path=str(stage),
+        bucket=bucket,
+        prefix="smoke",
+        endpoint_url=endpoint,
+    )
+    keys = up.run()
+    assert up.errors == [] and len(keys) == 2
+    listed = {
+        o["Key"]
+        for o in s3.list_objects_v2(Bucket=bucket, Prefix="smoke")["Contents"]
+    }
+    assert listed == set(keys)
+    assert not list(stage.iterdir())
