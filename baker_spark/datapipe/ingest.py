@@ -58,6 +58,11 @@ class CorpusIngest:
     ingested: int = 0
     dropped: int = 0
     batches: int = 0
+    #: failure-injection seam (soak tests): raise on the Nth write call
+    #: (1-based) BETWEEN the corpus append and the ledger append —
+    #: the exact crash window the module doc documents as "re-admits on
+    #: replay: duplicates, never loss". 0 = off (production default).
+    inject_crash_between_appends: int = 0
 
     def _ledger(self, spark) -> DataFrame:
         if self.ledger_buckets:
@@ -122,6 +127,11 @@ class CorpusIngest:
             # corpus BEFORE ledger: replay re-admits (duplicates), never
             # loses — see module doc
             admitted.write.mode("append").parquet(self.corpus_dir)
+            if self.inject_crash_between_appends == self.batches + 1:
+                raise RuntimeError(
+                    "injected crash between corpus and ledger append "
+                    "(CorpusIngest failure-injection seam)"
+                )
             if self.ledger_buckets:
                 # bucketed append: rows land in their fp bucket so the
                 # next batch's anti-join stays exchange-free

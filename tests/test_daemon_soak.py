@@ -136,3 +136,25 @@ def test_daemon_soak_kill_resume_exactly_once(spark, tmp_path):
 
     # the upload stage saw every rotated part
     assert {os.path.basename(k) for k in uploaded} == set(parts)
+
+
+def test_failure_matrix_exactly_once_accounting(spark, tmp_path):
+    """The bakerkinesis + bakersqs failure matrix (driver kill/restart,
+    reshard pickup, injected crash in the corpus->ledger window,
+    duplicate redelivery) with no-dup/no-loss proven by row accounting
+    against the CorpusIngest ledgers. tools/soak_matrix.py holds the
+    harness (and asserts everything internally); this runs it at pytest
+    volume — the sf1-volume numbers live in PERFORMANCE.md."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from soak_matrix import run_soak
+
+    out = run_soak(
+        spark, str(tmp_path), n_kin=20_000, n_sqs=5_000, log=lambda *a: None
+    )
+    assert out["kinesis"]["lost"] == 0 and out["kinesis"]["duplicate_rows"] == 0
+    assert out["sqs"]["lost"] == 0
+    assert out["sqs"]["duplicate_rows"] == out["crash_batch_rows_readmitted"]
+    assert out["dup_redelivery_admitted"] == 0
+    assert out["exact_dedup_restores"] == out["sqs"]["expected"]

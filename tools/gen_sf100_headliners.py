@@ -1,0 +1,97 @@
+"""sf100 lineitem for the two headliners (q1_pricing_summary and
+bench.py's baker_filter_chain — both read ONLY lineitem): 600M rows,
+~20 GB parquet, generated in sf10-sized chunks so peak memory stays
+~1/10th of a monolithic build (gen_testdata.py builds each table in one
+numpy shot, which at sf100 would need >100 GB of transient arrays).
+
+Chunks land as part files inside a ``lineitem.parquet`` DIRECTORY —
+spark.read.parquet and DuckDB's read_parquet('.../lineitem.parquet/*')
+both treat it exactly like the driver's single-file layout. Same value
+domains and per-order line structure as tools/gen_testdata.py
+(1 + Poisson(3) lines/order, shipdate = orderdate + U[1,95] days);
+deterministic per-chunk seeds, so regeneration is exact.
+
+    python tools/gen_sf100_headliners.py [out_dir] [n_chunks]
+
+Default out: testdata/sf100 (gitignored like sf1/sf10).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROW_GROUP = 128 * 1024
+SF = 100.0
+N_ORD_TOTAL = int(1_500_000 * SF)
+N_PART = int(200_000 * SF)
+N_SUPP = int(10_000 * SF)
+
+
+def _us(days_float: np.ndarray, epoch: str) -> pa.Array:
+    base = np.datetime64(epoch, "us")
+    return pa.array(base + (days_float * 86_400_000_000).astype("timedelta64[us]"))
+
+
+def gen_chunk(out_dir: str, chunk: int, n_chunks: int) -> int:
+    rng = np.random.default_rng(int(42 + SF * 1000) + chunk)
+    lo = chunk * (N_ORD_TOTAL // n_chunks)
+    hi = (chunk + 1) * (N_ORD_TOTAL // n_chunks) if chunk < n_chunks - 1 else N_ORD_TOTAL
+    n_ord = hi - lo
+    ok = np.arange(lo, hi, dtype=np.int64)
+    odays = rng.uniform(0, 2404, n_ord)  # 1995-01-01 .. 2001-08-01
+
+    nlines = 1 + rng.poisson(3.0, n_ord)
+    lok = np.repeat(ok, nlines)
+    n_li = len(lok)
+    ln = (
+        np.arange(n_li)
+        - np.repeat(np.concatenate(([0], np.cumsum(nlines)[:-1])), nlines)
+        + 1
+    )
+    table = pa.table(
+        {
+            "l_orderkey": lok,
+            "l_partkey": rng.integers(0, N_PART, n_li),
+            "l_suppkey": rng.integers(0, N_SUPP, n_li),
+            "l_linenumber": pa.array(ln, pa.int32()),
+            "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
+            "l_discount": np.round(rng.integers(0, 11, n_li) * 0.01, 2),
+            "l_tax": np.round(rng.integers(0, 9, n_li) * 0.01, 2),
+            "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
+            "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
+            "l_shipdate": _us(
+                np.floor(np.repeat(odays, nlines) + rng.uniform(1, 95, n_li)),
+                "1995-01-01",
+            ),
+        }
+    )
+    li_dir = os.path.join(out_dir, "lineitem.parquet")
+    os.makedirs(li_dir, exist_ok=True)
+    pq.write_table(
+        table,
+        os.path.join(li_dir, f"part-{chunk:04d}.parquet"),
+        row_group_size=ROW_GROUP,
+    )
+    return n_li
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else "testdata/sf100"
+    n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    total = 0
+    for c in range(n_chunks):
+        n = gen_chunk(out, c, n_chunks)
+        total += n
+        print(f"  chunk {c + 1}/{n_chunks}: {n} rows (total {total})", flush=True)
+    print(f"sf100 lineitem: {total} rows -> {out}/lineitem.parquet/")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,312 @@
+"""Exactly-once streaming soak: bakerkinesis + bakersqs daemon
+topologies driven through the full failure matrix at configurable
+volume, with no-dup/no-loss proven by row accounting against the
+CorpusIngest ledger.
+
+The matrix (VERDICT r8 #1 — the reference's hardest-won behavior,
+input/kinesis.go:106-185 restart semantics, input/sqs_test.go):
+
+- **driver kill/restart** (kinesis): the query is stopped with records
+  still pending in the stream; a FRESH pipeline object resumes from the
+  checkpoint's sequence-number offsets and must pick up exactly after
+  the last committed record.
+- **reshard pickup** (kinesis): new shards appear mid-run; the next
+  latestOffset re-describe must fold them in from TRIM_HORIZON.
+- **poller crash in the at-least-once window** (sqs): an injected crash
+  BETWEEN the corpus append and the ledger append (the documented
+  replay-readmits window, datapipe/ingest.py module doc) fails the
+  query mid-batch; the restart replays the batch, the corpus shows the
+  duplicates, the ledger shows no loss, and a final exact_dedup
+  restores exactly-once — all asserted by count.
+- **duplicate notification** (sqs): an already-committed message is
+  redelivered whole; the source's WAL/ledger must admit zero new rows.
+
+Used two ways: tests/test_daemon_soak.py runs it at pytest volume
+(~50k records); ``python tools/soak_matrix.py [n_kin] [n_sqs]`` runs it
+at sf1 volume (default 6M records total) and prints the accounting +
+recovery timings JSON for PERFORMANCE.md.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from baker_spark.datapipe.dedup import exact_dedup  # noqa: E402
+from baker_spark.datapipe.ingest import CorpusIngest  # noqa: E402
+
+
+# ------------------------------------------------------------- producers ---
+
+def write_kinesis_shard(root: str, shard: str, rids: list[str]) -> None:
+    """Bulk producer for the DirStreamClient spool format (one write:
+    put_record per row would dominate the soak's wall clock)."""
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, f"{shard}.jsonl"), "a") as fh:
+        fh.writelines(
+            json.dumps(
+                {
+                    "Data": base64.b64encode(rid.encode()).decode("ascii"),
+                    "PartitionKey": rid,
+                    "Ts": 0.0,
+                }
+            )
+            + "\n"
+            for rid in rids
+        )
+
+
+def write_sqs_notification(queue_dir: str, data_dir: str, name: str, rids: list[str]) -> str:
+    """One data file + one queue message naming it (the plain format)."""
+    os.makedirs(queue_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+    data_path = os.path.join(data_dir, f"{name}.csv")
+    with open(data_path, "w") as fh:
+        fh.write("".join(r + "\n" for r in rids))
+    with open(os.path.join(queue_dir, f"{name}.msg"), "w") as fh:
+        fh.write(data_path)
+    return data_path
+
+
+def _resend(queue_dir: str, data_path: str, name: str) -> None:
+    with open(os.path.join(queue_dir, f"{name}.msg"), "w") as fh:
+        fh.write(data_path)
+
+
+# ---------------------------------------------------------------- queries ---
+
+def _start_kinesis(spark, spool, ckpt, ingest):
+    from baker_spark.streaming.kinesis_datasource import register
+
+    register(spark)
+
+    def sink(df, _bid):
+        ingest.write(df.select(F.col("data").cast("string").alias("rid")))
+
+    return (
+        spark.readStream.format("bakerkinesis")
+        .option("fake_dir", spool)
+        .option("stream", "soak")
+        .option("initial_position", "TRIM_HORIZON")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def _start_sqs(spark, queue_root, ckpt, ingest):
+    from baker_spark.streaming.sqs_datasource import register
+
+    register(spark)
+
+    def sink(df, _bid):
+        ingest.write(df.select(F.col("value").alias("rid")))
+
+    return (
+        spark.readStream.format("bakersqs")
+        .option("fake_dir", queue_root)
+        .option("message_format", "plain")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def _account(spark, corpus_dir: str, expected: set[str]) -> dict:
+    df = spark.read.parquet(corpus_dir).select("rid")
+    total = df.count()
+    distinct = df.distinct().count()
+    got = {r.rid for r in df.distinct().collect()} if distinct <= 1_000_000 else None
+    out = {
+        "rows": total,
+        "distinct": distinct,
+        "expected": len(expected),
+        "duplicate_rows": total - distinct,
+        "lost": (len(expected) - distinct),
+    }
+    if got is not None:
+        missing = expected - got
+        extra = got - expected
+        out["missing_sample"] = sorted(missing)[:5]
+        out["extra_sample"] = sorted(extra)[:5]
+        out["lost"] = len(missing)
+        assert not extra, f"rows from nowhere: {sorted(extra)[:5]}"
+    return out
+
+
+# -------------------------------------------------------------- the matrix ---
+
+def run_soak(spark, workdir: str, n_kin: int = 40_000, n_sqs: int = 10_000,
+             kin_shards: int = 4, reshard_shards: int = 2,
+             sqs_files: int = 10, log=print) -> dict:
+    """Run the full matrix; returns accounting + recovery timings."""
+    w = lambda *p: os.path.join(workdir, *p)  # noqa: E731
+    timings: dict[str, float] = {}
+
+    # ---- seed: 60% of kinesis records on the initial shards ----------
+    kin_expected = [f"k{n:08d}" for n in range(n_kin)]
+    seed_n = int(n_kin * 0.6)
+    per = max(1, seed_n // kin_shards)
+    for s in range(kin_shards):
+        write_kinesis_shard(
+            w("kin"), f"shardId-{s:012d}", kin_expected[s * per : (s + 1) * per]
+        )
+    seeded = kin_shards * per
+
+    # ---- seed: first half of the sqs notifications --------------------
+    rows_per_file = max(1, n_sqs // sqs_files)
+    sqs_expected = [f"s{n:08d}" for n in range(rows_per_file * sqs_files)]
+    data_paths = {}
+    for i in range(sqs_files // 2):
+        data_paths[i] = write_sqs_notification(
+            w("queue"), w("sqsdata"), f"batch_{i:04d}",
+            sqs_expected[i * rows_per_file : (i + 1) * rows_per_file],
+        )
+
+    kin_ingest = CorpusIngest(w("kin_corpus"), w("kin_ledger"), key=F.md5("rid"), id_col="rid")
+    # the sqs ingest CRASHES between corpus and ledger append on its
+    # FIRST batch — the documented at-least-once window
+    sqs_ingest = CorpusIngest(
+        w("sqs_corpus"), w("sqs_ledger"), key=F.md5("rid"), id_col="rid",
+        inject_crash_between_appends=1,
+    )
+
+    log(f"[soak] start: kinesis {n_kin} records/{kin_shards}+{reshard_shards} shards, "
+        f"sqs {rows_per_file * sqs_files} records/{sqs_files} files")
+    t0 = time.perf_counter()
+    qk = _start_kinesis(spark, w("kin"), w("ckpt_kin"), kin_ingest)
+    qs = _start_sqs(spark, w("queue"), w("ckpt_sqs"), sqs_ingest)
+
+    # ---- phase 1: drain the seeds; the sqs query dies on its crash ----
+    qk.processAllAvailable()
+    try:
+        qs.processAllAvailable()
+    except Exception:
+        pass  # expected: injected crash fails the query mid-batch
+    assert not qs.isActive, "sqs query should have died on the injected crash"
+    timings["phase1_drain_s"] = time.perf_counter() - t0
+    # the crashed batch reached the corpus but not the ledger: its rows
+    # are exactly what's in the corpus now, and exactly what the replay
+    # will re-admit — the expected duplicate count, MEASURED not guessed
+    crash_batch_rows = spark.read.parquet(w("sqs_corpus")).count()
+    log(f"[soak] injected crash after {crash_batch_rows} corpus rows, pre-ledger")
+
+    # ---- driver kill: stop kinesis, more records arrive while down ----
+    qk.stop()
+    qk.awaitTermination(60)
+    pending_n = max(kin_shards, (n_kin - seeded) // 2)
+    pending = kin_expected[seeded : seeded + pending_n]
+    for s in range(kin_shards):
+        write_kinesis_shard(w("kin"), f"shardId-{s:012d}", pending[s::kin_shards])
+    next_kin = seeded + len(pending)
+
+    # ---- restart both from their checkpoints (fresh objects) ----------
+    t1 = time.perf_counter()
+    kin_ingest2 = CorpusIngest(w("kin_corpus"), w("kin_ledger"), key=F.md5("rid"), id_col="rid")
+    sqs_ingest2 = CorpusIngest(w("sqs_corpus"), w("sqs_ledger"), key=F.md5("rid"), id_col="rid")
+    qk = _start_kinesis(spark, w("kin"), w("ckpt_kin"), kin_ingest2)
+    qs = _start_sqs(spark, w("queue"), w("ckpt_sqs"), sqs_ingest2)
+    qk.processAllAvailable()
+    qs.processAllAvailable()
+    timings["restart_catchup_s"] = time.perf_counter() - t1
+    log(f"[soak] restart caught up in {timings['restart_catchup_s']:.2f}s")
+
+    # ---- reshard: new shards carry every kinesis record not yet sent --
+    remaining = kin_expected[next_kin:]
+    t2 = time.perf_counter()
+    for s in range(reshard_shards):
+        write_kinesis_shard(
+            w("kin"), f"shardId-{kin_shards + s:012d}", remaining[s::reshard_shards]
+        )
+    qk.processAllAvailable()
+    timings["reshard_pickup_s"] = time.perf_counter() - t2
+
+    # ---- rest of the sqs files + one DUPLICATE redelivery -------------
+    for i in range(sqs_files // 2, sqs_files):
+        data_paths[i] = write_sqs_notification(
+            w("queue"), w("sqsdata"), f"batch_{i:04d}",
+            sqs_expected[i * rows_per_file : (i + 1) * rows_per_file],
+        )
+    qs.processAllAvailable()
+    admitted_before_dup = sqs_ingest2.ingested
+    t3 = time.perf_counter()
+    _resend(w("queue"), data_paths[0], "batch_0000_redelivered")
+    qs.processAllAvailable()
+    timings["dup_redelivery_s"] = time.perf_counter() - t3
+    dup_admitted = sqs_ingest2.ingested - admitted_before_dup
+
+    qk.stop(); qs.stop()
+    qk.awaitTermination(60); qs.awaitTermination(60)
+    timings["total_s"] = time.perf_counter() - t0
+
+    # ------------------------------------------------------- accounting ---
+    kin = _account(spark, w("kin_corpus"), set(kin_expected))
+    sqs = _account(spark, w("sqs_corpus"), set(sqs_expected))
+
+    # kinesis: clean stop/restart — exactly-once, no crash window hit
+    assert kin["lost"] == 0, f"kinesis lost rows: {kin}"
+    assert kin["duplicate_rows"] == 0, f"kinesis duplicated rows: {kin}"
+    # sqs: no loss; duplicates exactly the replayed crash batch
+    assert sqs["lost"] == 0, f"sqs lost rows: {sqs}"
+    assert sqs["duplicate_rows"] == crash_batch_rows, (
+        f"crash window should re-admit exactly the replayed batch "
+        f"({crash_batch_rows} rows): {sqs}"
+    )
+    # the duplicate redelivery admitted nothing
+    assert dup_admitted == 0, f"redelivered message re-admitted {dup_admitted} rows"
+    # exact_dedup restores exactly-once over the at-least-once corpus
+    restored = exact_dedup(
+        spark.read.parquet(w("sqs_corpus")), text_col="rid", id_col="rid"
+    ).count()
+    assert restored == len(sqs_expected), f"exact_dedup: {restored} != {len(sqs_expected)}"
+    # ledgers carry exactly one fp per unique record (no loss, no bloat)
+    assert spark.read.parquet(w("kin_ledger")).count() == len(set(kin_expected))
+    assert spark.read.parquet(w("sqs_ledger")).count() == len(set(sqs_expected))
+
+    return {
+        "kinesis": kin,
+        "sqs": sqs,
+        "crash_batch_rows_readmitted": sqs["duplicate_rows"],
+        "dup_redelivery_admitted": dup_admitted,
+        "exact_dedup_restores": restored,
+        "timings": {k: round(v, 2) for k, v in timings.items()},
+    }
+
+
+def main() -> int:
+    import shutil
+    import tempfile
+
+    from baker_spark import get_spark
+
+    n_kin = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    n_sqs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    # executor python workers unpickle the data sources and must be able
+    # to import baker_spark regardless of the launch cwd
+    os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    spark = get_spark("soak-matrix", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    workdir = tempfile.mkdtemp(prefix="baker_soak_")
+    try:
+        out = run_soak(spark, workdir, n_kin=n_kin, n_sqs=n_sqs,
+                       sqs_files=max(10, n_sqs // 100_000))
+        print(json.dumps(out))
+        return 0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        # leave no stray streams
+        for q in spark.streams.active:
+            q.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
