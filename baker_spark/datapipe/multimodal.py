@@ -535,8 +535,22 @@ def decode_png_pixels(payload: bytes, max_pixels: int = MAX_DECODE_PIXELS):
         # declared size + 1 probe byte, whatever the stream contains
         dec = zlib.decompressobj()
         raw = dec.decompress(bytes(idat), expected)
-        if len(raw) != expected or dec.decompress(b"", 1):
-            return None  # shorter or longer than declared dims
+        if len(raw) != expected:
+            return None  # shorter than declared dims
+        # drain to the trailer: a VALID stream ends exactly at expected.
+        # An empty-input probe is NOT enough — stored (level-0) deflate
+        # blocks need input to resume, so the drain feeds unconsumed_tail
+        # 1 output byte at a time until the stream ends or overflows
+        data = dec.unconsumed_tail
+        while not dec.eof:
+            out = dec.decompress(data, 1)
+            data = dec.unconsumed_tail
+            if out:
+                return None  # longer than declared dims
+            if not data:
+                break  # input exhausted mid-stream: truncated
+        if not dec.eof or dec.unused_data:
+            return None  # truncated stream / trailing garbage
     except zlib.error:
         return None
     out = bytearray(height * stride)

@@ -1303,6 +1303,12 @@ def ann_search(
     if method == "brute":
         base, score_col, asc = ann_topk(df, query_id, k, vec_col, id_col, **kw), "cosine_c4", False
     elif method == "lsh":
+        # max_rows is the brute-only guard knob: tolerated here so that
+        # auto-resolved calls carrying it don't explode, everything else
+        # is a typo the facade must not swallow
+        extra = set(kw) - {"max_rows"}
+        if extra:
+            raise TypeError(f"ann_search(method='lsh') got unexpected kwargs {sorted(extra)}")
         base, score_col, asc = ann_topk_bucketed(df, query_id, k, vec_col, id_col), "cosine_c4", False
     elif method == "pq":
         base, score_col, asc = (

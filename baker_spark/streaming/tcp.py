@@ -161,9 +161,12 @@ class TCPGzipListener:
                     fh.write(data)
                     copied += len(data)
         except OSError as exc:
-            # torn socket: keep what arrived (reference keeps the
-            # decoded prefix; ignoreCorruptFiles gives the same here)
+            # torn socket / failed open: keep what arrived (reference
+            # keeps the decoded prefix; ignoreCorruptFiles gives the
+            # same here) — but only publish a tmp that exists
             self.errors.append(str(exc))
+            if not os.path.exists(tmp):
+                return
         with self._lock:
             self.num_bytes += copied
         os.rename(tmp, final)
@@ -257,12 +260,23 @@ class TCPFileSource(FileStreamSource):
     decode: str = "driver"
 
     def __post_init__(self):
-        if self.decode == "executor" and not self.reader_options:
+        # fail at CONFIG time, not when listener() is eventually called
+        # (a typo'd TOML Decode= would otherwise run driver-mode readers
+        # over a raw-gz spool without complaint)
+        if self.decode not in ("driver", "executor"):
+            raise ValueError(
+                f"decode must be 'driver' or 'executor', got {self.decode!r}"
+            )
+        if self.decode == "executor":
             # raw-gz spool: a truncated stream ships as-is, so the
             # executor read must keep the decodable prefix and carry on
             # (the reference's torn-connection behavior) instead of
-            # failing the query on the first torn connection
-            self.reader_options = {"ignoreCorruptFiles": "true"}
+            # failing the query on the first torn connection. setdefault:
+            # user-supplied reader options must not silently drop this
+            self.reader_options = {
+                "ignoreCorruptFiles": "true",
+                **(self.reader_options or {}),
+            }
 
     def listener(self) -> TCPGzipListener:
         return TCPGzipListener(

@@ -1007,3 +1007,73 @@ def test_media_decode_pixel_bomb_guard():
 
     sig = inspect.signature(decode_jpeg_pixels)
     assert sig.parameters["max_pixels"].default == M.MAX_DECODE_PIXELS
+
+
+def test_png_bounded_inflate_rejects_stored_blocks_and_garbage():
+    """The inflate drain must catch what an empty-input probe can't:
+    stored (level-0) deflate blocks need input to resume, so an
+    overlong stored stream previously slipped past the bound; trailing
+    garbage after a valid stream must also reject (the eager
+    zlib.decompress used to throw on both)."""
+    import struct
+    import zlib
+
+    from baker_spark.datapipe import multimodal as M
+
+    def png(idat_payload):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # expects 6 raw bytes
+        return (
+            M._PNG_SIG
+            + M._png_chunk(b"IHDR", ihdr)
+            + M._png_chunk(b"IDAT", idat_payload)
+            + M._png_chunk(b"IEND", b"")
+        )
+
+    raw = b"\x00\x01\x02" + b"\x00\x03\x04"  # 2 scanlines: filter0 + 2px
+    assert M.decode_png_pixels(png(zlib.compress(raw))) is not None
+    # valid stream in STORED blocks also decodes
+    assert M.decode_png_pixels(png(zlib.compress(raw, 0))) is not None
+    # overlong via stored blocks: inflate needs input to resume, the
+    # old empty-probe check returned b'' and accepted it
+    assert M.decode_png_pixels(png(zlib.compress(bytes(100), 0))) is None
+    # trailing garbage after a complete stream
+    assert M.decode_png_pixels(png(zlib.compress(raw) + b"JUNKJUNK")) is None
+    # truncated stream (never reaches eof)
+    assert M.decode_png_pixels(png(zlib.compress(raw)[:-4])) is None
+
+
+def test_tcp_file_source_config_validation(tmp_path):
+    """decode is validated at CONFIG time and user reader_options never
+    drop the executor-mode corruption tolerance."""
+    import pytest
+
+    from baker_spark.streaming.tcp import TCPFileSource
+
+    with pytest.raises(ValueError, match="decode must be"):
+        TCPFileSource(str(tmp_path), fields=["a"], decode="Executor")
+    src = TCPFileSource(
+        str(tmp_path), fields=["a"], decode="executor",
+        reader_options={"maxFileAge": "1h"},
+    )
+    assert src.reader_options["ignoreCorruptFiles"] == "true"
+    assert src.reader_options["maxFileAge"] == "1h"
+    # and an explicit user override wins
+    src = TCPFileSource(
+        str(tmp_path), fields=["a"], decode="executor",
+        reader_options={"ignoreCorruptFiles": "false"},
+    )
+    assert src.reader_options["ignoreCorruptFiles"] == "false"
+
+
+def test_ann_search_rejects_typoed_kwargs_for_lsh(spark):
+    import pytest
+
+    from baker_spark.datapipe import vectors
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="unexpected kwargs"):
+        vectors.ann_search(df, method="lsh", nprobe=3)
+    # max_rows is tolerated (auto-resolved calls carry it for brute)
+    assert vectors.ann_search(df, k=2, method="lsh", max_rows=10).count() <= 2

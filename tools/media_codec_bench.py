@@ -15,10 +15,11 @@ Usage: python tools/media_codec_bench.py [--json]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-REPO = __file__.rsplit("/", 2)[0]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from baker_spark.datapipe import multimodal as M  # noqa: E402
