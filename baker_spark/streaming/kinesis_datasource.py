@@ -28,6 +28,23 @@ kcl.go:27-49). This source expresses both contracts Spark-first:
   :func:`baker_spark.streaming.connectors.kinesis_records` parses this
   source and the jar-backed one identically.
 
+**What is deliberately NOT ported: KCL's COMPETING-worker lease
+protocol.** KCL exists because N independent daemon processes must
+divide shards among themselves with no coordinator — hence the DynamoDB
+lease table, lease stealing, worker heartbeats, and split-brain windows
+(kcl.go:27-49's machinery; its own help text admits "shard stealing is
+not implemented yet"). Spark's execution model makes that protocol
+redundant rather than missing: ONE streaming driver owns the topology
+and already has a coordinator (the task scheduler) to balance
+shard-partitions across executors, and a FAILED driver's replacement
+resumes from the checkpoint WAL — the lease table's checkpoint column,
+without the sidecar table or the steal/heartbeat edge cases. The
+engine therefore assumes one streaming driver per topology; running
+two drivers against one checkpoint dir is unsupported (exactly as two
+KCL apps sharing an AppName are). What you give up is live handoff
+between two SIMULTANEOUS consumer processes — on Spark that scenario
+is expressed as one cluster scaling executors, not two drivers.
+
 Planning cost: Kinesis has no "tip" query, so ``latestOffset`` probes
 each shard forward from its last known position with bounded
 ``get_records`` calls (``max_records_per_trigger`` caps admission per
