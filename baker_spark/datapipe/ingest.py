@@ -26,7 +26,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-from baker_spark.datapipe.dedup import incremental_dedup_against_keys
+from baker_spark.datapipe.dedup import (
+    incremental_dedup_against_keys,
+    write_seen_ledger,
+)
 
 LEDGER_SCHEMA = StructType([StructField("fp", StringType())])
 
@@ -57,6 +60,10 @@ class CorpusIngest:
     #: cumulative stats across writes (InputStats analog)
     ingested: int = 0
     dropped: int = 0
+    #: fp groups whose ids were ALL NULL: rejected whole (neither
+    #: corpus nor ledger) so a later identified copy can still land —
+    #: see the inline comment in ``write``
+    dropped_null_id: int = 0
     batches: int = 0
     #: failure-injection seam (soak tests): raise on the Nth write call
     #: (1-based) BETWEEN the corpus append and the ledger append —
@@ -116,9 +123,18 @@ class CorpusIngest:
         # survivors: one (id, fp) per batch fingerprint group absent from
         # the ledger — small relative to the batch, so persist once and
         # feed both the corpus join and the ledger append from it
-        kept = incremental_dedup_against_keys(batch_df, ledger, key, self.id_col).persist()
+        kept_all = incremental_dedup_against_keys(batch_df, ledger, key, self.id_col).persist()
         try:
+            # a survivor whose id is NULL (min over an ALL-NULL-id group)
+            # can never be resolved by the semi join below — admitting
+            # its fp to the ledger anyway would mark the document "seen"
+            # while the corpus never received it: PERMANENT loss, and a
+            # redelivery carrying a real id would be anti-joined away
+            # forever. Such groups are rejected WHOLE (not ledgered, not
+            # admitted) and counted, so a later batch with ids gets in.
+            kept = kept_all.filter(F.col(self.id_col).isNotNull())
             n_kept = kept.count()
+            n_null_id = kept_all.count() - n_kept  # cached: both read the persist
             n_batch = int(obs.get["n"])
             # resolve surviving ids back to full rows; the semi join
             # ships ids only, text never crosses twice (AQE broadcasts
@@ -134,22 +150,19 @@ class CorpusIngest:
                 )
             if self.ledger_buckets:
                 # bucketed append: rows land in their fp bucket so the
-                # next batch's anti-join stays exchange-free
-                (
-                    kept.select("fp")
-                    .repartition(self.ledger_buckets, F.col("fp"))
-                    .write.mode("append")
-                    .bucketBy(self.ledger_buckets, "fp")
-                    .sortBy("fp")
-                    .format("parquet")
-                    .option("path", self.ledger_dir)
-                    .saveAsTable(self.ledger_table)
+                # next batch's anti-join stays exchange-free. ONE writer
+                # implements the bucket/sort/one-file-per-bucket recipe
+                # (dedup.write_seen_ledger) — duplicating it here drifted
+                write_seen_ledger(
+                    kept, self.ledger_table, self.ledger_dir,
+                    n_buckets=self.ledger_buckets, mode="append",
                 )
             else:
                 kept.select("fp").write.mode("append").parquet(self.ledger_dir)
         finally:
-            kept.unpersist()
+            kept_all.unpersist()
         self.ingested += n_kept
-        self.dropped += n_batch - n_kept
+        self.dropped += n_batch - n_kept  # rows not admitted (dups + null-id)
+        self.dropped_null_id += n_null_id  # GROUPS rejected for NULL ids
         self.batches += 1
         return n_kept

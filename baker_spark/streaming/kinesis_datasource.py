@@ -65,6 +65,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import time
 from datetime import datetime, timezone
 
 from pyspark.sql.datasource import (
@@ -406,11 +407,35 @@ class KinesisStreamReader(DataSourceStreamReader):
                 ShardIteratorType="AFTER_SEQUENCE_NUMBER",
                 StartingSequenceNumber=str(partition.start),
             )["ShardIterator"]
+        empty_pages = 0
         while it:
             resp = c.get_records(ShardIterator=it, Limit=10000)
             recs = resp.get("Records", [])
             if not recs:
-                break
+                # Real Kinesis legitimately returns an EMPTY page with a
+                # live NextShardIterator mid-shard; breaking here would
+                # silently drop the rest of a planned slice whose offsets
+                # the WAL has already committed — permanent loss. Page on
+                # while the service says there is data behind the tip
+                # (MillisBehindLatest > 0; the fakes omit the key and get
+                # the old caught-up break). Bounded: a slice planned from
+                # an observed end sequence must eventually reach it, so a
+                # long run of empty pages means the shard was trimmed or
+                # the iterator is wedged — fail LOUDLY, never truncate.
+                if int(resp.get("MillisBehindLatest") or 0) <= 0:
+                    break  # caught up to the shard tip
+                empty_pages += 1
+                if empty_pages > 600:
+                    raise RuntimeError(
+                        f"bakerkinesis: shard {partition.shard_id} returned "
+                        f"{empty_pages} consecutive empty pages before reaching "
+                        f"planned end seq {partition.end} — records trimmed or "
+                        "iterator wedged; refusing to silently drop the slice"
+                    )
+                time.sleep(0.1)
+                it = resp.get("NextShardIterator")
+                continue
+            empty_pages = 0
             for r in recs:
                 seq = int(r["SequenceNumber"])
                 if seq > partition.end:

@@ -113,15 +113,18 @@ def test_live_kinesis_stream_roundtrip(spark):
             .queryName(name)
             .start()
         )
+        # poll for the FULL count: real Kinesis can make records visible
+        # across successive GetRecords pages/triggers, so a first
+        # non-empty collect may hold fewer than 3 rows without any bug
         rows = _poll(
             lambda: (
                 q.processAllAvailable(),
-                spark.sql(f"SELECT * FROM {name}").collect(),
-            )[1]
-            or None,
-            what="kinesis records in the memory sink",
+                (lambda rs: rs if len(rs) == 3 else None)(
+                    spark.sql(f"SELECT * FROM {name}").collect()
+                ),
+            )[1],
+            what="all 3 kinesis records in the memory sink",
         )
-        assert len(rows) == 3
         payloads = {str(r[0]) for r in rows}  # first column carries the data
         assert any("click" in p for p in payloads)
     finally:
@@ -130,9 +133,10 @@ def test_live_kinesis_stream_roundtrip(spark):
         client.delete_stream(StreamName=stream, EnforceConsumerDeletion=True)
 
 
-def test_live_sqs_queue_roundtrip(spark):
+def test_live_sqs_queue_roundtrip(spark, tmp_path):
     """bakersqs through the REAL boto3 branch: plain-format messages
-    land as records and are deleted after the batch commits."""
+    (body = path of the notified file) land as records and are deleted
+    after the batch commits."""
     boto3 = _boto3()
     from baker_spark.streaming.sqs_datasource import register
 
@@ -142,7 +146,9 @@ def test_live_sqs_queue_roundtrip(spark):
     name = f"live_sqs_{uuid.uuid4().hex[:6]}"
     q = None
     try:
-        client.send_message(QueueUrl=queue_url, MessageBody="7,view,user_7")
+        data = tmp_path / "notified.csv"
+        data.write_text("7,view,user_7\n")
+        client.send_message(QueueUrl=queue_url, MessageBody=str(data))
         register(spark)
         q = (
             spark.readStream.format("bakersqs")
@@ -163,18 +169,26 @@ def test_live_sqs_queue_roundtrip(spark):
             what="sqs message in the memory sink",
         )
         assert any("user_7" in str(r) for r in rows)
-        # delete-after-commit: the queue drains (allow the visibility
-        # timeout a moment to settle)
-        remaining = _poll(
-            lambda: "none"
-            if not client.receive_message(
-                QueueUrl=queue_url, WaitTimeSeconds=1
-            ).get("Messages")
-            else None,
-            timeout=30,
-            what="queue to drain after commit",
-        )
-        assert remaining == "none"
+        # delete-after-commit: check the QUEUE ATTRIBUTES, not
+        # receive_message — a merely-consumed (invisible) message also
+        # returns no Messages for its 30s visibility window, which would
+        # make a receive-based check pass even with the delete removed
+        def _empty():
+            attrs = client.get_queue_attributes(
+                QueueUrl=queue_url,
+                AttributeNames=[
+                    "ApproximateNumberOfMessages",
+                    "ApproximateNumberOfMessagesNotVisible",
+                ],
+            )["Attributes"]
+            return (
+                "drained"
+                if attrs["ApproximateNumberOfMessages"] == "0"
+                and attrs["ApproximateNumberOfMessagesNotVisible"] == "0"
+                else None
+            )
+
+        assert _poll(_empty, timeout=60, what="delete-after-commit") == "drained"
     finally:
         if q is not None:
             q.stop()

@@ -152,12 +152,24 @@ def test_sqs_boto3_branch_delivers_and_deletes(spark, endpoint, tmp_path):
             what="sqs-notified file via moto",
         )
         assert {str(r[0]) for r in rows} == {"5,click,user_5", "6,view,user_6"}
-        # delete-after-commit drained the queue
-        _poll(
-            lambda: not client.receive_message(QueueUrl=queue_url).get("Messages"),
-            timeout=20,
-            what="queue drain",
-        )
+        # delete-after-commit: assert on queue ATTRIBUTES — a consumed
+        # message is invisible for its whole visibility window, so a
+        # receive_message-based check is vacuously true with or without
+        # the delete; NotVisible == 0 is what proves the delete ran
+        def _deleted():
+            attrs = client.get_queue_attributes(
+                QueueUrl=queue_url,
+                AttributeNames=[
+                    "ApproximateNumberOfMessages",
+                    "ApproximateNumberOfMessagesNotVisible",
+                ],
+            )["Attributes"]
+            return (
+                attrs["ApproximateNumberOfMessages"] == "0"
+                and attrs["ApproximateNumberOfMessagesNotVisible"] == "0"
+            )
+
+        _poll(_deleted, timeout=30, what="delete-after-commit (NotVisible == 0)")
     finally:
         q.stop()
         client.delete_queue(QueueUrl=queue_url)

@@ -171,3 +171,27 @@ def test_bucketed_ledger_ingest_dedups_and_survives_restart(spark, tmp_path):
         assert spark.table(table).count() == 3
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_null_id_group_rejected_whole_not_ledgered(spark, tmp_path):
+    """An fp group whose ids are ALL NULL can't be resolved by the
+    id semi-join; ledgering its fp anyway would mark the document
+    'seen' while the corpus never received it — permanent loss. The
+    group must be rejected WHOLE (no corpus row, no ledger row,
+    counted) so a later identified copy still lands."""
+    sink = _ingestor(tmp_path)
+    b1 = spark.createDataFrame(
+        [(None, "ghost"), (7, "real")], "doc_id long, text string"
+    )
+    assert sink.write(b1) == 1  # only 'real'
+    corpus = spark.read.parquet(sink.corpus_dir)
+    assert {r.doc_id for r in corpus.collect()} == {7}
+    assert spark.read.parquet(sink.ledger_dir).count() == 1  # 'real' only
+    assert sink.dropped_null_id == 1
+
+    # a redelivery of the same content WITH an id must be admitted —
+    # the old behavior anti-joined it away forever
+    b2 = spark.createDataFrame([(8, "ghost")], "doc_id long, text string")
+    assert sink.write(b2) == 1
+    assert {r.doc_id for r in spark.read.parquet(sink.corpus_dir).collect()} == {7, 8}
+    assert spark.read.parquet(sink.ledger_dir).count() == 2

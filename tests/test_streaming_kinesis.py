@@ -466,3 +466,68 @@ def test_kinesis_new_shard_under_latest_tails_from_discovery(spark, kstream):
     q.processAllAvailable()
     got = sorted(bytes(r.data) for r in spark.sql(f"SELECT * FROM {name}").collect())
     assert got == [b"s0-post", b"s1-post"]
+
+
+def test_read_pages_through_empty_getrecords_pages():
+    """Real Kinesis legitimately returns Records=[] with a live
+    NextShardIterator mid-shard; read() must page on (while
+    MillisBehindLatest > 0) instead of silently truncating the planned
+    slice whose offsets the WAL already committed — and must fail
+    LOUDLY when the empty pages never end (trimmed shard), never drop."""
+    import pytest
+
+    from baker_spark.streaming import kinesis_datasource as K
+
+    class EmptyPageClient:
+        """3 records at seqs 0-2, but every OTHER page is empty with
+        MillisBehindLatest > 0 — the mid-shard empty-page behavior."""
+
+        def __init__(self):
+            self.calls = 0
+
+        def get_shard_iterator(self, **kw):
+            return {"ShardIterator": "0"}
+
+        def get_records(self, ShardIterator, Limit=10000):
+            self.calls += 1
+            pos = int(ShardIterator)
+            if self.calls % 2 == 1:  # odd calls: empty page, more behind
+                return {"Records": [], "NextShardIterator": str(pos),
+                        "MillisBehindLatest": 5000}
+            recs = [
+                {"Data": f"r{i}".encode(), "PartitionKey": "p",
+                 "SequenceNumber": str(i)}
+                for i in range(pos, min(pos + 1, 3))
+            ]
+            return {
+                "Records": recs,
+                "NextShardIterator": str(pos + len(recs)),
+                "MillisBehindLatest": 5000 if pos + len(recs) < 3 else 0,
+            }
+
+    reader = K.KinesisStreamReader({"fake_dir": "/tmp/unused", "stream": "s"})
+    client = EmptyPageClient()
+    reader_read = K.KinesisStreamReader.read
+
+    # route _make_client to the scripted client (driver-side call)
+    orig = K._make_client
+    K._make_client = lambda options: client
+    try:
+        part = K._ShardSlice("shard-0", -1, 2)
+        rows = list(reader_read(reader, part))
+        assert [bytes(r[0]).decode() for r in rows] == ["r0", "r1", "r2"]
+
+        class TrimmedClient(EmptyPageClient):
+            def get_records(self, ShardIterator, Limit=10000):
+                return {"Records": [], "NextShardIterator": "0",
+                        "MillisBehindLatest": 5000}
+
+        K._make_client = lambda options: TrimmedClient()
+        with pytest.raises(RuntimeError, match="refusing to silently drop"):
+            # cap the loud-failure loop so the test is fast
+            import unittest.mock as mock
+
+            with mock.patch.object(K.time, "sleep"):
+                list(reader_read(reader, K._ShardSlice("shard-0", -1, 2)))
+    finally:
+        K._make_client = orig

@@ -60,26 +60,29 @@ def main() -> int:
         "ivfpq": (2.0 / 8.0) * 8.0 / (4.0 * vectors.EMBED_DIM),
     }
 
+    # recall excludes the query point itself: every method returns the
+    # query as its own top hit (max self-cosine / zero self-ADC), which
+    # would gift +1/k recall to ANY method — even one returning the
+    # query plus random ids. Fetch k+1 and score the k true NEIGHBORS.
     truth: dict[int, set] = {}
     rows_out = []
     for method in METHODS:
         hits = 0
         t0 = time.perf_counter()
         for qid in qids:
-            got = [
+            kw = {"max_rows": None} if method == "brute" else {}
+            ordered = [
                 r[0]
                 for r in vectors.ann_search(
-                    emb, query_id=qid, k=k, method=method, max_rows=None
+                    emb, query_id=qid, k=k + 1, method=method, **kw
                 ).collect()
-            ] if method == "brute" else [
-                r[0]
-                for r in vectors.ann_search(emb, query_id=qid, k=k, method=method).collect()
-            ]
+            ]  # rank order preserved; drop self, keep the k best neighbors
+            neigh = [x for x in ordered if x != qid][:k]
             if method == "brute":
-                truth[qid] = set(got)
-                hits += k
+                truth[qid] = set(neigh)
+                hits += len(neigh)
             else:
-                hits += len(set(got) & truth[qid])
+                hits += len(set(neigh) & truth[qid])
         dt = time.perf_counter() - t0
         rows_out.append(
             {

@@ -84,6 +84,14 @@ def gen_chunk(out_dir: str, chunk: int, n_chunks: int) -> int:
 def main() -> int:
     out = sys.argv[1] if len(sys.argv) > 1 else "testdata/sf100"
     n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # clear any previous layout: a rerun with a DIFFERENT n_chunks would
+    # otherwise leave stale part files beyond the new range and silently
+    # inflate the dataset with duplicated orderkeys
+    li_dir = os.path.join(out, "lineitem.parquet")
+    if os.path.isdir(li_dir):
+        import shutil
+
+        shutil.rmtree(li_dir)
     total = 0
     for c in range(n_chunks):
         n = gen_chunk(out, c, n_chunks)

@@ -125,8 +125,15 @@ def _start_sqs(spark, queue_root, ckpt, ingest):
 def _account(spark, corpus_dir: str, expected: set[str]) -> dict:
     df = spark.read.parquet(corpus_dir).select("rid")
     total = df.count()
-    distinct = df.distinct().count()
-    got = {r.rid for r in df.distinct().collect()} if distinct <= 1_000_000 else None
+    # ONE distinct pass: persist it, count from the cache, and only
+    # collect driver-side when small (a second .distinct() would re-run
+    # the dedup shuffle over the whole corpus at sf1 volume)
+    d = df.distinct().persist()
+    try:
+        distinct = d.count()
+        got = {r.rid for r in d.collect()} if distinct <= 1_000_000 else None
+    finally:
+        d.unpersist()
     out = {
         "rows": total,
         "distinct": distinct,
@@ -302,10 +309,12 @@ def main() -> int:
         print(json.dumps(out))
         return 0
     finally:
-        shutil.rmtree(workdir, ignore_errors=True)
-        # leave no stray streams
+        # stop streams BEFORE deleting their checkpoints/spools: rmtree
+        # under a live micro-batch buries the real failure in secondary
+        # FileNotFound noise
         for q in spark.streams.active:
             q.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":
