@@ -195,3 +195,43 @@ def test_null_id_group_rejected_whole_not_ledgered(spark, tmp_path):
     assert sink.write(b2) == 1
     assert {r.doc_id for r in spark.read.parquet(sink.corpus_dir).collect()} == {7, 8}
     assert spark.read.parquet(sink.ledger_dir).count() == 2
+
+
+def test_bucketed_ledger_ingest_dedups_and_reuses_writer(spark, tmp_path):
+    """The ledger_buckets branch (now routed through the ONE
+    write_seen_ledger implementation): cross-batch dedup through the
+    bucketed catalog table, appends landing in fp buckets, and the
+    idempotent re-registration recovering from the directory alone."""
+    import uuid
+
+    table = f"ingest_ledger_{uuid.uuid4().hex[:8]}"
+    sink = CorpusIngest(
+        corpus_dir=str(tmp_path / "corpus"),
+        ledger_dir=str(tmp_path / "ledger"),
+        key=F.md5(F.col("text")),
+        id_col="doc_id",
+        ledger_buckets=4,
+        ledger_table=table,
+    )
+    try:
+        b1 = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+        assert sink.write(b1) == 2
+        b2 = spark.createDataFrame(
+            [(3, "alpha"), (4, "gamma")], ["doc_id", "text"]  # alpha ledgered
+        )
+        assert sink.write(b2) == 1  # only gamma
+        assert {r.doc_id for r in spark.read.parquet(sink.corpus_dir).collect()} == {1, 2, 4}
+        assert spark.table(table).count() == 3
+
+        # a FRESH ingest object (daemon restart) recovers the table from
+        # the directory and keeps deduping
+        sink2 = CorpusIngest(
+            corpus_dir=sink.corpus_dir, ledger_dir=sink.ledger_dir,
+            key=F.md5(F.col("text")), id_col="doc_id",
+            ledger_buckets=4, ledger_table=table,
+        )
+        b3 = spark.createDataFrame([(5, "beta"), (6, "delta")], ["doc_id", "text"])
+        assert sink2.write(b3) == 1  # only delta
+        assert spark.table(table).count() == 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
