@@ -71,6 +71,7 @@ REPORT_QUERIES = [
     "dp_simhash_capped",
     "dp_dedup_clusters",
     "dp_ann_topk",
+    "dp_ann_search",
     "dp_vocab_topk",
     "dp_corpus_pipeline",
     "dp_dsir_weights",
