@@ -308,12 +308,27 @@ class KinesisStreamReader(DataSourceStreamReader):
                     ShardIteratorType="AFTER_SEQUENCE_NUMBER",
                     StartingSequenceNumber=str(self._tips[shard]),
                 )["ShardIterator"]
-            # bounded probe: count forward, never keep the payloads
+            # bounded probe: count forward, never keep the payloads.
+            # Empty pages with MillisBehindLatest > 0 are paged THROUGH
+            # (bounded — this is planning, not correctness: stopping
+            # early only defers records to the next trigger, unlike the
+            # read() path where an early stop would LOSE them), so a
+            # real-Kinesis empty page doesn't starve every batch down
+            # to a sliver of max_records_per_trigger.
+            empty_pages = 0
             while budget > 0 and it:
                 resp = c.get_records(ShardIterator=it, Limit=min(budget, 10000))
                 recs = resp.get("Records", [])
                 if not recs:
-                    break
+                    empty_pages += 1
+                    if (
+                        int(resp.get("MillisBehindLatest") or 0) <= 0
+                        or empty_pages > 10
+                    ):
+                        break
+                    it = resp.get("NextShardIterator")
+                    continue
+                empty_pages = 0
                 if self._tips[shard] is None:  # pragma: no cover
                     self._first[shard] = int(recs[0]["SequenceNumber"])
                 self._tips[shard] = int(recs[-1]["SequenceNumber"])
