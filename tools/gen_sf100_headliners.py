@@ -81,9 +81,78 @@ def gen_chunk(out_dir: str, chunk: int, n_chunks: int) -> int:
     return n_li
 
 
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "de", "zh", "fr", "es"]
+LANG_P = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+N_DOC_TOTAL = int(50_000 * SF)
+
+
+def gen_documents_chunk(out_dir: str, chunk: int, n_chunks: int) -> int:
+    """Same text structure as gen_testdata.py's documents (10-100 vocab
+    words, ~5% near-dups, ~0.16% exact dups) — dup back-references stay
+    within the chunk, which preserves the dup RATE the dedup family
+    prunes against (the queries never depend on which doc is the
+    source)."""
+    rng = np.random.default_rng(int(7 + SF * 1000) + chunk)
+    lo = chunk * (N_DOC_TOTAL // n_chunks)
+    hi = (chunk + 1) * (N_DOC_TOTAL // n_chunks) if chunk < n_chunks - 1 else N_DOC_TOTAL
+    n = hi - lo
+    lens = rng.integers(10, 101, n)
+    rands = rng.random(n)
+    texts: list[str] = []
+    for i in range(n):
+        r = rands[i]
+        if i > 10 and r < 0.0016:
+            texts.append(texts[int(rng.integers(0, i))])
+            continue
+        words = [VOCAB[w] for w in rng.integers(0, len(VOCAB), lens[i])]
+        if i > 10 and r < 0.05 + 0.0016:
+            src = texts[int(rng.integers(0, i))].split(" ")
+            src[int(rng.integers(0, len(src)))] = "dup"
+            texts.append(" ".join(src))
+            continue
+        texts.append(" ".join(words))
+    doc_dir = os.path.join(out_dir, "documents.parquet")
+    os.makedirs(doc_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": np.arange(lo, hi, dtype=np.int64),
+                "text": texts,
+                "lang": np.array(LANGS)[rng.choice(5, n, p=LANG_P)],
+                "source": np.array([f"src{s}" for s in range(20)])[
+                    rng.integers(0, 20, n)
+                ],
+                "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+            }
+        ),
+        os.path.join(doc_dir, f"part-{chunk:04d}.parquet"),
+        row_group_size=ROW_GROUP,
+    )
+    return n
+
+
 def main() -> int:
-    out = sys.argv[1] if len(sys.argv) > 1 else "testdata/sf100"
-    n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out = args[0] if args else "testdata/sf100"
+    n_chunks = int(args[1]) if len(args) > 1 else 10
+    if "--documents" in sys.argv:
+        doc_dir = os.path.join(out, "documents.parquet")
+        if os.path.isdir(doc_dir):
+            import shutil
+
+            shutil.rmtree(doc_dir)
+        total = 0
+        for c in range(n_chunks):
+            total += gen_documents_chunk(out, c, n_chunks)
+            print(f"  documents chunk {c + 1}/{n_chunks} (total {total})", flush=True)
+        print(f"sf100 documents: {total} rows -> {doc_dir}/")
+        return 0
     # clear any previous layout: a rerun with a DIFFERENT n_chunks would
     # otherwise leave stale part files beyond the new range and silently
     # inflate the dataset with duplicated orderkeys
