@@ -137,10 +137,52 @@ def gen_documents_chunk(out_dir: str, chunk: int, n_chunks: int) -> int:
     return n
 
 
+N_VEC_TOTAL = int(20_000 * SF)
+EMBED_DIM = 64
+
+
+def gen_embeddings_chunk(out_dir: str, chunk: int, n_chunks: int) -> int:
+    """Unit-norm 64-dim float32, same distribution as gen_testdata.py."""
+    rng = np.random.default_rng(int(11 + SF * 1000) + chunk)
+    lo = chunk * (N_VEC_TOTAL // n_chunks)
+    hi = (chunk + 1) * (N_VEC_TOTAL // n_chunks) if chunk < n_chunks - 1 else N_VEC_TOTAL
+    n = hi - lo
+    vecs = rng.normal(0, 1, (n, EMBED_DIM))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vec_dir = os.path.join(out_dir, "embeddings.parquet")
+    os.makedirs(vec_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.arange(lo, hi, dtype=np.int64),
+                "embedding": pa.array(
+                    list(vecs.astype(np.float32)), pa.list_(pa.float32())
+                ),
+                "label": pa.array(rng.integers(0, 10, n), pa.int32()),
+            }
+        ),
+        os.path.join(vec_dir, f"part-{chunk:04d}.parquet"),
+        row_group_size=ROW_GROUP,
+    )
+    return n
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     out = args[0] if args else "testdata/sf100"
     n_chunks = int(args[1]) if len(args) > 1 else 10
+    if "--embeddings" in sys.argv:
+        vec_dir = os.path.join(out, "embeddings.parquet")
+        if os.path.isdir(vec_dir):
+            import shutil
+
+            shutil.rmtree(vec_dir)
+        total = 0
+        for c in range(n_chunks):
+            total += gen_embeddings_chunk(out, c, n_chunks)
+            print(f"  embeddings chunk {c + 1}/{n_chunks} (total {total})", flush=True)
+        print(f"sf100 embeddings: {total} rows -> {vec_dir}/")
+        return 0
     if "--documents" in sys.argv:
         doc_dir = os.path.join(out, "documents.parquet")
         if os.path.isdir(doc_dir):
