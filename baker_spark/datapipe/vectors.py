@@ -1249,9 +1249,80 @@ LIMIT {k}
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    kc: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Plain IVF search: a trained coarse quantizer (Lloyd's, see
+    :func:`kmeans_train`) prunes the corpus to the ``nprobe`` cells
+    nearest the query, and EXACT cosine ranks only those cells' members
+    — recall between lsh (train-free, fixed hash geometry) and brute
+    (full scan), at ~nprobe/kc of the corpus per query. The un-quantized
+    sibling of :func:`ivfpq_topk`: same prune, exact vectors instead of
+    8-byte codes — use it when the corpus fits storage and recall
+    matters more than scan bytes.
+
+    (dp_ivf_topk in the query catalog is the ORACLE-PINNED teaching
+    shape of this: fixed first-kc seeds, no training, so DuckDB can
+    replay it exactly. This function trains real centroids.)
+
+    Scale: the assignment is the kmeans_train map-side kernel (no
+    corpus shuffle); at query time the driver holds kc centroids, the
+    probe is a broadcast semi-join on centroid_id, and a deployment
+    persists the assignment partitioned by centroid_id so the probe
+    becomes partition pruning — the ivfpq_encode argument, minus PQ."""
+    assign, coarse = kmeans_train(
+        df, k=kc, iters=iters, vec_col=vec_col, id_col=id_col, with_centroids=True
+    )
+    spark = df.sparkSession
+    if not coarse:
+        return spark.createDataFrame([], f"{id_col} long, cosine_c4 long")
+    qrow = (
+        df.filter(F.col(id_col) == query_id)
+        .select(as_double(vec_col).alias("qv"))
+        .collect()
+    )
+    if not qrow:
+        return spark.createDataFrame([], f"{id_col} long, cosine_c4 long")
+    qv = np.asarray(qrow[0]["qv"], dtype=np.float64)
+
+    # rank cells by exact centroid-query distance on the driver (kc rows)
+    def d2(cv):
+        c = np.asarray(cv, dtype=np.float64)
+        # centroids are quantized ints (2^20 scale); query likewise
+        q = np.floor(qv * (1 << 20))
+        return float(((c - q) ** 2).sum())
+
+    probe = [int(cid) for _, cid in sorted((d2(cv), cid) for cid, cv in coarse.items())[:nprobe]]
+
+    qdf = (
+        df.filter(F.col(id_col) == query_id)
+        .select(as_double(vec_col).alias("qv"))
+    )
+    cands = (
+        df.join(assign.select(id_col, "centroid_id"), id_col)
+        .filter(F.col("centroid_id").isin(probe))
+        .crossJoin(F.broadcast(qdf))
+    )
+    return (
+        cands.select(
+            F.col(id_col),
+            cosine_c4(as_double(vec_col), F.col("qv")).alias("cosine_c4"),
+        )
+        .orderBy(F.desc("cosine_c4"), F.col(id_col))
+        .limit(k)
+    )
+
+
 # ----------------------------------------------------------- ann facade ---
 
-ANN_METHODS = ("brute", "lsh", "pq", "ivfpq")
+ANN_METHODS = ("brute", "lsh", "ivf", "pq", "ivfpq")
 
 
 def ann_search(
@@ -1279,6 +1350,9 @@ def ann_search(
       - ``lsh``    — hyperplane-bucket pruned scan
         (:func:`ann_topk_bucketed`): train-free, ~n/2^planes of the
         corpus touched per query.
+      - ``ivf``    — trained coarse cells + EXACT scoring of the nprobe
+        nearest cells (:func:`ivf_topk`): ~nprobe/kc of the corpus,
+        full-precision vectors.
       - ``pq``     — product-quantization ADC over 8-byte codes
         (:func:`pq_adc_topk`): scans codes, never vectors.
       - ``ivfpq``  — coarse-cell prune + PQ ADC (:func:`ivfpq_topk`):
@@ -1310,6 +1384,12 @@ def ann_search(
         if extra:
             raise TypeError(f"ann_search(method='lsh') got unexpected kwargs {sorted(extra)}")
         base, score_col, asc = ann_topk_bucketed(df, query_id, k, vec_col, id_col), "cosine_c4", False
+    elif method == "ivf":
+        base, score_col, asc = (
+            ivf_topk(df, query_id, k, vec_col=vec_col, id_col=id_col, **kw),
+            "cosine_c4",
+            False,
+        )
     elif method == "pq":
         base, score_col, asc = (
             pq_adc_topk(df, query_id, k, vec_col=vec_col, id_col=id_col, **kw),

@@ -498,8 +498,9 @@ def test_ann_search_facade_uniform_schema_and_dispatch(spark):
         rows = out.collect()
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1)), method
         assert all(r["method"] == method for r in rows)
-        # rank 1 is the query itself for the exact methods (self-similarity)
-        if method in ("brute", "lsh"):
+        # rank 1 is the query itself for the exact-cosine methods
+        # (self-similarity; ivf always probes the query's own cell)
+        if method in ("brute", "lsh", "ivf"):
             assert rows[0]["vec_id"] == 0
 
     # auto: count(40) <= threshold -> brute; over threshold -> lsh
