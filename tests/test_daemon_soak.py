@@ -158,3 +158,22 @@ def test_failure_matrix_exactly_once_accounting(spark, tmp_path):
     assert out["sqs"]["duplicate_rows"] == out["crash_batch_rows_readmitted"]
     assert out["dup_redelivery_admitted"] == 0
     assert out["exact_dedup_restores"] == out["sqs"]["expected"]
+
+
+def test_failure_matrix_with_bucketed_ledger(spark, tmp_path):
+    """The same matrix through the BUCKETED catalog ledger (the 100 TB
+    anti-join path): crash/replay and redelivery must hold against a
+    saveAsTable-append ledger exactly as against plain parquet."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from soak_matrix import run_soak
+
+    out = run_soak(
+        spark, str(tmp_path), n_kin=8_000, n_sqs=3_000, sqs_files=6,
+        ledger_buckets=4, log=lambda *a: None,
+    )
+    assert out["kinesis"]["lost"] == 0 and out["kinesis"]["duplicate_rows"] == 0
+    assert out["sqs"]["lost"] == 0
+    assert out["sqs"]["duplicate_rows"] == out["crash_batch_rows_readmitted"]
+    assert out["dup_redelivery_admitted"] == 0

@@ -155,10 +155,18 @@ def _account(spark, corpus_dir: str, expected: set[str]) -> dict:
 
 def run_soak(spark, workdir: str, n_kin: int = 40_000, n_sqs: int = 10_000,
              kin_shards: int = 4, reshard_shards: int = 2,
-             sqs_files: int = 10, log=print) -> dict:
-    """Run the full matrix; returns accounting + recovery timings."""
+             sqs_files: int = 10, ledger_buckets: int | None = None,
+             log=print) -> dict:
+    """Run the full matrix; returns accounting + recovery timings.
+
+    ``ledger_buckets`` routes both ingests through the BUCKETED catalog
+    ledger (the 100 TB path: per-batch anti-join with no ledger
+    shuffle) so the failure matrix also covers crash/replay against a
+    saveAsTable-append ledger, not just plain parquet."""
     w = lambda *p: os.path.join(workdir, *p)  # noqa: E731
     timings: dict[str, float] = {}
+    lb = {"ledger_buckets": ledger_buckets} if ledger_buckets else {}
+    run_tag = os.path.basename(workdir).replace("-", "_").replace(".", "_")
 
     # ---- seed: 60% of kinesis records on the initial shards ----------
     kin_expected = [f"k{n:08d}" for n in range(n_kin)]
@@ -180,12 +188,16 @@ def run_soak(spark, workdir: str, n_kin: int = 40_000, n_sqs: int = 10_000,
             sqs_expected[i * rows_per_file : (i + 1) * rows_per_file],
         )
 
-    kin_ingest = CorpusIngest(w("kin_corpus"), w("kin_ledger"), key=F.md5("rid"), id_col="rid")
+    kin_ingest = CorpusIngest(
+        w("kin_corpus"), w("kin_ledger"), key=F.md5("rid"), id_col="rid",
+        ledger_table=f"soak_kin_{run_tag}", **lb,
+    )
     # the sqs ingest CRASHES between corpus and ledger append on its
     # FIRST batch — the documented at-least-once window
     sqs_ingest = CorpusIngest(
         w("sqs_corpus"), w("sqs_ledger"), key=F.md5("rid"), id_col="rid",
         inject_crash_between_appends=1,
+        ledger_table=f"soak_sqs_{run_tag}", **lb,
     )
 
     log(f"[soak] start: kinesis {n_kin} records/{kin_shards}+{reshard_shards} shards, "
@@ -219,8 +231,14 @@ def run_soak(spark, workdir: str, n_kin: int = 40_000, n_sqs: int = 10_000,
 
     # ---- restart both from their checkpoints (fresh objects) ----------
     t1 = time.perf_counter()
-    kin_ingest2 = CorpusIngest(w("kin_corpus"), w("kin_ledger"), key=F.md5("rid"), id_col="rid")
-    sqs_ingest2 = CorpusIngest(w("sqs_corpus"), w("sqs_ledger"), key=F.md5("rid"), id_col="rid")
+    kin_ingest2 = CorpusIngest(
+        w("kin_corpus"), w("kin_ledger"), key=F.md5("rid"), id_col="rid",
+        ledger_table=f"soak_kin_{run_tag}", **lb,
+    )
+    sqs_ingest2 = CorpusIngest(
+        w("sqs_corpus"), w("sqs_ledger"), key=F.md5("rid"), id_col="rid",
+        ledger_table=f"soak_sqs_{run_tag}", **lb,
+    )
     qk = _start_kinesis(spark, w("kin"), w("ckpt_kin"), kin_ingest2)
     qs = _start_sqs(spark, w("queue"), w("ckpt_sqs"), sqs_ingest2)
     qk.processAllAvailable()
@@ -280,6 +298,9 @@ def run_soak(spark, workdir: str, n_kin: int = 40_000, n_sqs: int = 10_000,
     assert spark.read.parquet(w("kin_ledger")).count() == len(set(kin_expected))
     assert spark.read.parquet(w("sqs_ledger")).count() == len(set(sqs_expected))
 
+    if ledger_buckets:
+        spark.sql(f"DROP TABLE IF EXISTS soak_kin_{run_tag}")
+        spark.sql(f"DROP TABLE IF EXISTS soak_sqs_{run_tag}")
     return {
         "kinesis": kin,
         "sqs": sqs,
