@@ -275,13 +275,25 @@ def op_stringmatch(spark, sf_dir):
     )
 
 
-@query("op_timestamp", "SELECT count(*) AS n FROM events")
+@query(
+    "op_timestamp",
+    "SELECT event_id, CAST('1704067200' AS VARCHAR) AS frozen_ts, "
+    "CAST(1 AS BIGINT) AS live_ok FROM events",
+)
 def op_timestamp(spark, sf_dir):
-    # processing-time field: oracle-checkable invariant (set and sane)
+    """Both halves of the operator, per row: the frozen clock
+    (fixed_time — timestamp.go's deterministic test hook) hash-matches
+    an exact per-row oracle value, and the live clock is bounded per
+    row (epoch > 2020, the strongest oracle-expressible claim about
+    genuine processing time). Upgraded round 9 from a 1-row count
+    invariant to a full-cardinality row-level check."""
     df = load_table(spark, sf_dir, "events")
-    out = ops.Timestamp(field="proc_ts").apply(df)
-    return out.filter(F.col("proc_ts").cast("long") > 1600000000).agg(
-        F.count("*").alias("n")
+    live = ops.Timestamp(field="proc_ts").apply(df)
+    frozen = ops.Timestamp(field="frozen_ts", fixed_time=1704067200).apply(live)
+    return frozen.select(
+        "event_id",
+        "frozen_ts",
+        (F.col("proc_ts").cast("long") > 1600000000).cast("long").alias("live_ok"),
     )
 
 
