@@ -320,11 +320,20 @@ def test_dedup_clusters(spark):
     # whole groups silently)
     import pytest as _pytest
 
+    # pointer doubling reaches O(3^rounds) down a chain, so forcing
+    # non-convergence at max_iters=2 needs a chain well past 3^3
     chain_pairs = make_df(
-        spark, [(i, i + 1) for i in range(1, 6)], ["doc_a", "doc_b"]
+        spark, [(i, i + 1) for i in range(1, 100)], ["doc_a", "doc_b"]
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(docs, chain_pairs, max_iters=2)
+
+    # and the same 99-link chain RESOLVES in O(log d) rounds (the
+    # pointer-jump payoff: 99 rounds would breach max_iters=10)
+    long_docs = make_df(spark, [(i,) for i in range(1, 101)], ["doc_id"])
+    out = dedup_clusters(long_docs, chain_pairs, max_iters=10).collect()
+    assert all(r.cluster_id == 1 for r in out)
+    assert sum(r.is_canonical for r in out) == 1
 
 
 def test_scrub(spark):
