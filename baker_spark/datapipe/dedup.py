@@ -663,8 +663,13 @@ def dedup_clusters(
         ptr = prop.select(
             F.col("id").alias("_pid"), F.col("label").alias("_plabel")
         )
-        labels = prop.join(ptr, F.col("label") == F.col("_pid")).select(
-            "id", F.col("_plabel").alias("label")
+        labels = (
+            prop.join(ptr, F.col("label") == F.col("_pid"))
+            .select("id", F.col("_plabel").alias("label"))
+            # checkpoint the JUMP RESULT too: it feeds three consumers
+            # (the sum witness, next round's msgs join, next round's
+            # union) — uncached, the jump join would run 3x per round
+            .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

@@ -1292,19 +1292,19 @@ def ivf_topk(
         return spark.createDataFrame([], f"{id_col} long, cosine_c4 long")
     qv = np.asarray(qrow[0]["qv"], dtype=np.float64)
 
-    # rank cells by exact centroid-query distance on the driver (kc rows)
+    # rank cells by exact centroid-query distance on the driver (kc
+    # rows; centroids are quantized ints at 2^20 scale, query likewise)
+    qq = np.floor(qv * (1 << 20))
+
     def d2(cv):
         c = np.asarray(cv, dtype=np.float64)
-        # centroids are quantized ints (2^20 scale); query likewise
-        q = np.floor(qv * (1 << 20))
-        return float(((c - q) ** 2).sum())
+        return float(((c - qq) ** 2).sum())
 
     probe = [int(cid) for _, cid in sorted((d2(cv), cid) for cid, cv in coarse.items())[:nprobe]]
 
-    qdf = (
-        df.filter(F.col(id_col) == query_id)
-        .select(as_double(vec_col).alias("qv"))
-    )
+    # the query vector is already on the driver — rebuilding qdf by
+    # re-filtering df would pay a second full corpus scan per query
+    qdf = spark.createDataFrame([(qv.tolist(),)], "qv array<double>")
     cands = (
         df.join(assign.select(id_col, "centroid_id"), id_col)
         .filter(F.col("centroid_id").isin(probe))
@@ -1359,7 +1359,7 @@ def ann_search(
         the 10^9-vector shape.
       - ``auto``   — ``brute`` when the corpus is provably small
         (``corpus_rows``/count <= ``auto_brute_max``), else ``lsh``.
-        Auto never picks pq/ivfpq: those TRAIN an index as a side
+        Auto never picks ivf/pq/ivfpq: those TRAIN an index as a side
         effect, which a facade should not do implicitly — opt in by
         name. Pass ``corpus_rows`` (e.g. from table stats) to skip the
         count job; on parquet the count is metadata-only anyway.

@@ -116,15 +116,20 @@ def test_live_kinesis_stream_roundtrip(spark):
         # poll for the FULL count: real Kinesis can make records visible
         # across successive GetRecords pages/triggers, so a first
         # non-empty collect may hold fewer than 3 rows without any bug
+        # poll for AT LEAST the full count (real Kinesis can split
+        # admission across triggers), then assert exactly — an
+        # over-delivery must fail as a crisp duplication count, not
+        # masquerade as a poll timeout
         rows = _poll(
             lambda: (
                 q.processAllAvailable(),
-                (lambda rs: rs if len(rs) == 3 else None)(
+                (lambda rs: rs if len(rs) >= 3 else None)(
                     spark.sql(f"SELECT * FROM {name}").collect()
                 ),
             )[1],
             what="all 3 kinesis records in the memory sink",
         )
+        assert len(rows) == 3, f"expected exactly 3 records, got {len(rows)} (duplication?)"
         payloads = {str(r[0]) for r in rows}  # first column carries the data
         assert any("click" in p for p in payloads)
     finally:

@@ -32,11 +32,6 @@ N_PART = int(200_000 * SF)
 N_SUPP = int(10_000 * SF)
 
 
-def _us(days_float: np.ndarray, epoch: str) -> pa.Array:
-    base = np.datetime64(epoch, "us")
-    return pa.array(base + (days_float * 86_400_000_000).astype("timedelta64[us]"))
-
-
 def gen_chunk(out_dir: str, chunk: int, n_chunks: int) -> int:
     rng = np.random.default_rng(int(42 + SF * 1000) + chunk)
     lo = chunk * (N_ORD_TOTAL // n_chunks)
@@ -81,14 +76,13 @@ def gen_chunk(out_dir: str, chunk: int, n_chunks: int) -> int:
     return n_li
 
 
-VOCAB = [
-    "a", "agg", "batch", "big", "column", "customer", "data", "fast",
-    "filter", "group", "hash", "join", "key", "line", "merge", "order",
-    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
-    "stream", "table", "the", "value", "vector", "window",
-]
-LANGS = ["en", "de", "zh", "fr", "es"]
-LANG_P = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+# value domains come from THE generator the lower decades used — a
+# hand-copied vocab/dup-rate here would silently diverge the sf100
+# distribution from sf0.001-sf10 and invalidate every cross-decade
+# exponent in SCALING.md
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from gen_testdata import _us, LANG_P, LANGS, VOCAB  # noqa: E402
+
 N_DOC_TOTAL = int(50_000 * SF)
 
 

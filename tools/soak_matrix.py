@@ -125,30 +125,43 @@ def _start_sqs(spark, queue_root, ckpt, ingest):
 def _account(spark, corpus_dir: str, expected: set[str]) -> dict:
     df = spark.read.parquet(corpus_dir).select("rid")
     total = df.count()
-    # ONE distinct pass: persist it, count from the cache, and only
-    # collect driver-side when small (a second .distinct() would re-run
-    # the dedup shuffle over the whole corpus at sf1 volume)
+    # ONE distinct pass, persisted once for the three consumers below
     d = df.distinct().persist()
     try:
         distinct = d.count()
-        got = {r.rid for r in d.collect()} if distinct <= 1_000_000 else None
+        if distinct <= 1_000_000:
+            got = {r.rid for r in d.collect()}
+            missing, extra = expected - got, got - expected
+            n_missing, n_extra = len(missing), len(extra)
+            missing_sample = sorted(missing)[:5]
+            extra_sample = sorted(extra)[:5]
+        else:
+            # volume path: EXACT set accounting stays distributed —
+            # a count-only check would let N lost records be masked by
+            # N rows-from-nowhere (distinct unchanged), which is
+            # precisely the corruption the matrix exists to catch
+            exp_df = spark.createDataFrame(
+                [(r,) for r in sorted(expected)], "rid string"
+            ).persist()
+            missing_df = exp_df.join(d, "rid", "left_anti")
+            extra_df = d.join(exp_df, "rid", "left_anti")
+            n_missing = missing_df.count()
+            n_extra = extra_df.count()
+            missing_sample = [r.rid for r in missing_df.limit(5).collect()]
+            extra_sample = [r.rid for r in extra_df.limit(5).collect()]
+            exp_df.unpersist()
     finally:
         d.unpersist()
-    out = {
+    assert not n_extra, f"rows from nowhere: {extra_sample}"
+    return {
         "rows": total,
         "distinct": distinct,
         "expected": len(expected),
         "duplicate_rows": total - distinct,
-        "lost": (len(expected) - distinct),
+        "lost": n_missing,
+        "missing_sample": missing_sample,
+        "extra_sample": extra_sample,
     }
-    if got is not None:
-        missing = expected - got
-        extra = got - expected
-        out["missing_sample"] = sorted(missing)[:5]
-        out["extra_sample"] = sorted(extra)[:5]
-        out["lost"] = len(missing)
-        assert not extra, f"rows from nowhere: {sorted(extra)[:5]}"
-    return out
 
 
 # -------------------------------------------------------------- the matrix ---
@@ -167,6 +180,11 @@ def run_soak(spark, workdir: str, n_kin: int = 40_000, n_sqs: int = 10_000,
     timings: dict[str, float] = {}
     lb = {"ledger_buckets": ledger_buckets} if ledger_buckets else {}
     run_tag = os.path.basename(workdir).replace("-", "_").replace(".", "_")
+    if ledger_buckets:
+        # pre-clean: an assertion failure skips the end-of-run drop, so
+        # a retried run must not trip over its own leaked registration
+        spark.sql(f"DROP TABLE IF EXISTS soak_kin_{run_tag}")
+        spark.sql(f"DROP TABLE IF EXISTS soak_sqs_{run_tag}")
 
     # ---- seed: 60% of kinesis records on the initial shards ----------
     kin_expected = [f"k{n:08d}" for n in range(n_kin)]
