@@ -1,0 +1,310 @@
+"""Persistent ANN index: build once, search many.
+
+:func:`vectors.ivfpq_topk` / :func:`vectors.ivf_topk` /
+:func:`vectors.pq_adc_topk` train their quantizers inside the same job
+as the search — right for a self-contained oracle query, wrong for a
+deployment: at 100 TB the index is built ONCE (reading the uncompressed
+corpus a single time) and then serves every query by scanning only the
+probed cells' codes. This module is that lifecycle — the vectors
+analogue of the reference's build-once/probe-many ExternalMatch pattern
+(/root/reference/filter/external_match.go:111-146 loads a prebuilt
+lookup artifact once and probes it per record; here the artifact is the
+encoded corpus and the probe is partition pruning).
+
+On-disk layout (written with plain DataFrame writers, so any
+Hadoop-compatible FS works — local, s3a://, hdfs://):
+
+    <path>/meta/      one-row parquet: version, method, params, build key
+    <path>/coarse/    (centroid_id, cv array<long>)        [ivf, ivfpq]
+    <path>/codebook/  (sub, cid, cv array<long>)           [pq, ivfpq]
+    <path>/codes/     ivfpq: (id, sub, cid)   PARTITIONED BY centroid_id
+                      ivf:   (id, v double[]) PARTITIONED BY centroid_id
+                      pq:    (id, sub, cid)   unpartitioned
+
+The ``centroid_id`` DISK partitioning is the point: at search time the
+probe predicate ``centroid_id IN (<nprobe cells>)`` lands on a partition
+column, so the parquet scan plans only nprobe/kc of the files
+(``PartitionFilters`` in the physical plan, pinned by
+tests/test_ann_index.py::test_search_scan_partition_prunes) — the other
+cells' codes are never opened, let alone decoded. Per query the driver
+holds the kc coarse centroids plus the m*ksub ADC distance table (a few
+KB, read from the tiny side tables), and nothing corpus-sized moves.
+
+Determinism contract: the build delegates to the exact-int64 trainers
+(kmeans_train / pq_train_encode — quantize -> int64 d2 -> floor-mean,
+seeds = vectors with id < k), so searching a freshly built index returns
+bit-identical rows to the self-contained ``ivfpq_topk``/``ivf_topk``/
+``pq_adc_topk`` calls, and the existing DuckDB oracle family gates the
+indexed path too (dp_ann_search_indexed).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from baker_spark.datapipe.vectors import (
+    EMBED_DIM,
+    PQ_KSUB,
+    PQ_M,
+    Q_SCALE,
+    as_double,
+    cosine_c4,
+    ivfpq_encode,
+    kmeans_train,
+    pq_train_encode,
+)
+
+INDEX_VERSION = 1
+
+_META_SCHEMA = (
+    "version int, method string, kc int, m int, ksub int, iters int, "
+    "dim int, id_col string, vec_col string, key string"
+)
+
+ANN_INDEX_METHODS = ("ivf", "pq", "ivfpq")
+
+
+def _quantize_py(vec) -> list[int]:
+    """Python mirror of :func:`vectors.quantize`: floor(x * 2^20) per
+    coordinate. float32->float64 is exact and scaling by a power of two
+    is exact, so this matches the Spark/DuckDB quantization bit-for-bit
+    — the query vector quantized on the driver equals the same vector
+    quantized by the build job."""
+    return [math.floor(float(x) * float(Q_SCALE)) for x in vec]
+
+
+def _d2_int(a: list[int], b: list[int]) -> int:
+    return sum((x - y) ** 2 for x, y in zip(a, b))
+
+
+def ann_index_meta(spark: SparkSession, path: str) -> dict:
+    """Read the index's one-row meta table -> plain dict."""
+    row = spark.read.parquet(f"{path}/meta").first()
+    if row is None:
+        raise ValueError(f"ann index at {path!r} has an empty meta table")
+    meta = row.asDict()
+    if meta["version"] != INDEX_VERSION:
+        raise ValueError(
+            f"ann index at {path!r} is version {meta['version']}, "
+            f"this build reads version {INDEX_VERSION}"
+        )
+    return meta
+
+
+def ann_index_build(
+    df: DataFrame,
+    path: str,
+    method: str = "ivfpq",
+    kc: int = 8,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMBED_DIM,
+    key: str = "",
+    rebuild: bool = True,
+) -> dict:
+    """Train the quantizers over ``df`` and persist the encoded corpus
+    at ``path``. Returns the meta dict (plus ``reused: True`` when an
+    existing index was kept).
+
+    ``key`` is the caller's build-input identity (e.g. source path +
+    mtime + params): with ``rebuild=False`` an existing index whose meta
+    matches (version, method, params, key) is reused without reading the
+    corpus at all — the build-once contract across process restarts. Any
+    mismatch (or ``rebuild=True``) overwrites.
+
+    Scale: training is the bounded-driver-traffic loop documented on
+    kmeans_train/pq_train_encode; the one corpus-sized write is
+    ``codes``, partitioned by ``centroid_id`` so that every future
+    search scans only its probed cells (see module docstring). The
+    coarse/codebook side tables are kc and m*ksub rows — driver-sized by
+    construction."""
+    if method not in ANN_INDEX_METHODS:
+        raise ValueError(f"unknown index method {method!r}; one of {ANN_INDEX_METHODS}")
+    spark = df.sparkSession
+    meta = {
+        "version": INDEX_VERSION,
+        "method": method,
+        "kc": kc,
+        "m": m,
+        "ksub": ksub,
+        "iters": iters,
+        "dim": dim,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "key": key,
+    }
+    if not rebuild:
+        try:
+            existing = ann_index_meta(spark, path)
+        except Exception:
+            existing = None
+        if existing == meta:
+            return {**meta, "reused": True}
+
+    def _write_side(rows, schema: str, name: str) -> None:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/{name}"
+        )
+
+    if method == "ivfpq":
+        codes, coarse, cb = ivfpq_encode(df, kc, m, ksub, iters, vec_col, id_col, dim)
+        codes.select(F.col(id_col).alias("id"), "sub", "cid", "centroid_id").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(f"{path}/codes")
+        _write_side(
+            [(int(c), list(v)) for c, v in sorted(coarse.items())],
+            "centroid_id long, cv array<long>",
+            "coarse",
+        )
+        _write_side(
+            [(int(s), int(c), list(v)) for (s, c), v in sorted(cb.items())],
+            "sub int, cid long, cv array<long>",
+            "codebook",
+        )
+    elif method == "ivf":
+        assign, coarse = kmeans_train(
+            df, k=kc, iters=iters, vec_col=vec_col, id_col=id_col, with_centroids=True
+        )
+        (
+            df.join(assign.select(id_col, "centroid_id"), id_col)
+            .select(
+                F.col(id_col).alias("id"),
+                as_double(vec_col).alias("v"),
+                "centroid_id",
+            )
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/codes")
+        )
+        _write_side(
+            [(int(c), list(v)) for c, v in sorted(coarse.items())],
+            "centroid_id long, cv array<long>",
+            "coarse",
+        )
+    else:  # pq — no coarse quantizer, ADC scans all codes
+        codes, cb = pq_train_encode(df, m, ksub, iters, vec_col, id_col, dim)
+        codes.select(F.col(id_col).alias("id"), "sub", "cid").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/codes")
+        _write_side(
+            [(int(s), int(c), list(v)) for (s, c), v in sorted(cb.items())],
+            "sub int, cid long, cv array<long>",
+            "codebook",
+        )
+
+    # meta LAST: its presence marks a complete build, so a crashed write
+    # is retried (meta missing -> rebuild path) rather than half-read
+    _write_side([tuple(meta.values())], _META_SCHEMA, "meta")
+    return meta
+
+
+def _probe_cells(spark: SparkSession, path: str, qq: list[int], nprobe: int) -> list[int]:
+    """Rank the stored coarse centroids against the quantized query on
+    the driver (kc rows — bounded) with ivf/ivfpq_topk's exact-int64
+    (d2, cid) tie-break, and return the nprobe nearest cell ids."""
+    coarse = {
+        int(r["centroid_id"]): list(r["cv"])
+        for r in spark.read.parquet(f"{path}/coarse").collect()
+    }
+    ranked = sorted((_d2_int(qq, cv), cid) for cid, cv in coarse.items())
+    return [int(cid) for _, cid in ranked[:nprobe]]
+
+
+def _adc_table(spark: SparkSession, path: str, qq: list[int], m: int, dim: int) -> DataFrame:
+    """Per-(sub, cid) query distance table from the stored codebook —
+    m*ksub rows computed on the driver, broadcast at the join."""
+    d = dim // m
+    cb = {
+        (int(r["sub"]), int(r["cid"])): list(r["cv"])
+        for r in spark.read.parquet(f"{path}/codebook").collect()
+    }
+    table = [
+        (s, c, _d2_int(qq[s * d : s * d + d], cv)) for (s, c), cv in sorted(cb.items())
+    ]
+    return spark.createDataFrame(table, "sub int, cid long, d2q long")
+
+
+def ann_index_search(
+    spark: SparkSession,
+    path: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 2,
+) -> tuple[DataFrame, str, bool]:
+    """Search a persisted index with NO training job. Returns
+    ``(result, score_col, ascending)`` in the method's native shape —
+    ``(id_col, d2_adc)`` ascending for pq/ivfpq, ``(id_col, cosine_c4)``
+    descending for ivf — bit-identical to the self-contained
+    ``*_topk`` call that would have trained the same index inline.
+
+    ``query_vec`` is the raw (double) embedding; it need not be a corpus
+    member. Per query this touches: the meta row, the kc-row coarse
+    table, the m*ksub-row codebook, and ONLY the probed cells' codes
+    files (partition pruning on centroid_id)."""
+    meta = ann_index_meta(spark, path)
+    method, id_col, dim, m = meta["method"], meta["id_col"], meta["dim"], meta["m"]
+    qv = [float(x) for x in query_vec]
+    if len(qv) != dim:
+        raise ValueError(f"query_vec has dim {len(qv)}, index was built at dim {dim}")
+    qq = _quantize_py(qv)
+
+    if method == "ivf":
+        probe = _probe_cells(spark, path, qq, nprobe)
+        qdf = spark.createDataFrame([(qv,)], "qv array<double>")
+        out = (
+            spark.read.parquet(f"{path}/codes")
+            .filter(F.col("centroid_id").isin(probe))
+            .crossJoin(F.broadcast(qdf))
+            .select(
+                F.col("id").alias(id_col),
+                cosine_c4(F.col("v"), F.col("qv")).alias("cosine_c4"),
+            )
+            .orderBy(F.desc("cosine_c4"), F.col(id_col))
+            .limit(k)
+        )
+        return out, "cosine_c4", False
+
+    codes = spark.read.parquet(f"{path}/codes")
+    if method == "ivfpq":
+        probe = _probe_cells(spark, path, qq, nprobe)
+        codes = codes.filter(F.col("centroid_id").isin(probe))
+    out = (
+        codes.join(F.broadcast(_adc_table(spark, path, qq, m, dim)), ["sub", "cid"])
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.sum("d2q").alias("d2_adc"))
+        .orderBy(F.col("d2_adc"), F.col(id_col))
+        .limit(k)
+    )
+    return out, "d2_adc", True
+
+
+def duck_ann_search_indexed(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    kc: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    id_col: str = "vec_id",
+) -> str:
+    """Oracle for the indexed facade path: the determinism contract says
+    index-build + search == the inline ivfpq_topk training+search, so
+    the oracle is duck_ivfpq_topk wrapped in ann_search's uniform
+    (id, rank, score, method) shape."""
+    from baker_spark.datapipe.vectors import duck_ivfpq_topk
+
+    inner = duck_ivfpq_topk(
+        table=table, query_id=query_id, k=k, kc=kc, nprobe=nprobe, iters=iters
+    )
+    return f"""
+SELECT {id_col},
+       CAST(row_number() OVER (ORDER BY d2_adc, {id_col}) AS INT) AS rank,
+       d2_adc AS score,
+       'ivfpq' AS method
+FROM ({inner}) t
+"""

@@ -1334,6 +1334,9 @@ def ann_search(
     id_col: str = "vec_id",
     corpus_rows: int | None = None,
     auto_brute_max: int = 1_000_000,
+    index: str | None = None,
+    query_vec=None,
+    nprobe: int = 2,
     **kw,
 ) -> DataFrame:
     """One front door over the ANN family — picks the index so a user
@@ -1357,6 +1360,13 @@ def ann_search(
         (:func:`pq_adc_topk`): scans codes, never vectors.
       - ``ivfpq``  — coarse-cell prune + PQ ADC (:func:`ivfpq_topk`):
         the 10^9-vector shape.
+      - ``index=<path>`` — search a PREBUILT persisted index
+        (:func:`baker_spark.datapipe.ann_index.ann_index_build`) with no
+        training job: the probe is partition pruning over the stored
+        codes. ``query_vec`` supplies an arbitrary query embedding;
+        without it the vector is looked up from ``df`` by ``query_id``
+        (one pushed-down row fetch — df is not scanned for the search).
+        The ``method`` column reports the index's build method.
       - ``auto``   — ``brute`` when the corpus is provably small
         (``corpus_rows``/count <= ``auto_brute_max``), else ``lsh``.
         Auto never picks ivf/pq/ivfpq: those TRAIN an index as a side
@@ -1371,10 +1381,47 @@ def ann_search(
     brute > ivfpq ~ lsh >> random, with cost brute O(n) >> lsh ~
     n/2^planes > ivfpq ~ nprobe/kc of codes.
     """
-    if method == "auto":
+    if index is not None:
+        # prebuilt-index path (baker_spark.datapipe.ann_index): NO
+        # training job — the method comes from the index's meta, the
+        # probe is partition pruning over the stored codes. `method`
+        # must stay at its default: the index already fixed it at build
+        # time, and a conflicting ask should fail loudly, not be
+        # silently reinterpreted.
+        from baker_spark.datapipe import ann_index as _ai
+
+        if method != "auto":
+            raise ValueError(
+                "ann_search(index=...) searches the index's own method; "
+                f"leave method='auto' (got {method!r})"
+            )
+        if kw:
+            raise TypeError(f"ann_search(index=...) got unexpected kwargs {sorted(kw)}")
+        spark = df.sparkSession
+        meta = _ai.ann_index_meta(spark, index)
+        if query_vec is None:
+            # one-row pushed-down lookup: df supplies the query vector
+            # by id, it is NOT scanned for the search itself
+            qrow = (
+                df.filter(F.col(id_col) == query_id)
+                .select(as_double(vec_col).alias("qv"))
+                .first()
+            )
+            if qrow is None:
+                return spark.createDataFrame(
+                    [], f"{id_col} long, rank int, score long, method string"
+                )
+            query_vec = qrow["qv"]
+        base, score_col, asc = _ai.ann_index_search(
+            spark, index, query_vec, k=k, nprobe=nprobe
+        )
+        method = meta["method"]
+    elif method == "auto":
         n = corpus_rows if corpus_rows is not None else df.count()
         method = "brute" if n <= auto_brute_max else "lsh"
-    if method == "brute":
+    if index is not None:
+        pass  # base/score_col/asc already resolved above
+    elif method == "brute":
         base, score_col, asc = ann_topk(df, query_id, k, vec_col, id_col, **kw), "cosine_c4", False
     elif method == "lsh":
         # max_rows is the brute-only guard knob: tolerated here so that

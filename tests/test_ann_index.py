@@ -1,0 +1,136 @@
+"""Persistent ANN index lifecycle (datapipe/ann_index.py): build once,
+search many — the searched result must be bit-identical to the inline
+train+search call, the probe must be partition pruning over the stored
+codes, and rebuild=False must reuse a matching index without touching
+the corpus."""
+
+import contextlib
+import io
+import os
+
+import pytest
+
+from baker_spark.datapipe import ann_index, vectors
+from baker_spark.sources.tables import load_table
+from tests.conftest import SF_DIR, rows_to_tuples
+
+KC, NPROBE, K = 8, 2, 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def ivfpq_path(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("annidx") / "ivfpq")
+    ann_index.ann_index_build(emb, path, method="ivfpq", kc=KC, iters=1, key="t1")
+    return path
+
+
+def _qvec(emb, query_id=0):
+    return emb.filter(emb.vec_id == query_id).select(
+        vectors.as_double("embedding").alias("qv")
+    ).first()["qv"]
+
+
+def _explain(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_ivfpq_index_search_matches_inline(spark, emb, ivfpq_path):
+    inline = vectors.ivfpq_topk(emb, query_id=0, k=K, kc=KC, nprobe=NPROBE, iters=1)
+    out, score_col, asc = ann_index.ann_index_search(
+        spark, ivfpq_path, _qvec(emb), k=K, nprobe=NPROBE
+    )
+    assert (score_col, asc) == ("d2_adc", True)
+    assert rows_to_tuples(out) == rows_to_tuples(inline)
+
+
+def test_ivf_index_search_matches_inline(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    ann_index.ann_index_build(emb, path, method="ivf", kc=KC, iters=1)
+    inline = vectors.ivf_topk(emb, query_id=3, k=K, kc=KC, nprobe=NPROBE, iters=1)
+    out, score_col, asc = ann_index.ann_index_search(
+        spark, path, _qvec(emb, 3), k=K, nprobe=NPROBE
+    )
+    assert (score_col, asc) == ("cosine_c4", False)
+    assert rows_to_tuples(out) == rows_to_tuples(inline)
+
+
+def test_pq_index_search_matches_inline(spark, emb, tmp_path):
+    path = str(tmp_path / "pq")
+    ann_index.ann_index_build(emb, path, method="pq", iters=1)
+    inline = vectors.pq_adc_topk(emb, query_id=7, k=K, iters=1)
+    out, _, _ = ann_index.ann_index_search(spark, path, _qvec(emb, 7), k=K)
+    assert rows_to_tuples(out) == rows_to_tuples(inline)
+
+
+def test_search_scan_partition_prunes(spark, emb, ivfpq_path):
+    """The 100 TB contract: the probe filter is a PARTITION filter on the
+    codes scan (only nprobe/kc of the files are planned), and the search
+    plan never references the source corpus — no training job rides
+    along."""
+    out, _, _ = ann_index.ann_index_search(spark, ivfpq_path, _qvec(emb), k=K, nprobe=NPROBE)
+    p = _explain(out)
+    assert "PartitionFilters: [centroid_id" in p
+    assert "embeddings.parquet" not in p  # corpus untouched at search time
+    # disk layout really is one directory per cell
+    cells = [d for d in os.listdir(f"{ivfpq_path}/codes") if d.startswith("centroid_id=")]
+    assert len(cells) > 1
+
+
+def test_rebuild_false_reuses_matching_index(emb, ivfpq_path):
+    codes_dir = f"{ivfpq_path}/codes"
+    before = {f: os.path.getmtime(os.path.join(codes_dir, f)) for f in os.listdir(codes_dir)}
+    meta = ann_index.ann_index_build(
+        emb, ivfpq_path, method="ivfpq", kc=KC, iters=1, key="t1", rebuild=False
+    )
+    assert meta.get("reused") is True
+    after = {f: os.path.getmtime(os.path.join(codes_dir, f)) for f in os.listdir(codes_dir)}
+    assert before == after  # nothing rewritten
+    # a different build key must NOT be reused
+    meta2 = ann_index.ann_index_build(
+        emb, ivfpq_path, method="ivfpq", kc=KC, iters=1, key="t2", rebuild=False
+    )
+    assert "reused" not in meta2
+
+
+def test_facade_uniform_shape_and_no_training(spark, emb, ivfpq_path):
+    out = vectors.ann_search(emb, query_id=0, k=K, index=ivfpq_path, nprobe=NPROBE)
+    assert out.columns == ["vec_id", "rank", "score", "method"]
+    rows = out.collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert {r["method"] for r in rows} == {"ivfpq"}
+    # equals the inline-trained facade-shaped result
+    inline = vectors.ivfpq_topk(emb, query_id=0, k=K, kc=KC, nprobe=NPROBE, iters=1)
+    assert [(r["vec_id"], r["score"]) for r in rows] == [
+        (r["vec_id"], r["d2_adc"]) for r in inline.collect()
+    ]
+
+
+def test_facade_missing_query_id_returns_typed_empty(emb, ivfpq_path):
+    out = vectors.ann_search(emb, query_id=-999, index=ivfpq_path)
+    assert out.columns == ["vec_id", "rank", "score", "method"]
+    assert out.collect() == []
+
+
+def test_facade_rejects_conflicting_args(emb, ivfpq_path):
+    with pytest.raises(ValueError, match="index's own method"):
+        vectors.ann_search(emb, index=ivfpq_path, method="lsh")
+    with pytest.raises(TypeError, match="unexpected kwargs"):
+        vectors.ann_search(emb, index=ivfpq_path, kc=4)
+
+
+def test_dim_mismatch_raises(spark, ivfpq_path):
+    with pytest.raises(ValueError, match="dim"):
+        ann_index.ann_index_search(spark, ivfpq_path, [0.1, 0.2, 0.3])
+
+
+def test_unknown_method_raises(emb, tmp_path):
+    with pytest.raises(ValueError, match="unknown index method"):
+        ann_index.ann_index_build(emb, str(tmp_path / "x"), method="hnsw")
