@@ -167,6 +167,17 @@ def dp_ann_search(spark, sf_dir):
     )
 
 
+@query("dp_ann_search_mp", vectors.duck_ann_search(hamming=1))
+def dp_ann_search_mp(spark, sf_dir):
+    """The facade's multi-probe lsh path (method pinned to 'lsh_mp' so
+    the static oracle is SF-stable) — what 'auto' resolves to past the
+    brute ceiling: probe bucket + N_PLANES Hamming-1 neighbors, the
+    measured-better-recall train-free default (VERDICT r9 #2)."""
+    return vectors.ann_search(
+        load_table(spark, sf_dir, "embeddings"), method="lsh_mp", k=5
+    )
+
+
 _RECALL_Q, _RECALL_K = 10, 5
 _RECALL_C4 = vectors.duck_cosine_c4("e.v", "q.v")
 

@@ -480,7 +480,8 @@ def test_ann_topk_zero_norm_scores_zero_in_both_engines(spark, tmp_path):
 def test_ann_search_facade_uniform_schema_and_dispatch(spark):
     """ann_search normalizes every method into (id, rank, score, method)
     with rank the cross-method contract; 'auto' picks brute under the
-    threshold and lsh over it, and never trains pq/ivfpq implicitly."""
+    threshold and MULTI-PROBE lsh over it (the measured-better-recall
+    train-free default), and never trains pq/ivfpq implicitly."""
     import pytest
 
     from baker_spark.datapipe import vectors
@@ -500,16 +501,43 @@ def test_ann_search_facade_uniform_schema_and_dispatch(spark):
         assert all(r["method"] == method for r in rows)
         # rank 1 is the query itself for the exact-cosine methods
         # (self-similarity; ivf always probes the query's own cell)
-        if method in ("brute", "lsh", "ivf"):
+        if method in ("brute", "lsh", "lsh_mp", "ivf"):
             assert rows[0]["vec_id"] == 0
 
-    # auto: count(40) <= threshold -> brute; over threshold -> lsh
+    # auto: count(40) <= threshold -> brute; over threshold -> lsh_mp
+    # (multi-probe, never the measured-low-recall single-probe default)
     assert vectors.ann_search(df, k=2, method="auto").collect()[0]["method"] == "brute"
     got = vectors.ann_search(df, k=2, method="auto", auto_brute_max=10)
-    assert got.collect()[0]["method"] == "lsh"
+    assert got.collect()[0]["method"] == "lsh_mp"
     # corpus_rows hint skips the count job and drives the same policy
     got = vectors.ann_search(df, k=2, method="auto", corpus_rows=10**9)
-    assert got.collect()[0]["method"] == "lsh"
+    assert got.collect()[0]["method"] == "lsh_mp"
 
     with pytest.raises(ValueError, match="unknown ann method"):
         vectors.ann_search(df, method="hnsw")
+
+
+def test_ann_multiprobe_candidates_superset_of_single_probe(spark):
+    """lsh_mp's probe set includes mask 0 (the query's own bucket), so
+    its candidate set — and therefore recall at any k — dominates
+    single-probe lsh structurally, not just on one measurement. hamming
+    beyond 1 is not implemented and must say so."""
+    import pytest
+
+    from baker_spark.datapipe import vectors
+
+    rows = [
+        (i, [float(((i * 53 + j * 29) % 23) - 11) for j in range(vectors.EMBED_DIM)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for qid in (0, 7):
+        sp = {r["vec_id"] for r in vectors.ann_topk_bucketed(df, qid, k=1000).collect()}
+        mp = {
+            r["vec_id"]
+            for r in vectors.ann_topk_bucketed(df, qid, k=1000, hamming=1).collect()
+        }
+        assert sp <= mp
+        assert len(mp) > len(sp)  # neighbor buckets contributed candidates
+    with pytest.raises(ValueError, match="hamming"):
+        vectors.ann_topk_bucketed(df, 0, hamming=2)
