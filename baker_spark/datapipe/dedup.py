@@ -589,6 +589,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """Resolve near-dup pairs into connected components; every doc gets a
     cluster_id = min doc id in its component (singletons cluster with
@@ -608,7 +609,30 @@ def dedup_clusters(
     data is (id, label) longs — never the text — and localCheckpoint
     truncates the growing lineage so round N's plan does not replay
     rounds 1..N-1.
+
+    ``reliable=True`` swaps localCheckpoint for RELIABLE checkpoints
+    (``DataFrame.checkpoint`` into the session's configured checkpoint
+    directory). localCheckpoint stores blocks on the executors that
+    computed them: losing ONE executor mid-resolution loses blocks every
+    later round's plan depends on, and — the lineage having been
+    truncated — the job dies rather than recomputes, restarting a
+    multi-hour component resolution from round 0 on a real cluster.
+    Reliable checkpoints write each round's (id, label) table to the
+    checkpoint dir (HDFS/S3), so executor loss costs one task retry.
+    The per-round data is two longs/node of the pair-connected subgraph
+    — the write is tiny next to any round's shuffle. Requires
+    ``spark.sparkContext.setCheckpointDir(...)`` first; fails fast with
+    that instruction otherwise.
     """
+    if reliable and df.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "dedup_clusters(reliable=True) needs a reliable checkpoint "
+            "directory: call spark.sparkContext.setCheckpointDir(<hdfs/s3 path>) first"
+        )
+
+    def ckpt(frame: DataFrame) -> DataFrame:
+        return frame.checkpoint(eager=True) if reliable else frame.localCheckpoint(eager=True)
+
     # one scan, both directions: a union of two selects would evaluate
     # the caller's pair-generation subplan twice at materialization
     # (exchange reuse dedups only the shuffle, not the join/filter work
@@ -626,10 +650,11 @@ def dedup_clusters(
         .persist()
     )
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        ckpt(
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+        )
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     # max_iters + 1: convergence is only WITNESSED by a round that
@@ -644,11 +669,10 @@ def dedup_clusters(
         # un-checkpointed plan with itself trips attribute
         # deduplication; a LogicalRDD base self-joins cleanly, and the
         # checkpoint doubles as the usual lineage truncation
-        prop = (
+        prop = ckpt(
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         # pointer jump (label <- label-of-label): treats the label map
         # as a pointer forest and halves every path through it, so a
@@ -663,13 +687,12 @@ def dedup_clusters(
         ptr = prop.select(
             F.col("id").alias("_pid"), F.col("label").alias("_plabel")
         )
-        labels = (
+        labels = ckpt(
             prop.join(ptr, F.col("label") == F.col("_pid"))
             .select("id", F.col("_plabel").alias("label"))
             # checkpoint the JUMP RESULT too: it feeds three consumers
             # (the sum witness, next round's msgs join, next round's
             # union) — uncached, the jump join would run 3x per round
-            .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

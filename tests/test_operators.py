@@ -2,6 +2,8 @@
 table-driven filter tests (SURVEY.md §5: feed tiny records through the
 operator, assert emitted count + field values)."""
 
+import os
+
 import pytest
 from pyspark.sql import Row, functions as F
 
@@ -334,6 +336,33 @@ def test_dedup_clusters(spark):
     out = dedup_clusters(long_docs, chain_pairs, max_iters=10).collect()
     assert all(r.cluster_id == 1 for r in out)
     assert sum(r.is_canonical for r in out) == 1
+
+
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """reliable=True writes each round's label table to the configured
+    checkpoint dir (executor loss costs one task retry, not a restart
+    from round 0 — VERDICT r9 #3): identical clusters, lineage truncated
+    to a ReliableCheckpointRDD, files actually on the reliable store,
+    and a loud error when no checkpoint dir is configured."""
+    from baker_spark.datapipe.dedup import dedup_clusters
+
+    docs = make_df(spark, [(i,) for i in range(1, 8)], ["doc_id"])
+    pairs = make_df(spark, [(1, 2), (2, 3), (4, 5)], ["doc_a", "doc_b"])
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        dedup_clusters(docs, pairs, reliable=True)
+
+    # session-global and harmless to leave set: nothing else in the
+    # suite calls .checkpoint(), and localCheckpoint ignores the dir
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    out = dedup_clusters(docs, pairs, reliable=True)
+    assert "ReliableCheckpointRDD" in out.rdd.toDebugString().decode()
+    assert rows_to_tuples(out) == rows_to_tuples(dedup_clusters(docs, pairs))
+    ckpt_files = [
+        f for d, _, fs in os.walk(tmp_path / "ckpt") for f in fs if f.startswith("part-")
+    ]
+    assert ckpt_files  # rounds really landed on the reliable store
 
 
 def test_scrub(spark):
