@@ -310,6 +310,9 @@ def _build_sink(section: dict, separator: str):
             fields=cfg.get("fields", []),
             timestamp_field=cfg.get("timestamp_field"),
             separator=separator,
+            # StatsConfig.CSVPath (output/stats.go:31, default stats.csv);
+            # honored by write() — the reference always writes the report
+            csv_path=cfg.get("csv_path", "stats.csv"),
         )
     if name in ("sqlite", "sqliteraw"):
         # output/sqlite.go:36-43 config keys; SQLiteRaw adds the

@@ -25,6 +25,54 @@ def test_stats_report(spark):
     assert report["times"]["ts_quantiles"] == [200.0]
 
 
+def test_stats_csv_report_golden(spark, tmp_path):
+    """The reference's CSV report shape (output/stats.go:319-333):
+    section banners + header/data row pairs for sizes, timestamps and
+    each tracked field, with the per-field distribution over value
+    FREQUENCIES and the literal '%%ile' header quirk kept bug-for-bug.
+    Golden-compared with exact=True so percentiles are deterministic."""
+    df = spark.createDataFrame(
+        [Row(f1="a", ts="100"), Row(f1="a", ts="200"), Row(f1="b", ts="x")]
+    )
+    stats = Stats(fields=["f1"], timestamp_field="ts", exact=True)
+    path = str(tmp_path / "stats.csv")
+    text = stats.write_csv(df, path)
+    assert open(path).read() == text
+    qh = (
+        "1st %%ile,5th %%ile,10th %%ile,25th %%ile,50th %%ile,"
+        "75th %%ile,90th %%ile,95th %%ile,99th %%ile"
+    )
+    # rows serialize as "f1,ts" -> "a,100"(5B) "a,200"(5B) "b,x"(3B)
+    golden_sizes = [
+        "section,log line sizes,distribution of log lines sizes",
+        f"num samples (log lines),errors,total bytes,smallest,{qh},biggest",
+        # rows are 5, 5 and 3 bytes; exact interpolated percentiles
+        "3,0,13,3,3.04,3.2,3.4000000000000004,4,5,5,5,5,5,5",
+    ]
+    lines = text.splitlines()
+    assert lines[0:3] == golden_sizes
+    # timestamp percentile cells are exact-interpolated then truncated
+    # to whole seconds; assert the counters + bounds instead of
+    # hand-computing nine interpolations
+    assert lines[3] == "section,timestamps,distribution of timestamps"
+    assert lines[4] == f"num timestamps (valid+invalid+empty),num errors,num empty,first,{qh},last"
+    tcells = lines[5].split(",")
+    assert tcells[0:3] == ["2", "1", "0"]  # 2 valid, 1 Atoi error, 0 empty
+    assert tcells[3] == "1970-01-01 00:01:40 +0000 UTC"  # first = ts 100
+    assert tcells[-1] == "1970-01-01 00:03:20 +0000 UTC"  # last = ts 200
+    assert lines[6] == "section,f1,distribution of number of log lines per distinct f1 value"
+    assert lines[7] == f"num samples (f1),smallest,{qh},biggest"
+    fcells = lines[8].split(",")
+    # 2 distinct values; freqs {a:2, b:1} -> smallest 1, biggest 2
+    assert fcells[0] == "2" and fcells[1] == "1" and fcells[-1] == "2"
+
+    # csv_path-configured write() (the TOML CSVPath key) emits the same
+    # report alongside the dict, off the one shared cache
+    path2 = str(tmp_path / "auto.csv")
+    Stats(fields=["f1"], timestamp_field="ts", exact=True, csv_path=path2).write(df)
+    assert open(path2).read() == text
+
+
 def test_sqlite_writer(spark, tmp_path):
     db = str(tmp_path / "out.sqlite3")
     df = spark.createDataFrame([Row(a="1", b="x"), Row(a="2", b="y")])
