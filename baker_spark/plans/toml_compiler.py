@@ -242,6 +242,8 @@ def _build_sink(section: dict, separator: str):
         # the same extension rule, so compression=None delegates to it
         compression = None
         zstd_level = int(cfg.get("zstd_compression_level", 0)) or 3
+        # ZstdWindowLog (filewriter.go:99): long-range mode, 0=off
+        zstd_window_log = int(cfg.get("zstd_window_log", 0))
         if "{{" in path:
             # time-templated PathString (filewriter.go:34-43):
             # {{.Year}}/{{.Month}}/{{.Day}} etc. become a partitioned
@@ -268,6 +270,7 @@ def _build_sink(section: dict, separator: str):
                 rotate_size_bytes=parse_size_bytes(cfg.get("rotate_size", 0)) or None,
                 discard_empty_files=bool(cfg.get("discard_empty_files", False)),
                 zstd_level=zstd_level,
+                zstd_window_log=zstd_window_log,
             )
         # templateless path: its directory is the output dir; task files
         # replace the {{.Index}}/{{.UUID}} parts of the reference template
@@ -279,6 +282,7 @@ def _build_sink(section: dict, separator: str):
             rotate_size_bytes=parse_size_bytes(cfg.get("rotate_size", 0)) or None,
             discard_empty_files=bool(cfg.get("discard_empty_files", False)),
             zstd_level=zstd_level,
+            zstd_window_log=zstd_window_log,
         )
     if name == "nop":
         return Nop()

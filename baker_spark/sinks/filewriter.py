@@ -177,6 +177,12 @@ class FileWriter:
     #: ZstdCompressionLevel (filewriter.go:98,116-117: default 3,
     #: 1=BestSpeed .. 19=BestCompression)
     zstd_level: int = 3
+    #: ZstdWindowLog (filewriter.go:99,388): long-distance-matching
+    #: window log; 0 = disabled (the reference default). The published
+    #: bench config runs level 3 + windowLog 27 (README.md:114). The
+    #: codec's read path accepts windowLog up to 31 regardless, so files
+    #: written long-range read back without special handling.
+    zstd_window_log: int = 0
     #: gzip deflate level. The reference hardcodes BestSpeed
     #: (filewriter.go:392-394: gzip.NewWriterLevel(countw,
     #: gzip.BestSpeed)), so 1 is the fidelity default — and measurably
@@ -350,6 +356,10 @@ class FileWriter:
             # writers with different levels don't clobber a session-global
             # key — the codec reads LEVEL_KEY from its job conf
             writer = writer.option("bakerspark.zstd.level", str(self.zstd_level))
+            if self.zstd_window_log:
+                writer = writer.option(
+                    "bakerspark.zstd.windowlog", str(self.zstd_window_log)
+                )
         elif self.compression == "gzip":
             # same per-job overlay for the deflate level; default 1 is
             # the reference's hardcoded BestSpeed (filewriter.go:392-394)

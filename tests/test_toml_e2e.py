@@ -830,3 +830,54 @@ def test_zstd_codec_finish_ends_frame_without_closing_stream(spark):
             break
         out.append(b)
     assert bytes(out) == first + second
+
+
+def test_filewriter_zstd_window_log(spark, tmp_path):
+    """ZstdWindowLog (filewriter.go:99; the reference's published bench
+    runs level 3 + windowLog 27, README.md:114) rides the TOML through
+    to long-distance-matching zstd frames — and the codec's read path
+    accepts them back (setLongMax: the '>27 needs special treatment'
+    from the reference's help text)."""
+    import pyarrow as pa
+
+    toml_text = """
+[fields]
+names=["a","b","c"]
+
+[input]
+name="List"
+
+    [input.config]
+    files=["/root/reference/testdata/input.csv.zst"]
+
+[output]
+name="FileWriter"
+
+    [output.config]
+    PathString="{out}/out.csv.zst"
+    ZstdWindowLog=27
+""".format(out=tmp_path)
+    plan = compile_toml(toml_text)
+    assert plan.sink.zstd_window_log == 27
+    out_dir = plan.run(spark)
+    parts = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out_dir)
+        for f in fs
+        if f.endswith(".csv.zst")
+    ]
+    assert parts
+    rows = []
+    for p in parts:
+        with pa.input_stream(p, compression="zstd") as s:
+            rows += [ln for ln in s.read().decode().splitlines() if ln]
+    assert sorted(rows) == [
+        "value1,value2,value3",
+        "value1,value2,value3",
+        "value4,value2,value6",
+        "value5,value2,value3",
+    ]
+    # and Spark's own read path (the codec input stream) accepts the
+    # long-range frames
+    back = spark.read.text(parts).count()
+    assert back == 4

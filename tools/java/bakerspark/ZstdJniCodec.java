@@ -29,6 +29,10 @@ import org.apache.hadoop.io.compress.Decompressor;
  */
 public class ZstdJniCodec implements CompressionCodec, Configurable {
     public static final String LEVEL_KEY = "bakerspark.zstd.level";
+    /** zstd long-distance-matching window log (the reference's
+     * ZstdWindowLog, output/filewriter.go:99,388 — its published bench
+     * config uses 27). 0 = disabled, matching the reference default. */
+    public static final String WINDOWLOG_KEY = "bakerspark.zstd.windowlog";
     private Configuration conf;
 
     @Override
@@ -63,6 +67,7 @@ public class ZstdJniCodec implements CompressionCodec, Configurable {
     public CompressionOutputStream createOutputStream(final OutputStream out)
             throws IOException {
         final int level = conf == null ? 3 : conf.getInt(LEVEL_KEY, 3);
+        final int windowLog = conf == null ? 0 : conf.getInt(WINDOWLOG_KEY, 0);
         return new CompressionOutputStream(out) {
             private ZstdOutputStream z = null;
             private boolean closed = false;
@@ -70,6 +75,9 @@ public class ZstdJniCodec implements CompressionCodec, Configurable {
             private ZstdOutputStream ensure() throws IOException {
                 if (z == null) {
                     z = new ZstdOutputStream(new NonClosing(out), level);
+                    if (windowLog > 0) {
+                        z.setLong(windowLog); // enables LDM at this window size
+                    }
                 }
                 return z;
             }
@@ -141,6 +149,11 @@ public class ZstdJniCodec implements CompressionCodec, Configurable {
     public CompressionInputStream createInputStream(InputStream in) throws IOException {
         final ZstdInputStream z = new ZstdInputStream(in);
         z.setContinuous(true); // multi-frame files (concatenated .zst) read through
+        // accept frames written with windowLog up to 31: the library's
+        // default decode limit (27) rejects long-range frames past it,
+        // which is the ">27 needs special treatment" in the reference's
+        // ZstdWindowLog help text -- the treatment lives here
+        z.setLongMax(31);
         return new CompressionInputStream(in) {
             @Override
             public int read() throws IOException {
