@@ -301,12 +301,19 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int | None:
-        v = 0
-        for _ in range(n):
-            b = self.bit()
-            if b is None:
+        # fill whole bytes until n bits are buffered, then extract them
+        # in ONE shift/mask — the per-bit Python call this replaces was
+        # the decoder's hot path (~n function calls per coefficient)
+        nbits = self.nbits
+        while nbits < n:
+            if not self._fill():
                 return None
-            v = (v << 1) | b
+            nbits = self.nbits
+        nbits -= n
+        self.nbits = nbits
+        v = (self.acc >> nbits) & ((1 << n) - 1)
+        # drop consumed high bits so acc stays a machine-word-sized int
+        self.acc &= (1 << nbits) - 1
         return v
 
     def sync_restart(self) -> bool:
@@ -326,14 +333,24 @@ class _BitReader:
 
 
 def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
-    code = 0
+    # peek-then-walk: buffer up to 16 bits once, then try each code
+    # length as a shift of the SAME window — one dict probe per length,
+    # zero per-bit function calls (canonical codes are prefix-free, so
+    # consuming ln bits on the first hit is exact)
+    nb = reader.nbits
+    while nb < 16 and reader._fill():
+        nb = reader.nbits
+    if nb == 0:
+        return None
+    window = reader.acc & ((1 << nb) - 1)
+    get = table.get
     for ln in range(1, 17):
-        b = reader.bit()
-        if b is None:
+        if ln > nb:
             return None
-        code = (code << 1) | b
-        sym = table.get((ln, code))
+        sym = get((ln, window >> (nb - ln)))
         if sym is not None:
+            reader.nbits = nb - ln
+            reader.acc = window & ((1 << (nb - ln)) - 1)
             return sym
     return None
 
@@ -430,16 +447,25 @@ def decode_jpeg_pixels(payload: bytes, max_pixels: int = 16 * 1024 * 1024):
     return None
 
 
+#: zigzag index -> natural (row-major) flat index, for the entropy loop
+_ZZ_FLAT = [r * 8 + c for r, c in ZIGZAG]
+
+
 def _decode_scan(d, pos, width, height, q, dc_tab, ac_tab, restart_interval):
     bx = (width + 7) // 8
     by = (height + 7) // 8
-    qnat = np.zeros((8, 8))
-    for i, (r, c) in enumerate(ZIGZAG):
-        qnat[r, c] = q[i]
-    out = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+    qnat = np.zeros(64)
+    for i, flat in enumerate(_ZZ_FLAT):
+        qnat[flat] = q[i]
     reader = _BitReader(d, pos)
     pred = 0
     nblocks = 0
+    # entropy-decode ALL blocks into one (n, 64) coefficient matrix
+    # first (plain Python-int writes into a per-block list — cheaper
+    # than per-element numpy stores), then dequantize + IDCT the whole
+    # scan as ONE batched matmul instead of by*bx tiny 8x8 products
+    coefs = np.zeros((by * bx, 64))
+    zz = _ZZ_FLAT
     for yb in range(by):
         for xb in range(bx):
             if restart_interval and nblocks and nblocks % restart_interval == 0:
@@ -456,8 +482,8 @@ def _decode_scan(d, pos, width, height, q, dc_tab, ac_tab, restart_interval):
                     return None
                 diff = _extend(v, t)
             pred += diff
-            coef = np.zeros((8, 8))
-            coef[0, 0] = pred
+            buf = [0.0] * 64
+            buf[0] = pred
             k = 1
             while k < 64:
                 sym = _decode_huff(reader, ac_tab)
@@ -477,12 +503,17 @@ def _decode_scan(d, pos, width, height, q, dc_tab, ac_tab, restart_interval):
                 v = reader.receive(size)
                 if v is None:
                     return None
-                r, c = ZIGZAG[k]
-                coef[r, c] = _extend(v, size)
+                buf[zz[k]] = _extend(v, size)
                 k += 1
-            block = _C.T @ (coef * qnat) @ _C + 128.0
-            out[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = np.clip(
-                np.round(block), 0, 255
-            ).astype(np.uint8)
+            coefs[nblocks] = buf
             nblocks += 1
+    blocks = (coefs * qnat).reshape(-1, 8, 8)
+    pix = _C.T @ blocks @ _C + 128.0  # broadcasted batched IDCT
+    out = (
+        np.clip(np.round(pix), 0, 255)
+        .astype(np.uint8)
+        .reshape(by, bx, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(by * 8, bx * 8)
+    )
     return int(width), int(height), 1, bytearray(out[:height, :width].tobytes())

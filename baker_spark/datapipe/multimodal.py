@@ -30,6 +30,7 @@ import struct
 import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -553,33 +554,60 @@ def decode_png_pixels(payload: bytes, max_pixels: int = MAX_DECODE_PIXELS):
             return None  # truncated stream / trailing garbage
     except zlib.error:
         return None
-    out = bytearray(height * stride)
-    prev = bytes(stride)
+    # unfilter, numpy-vectorized where the recurrence allows (VERDICT r9
+    # #6): None is a copy, Up is one wrapping uint8 add against the
+    # previous row, and Sub is a per-channel wrapping prefix sum
+    # (np.add.accumulate on uint8 wraps mod 256 — exactly the & 0xFF).
+    # Average and Paeth carry a serial dependency on the just-computed
+    # LEFT pixel, so they stay scalar loops — but with the predictor
+    # inlined (a per-pixel Python function call was half their cost).
     bpp = channels
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(height, 1 + stride)
+    ftypes = arr[:, 0]
+    if (ftypes > 4).any():
+        return None  # invalid filter type
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        off = y * (1 + stride)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        if ftype == 1:
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        ftype = ftypes[y]
+        line = arr[y, 1:]
+        if ftype == 0:
+            row = line.copy()
+        elif ftype == 1:
+            # recon[x] = raw[x] + recon[x-bpp]: a wrapping prefix sum
+            # down each channel column
+            row = np.add.accumulate(
+                line.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
         elif ftype == 2:
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif ftype == 3:
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                ul = prev[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
-        elif ftype != 0:
-            return None  # invalid filter type
-        out[y * stride : (y + 1) * stride] = line
-        prev = bytes(line)
-    return int(width), int(height), int(bpp), out
+            row = line + prev  # uint8 add wraps mod 256
+        else:
+            lb = line.tolist()
+            pb = prev.tolist()
+            if ftype == 3:
+                for x in range(stride):
+                    left = lb[x - bpp] if x >= bpp else 0
+                    lb[x] = (lb[x] + ((left + pb[x]) >> 1)) & 0xFF
+            else:  # Paeth, predictor inlined
+                for x in range(stride):
+                    a = lb[x - bpp] if x >= bpp else 0
+                    b = pb[x]
+                    c = pb[x - bpp] if x >= bpp else 0
+                    pa = b - c if b >= c else c - b
+                    pb_ = a - c if a >= c else c - a
+                    s = a + b - 2 * c
+                    pc = s if s >= 0 else -s
+                    if pa <= pb_ and pa <= pc:
+                        pred = a
+                    elif pb_ <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    lb[x] = (lb[x] + pred) & 0xFF
+            row = np.array(lb, dtype=np.uint8)
+        out[y] = row
+        prev = row
+    return int(width), int(height), int(bpp), bytearray(out.tobytes())
 
 
 def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
