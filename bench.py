@@ -125,6 +125,45 @@ def cpu_canary() -> dict[str, float]:
     return {"canary_1p_s": single, "canary_32p_s": round(time.perf_counter() - t0, 3)}
 
 
+#: contention gate for the HEADLINE chain number: canary_32p within this
+#: factor of canary_1p means the 32 cores are genuinely free (ideal is
+#: ~1.0 — each worker does the same fixed loop on its own core). Rounds
+#: 8/9 recorded driver bench artifacts captured at 1.8-2.8x, which
+#: penalized the chain 16-36% against quiet-host runs of the SAME
+#: commit; when the first pass is captured that hot, the chain re-runs
+#: once and the final canary is re-stamped so BENCH_r{N}.json numbers
+#: are comparable across rounds (both passes' runs stay in `runs`).
+CANARY_GATE = 1.5
+
+
+def _chain_runs(spark, sf_dir) -> list[float]:
+    """N_RUNS of the full reference-topology analog: read -> filter
+    chain -> serialize (ToText, logline.go:152-220) -> gzip files. Same
+    write path as sinks/filewriter.py: one concat_ws line per record
+    through the text writer — byte-identical to the quote-disabled CSV
+    writer and ~9% faster (the CSV escape machinery does nothing useful
+    with quoting off)."""
+    out_dir = tempfile.mkdtemp(prefix="baker_bench_out_")
+    runs = []
+    for i in range(N_RUNS):
+        t0 = time.perf_counter()
+        df = baker_chain(spark, sf_dir)
+        line = serialize_line(df.columns, ",")
+        (
+            df.select(line.alias("value"))
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            # the reference writes gzip BestSpeed (filewriter.go:392-394);
+            # Hadoop 3.3+'s BuiltInGzipCompressor honors this per-job
+            # option, so the chain pays the same deflate CPU it would
+            .option("zlib.compress.level", "BEST_SPEED")
+            .text(os.path.join(out_dir, f"csv_gz_{i}"))
+        )
+        runs.append(round(time.perf_counter() - t0, 3))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return runs
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     canary = cpu_canary()
@@ -142,33 +181,18 @@ def main() -> None:
     all_runs: dict[str, list[float]] = {}
 
     n_lineitem = load_table(spark, sf_dir, "lineitem").count()
-    out_dir = tempfile.mkdtemp(prefix="baker_bench_out_")
-    runs = []
-    for i in range(N_RUNS):
-        t0 = time.perf_counter()
-        # full reference topology analog: read -> filter chain ->
-        # serialize (ToText, logline.go:152-220) -> gzip files. Same
-        # write path as sinks/filewriter.py: one concat_ws line per
-        # record through the text writer — byte-identical to the
-        # quote-disabled CSV writer and ~9% faster (the CSV escape
-        # machinery does nothing useful with quoting off).
-        df = baker_chain(spark, sf_dir)
-        line = serialize_line(df.columns, ",")
-        (
-            df.select(line.alias("value"))
-            .write.mode("overwrite")
-            .option("compression", "gzip")
-            # the reference writes gzip BestSpeed (filewriter.go:392-394);
-            # Hadoop 3.3+'s BuiltInGzipCompressor honors this per-job
-            # option, so the chain pays the same deflate CPU it would
-            .option("zlib.compress.level", "BEST_SPEED")
-            .text(os.path.join(out_dir, f"csv_gz_{i}"))
-        )
-        runs.append(round(time.perf_counter() - t0, 3))
+    runs = _chain_runs(spark, sf_dir)
+    contention = canary["canary_32p_s"] / max(canary["canary_1p_s"], 1e-9)
+    chain_retried = False
+    if contention > CANARY_GATE:
+        # hot capture: give the host one chance to quiet down, keep the
+        # honest union of both passes (min() picks the best either way)
+        chain_retried = True
+        canary = cpu_canary()
+        runs = runs + _chain_runs(spark, sf_dir)
     all_runs["baker_filter_chain"] = runs
     timings["baker_filter_chain"] = min(runs)
     records_per_sec = int(n_lineitem / min(runs))
-    shutil.rmtree(out_dir, ignore_errors=True)
 
     for name in BENCH_QUERIES:
         runs = []
@@ -191,6 +215,7 @@ def main() -> None:
                 "sf": sf,
                 "records_per_sec": records_per_sec,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+                "chain_retried": chain_retried,
                 **canary,
             }
         )

@@ -28,3 +28,12 @@ def test_bench_emits_contract_json():
     assert doc["records_per_sec"] > 0
     assert set(doc["queries"]) >= {"baker_filter_chain", "q1_pricing_summary", "dp_corpus_pipeline"}
     assert all(v >= 0 for v in doc["queries"].values())
+    # canary stamps + the contention gate's retry flag (bench.py
+    # CANARY_GATE): the recorded headline must say whether the chain was
+    # re-run after a hot first capture
+    assert doc["canary_1p_s"] > 0 and doc["canary_32p_s"] > 0
+    assert isinstance(doc["chain_retried"], bool)
+    # a retried chain carries both passes' runs
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    expected = n_runs * 2 if doc["chain_retried"] else n_runs
+    assert len(doc["runs"]["baker_filter_chain"]) == expected
