@@ -19,6 +19,7 @@ Hadoop-compatible FS works — local, s3a://, hdfs://):
     <path>/codebook/  (sub, cid, cv array<long>)           [pq, ivfpq]
     <path>/codes/     ivfpq: (id, sub, cid)   PARTITIONED BY centroid_id
                       ivf:   (id, v double[]) PARTITIONED BY centroid_id
+                      lsh:   (id, v double[]) PARTITIONED BY bucket
                       pq:    (id, sub, cid)   unpartitioned
 
 The ``centroid_id`` DISK partitioning is the point: at search time the
@@ -46,13 +47,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from baker_spark.datapipe.vectors import (
     EMBED_DIM,
+    N_PLANES,
     PQ_KSUB,
     PQ_M,
     Q_SCALE,
     as_double,
     cosine_c4,
+    hyperplanes,
     ivfpq_encode,
     kmeans_train,
+    lsh_buckets,
     pq_train_encode,
 )
 
@@ -63,7 +67,7 @@ _META_SCHEMA = (
     "dim int, id_col string, vec_col string, key string"
 )
 
-ANN_INDEX_METHODS = ("ivf", "pq", "ivfpq")
+ANN_INDEX_METHODS = ("lsh", "ivf", "pq", "ivfpq")
 
 
 def _quantize_py(vec) -> list[int]:
@@ -151,7 +155,26 @@ def ann_index_build(
             f"{path}/{name}"
         )
 
-    if method == "ivfpq":
+    if method == "lsh":
+        # train-free: persist (id, vector) PARTITIONED BY the
+        # hyperplane bucket, so the per-query bucket join of
+        # ann_topk_bucketed — which re-hashes the WHOLE corpus on every
+        # search — becomes partition pruning over 2^N_PLANES dirs. Only
+        # the default deterministic plane family (hyperplanes(), seed
+        # 42) is supported: the planes are re-derived from meta's dim
+        # at search time rather than stored.
+        (
+            lsh_buckets(df, vec_col, id_col, keep=(vec_col,))
+            .select(
+                F.col(id_col).alias("id"),
+                as_double(vec_col).alias("v"),
+                "bucket",
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/codes")
+        )
+    elif method == "ivfpq":
         codes, coarse, cb = ivfpq_encode(df, kc, m, ksub, iters, vec_col, id_col, dim)
         codes.select(F.col(id_col).alias("id"), "sub", "cid", "centroid_id").write.mode(
             "overwrite"
@@ -229,12 +252,29 @@ def _adc_table(spark: SparkSession, path: str, qq: list[int], m: int, dim: int) 
     return spark.createDataFrame(table, "sub int, cid long, d2q long")
 
 
+def _lsh_bucket_py(qv: list[float], dim: int) -> int:
+    """Driver-side mirror of :func:`vectors.lsh_buckets` for ONE vector:
+    the same deterministic plane family, the same sequential
+    left-to-right float fold (Python floats are IEEE doubles, so the
+    accumulation order matching Spark's aggregate() makes the sign bits
+    — and therefore the bucket — bit-identical)."""
+    bucket = 0
+    for j, plane in enumerate(hyperplanes(N_PLANES, dim)):
+        acc = 0.0
+        for x, p in zip(qv, plane):
+            acc += x * p
+        if acc > 0:
+            bucket |= 1 << j
+    return bucket
+
+
 def ann_index_search(
     spark: SparkSession,
     path: str,
     query_vec,
     k: int = 10,
     nprobe: int = 2,
+    hamming: int = 1,
 ) -> tuple[DataFrame, str, bool]:
     """Search a persisted index with NO training job. Returns
     ``(result, score_col, ascending)`` in the method's native shape —
@@ -252,6 +292,29 @@ def ann_index_search(
     if len(qv) != dim:
         raise ValueError(f"query_vec has dim {len(qv)}, index was built at dim {dim}")
     qq = _quantize_py(qv)
+
+    if method == "lsh":
+        # probe = query bucket (+ Hamming-1 neighbors at hamming=1, the
+        # recall-honest default matching ann_search's auto) — partition
+        # pruning over the bucket-partitioned corpus; no re-hash scan
+        if hamming not in (0, 1):
+            raise ValueError(f"hamming must be 0 or 1, got {hamming}")
+        qb = _lsh_bucket_py(qv, dim)
+        masks = [0] + ([1 << j for j in range(N_PLANES)] if hamming else [])
+        probes = [qb ^ mk for mk in masks]
+        qdf = spark.createDataFrame([(qv,)], "qv array<double>")
+        out = (
+            spark.read.parquet(f"{path}/codes")
+            .filter(F.col("bucket").isin(probes))
+            .crossJoin(F.broadcast(qdf))
+            .select(
+                F.col("id").alias(id_col),
+                cosine_c4(F.col("v"), F.col("qv")).alias("cosine_c4"),
+            )
+            .orderBy(F.desc("cosine_c4"), F.col(id_col))
+            .limit(k)
+        )
+        return out, "cosine_c4", False
 
     if method == "ivf":
         probe = _probe_cells(spark, path, qq, nprobe)

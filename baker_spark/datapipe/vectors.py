@@ -1425,6 +1425,7 @@ def ann_search(
                 f"leave method='auto' (got {method!r})"
             )
         nprobe = kw.pop("nprobe", 2)
+        hamming = kw.pop("hamming", 1)  # lsh-index multi-probe default
         if kw:
             raise TypeError(f"ann_search(index=...) got unexpected kwargs {sorted(kw)}")
         spark = df.sparkSession
@@ -1443,9 +1444,11 @@ def ann_search(
                 )
             query_vec = qrow["qv"]
         base, score_col, asc = _ai.ann_index_search(
-            spark, index, query_vec, k=k, nprobe=nprobe
+            spark, index, query_vec, k=k, nprobe=nprobe, hamming=hamming
         )
         method = meta["method"]
+        if method == "lsh" and hamming:
+            method = "lsh_mp"  # report the probe mode actually used
     elif method == "auto":
         n = corpus_rows if corpus_rows is not None else df.count()
         # past the brute ceiling auto hands out MULTI-PROBE lsh, not

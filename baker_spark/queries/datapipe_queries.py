@@ -234,8 +234,10 @@ def dp_ann_recall(spark, sf_dir):
     (the 8 Hamming-1 neighbor buckets, ~3.5% of corpus scanned — still
     a 28x prune) side by side — the measurement loop every approximate
     index needs before it's trusted. The honest finding on THIS data:
-    recall@5 is ~20-40% and multi-probe barely moves it, because the
-    driver's synthetic embeddings are isotropic gaussian — true
+    single-probe recall@5 is low (~26% mean at sf1) and multi-probe
+    lifts it meaningfully but not to health (~36% at sf1 — which is why
+    ann_search's auto resolves to the multi-probe path, r10), because
+    the driver's synthetic embeddings are isotropic gaussian — true
     neighbors are near-orthogonal and no hyperplane family concentrates
     them. That is exactly what this harness exists to surface: bucketed
     ANN earns its prune only on structured (clustered) embeddings, and
@@ -359,6 +361,29 @@ def dp_ann_search_indexed(spark, sf_dir):
     return vectors.ann_search(
         emb, query_id=0, k=_ANN_IDX_K, index=path, nprobe=_ANN_IDX_NPROBE
     )
+
+
+@query("dp_ann_search_indexed_lsh", vectors.duck_ann_search(k=5, hamming=1))
+def dp_ann_search_indexed_lsh(spark, sf_dir):
+    """The train-free persisted index: corpus partitioned by hyperplane
+    bucket at build time, so the multi-probe search — which inline
+    (dp_ann_search_mp) re-hashes the whole corpus per query — becomes
+    partition pruning over 9 of 256 bucket dirs. Bit-identical to the
+    inline path, so the same oracle gates both."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = f"{src}:{os.path.getmtime(src)}:lsh"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "baker_ann_index",
+        hashlib.md5(key.encode()).hexdigest(),
+    )
+    ann_index.ann_index_build(emb, path, method="lsh", key=key, rebuild=False)
+    return vectors.ann_search(emb, query_id=0, k=5, index=path, hamming=1)
 
 
 # ----------------------------------------------------------- text analysis ---

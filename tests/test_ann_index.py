@@ -134,3 +134,26 @@ def test_dim_mismatch_raises(spark, ivfpq_path):
 def test_unknown_method_raises(emb, tmp_path):
     with pytest.raises(ValueError, match="unknown index method"):
         ann_index.ann_index_build(emb, str(tmp_path / "x"), method="hnsw")
+
+
+def test_lsh_index_search_matches_inline_multiprobe(spark, emb, tmp_path):
+    """The train-free lsh index: bucket-partitioned corpus, search =
+    partition pruning over [qbucket + Hamming-1 neighbors], bit-identical
+    to ann_topk_bucketed(hamming=1) which re-hashes the corpus per query."""
+    path = str(tmp_path / "lsh")
+    ann_index.ann_index_build(emb, path, method="lsh")
+    inline = vectors.ann_topk_bucketed(emb, query_id=0, k=K, hamming=1)
+    out, score_col, asc = ann_index.ann_index_search(
+        spark, path, _qvec(emb), k=K, hamming=1
+    )
+    assert (score_col, asc) == ("cosine_c4", False)
+    assert rows_to_tuples(out) == rows_to_tuples(inline)
+    # single-probe variant matches too
+    sp = ann_index.ann_index_search(spark, path, _qvec(emb), k=K, hamming=0)[0]
+    assert rows_to_tuples(sp) == rows_to_tuples(
+        vectors.ann_topk_bucketed(emb, query_id=0, k=K)
+    )
+    # probe is partition pruning on the bucket dirs, corpus untouched
+    p = _explain(out)
+    assert "PartitionFilters: [bucket" in p
+    assert "embeddings.parquet" not in p
