@@ -34,7 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from baker_spark.datapipe import vectors  # noqa: E402
 from baker_spark.sources.tables import load_table  # noqa: E402
 
-METHODS = ["brute", "lsh", "ivf", "pq", "ivfpq"]
+METHODS = ["brute", "lsh", "lsh_mp", "ivf", "pq", "ivfpq"]
 
 
 def main() -> int:
@@ -54,6 +54,8 @@ def main() -> int:
     frac = {
         "brute": 1.0,
         "lsh": 1.0 / n_buckets,
+        # multi-probe: own bucket + N_PLANES Hamming-1 neighbors
+        "lsh_mp": (1.0 + vectors.N_PLANES) / n_buckets,
         # IVF scans full-precision vectors of nprobe/kc cells
         "ivf": 2.0 / 8.0,
         # PQ ADC reads every CODE (8 bytes/vec vs 256-byte raw vectors)
