@@ -226,32 +226,6 @@ def ann_index_build(
     return meta
 
 
-def _probe_cells(spark: SparkSession, path: str, qq: list[int], nprobe: int) -> list[int]:
-    """Rank the stored coarse centroids against the quantized query on
-    the driver (kc rows — bounded) with ivf/ivfpq_topk's exact-int64
-    (d2, cid) tie-break, and return the nprobe nearest cell ids."""
-    coarse = {
-        int(r["centroid_id"]): list(r["cv"])
-        for r in spark.read.parquet(f"{path}/coarse").collect()
-    }
-    ranked = sorted((_d2_int(qq, cv), cid) for cid, cv in coarse.items())
-    return [int(cid) for _, cid in ranked[:nprobe]]
-
-
-def _adc_table(spark: SparkSession, path: str, qq: list[int], m: int, dim: int) -> DataFrame:
-    """Per-(sub, cid) query distance table from the stored codebook —
-    m*ksub rows computed on the driver, broadcast at the join."""
-    d = dim // m
-    cb = {
-        (int(r["sub"]), int(r["cid"])): list(r["cv"])
-        for r in spark.read.parquet(f"{path}/codebook").collect()
-    }
-    table = [
-        (s, c, _d2_int(qq[s * d : s * d + d], cv)) for (s, c), cv in sorted(cb.items())
-    ]
-    return spark.createDataFrame(table, "sub int, cid long, d2q long")
-
-
 def _lsh_bucket_py(qv: list[float], dim: int) -> int:
     """Driver-side mirror of :func:`vectors.lsh_buckets` for ONE vector:
     the same deterministic plane family, the same sequential
@@ -268,6 +242,119 @@ def _lsh_bucket_py(qv: list[float], dim: int) -> int:
     return bucket
 
 
+class AnnIndex:
+    """An OPENED index: the driver-sized side tables (meta, the kc-row
+    coarse centroids, the m*ksub codebook) are read once at open and
+    held; each :meth:`search` then touches ONLY the probed cells' codes
+    files. This is the search-many handle — a query service opens the
+    index once and answers queries at pruned-scan cost, with zero
+    side-table reads per query. ``ann_index_search`` is the one-shot
+    convenience wrapper."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self.meta = ann_index_meta(spark, path)
+        self.method = self.meta["method"]
+        self.id_col = self.meta["id_col"]
+        self.dim = self.meta["dim"]
+        self.m = self.meta["m"]
+        self.coarse: dict[int, list[int]] = {}
+        self.codebook: dict[tuple[int, int], list[int]] = {}
+        if self.method in ("ivf", "ivfpq"):
+            self.coarse = {
+                int(r["centroid_id"]): list(r["cv"])
+                for r in spark.read.parquet(f"{path}/coarse").collect()
+            }
+        if self.method in ("pq", "ivfpq"):
+            self.codebook = {
+                (int(r["sub"]), int(r["cid"])): list(r["cv"])
+                for r in spark.read.parquet(f"{path}/codebook").collect()
+            }
+
+    def _probe(self, qq: list[int], nprobe: int) -> list[int]:
+        ranked = sorted((_d2_int(qq, cv), cid) for cid, cv in self.coarse.items())
+        return [int(cid) for _, cid in ranked[:nprobe]]
+
+    def _adc(self, qq: list[int]) -> DataFrame:
+        d = self.dim // self.m
+        table = [
+            (s, c, _d2_int(qq[s * d : s * d + d], cv))
+            for (s, c), cv in sorted(self.codebook.items())
+        ]
+        return self.spark.createDataFrame(table, "sub int, cid long, d2q long")
+
+    def search(
+        self, query_vec, k: int = 10, nprobe: int = 2, hamming: int = 1
+    ) -> tuple[DataFrame, str, bool]:
+        """Returns ``(result, score_col, ascending)`` in the method's
+        native shape — ``(id_col, d2_adc)`` ascending for pq/ivfpq,
+        ``(id_col, cosine_c4)`` descending for lsh/ivf — bit-identical
+        to the self-contained ``*_topk`` / ``ann_topk_bucketed`` call
+        that would have built the same index inline. ``query_vec`` is
+        the raw (double) embedding; it need not be a corpus member."""
+        spark, id_col = self.spark, self.id_col
+        qv = [float(x) for x in query_vec]
+        if len(qv) != self.dim:
+            raise ValueError(
+                f"query_vec has dim {len(qv)}, index was built at dim {self.dim}"
+            )
+        qq = _quantize_py(qv)
+
+        if self.method == "lsh":
+            # probe = query bucket (+ Hamming-1 neighbors at hamming=1,
+            # the recall-honest default matching ann_search's auto) —
+            # partition pruning over the bucket-partitioned corpus; no
+            # re-hash scan, and the bucket bits come from a driver-side
+            # fold over the deterministic plane family
+            if hamming not in (0, 1):
+                raise ValueError(f"hamming must be 0 or 1, got {hamming}")
+            qb = _lsh_bucket_py(qv, self.dim)
+            masks = [0] + ([1 << j for j in range(N_PLANES)] if hamming else [])
+            probes = [qb ^ mk for mk in masks]
+            qdf = spark.createDataFrame([(qv,)], "qv array<double>")
+            out = (
+                spark.read.parquet(f"{self.path}/codes")
+                .filter(F.col("bucket").isin(probes))
+                .crossJoin(F.broadcast(qdf))
+                .select(
+                    F.col("id").alias(id_col),
+                    cosine_c4(F.col("v"), F.col("qv")).alias("cosine_c4"),
+                )
+                .orderBy(F.desc("cosine_c4"), F.col(id_col))
+                .limit(k)
+            )
+            return out, "cosine_c4", False
+
+        if self.method == "ivf":
+            probe = self._probe(qq, nprobe)
+            qdf = spark.createDataFrame([(qv,)], "qv array<double>")
+            out = (
+                spark.read.parquet(f"{self.path}/codes")
+                .filter(F.col("centroid_id").isin(probe))
+                .crossJoin(F.broadcast(qdf))
+                .select(
+                    F.col("id").alias(id_col),
+                    cosine_c4(F.col("v"), F.col("qv")).alias("cosine_c4"),
+                )
+                .orderBy(F.desc("cosine_c4"), F.col(id_col))
+                .limit(k)
+            )
+            return out, "cosine_c4", False
+
+        codes = spark.read.parquet(f"{self.path}/codes")
+        if self.method == "ivfpq":
+            codes = codes.filter(F.col("centroid_id").isin(self._probe(qq, nprobe)))
+        out = (
+            codes.join(F.broadcast(self._adc(qq)), ["sub", "cid"])
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.sum("d2q").alias("d2_adc"))
+            .orderBy(F.col("d2_adc"), F.col(id_col))
+            .limit(k)
+        )
+        return out, "d2_adc", True
+
+
 def ann_index_search(
     spark: SparkSession,
     path: str,
@@ -276,74 +363,10 @@ def ann_index_search(
     nprobe: int = 2,
     hamming: int = 1,
 ) -> tuple[DataFrame, str, bool]:
-    """Search a persisted index with NO training job. Returns
-    ``(result, score_col, ascending)`` in the method's native shape —
-    ``(id_col, d2_adc)`` ascending for pq/ivfpq, ``(id_col, cosine_c4)``
-    descending for ivf — bit-identical to the self-contained
-    ``*_topk`` call that would have trained the same index inline.
-
-    ``query_vec`` is the raw (double) embedding; it need not be a corpus
-    member. Per query this touches: the meta row, the kc-row coarse
-    table, the m*ksub-row codebook, and ONLY the probed cells' codes
-    files (partition pruning on centroid_id)."""
-    meta = ann_index_meta(spark, path)
-    method, id_col, dim, m = meta["method"], meta["id_col"], meta["dim"], meta["m"]
-    qv = [float(x) for x in query_vec]
-    if len(qv) != dim:
-        raise ValueError(f"query_vec has dim {len(qv)}, index was built at dim {dim}")
-    qq = _quantize_py(qv)
-
-    if method == "lsh":
-        # probe = query bucket (+ Hamming-1 neighbors at hamming=1, the
-        # recall-honest default matching ann_search's auto) — partition
-        # pruning over the bucket-partitioned corpus; no re-hash scan
-        if hamming not in (0, 1):
-            raise ValueError(f"hamming must be 0 or 1, got {hamming}")
-        qb = _lsh_bucket_py(qv, dim)
-        masks = [0] + ([1 << j for j in range(N_PLANES)] if hamming else [])
-        probes = [qb ^ mk for mk in masks]
-        qdf = spark.createDataFrame([(qv,)], "qv array<double>")
-        out = (
-            spark.read.parquet(f"{path}/codes")
-            .filter(F.col("bucket").isin(probes))
-            .crossJoin(F.broadcast(qdf))
-            .select(
-                F.col("id").alias(id_col),
-                cosine_c4(F.col("v"), F.col("qv")).alias("cosine_c4"),
-            )
-            .orderBy(F.desc("cosine_c4"), F.col(id_col))
-            .limit(k)
-        )
-        return out, "cosine_c4", False
-
-    if method == "ivf":
-        probe = _probe_cells(spark, path, qq, nprobe)
-        qdf = spark.createDataFrame([(qv,)], "qv array<double>")
-        out = (
-            spark.read.parquet(f"{path}/codes")
-            .filter(F.col("centroid_id").isin(probe))
-            .crossJoin(F.broadcast(qdf))
-            .select(
-                F.col("id").alias(id_col),
-                cosine_c4(F.col("v"), F.col("qv")).alias("cosine_c4"),
-            )
-            .orderBy(F.desc("cosine_c4"), F.col(id_col))
-            .limit(k)
-        )
-        return out, "cosine_c4", False
-
-    codes = spark.read.parquet(f"{path}/codes")
-    if method == "ivfpq":
-        probe = _probe_cells(spark, path, qq, nprobe)
-        codes = codes.filter(F.col("centroid_id").isin(probe))
-    out = (
-        codes.join(F.broadcast(_adc_table(spark, path, qq, m, dim)), ["sub", "cid"])
-        .groupBy(F.col("id").alias(id_col))
-        .agg(F.sum("d2q").alias("d2_adc"))
-        .orderBy(F.col("d2_adc"), F.col(id_col))
-        .limit(k)
-    )
-    return out, "d2_adc", True
+    """One-shot convenience over :class:`AnnIndex` (open + one search).
+    A search-many caller should hold an :class:`AnnIndex` instead — the
+    side tables then load once, not per query."""
+    return AnnIndex(spark, path).search(query_vec, k=k, nprobe=nprobe, hamming=hamming)
 
 
 def duck_ann_search_indexed(

@@ -157,3 +157,13 @@ def test_lsh_index_search_matches_inline_multiprobe(spark, emb, tmp_path):
     p = _explain(out)
     assert "PartitionFilters: [bucket" in p
     assert "embeddings.parquet" not in p
+
+
+def test_open_index_handle_reuses_side_tables(spark, emb, ivfpq_path):
+    """AnnIndex is the search-many handle: side tables load at open,
+    search() results equal the one-shot wrapper's."""
+    idx = ann_index.AnnIndex(spark, ivfpq_path)
+    assert idx.method == "ivfpq" and len(idx.coarse) > 1 and len(idx.codebook) > 1
+    out1, _, _ = idx.search(_qvec(emb), k=K, nprobe=NPROBE)
+    out2, _, _ = ann_index.ann_index_search(spark, ivfpq_path, _qvec(emb), k=K, nprobe=NPROBE)
+    assert rows_to_tuples(out1) == rows_to_tuples(out2)
