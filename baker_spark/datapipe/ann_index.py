@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from baker_spark.datapipe.vectors import (
@@ -58,6 +59,7 @@ from baker_spark.datapipe.vectors import (
     kmeans_train,
     lsh_buckets,
     pq_train_encode,
+    quantize,
 )
 
 INDEX_VERSION = 1
@@ -394,3 +396,129 @@ SELECT {id_col},
        'ivfpq' AS method
 FROM ({inner}) t
 """
+
+
+def _cent_matrices(cents: dict[int, list[int]]):
+    """(sorted cid array, centroid matrix, |c|^2) for the exact-int64
+    argmin kernel — the same (d2, cid) lexicographic tie-break as
+    kmeans_train's assignment (argmin over cid-sorted rows takes the
+    first minimum)."""
+    cids = np.array(sorted(cents), dtype=np.int64)
+    C = np.array([cents[int(c)] for c in cids], dtype=np.int64)
+    return cids, C, (C * C).sum(axis=1)
+
+
+def ann_index_add(df_new: DataFrame, path: str) -> None:
+    """Incremental ingest: encode NEW vectors with the index's STORED
+    quantizers — no retraining, no touch of the existing corpus — and
+    APPEND their codes to the partitioned layout. The continuous-corpus
+    companion of :func:`ann_index_build`: a nightly batch lands, its
+    vectors are coarse-assigned/PQ-encoded against the frozen codebook
+    (exact int64, identical tie-breaks, so the codes equal what a full
+    rebuild WITH THESE CENTROIDS would emit), and every subsequent
+    search sees them through the same partition pruning.
+
+    Scale: the stored centroids/codebook ride the task closures (kc*dim
+    + m*ksub*(dim/m) ints); the batch is Arrow-kernel-encoded in one
+    map pass and appended — cost is O(|batch|), independent of how
+    large the index has grown. Caveats of frozen quantizers apply as in
+    any IVF system: cells drift as the distribution does; rebuild on
+    your retrain cadence. Duplicate ids are the caller's contract —
+    dedup the batch first (datapipe.dedup.incremental_dedup) like any
+    at-least-once ingest."""
+    import pandas as pd
+
+    spark = df_new.sparkSession
+    idx = AnnIndex(spark, path)
+    vec_col, id_col, dim, m = (
+        idx.meta["vec_col"],
+        idx.meta["id_col"],
+        idx.dim,
+        idx.m,
+    )
+    codes_path = f"{path}/codes"
+
+    if idx.method == "lsh":
+        # deterministic plane family: new rows bucket exactly like the
+        # build pass did
+        (
+            lsh_buckets(df_new, vec_col, id_col, keep=(vec_col,))
+            .select(
+                F.col(id_col).alias("id"),
+                as_double(vec_col).alias("v"),
+                "bucket",
+            )
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(codes_path)
+        )
+        return
+
+    q = df_new.select(
+        F.col(id_col).alias("_id"),
+        as_double(vec_col).alias("v"),
+        quantize(as_double(vec_col)).alias("q"),
+    )
+
+    if idx.method == "ivf":
+        cids, C, c2 = _cent_matrices(idx.coarse)
+
+        def assign(pdfs):
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(list(pdf["q"]), dtype=np.int64)
+                d2 = (mat * mat).sum(axis=1)[:, None] - 2 * (mat @ C.T) + c2[None, :]
+                yield pd.DataFrame(
+                    {"id": pdf["_id"], "v": pdf["v"], "centroid_id": cids[d2.argmin(axis=1)]}
+                )
+
+        (
+            q.mapInPandas(assign, "id long, v array<double>, centroid_id long")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(codes_path)
+        )
+        return
+
+    # pq / ivfpq: per-subspace encode against the stored codebook; for
+    # ivfpq the coarse cell rides the same kernel so one map pass emits
+    # the full (id, sub, cid[, centroid_id]) code rows
+    d = dim // m
+    subs = sorted({s for s, _ in idx.codebook})
+    by_sub = {
+        s: _cent_matrices({c: cv for (sk, c), cv in idx.codebook.items() if sk == s})
+        for s in subs
+    }
+    with_coarse = idx.method == "ivfpq"
+    if with_coarse:
+        ccids, CC, cc2 = _cent_matrices(idx.coarse)
+
+    def encode(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["q"]), dtype=np.int64)
+            n = len(mat)
+            out = {
+                "id": np.repeat(pdf["_id"].to_numpy(dtype=np.int64), len(subs)),
+                "sub": np.tile(np.array(subs, dtype=np.int32), n),
+            }
+            code_cols = np.empty((n, len(subs)), dtype=np.int64)
+            for j, s in enumerate(subs):
+                cids, C, c2 = by_sub[s]
+                ms = mat[:, s * d : s * d + d]
+                d2 = (ms * ms).sum(axis=1)[:, None] - 2 * (ms @ C.T) + c2[None, :]
+                code_cols[:, j] = cids[d2.argmin(axis=1)]
+            out["cid"] = code_cols.reshape(-1)
+            if with_coarse:
+                cd2 = (mat * mat).sum(axis=1)[:, None] - 2 * (mat @ CC.T) + cc2[None, :]
+                out["centroid_id"] = np.repeat(ccids[cd2.argmin(axis=1)], len(subs))
+            yield pd.DataFrame(out)
+
+    schema = "id long, sub int, cid long" + (", centroid_id long" if with_coarse else "")
+    encoded = q.mapInPandas(encode, schema)
+    w = encoded.write.mode("append")
+    if with_coarse:
+        w = w.partitionBy("centroid_id")
+    w.parquet(codes_path)
