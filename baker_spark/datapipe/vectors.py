@@ -1355,7 +1355,7 @@ def ann_search(
     id_col: str = "vec_id",
     corpus_rows: int | None = None,
     auto_brute_max: int = 1_000_000,
-    index: str | None = None,
+    index=None,  # path str or an opened ann_index.AnnIndex handle
     query_vec=None,
     **kw,
 ) -> DataFrame:
@@ -1384,7 +1384,7 @@ def ann_search(
         (:func:`pq_adc_topk`): scans codes, never vectors.
       - ``ivfpq``  — coarse-cell prune + PQ ADC (:func:`ivfpq_topk`):
         the 10^9-vector shape.
-      - ``index=<path>`` — search a PREBUILT persisted index
+      - ``index=<path or AnnIndex>`` — search a PREBUILT persisted index
         (:func:`baker_spark.datapipe.ann_index.ann_index_build`) with no
         training job: the probe is partition pruning over the stored
         codes. ``query_vec`` supplies an arbitrary query embedding;
@@ -1429,7 +1429,10 @@ def ann_search(
         if kw:
             raise TypeError(f"ann_search(index=...) got unexpected kwargs {sorted(kw)}")
         spark = df.sparkSession
-        meta = _ai.ann_index_meta(spark, index)
+        # a path opens per call; a search-many caller passes an opened
+        # AnnIndex handle and skips the side-table reads entirely
+        handle = index if isinstance(index, _ai.AnnIndex) else _ai.AnnIndex(spark, index)
+        meta = handle.meta
         if query_vec is None:
             # one-row pushed-down lookup: df supplies the query vector
             # by id, it is NOT scanned for the search itself
@@ -1443,8 +1446,8 @@ def ann_search(
                     [], f"{id_col} long, rank int, score long, method string"
                 )
             query_vec = qrow["qv"]
-        base, score_col, asc = _ai.ann_index_search(
-            spark, index, query_vec, k=k, nprobe=nprobe, hamming=hamming
+        base, score_col, asc = handle.search(
+            query_vec, k=k, nprobe=nprobe, hamming=hamming
         )
         method = meta["method"]
         if method == "lsh" and hamming:

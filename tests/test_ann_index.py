@@ -238,3 +238,10 @@ def test_ann_index_add_ivfpq_codes_match_stored_quantizers(spark, emb, tmp_path)
     )
     assert 255 in {r["vec_id"] for r in out.collect()}
 
+
+
+def test_facade_accepts_open_handle(spark, emb, ivfpq_path):
+    idx = ann_index.AnnIndex(spark, ivfpq_path)
+    via_handle = vectors.ann_search(emb, query_id=0, k=K, index=idx, nprobe=NPROBE)
+    via_path = vectors.ann_search(emb, query_id=0, k=K, index=ivfpq_path, nprobe=NPROBE)
+    assert rows_to_tuples(via_handle) == rows_to_tuples(via_path)
