@@ -125,15 +125,18 @@ def cpu_canary() -> dict[str, float]:
     return {"canary_1p_s": single, "canary_32p_s": round(time.perf_counter() - t0, 3)}
 
 
-#: contention gate for the HEADLINE chain number: canary_32p within this
-#: factor of canary_1p means the 32 cores are genuinely free (ideal is
-#: ~1.0 — each worker does the same fixed loop on its own core). Rounds
-#: 8/9 recorded driver bench artifacts captured at 1.8-2.8x, which
-#: penalized the chain 16-36% against quiet-host runs of the SAME
-#: commit; when the first pass is captured that hot, the chain re-runs
-#: once and the final canary is re-stamped so BENCH_r{N}.json numbers
-#: are comparable across rounds (both passes' runs stay in `runs`).
-CANARY_GATE = 1.5
+#: contention gate for the HEADLINE chain number, on the ABSOLUTE
+#: 32-wide canary wall. Calibration (round 10, this container): a fully
+#: idle host measures canary_32p_s ~0.31-0.34 with the 32p/1p ratio
+#: ~2.3 — the ratio carries a constant (process spawn + SMT/frequency
+#: effects), and worse, frequency throttling stretches BOTH canaries so
+#: a hot capture can show a NORMAL ratio (round 9's contended artifact:
+#: 1p 0.263 / 32p 0.553, ratio 2.1 — under the idle-ratio baseline!).
+#: The absolute 32p wall separates them cleanly: 0.31 idle vs 0.55 hot.
+#: Gate at 1.5x idle: when the first pass is captured hotter than this,
+#: the chain re-runs once and the canary is re-stamped so BENCH_r{N}
+#: headlines are comparable across rounds (both passes stay in `runs`).
+CANARY_GATE_32P_S = 0.45
 
 
 def _chain_runs(spark, sf_dir) -> list[float]:
@@ -145,7 +148,13 @@ def _chain_runs(spark, sf_dir) -> list[float]:
     with quoting off)."""
     out_dir = tempfile.mkdtemp(prefix="baker_bench_out_")
     runs = []
-    for i in range(N_RUNS):
+    # +2 over the per-query N_RUNS: the chain is the HEADLINE number
+    # (records_per_sec derives from its min) and it is the suite's
+    # JIT-heaviest pipeline — round-10 measurement showed run 4 still
+    # descending (1.43s) toward the deep-warm steady state (~1.15s, the
+    # interleaved same-session A/B), so the extra two runs buy headline
+    # stability for ~3s of wall. The full run list stays in `runs`.
+    for i in range(N_RUNS + 2):
         t0 = time.perf_counter()
         df = baker_chain(spark, sf_dir)
         line = serialize_line(df.columns, ",")
@@ -182,9 +191,8 @@ def main() -> None:
 
     n_lineitem = load_table(spark, sf_dir, "lineitem").count()
     runs = _chain_runs(spark, sf_dir)
-    contention = canary["canary_32p_s"] / max(canary["canary_1p_s"], 1e-9)
     chain_retried = False
-    if contention > CANARY_GATE:
+    if canary["canary_32p_s"] > CANARY_GATE_32P_S:
         # hot capture: give the host one chance to quiet down, keep the
         # honest union of both passes (min() picks the best either way)
         chain_retried = True

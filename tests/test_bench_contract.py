@@ -33,7 +33,8 @@ def test_bench_emits_contract_json():
     # re-run after a hot first capture
     assert doc["canary_1p_s"] > 0 and doc["canary_32p_s"] > 0
     assert isinstance(doc["chain_retried"], bool)
-    # a retried chain carries both passes' runs
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
-    expected = n_runs * 2 if doc["chain_retried"] else n_runs
+    # chain passes run N_RUNS+2 each (headline stability); a retried
+    # chain carries both passes' runs
+    n_chain = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")) + 2
+    expected = n_chain * 2 if doc["chain_retried"] else n_chain
     assert len(doc["runs"]["baker_filter_chain"]) == expected
