@@ -572,3 +572,34 @@ def test_jpeg_decoder_total_on_short_sof_and_dri_bodies():
 
     empty_dri = j[: sof_at] + b"\xff\xdd\x00\x02" + j[sof_at:]
     assert decode_jpeg_pixels(empty_dri) is None
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-5, 5).map(float), min_size=8, max_size=8),
+        min_size=6,
+        max_size=14,
+    ),
+    qpick=st.integers(0, 13),
+)
+@settings(max_examples=int(os.environ.get("BAKER_FUZZ_EXAMPLES", "12")) // 3 + 1,
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_ann_index_equals_inline_ivfpq(spark, tmp_path_factory, vecs, qpick):
+    """Persisted-index search must equal the inline train+search on
+    ARBITRARY small corpora — including ties, duplicate vectors and
+    zero vectors, where only the pinned (d2, cid)/(d2_adc, id)
+    tie-breaks keep the two paths aligned. Small ivfpq geometry
+    (dim 8, m 2, ksub 4, kc 4) so each example is a handful of jobs."""
+    from baker_spark.datapipe import ann_index, vectors
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    qid = qpick % len(vecs)
+    kw = dict(kc=4, m=2, ksub=4, iters=1, dim=8)
+    inline = vectors.ivfpq_topk(df, query_id=qid, k=5, nprobe=2, **kw)
+    path = str(tmp_path_factory.mktemp("fuzzidx") / "i")
+    ann_index.ann_index_build(df, path, method="ivfpq", **kw)
+    out, _, _ = ann_index.ann_index_search(spark, path, vecs[qid], k=5, nprobe=2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, inline.collect()))
