@@ -522,3 +522,36 @@ def ann_index_add(df_new: DataFrame, path: str) -> None:
     if with_coarse:
         w = w.partitionBy("centroid_id")
     w.parquet(codes_path)
+
+
+def ann_index_compact(spark: SparkSession, path: str) -> None:
+    """Rewrite the codes layout so each cell holds ONE file — the
+    maintenance pass for an append-heavy index: every
+    :func:`ann_index_add` batch lands at least one file per touched
+    cell, and a nightly-ingest index degrades toward many tiny files
+    per partition (open/footer overhead on every probe). Compaction is
+    one hash repartition on the partition column (each cell's rows land
+    in exactly one task -> exactly one output file per cell), written
+    beside the live codes and swapped in with a filesystem rename —
+    atomic on HDFS/local (on S3 the rename is a copy; run it in the
+    ingest's quiet window). Side tables and search results are
+    unchanged; only file counts drop."""
+    meta = ann_index_meta(spark, path)
+    part_col = {"lsh": "bucket", "ivf": "centroid_id", "ivfpq": "centroid_id"}.get(
+        meta["method"]
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    tmp = f"{path}/codes_compacting"
+    if part_col is not None:
+        w = codes.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(part_col)
+    else:  # pq: unpartitioned — coalesce to the cluster's parallelism
+        n = max(1, spark.sparkContext.defaultParallelism)
+        w = codes.repartition(n).write.mode("overwrite")
+    w.parquet(tmp)
+    # FS-agnostic swap via the Hadoop filesystem of `path`
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        raise RuntimeError(f"compaction rename failed for {path}/codes")

@@ -245,3 +245,28 @@ def test_facade_accepts_open_handle(spark, emb, ivfpq_path):
     via_handle = vectors.ann_search(emb, query_id=0, k=K, index=idx, nprobe=NPROBE)
     via_path = vectors.ann_search(emb, query_id=0, k=K, index=ivfpq_path, nprobe=NPROBE)
     assert rows_to_tuples(via_handle) == rows_to_tuples(via_path)
+
+
+def test_ann_index_compact_one_file_per_cell(spark, emb, tmp_path):
+    """Three appended batches leave multiple files per bucket; compact
+    rewrites to one file per cell with identical search results."""
+    path = str(tmp_path / "lsh_c")
+    ann_index.ann_index_build(emb.filter(emb.vec_id % 4 == 0), path, method="lsh")
+    for r in (1, 2, 3):
+        ann_index.ann_index_add(emb.filter(emb.vec_id % 4 == r), path)
+    qv = _qvec(emb)
+    before = rows_to_tuples(ann_index.ann_index_search(spark, path, qv, k=K)[0])
+
+    def files_per_cell():
+        root = f"{path}/codes"
+        cells = [d for d in os.listdir(root) if d.startswith("bucket=")]
+        return {
+            d: len([f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")])
+            for d in cells
+        }
+
+    assert max(files_per_cell().values()) > 1  # appends fragmented it
+    ann_index.ann_index_compact(spark, path)
+    per = files_per_cell()
+    assert per and max(per.values()) == 1
+    assert rows_to_tuples(ann_index.ann_index_search(spark, path, qv, k=K)[0]) == before
