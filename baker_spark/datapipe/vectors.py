@@ -1142,7 +1142,11 @@ def ivfpq_encode(
     (~nprobe/kc of it): fine at test scale, an executor OOM at 10^9
     vectors. On a real deployment, persist this frame partitioned by
     ``centroid_id`` and the probe filter becomes partition pruning —
-    the scan itself skips (kc - nprobe)/kc of the index."""
+    the scan itself skips (kc - nprobe)/kc of the index. That is
+    exactly what :func:`baker_spark.datapipe.ann_index.ann_index_build`
+    does (round 10): build once, then ``ann_search(index=path)`` probes
+    with no training job and ``ann_index_add`` ingests new batches
+    against the frozen quantizers."""
     assign, coarse = kmeans_train(
         df, k=kc, iters=iters, vec_col=vec_col, id_col=id_col, with_centroids=True
     )
@@ -1297,7 +1301,10 @@ def ivf_topk(
     corpus shuffle); at query time the driver holds kc centroids, the
     probe is a broadcast semi-join on centroid_id, and a deployment
     persists the assignment partitioned by centroid_id so the probe
-    becomes partition pruning — the ivfpq_encode argument, minus PQ."""
+    becomes partition pruning — the ivfpq_encode argument, minus PQ.
+    That deployment shape is SHIPPED as
+    :func:`baker_spark.datapipe.ann_index.ann_index_build(method="ivf")`
+    + ``ann_search(index=...)`` (round 10)."""
     assign, coarse = kmeans_train(
         df, k=kc, iters=iters, vec_col=vec_col, id_col=id_col, with_centroids=True
     )
