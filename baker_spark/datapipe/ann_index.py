@@ -524,7 +524,7 @@ def ann_index_add(df_new: DataFrame, path: str) -> None:
     w.parquet(codes_path)
 
 
-def ann_index_compact(spark: SparkSession, path: str) -> None:
+def ann_index_compact(spark: SparkSession, path: str, dedup: bool = False) -> None:
     """Rewrite the codes layout so each cell holds ONE file — the
     maintenance pass for an append-heavy index: every
     :func:`ann_index_add` batch lands at least one file per touched
@@ -535,12 +535,23 @@ def ann_index_compact(spark: SparkSession, path: str) -> None:
     beside the live codes and swapped in with a filesystem rename —
     atomic on HDFS/local (on S3 the rename is a copy; run it in the
     ingest's quiet window). Side tables and search results are
-    unchanged; only file counts drop."""
+    unchanged; only file counts drop.
+
+    ``dedup=True`` additionally drops duplicate code rows — the REPAIR
+    for :class:`AnnIndexIngest`'s crash window (codes-before-ledger
+    replay appends an id's codes twice, which for pq/ivfpq DOUBLES that
+    id's summed ADC distance). Duplicates of an id always share its
+    deterministic cell (frozen quantizers), so the pass stays an
+    offline rewrite; the dropDuplicates adds one exchange on the dedup
+    key, paid only when asked for."""
     meta = ann_index_meta(spark, path)
     part_col = {"lsh": "bucket", "ivf": "centroid_id", "ivfpq": "centroid_id"}.get(
         meta["method"]
     )
     codes = spark.read.parquet(f"{path}/codes")
+    if dedup:
+        keys = ["id", "sub"] if meta["method"] in ("pq", "ivfpq") else ["id"]
+        codes = codes.dropDuplicates(keys)
     tmp = f"{path}/codes_compacting"
     if part_col is not None:
         w = codes.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(part_col)
@@ -555,3 +566,57 @@ def ann_index_compact(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
         raise RuntimeError(f"compaction rename failed for {path}/codes")
+
+
+class AnnIndexIngest:
+    """Continuous index ingestion: the :class:`~baker_spark.datapipe.ingest.CorpusIngest`
+    loop applied to the ANN index — new embedding batches arrive (file
+    notifications, queues), each batch is anti-joined against a
+    persistent SEEN-ID ledger, and only genuinely-new vectors are
+    encoded (:func:`ann_index_add`, frozen quantizers, O(batch)) and
+    appended. ``write`` is the foreachBatch hook, so the same object
+    drives a Structured Streaming query or a batch loop.
+
+    Failure semantics mirror CorpusIngest: codes append BEFORE the
+    ledger, so a crash between the two re-admits the batch on replay —
+    duplicate code rows, never silent loss. Ordinary at-least-once
+    REDELIVERY (the common case) is fully absorbed by the ledger; the
+    crash window's duplicates matter for pq/ivfpq (an id's summed ADC
+    distance doubles) and are repaired by
+    ``ann_index_compact(..., dedup=True)`` in the next maintenance
+    window. The ledger ships only ids (one long per ever-ingested
+    vector) across the anti-join."""
+
+    def __init__(self, path: str, ledger_dir: str | None = None) -> None:
+        self.path = path
+        self.ledger_dir = ledger_dir or f"{path}/ingest_ledger"
+        self.ingested = 0
+        self.dropped = 0
+        self.batches = 0
+
+    def write(self, batch_df: DataFrame, batch_id: int | None = None) -> int:
+        """One batch through the loop; returns vectors admitted."""
+        spark = batch_df.sparkSession
+        id_col = ann_index_meta(spark, self.path)["id_col"]
+        new = batch_df.dropDuplicates([id_col])
+        try:
+            seen = spark.read.parquet(self.ledger_dir).withColumnRenamed("id", id_col)
+            new = new.join(seen, id_col, "left_anti")
+        except Exception:
+            pass  # first batch: no ledger yet
+        new = new.persist()
+        try:
+            n_new = new.count()
+            n_batch = batch_df.count()
+            if n_new:
+                # codes BEFORE ledger: replay duplicates, never loses
+                ann_index_add(new, self.path)
+                new.select(F.col(id_col).alias("id")).write.mode("append").parquet(
+                    self.ledger_dir
+                )
+        finally:
+            new.unpersist()
+        self.ingested += n_new
+        self.dropped += n_batch - n_new
+        self.batches += 1
+        return n_new

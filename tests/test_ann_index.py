@@ -270,3 +270,75 @@ def test_ann_index_compact_one_file_per_cell(spark, emb, tmp_path):
     per = files_per_cell()
     assert per and max(per.values()) == 1
     assert rows_to_tuples(ann_index.ann_index_search(spark, path, qv, k=K)[0]) == before
+
+
+def test_ann_index_ingest_ledger_absorbs_redelivery(spark, emb, tmp_path):
+    path = str(tmp_path / "ing")
+    ann_index.ann_index_build(emb.filter(emb.vec_id < 100), path, method="ivfpq", kc=KC, iters=1)
+    ing = ann_index.AnnIndexIngest(path)
+    b1 = emb.filter((emb.vec_id >= 100) & (emb.vec_id < 120))
+    assert ing.write(b1) == 20
+    assert ing.write(b1) == 0  # full redelivery: ledger absorbs it
+    b2 = emb.filter((emb.vec_id >= 110) & (emb.vec_id < 130))
+    assert ing.write(b2) == 10  # overlap dedups, new half admits
+    assert (ing.ingested, ing.dropped, ing.batches) == (30, 30, 3)
+    # no duplicate codes: ledger-first redelivery never re-encoded
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.groupBy("id", "sub").count().filter("count > 1").count() == 0
+
+
+def test_compact_dedup_repairs_crash_window_duplicates(spark, emb, tmp_path):
+    """Simulated crash-replay: the same batch encoded twice doubles the
+    ADC distances of its ids (duplicate (id, sub) rows summed); compact
+    with dedup=True restores the index to the cleanly-built state."""
+    dup_path, clean_path = str(tmp_path / "dup"), str(tmp_path / "clean")
+    base = emb.filter(emb.vec_id < 100)
+    batch = emb.filter((emb.vec_id >= 100) & (emb.vec_id < 120))
+    for p in (dup_path, clean_path):
+        ann_index.ann_index_build(base, p, method="ivfpq", kc=KC, iters=1)
+    ann_index.ann_index_add(batch, clean_path)
+    ann_index.ann_index_add(batch, dup_path)
+    ann_index.ann_index_add(batch, dup_path)  # the replayed append
+    qv = _qvec(emb, 100)
+    clean = rows_to_tuples(
+        ann_index.ann_index_search(spark, clean_path, qv, k=K, nprobe=KC)[0]
+    )
+    corrupted = rows_to_tuples(
+        ann_index.ann_index_search(spark, dup_path, qv, k=K, nprobe=KC)[0]
+    )
+    assert corrupted != clean  # the hazard is real
+    ann_index.ann_index_compact(spark, dup_path, dedup=True)
+    repaired = rows_to_tuples(
+        ann_index.ann_index_search(spark, dup_path, qv, k=K, nprobe=KC)[0]
+    )
+    assert repaired == clean
+
+
+def test_ann_index_ingest_as_streaming_sink(spark, emb, tmp_path):
+    """The foreachBatch wiring: a parquet file stream of new embeddings
+    drives AnnIndexIngest.write per micro-batch; ingested vectors are
+    searchable through the live index."""
+    path = str(tmp_path / "stream_idx")
+    ann_index.ann_index_build(emb.filter(emb.vec_id < 100), path, method="lsh")
+    ing = ann_index.AnnIndexIngest(path)
+
+    src_dir = str(tmp_path / "arrivals")
+    emb.filter((emb.vec_id >= 100) & (emb.vec_id < 150)).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda df, eid: ing.write(df, eid))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert ing.ingested == 50
+    qv = _qvec(emb, 120)  # an ingested vector
+    out, _, _ = ann_index.ann_index_search(spark, path, qv, k=K)
+    assert out.collect()[0]["vec_id"] == 120
