@@ -54,6 +54,7 @@ from baker_spark.datapipe.vectors import (
     Q_SCALE,
     as_double,
     cosine_c4,
+    dot_long,
     hyperplanes,
     ivfpq_encode,
     kmeans_train,
@@ -355,6 +356,171 @@ class AnnIndex:
             .limit(k)
         )
         return out, "d2_adc", True
+
+    def _coarse_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(int(c), list(v)) for c, v in sorted(self.coarse.items())],
+            "_cid long, _cv array<long>",
+        )
+
+    def _codebook_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(int(s), int(c), list(v)) for (s, c), v in sorted(self.codebook.items())],
+            "sub int, cid long, _cv array<long>",
+        )
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 2,
+        hamming: int = 1,
+        qid_col: str = "qid",
+        qvec_col: str = "qv",
+    ) -> tuple[DataFrame, str, bool]:
+        """MANY queries against the index in ONE distributed job — the
+        offline shape (recall evaluation, kNN-graph construction,
+        query-log replay) where :meth:`search`'s
+        one-Spark-job-per-query latency floor dominates. Returns
+        ``(df, score_col, ascending)`` where df is
+        ``(qid_col, id_col, score)`` holding each query's top-k, row
+        ordering unspecified (it's a distributed result) but the SET
+        per query is bit-identical to running :meth:`search` per query
+        (test-pinned), because every kernel is the same exact-int64 /
+        fixed-point math with the same (score, id) tie-break — the
+        per-query cut is a window, not a global sort.
+
+        Scale shape: the probe assignment is queries x the BROADCAST
+        kc-row centroid table (never the corpus); the candidate join
+        replicates a cell's codes once per query probing it (the
+        inherent batch-search cost — nprobe/kc of the codes per query,
+        same as serial, now amortized into one scan); the ADC distance
+        table is a (Q * m * ksub)-row DataFrame joined by (qid, sub,
+        cid), not a driver loop; and the codes scan still partition-
+        prunes to the UNION of probed cells (a bounded ≤ kc/2^planes
+        collect of cell ids, not of queries). Per-query state in the
+        final window is that query's candidates — bounded by its
+        probed cells."""
+        spark, id_col = self.spark, self.id_col
+        from pyspark.sql import Window
+
+        q = queries.select(
+            F.col(qid_col).alias("_qid"),
+            as_double(qvec_col).alias("_qv"),
+            quantize(as_double(qvec_col)).alias("_qq"),
+        )
+
+        def topk(scored: DataFrame, score_col: str, asc: bool) -> DataFrame:
+            order = [
+                F.col(score_col).asc() if asc else F.col(score_col).desc(),
+                F.col(id_col).asc(),
+            ]
+            w = Window.partitionBy("_qid").orderBy(*order)
+            return (
+                scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k)
+                .select(F.col("_qid").alias(qid_col), id_col, score_col)
+            )
+
+        if self.method == "lsh":
+            if hamming not in (0, 1):
+                raise ValueError(f"hamming must be 0 or 1, got {hamming}")
+            qb = lsh_buckets(q, vec_col="_qv", id_col="_qid", keep=("_qv",))
+            masks = [0] + ([1 << j for j in range(N_PLANES)] if hamming else [])
+            probes = qb.select(
+                "_qid",
+                "_qv",
+                F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("_mask"),
+                "bucket",
+            ).select(
+                "_qid", "_qv", F.col("bucket").bitwiseXOR(F.col("_mask")).alias("_pb")
+            )
+            # partition pruning survives batching: the distinct probed
+            # buckets are a bounded (<= 2^N_PLANES) collect of longs
+            cells = [r["_pb"] for r in probes.select("_pb").distinct().collect()]
+            cands = (
+                spark.read.parquet(f"{self.path}/codes")
+                .filter(F.col("bucket").isin(cells))
+                .join(probes, F.col("bucket") == F.col("_pb"))
+            )
+            scored = cands.select(
+                "_qid",
+                F.col("id").alias(id_col),
+                cosine_c4(F.col("v"), F.col("_qv")).alias("cosine_c4"),
+            )
+            return topk(scored, "cosine_c4", False), "cosine_c4", False
+
+        # trained methods: per-query probe cells = queries x broadcast
+        # centroid table, exact int64 d2, (d2, cid) tie-break via window
+        def probe_cells(qframe: DataFrame) -> DataFrame:
+            d2 = (
+                dot_long(F.col("_qq"), F.col("_qq"))
+                - 2 * dot_long(F.col("_qq"), F.col("_cv"))
+                + dot_long(F.col("_cv"), F.col("_cv"))
+            )
+            w = Window.partitionBy("_qid").orderBy(F.col("_d2").asc(), F.col("_cid").asc())
+            return (
+                qframe.crossJoin(F.broadcast(self._coarse_df()))
+                .select("_qid", "_qv", "_qq", "_cid", d2.alias("_d2"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= nprobe)
+                .select("_qid", "_qv", "_qq", "_cid")
+            )
+
+        if self.method == "ivf":
+            probes = probe_cells(q)
+            cells = [int(r["_cid"]) for r in probes.select("_cid").distinct().collect()]
+            cands = (
+                spark.read.parquet(f"{self.path}/codes")
+                .filter(F.col("centroid_id").isin(cells))
+                .join(probes, F.col("centroid_id") == F.col("_cid"))
+            )
+            scored = cands.select(
+                "_qid",
+                F.col("id").alias(id_col),
+                cosine_c4(F.col("v"), F.col("_qv")).alias("cosine_c4"),
+            )
+            return topk(scored, "cosine_c4", False), "cosine_c4", False
+
+        # pq / ivfpq: distributed ADC — per-query distance table rows
+        # (Q * m * ksub) joined by (qid, sub, cid); never a driver loop
+        d = self.dim // self.m
+        qs = q.select(
+            "_qid",
+            "_qq",
+            F.explode(
+                F.array(*[F.lit(s).cast("int") for s in range(self.m)])
+            ).alias("sub"),
+        ).select(
+            "_qid",
+            "sub",
+            F.expr(f"slice(_qq, sub * {d} + 1, {d})").alias("_qs"),
+        )
+        d2q = (
+            dot_long(F.col("_qs"), F.col("_qs"))
+            - 2 * dot_long(F.col("_qs"), F.col("_cv"))
+            + dot_long(F.col("_cv"), F.col("_cv"))
+        )
+        tbl = qs.join(F.broadcast(self._codebook_df()), "sub").select(
+            "_qid", "sub", "cid", d2q.alias("_d2q")
+        )
+        codes = spark.read.parquet(f"{self.path}/codes")
+        if self.method == "ivfpq":
+            probes = probe_cells(q)
+            cells = [int(r["_cid"]) for r in probes.select("_cid").distinct().collect()]
+            codes = codes.filter(F.col("centroid_id").isin(cells)).join(
+                probes.select("_qid", "_cid"), F.col("centroid_id") == F.col("_cid")
+            )
+        # (pq: the codes scan itself is query-free; joining the _qid-keyed
+        # distance table on (sub, cid) is what fans each code row out to
+        # the queries — no explicit cross join needed)
+        on = ["_qid", "sub", "cid"] if self.method == "ivfpq" else ["sub", "cid"]
+        scored = (
+            codes.join(tbl, on)
+            .groupBy("_qid", F.col("id").alias(id_col))
+            .agg(F.sum("_d2q").alias("d2_adc"))
+        )
+        return topk(scored, "d2_adc", True), "d2_adc", True
 
 
 def ann_index_search(

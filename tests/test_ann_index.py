@@ -342,3 +342,34 @@ def test_ann_index_ingest_as_streaming_sink(spark, emb, tmp_path):
     qv = _qvec(emb, 120)  # an ingested vector
     out, _, _ = ann_index.ann_index_search(spark, path, qv, k=K)
     assert out.collect()[0]["vec_id"] == 120
+
+
+@pytest.mark.parametrize("method,kwargs", [
+    ("lsh", {}),
+    ("ivf", {"kc": KC, "iters": 1}),
+    ("pq", {"iters": 1}),
+    ("ivfpq", {"kc": KC, "iters": 1}),
+])
+def test_search_batch_equals_per_query(spark, emb, tmp_path, method, kwargs):
+    """One distributed batch job returns, per query, exactly the rows
+    the per-query search path returns — every method, same exact-int64
+    math and (score, id) tie-breaks end to end."""
+    path = str(tmp_path / f"b_{method}")
+    ann_index.ann_index_build(emb, path, method=method, **kwargs)
+    idx = ann_index.AnnIndex(spark, path)
+    qids = [0, 3, 7]
+    queries = spark.createDataFrame(
+        [(i, _qvec(emb, i)) for i in qids], "qid long, qv array<double>"
+    )
+    batch, score_col, asc = idx.search_batch(queries, k=K, nprobe=NPROBE, hamming=1)
+    got = {
+        qid: sorted((r["vec_id"], r[score_col]) for r in rows)
+        for qid, rows in __import__("itertools").groupby(
+            sorted(batch.collect(), key=lambda r: r["qid"]), key=lambda r: r["qid"]
+        )
+    }
+    for qid in qids:
+        single, sc, sasc = idx.search(_qvec(emb, qid), k=K, nprobe=NPROBE, hamming=1)
+        assert (sc, sasc) == (score_col, asc)
+        want = sorted((r["vec_id"], r[sc]) for r in single.collect())
+        assert got.get(qid, []) == want, f"{method} qid={qid}"
