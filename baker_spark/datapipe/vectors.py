@@ -1435,12 +1435,29 @@ def ann_search(
         hamming = kw.pop("hamming", 1)  # lsh-index multi-probe default
         if kw:
             raise TypeError(f"ann_search(index=...) got unexpected kwargs {sorted(kw)}")
-        spark = df.sparkSession
+        # df is OPTIONAL on the indexed path when query_vec is supplied:
+        # the index is self-contained and the session comes from the
+        # handle / active session — a query service needs no corpus frame
+        if df is not None:
+            spark = df.sparkSession
+        elif isinstance(index, _ai.AnnIndex):
+            spark = index.spark
+        else:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError("ann_search(df=None, index=<path>) needs an active SparkSession")
         # a path opens per call; a search-many caller passes an opened
         # AnnIndex handle and skips the side-table reads entirely
         handle = index if isinstance(index, _ai.AnnIndex) else _ai.AnnIndex(spark, index)
         meta = handle.meta
         if query_vec is None:
+            if df is None:
+                raise ValueError(
+                    "ann_search(index=...) needs query_vec when no df is "
+                    "given (df is only the query_id lookup source)"
+                )
             # one-row pushed-down lookup: df supplies the query vector
             # by id, it is NOT scanned for the search itself
             qrow = (

@@ -373,3 +373,17 @@ def test_search_batch_equals_per_query(spark, emb, tmp_path, method, kwargs):
         assert (sc, sasc) == (score_col, asc)
         want = sorted((r["vec_id"], r[sc]) for r in single.collect())
         assert got.get(qid, []) == want, f"{method} qid={qid}"
+
+
+def test_facade_works_without_corpus_frame(spark, emb, ivfpq_path):
+    """A query service holds only the index handle: df=None + query_vec
+    is a complete call; df=None without query_vec fails loudly."""
+    idx = ann_index.AnnIndex(spark, ivfpq_path)
+    out = vectors.ann_search(None, k=K, index=idx, query_vec=_qvec(emb), nprobe=NPROBE)
+    want = vectors.ann_search(emb, query_id=0, k=K, index=idx, nprobe=NPROBE)
+    assert rows_to_tuples(out) == rows_to_tuples(want)
+    # path form resolves the session from the active session
+    out2 = vectors.ann_search(None, k=K, index=ivfpq_path, query_vec=_qvec(emb), nprobe=NPROBE)
+    assert rows_to_tuples(out2) == rows_to_tuples(want)
+    with pytest.raises(ValueError, match="query_vec"):
+        vectors.ann_search(None, index=ivfpq_path)
