@@ -404,10 +404,17 @@ class AnnIndex:
         spark, id_col = self.spark, self.id_col
         from pyspark.sql import Window
 
-        q = queries.select(
-            F.col(qid_col).alias("_qid"),
-            as_double(qvec_col).alias("_qv"),
-            quantize(as_double(qvec_col)).alias("_qq"),
+        from baker_spark.session import managed_persist
+
+        # persisted: the projected/quantized query frame feeds the probe
+        # assignment AND the per-subspace slices (pq/ivfpq) — without a
+        # boundary the caller's query lineage re-runs per consumer
+        q = managed_persist(
+            queries.select(
+                F.col(qid_col).alias("_qid"),
+                as_double(qvec_col).alias("_qv"),
+                quantize(as_double(qvec_col)).alias("_qq"),
+            )
         )
 
         def topk(scored: DataFrame, score_col: str, asc: bool) -> DataFrame:
@@ -435,8 +442,10 @@ class AnnIndex:
             ).select(
                 "_qid", "_qv", F.col("bucket").bitwiseXOR(F.col("_mask")).alias("_pb")
             )
-            # partition pruning survives batching: the distinct probed
-            # buckets are a bounded (<= 2^N_PLANES) collect of longs
+            # persisted (cells collect + candidate join), and partition
+            # pruning survives batching: the distinct probed buckets are
+            # a bounded (<= 2^N_PLANES) collect of longs
+            probes = managed_persist(probes)
             cells = [r["_pb"] for r in probes.select("_pb").distinct().collect()]
             cands = (
                 spark.read.parquet(f"{self.path}/codes")
@@ -468,7 +477,9 @@ class AnnIndex:
             )
 
         if self.method == "ivf":
-            probes = probe_cells(q)
+            # persisted: consumed by the bounded cells collect AND the
+            # candidate join — Q*kc interpreted dot-folds run once
+            probes = managed_persist(probe_cells(q))
             cells = [int(r["_cid"]) for r in probes.select("_cid").distinct().collect()]
             cands = (
                 spark.read.parquet(f"{self.path}/codes")
@@ -506,7 +517,7 @@ class AnnIndex:
         )
         codes = spark.read.parquet(f"{self.path}/codes")
         if self.method == "ivfpq":
-            probes = probe_cells(q)
+            probes = managed_persist(probe_cells(q))  # cells collect + join
             cells = [int(r["_cid"]) for r in probes.select("_cid").distinct().collect()]
             codes = codes.filter(F.col("centroid_id").isin(cells)).join(
                 probes.select("_qid", "_cid"), F.col("centroid_id") == F.col("_cid")
