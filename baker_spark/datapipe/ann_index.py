@@ -775,12 +775,14 @@ class AnnIndexIngest:
         """One batch through the loop; returns vectors admitted."""
         spark = batch_df.sparkSession
         id_col = ann_index_meta(spark, self.path)["id_col"]
+        from pyspark.errors import AnalysisException
+
         new = batch_df.dropDuplicates([id_col])
         try:
             seen = spark.read.parquet(self.ledger_dir).withColumnRenamed("id", id_col)
             new = new.join(seen, id_col, "left_anti")
-        except Exception:
-            pass  # first batch: no ledger yet
+        except AnalysisException:
+            pass  # first batch: ledger path doesn't exist yet
         new = new.persist()
         try:
             n_new = new.count()
