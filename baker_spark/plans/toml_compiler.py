@@ -64,20 +64,28 @@ def _snake_keys(cfg: dict) -> dict:
 def _build_input(section: dict, fields: list[str], separator: str):
     name = section.get("name", "").lower()
     cfg = _snake_keys(section.get("config", {}))
+    region = cfg.get("region") or "us-west-2"  # reference default, input/list.go:60
     if name == "list":
         return ListSource(
             files=cfg.get("files", []),
             fields=fields,
             separator=separator,
             match_path=cfg.get("match_path"),
+            region=region,
         )
     if name == "jsonlines":
         return JsonLinesSource(
-            files=cfg.get("files", []), fields=fields, match_path=cfg.get("match_path")
+            files=cfg.get("files", []),
+            fields=fields,
+            match_path=cfg.get("match_path"),
+            region=region,
         )
     if name == "parquet":
         return ParquetSource(
-            files=cfg.get("files", []), fields=fields or None, match_path=cfg.get("match_path")
+            files=cfg.get("files", []),
+            fields=fields or None,
+            match_path=cfg.get("match_path"),
+            region=region,
         )
     raise ValueError(
         f"unknown input {section.get('name')!r} (batch inputs: List, "

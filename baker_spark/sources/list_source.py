@@ -33,7 +33,6 @@ import re
 import sys
 import tempfile
 import urllib.request
-import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -56,6 +55,8 @@ class ListSource:
         separator: str = ",",
         match_path: str | None = None,
         attach_metadata: bool = True,
+        region: str = "us-west-2",
+        s3_endpoint_url: str = "",
     ):
         if len(separator) != 1:
             raise ValueError("separator must be a single character")
@@ -64,9 +65,17 @@ class ListSource:
         self.separator = separator
         self.match_path = re.compile(match_path) if match_path else None
         self.attach_metadata = attach_metadata
+        #: AWS region for ListObjectsV2 prefix walks (the reference's
+        #: ``Region`` option, input/list.go:60 default us-west-2)
+        self.region = region
+        #: LocalStack/moto endpoint for tests; "" = real AWS
+        self.s3_endpoint_url = s3_endpoint_url
         self._spool = tempfile.mkdtemp(prefix="baker_spark_stdin_")
         #: http(s) URLs split out by resolve() for the bakerhttp source
         self._http_urls: list[str] = []
+        #: ListObjectsV2 page size (the API max, input/list.go:313);
+        #: tests shrink it to pin the ContinuationToken loop
+        self._s3_page_size = 1000
 
     def _spool_stdin(self) -> str:
         # unique file per call: a fixed name opened 'wb' would TRUNCATE
@@ -109,18 +118,14 @@ class ListSource:
             elif item.startswith("http://") or item.startswith("https://"):
                 self._http_urls.append(item)
             elif item.startswith("s3://"):
-                if self.match_path is not None and item.endswith("/"):
-                    # MatchPath filtering is implemented via local
-                    # os.walk; a remote directory listing would need a
-                    # Hadoop FS walk — refuse rather than silently
-                    # ingest everything (dataframe() still sets
-                    # recursiveFileLookup so nested remote files load)
-                    warnings.warn(
-                        f"MatchPath is not applied to remote directory {item!r}; "
-                        "list concrete s3:// objects (or an @listfile) to filter",
-                        stacklevel=2,
-                    )
-                out.append("s3a://" + item[len("s3://") :])
+                if item.endswith("/"):
+                    # remote directory: walk the prefix with
+                    # ListObjectsV2 and apply MatchPath to each KEY,
+                    # exactly like the reference (input/list.go:298-348
+                    # matches `*obj.Key`, not the bucket-qualified URL)
+                    out.extend(self._expand_s3_prefix(item))
+                else:
+                    out.append("s3a://" + item[len("s3://") :])
             else:
                 path = item[len("file://") :] if item.startswith("file://") else item
                 if os.path.isdir(path):
@@ -132,6 +137,50 @@ class ListSource:
                 else:
                     out.append(path)
         return out
+
+    def _expand_s3_prefix(self, item: str) -> list[str]:
+        """``s3://bucket/prefix/`` -> concrete ``s3a://bucket/key`` paths.
+
+        Parity with the reference's remote walk (input/list.go:298-348):
+        ListObjectsV2 over the prefix (paged, ContinuationToken), the
+        MatchPath regex applied to each object KEY. Listing is driver-side
+        coordinator metadata — the object BYTES still stream through the
+        s3a reader on executors, so this scales like the local dir walk
+        (one listing round-trip per 1000 keys, zero data through the
+        driver). Zero-byte directory-marker keys (trailing "/") are
+        dropped; the reference never emits them because its default
+        MatchPath ``.*\\.log\\.gz`` can't match a trailing slash, but our
+        match_path=None must not hand the CSV reader a pseudo-directory.
+        """
+        rest = item[len("s3://") :]
+        bucket, _, prefix = rest.partition("/")
+        kw: dict = {"region_name": self.region}
+        if self.s3_endpoint_url:
+            kw["endpoint_url"] = self.s3_endpoint_url
+        try:
+            import boto3  # type: ignore
+        except ImportError as e:  # pragma: no cover — boto3 baked in here
+            raise RuntimeError(
+                f"listing remote directory {item!r} requires boto3; "
+                "list concrete s3:// objects (or an @listfile) instead"
+            ) from e
+        client = boto3.client("s3", **kw)
+        out: list[str] = []
+        token: str | None = None
+        while True:
+            req = {"Bucket": bucket, "Prefix": prefix, "MaxKeys": self._s3_page_size}
+            if token:
+                req["ContinuationToken"] = token
+            resp = client.list_objects_v2(**req)
+            for obj in resp.get("Contents", []):
+                key = obj["Key"]
+                if key.endswith("/"):
+                    continue
+                if self.match_path is None or self.match_path.search(key):
+                    out.append(f"s3a://{bucket}/{key}")
+            if not resp.get("IsTruncated"):
+                return out
+            token = resp.get("NextContinuationToken")
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
         paths = self.resolve()

@@ -42,9 +42,16 @@ class _NoHttpMixin:
 
 
 class JsonLinesSource(_NoHttpMixin, ListSource):
-    def __init__(self, files, fields, match_path=None, attach_metadata=True):
+    def __init__(
+        self, files, fields, match_path=None, attach_metadata=True, region="us-west-2"
+    ):
         super().__init__(
-            files, fields, separator=",", match_path=match_path, attach_metadata=attach_metadata
+            files,
+            fields,
+            separator=",",
+            match_path=match_path,
+            attach_metadata=attach_metadata,
+            region=region,
         )
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
@@ -63,9 +70,16 @@ class JsonLinesSource(_NoHttpMixin, ListSource):
 
 
 class ParquetSource(_NoHttpMixin, ListSource):
-    def __init__(self, files, fields=None, match_path=None, attach_metadata=True):
+    def __init__(
+        self, files, fields=None, match_path=None, attach_metadata=True, region="us-west-2"
+    ):
         super().__init__(
-            files, fields or [], separator=",", match_path=match_path, attach_metadata=attach_metadata
+            files,
+            fields or [],
+            separator=",",
+            match_path=match_path,
+            attach_metadata=attach_metadata,
+            region=region,
         )
 
     def dataframe(self, spark: SparkSession) -> DataFrame:

@@ -287,3 +287,60 @@ def test_s3_upload_default_fn_drains(endpoint, tmp_path):
     }
     assert listed == set(keys)
     assert not list(stage.iterdir())
+
+
+def test_list_source_matchpath_on_s3_prefix(endpoint):
+    """Remote-directory MatchPath parity (reference input/list.go:298-348):
+    ``s3://bucket/prefix/`` is walked with ListObjectsV2 and the regex
+    applied to each KEY, so a mixed-content prefix yields exactly the
+    matching objects as concrete s3a paths. Page size is shrunk to 2 to
+    drive the ContinuationToken loop across several round-trips, and a
+    zero-byte directory marker must be dropped even with no regex."""
+    s3 = boto3.client("s3", region_name="us-west-2", endpoint_url=endpoint)
+    bucket = f"moto-ls-{uuid.uuid4().hex[:8]}"
+    s3.create_bucket(
+        Bucket=bucket,
+        CreateBucketConfiguration={"LocationConstraint": "us-west-2"},
+    )
+    keys = [
+        "logs/2026/01/a.log.gz",
+        "logs/2026/01/b.log.gz",
+        "logs/2026/02/c.log.gz",
+        "logs/2026/02/readme.txt",
+        "logs/2026/03/d.log.gz",
+        "logs/checkpoint.json",
+        "other/e.log.gz",  # outside the prefix — must NOT appear
+    ]
+    for k in keys:
+        s3.put_object(Bucket=bucket, Key=k, Body=b"x")
+    s3.put_object(Bucket=bucket, Key="logs/2026/01/", Body=b"")  # dir marker
+
+    from baker_spark.sources.list_source import ListSource
+
+    src = ListSource(
+        files=[f"s3://{bucket}/logs/"],
+        fields=["f0"],
+        match_path=r".*\.log\.gz",  # the reference's default regex
+        s3_endpoint_url=endpoint,
+    )
+    src._s3_page_size = 2
+    assert src.resolve() == [
+        f"s3a://{bucket}/logs/2026/01/a.log.gz",
+        f"s3a://{bucket}/logs/2026/01/b.log.gz",
+        f"s3a://{bucket}/logs/2026/02/c.log.gz",
+        f"s3a://{bucket}/logs/2026/03/d.log.gz",
+    ]
+
+    # no regex: everything under the prefix EXCEPT the directory marker
+    src_all = ListSource(
+        files=[f"s3://{bucket}/logs/"], fields=["f0"], s3_endpoint_url=endpoint
+    )
+    assert len(src_all.resolve()) == 6
+
+    # a concrete object (no trailing slash) still maps straight to s3a
+    src_one = ListSource(
+        files=[f"s3://{bucket}/logs/checkpoint.json"],
+        fields=["f0"],
+        s3_endpoint_url=endpoint,
+    )
+    assert src_one.resolve() == [f"s3a://{bucket}/logs/checkpoint.json"]
