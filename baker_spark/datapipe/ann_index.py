@@ -63,11 +63,13 @@ from baker_spark.datapipe.vectors import (
     quantize,
 )
 
+from baker_spark.datapipe.artifacts import writer_fence
+
 INDEX_VERSION = 1
 
 _META_SCHEMA = (
     "version int, method string, kc int, m int, ksub int, iters int, "
-    "dim int, id_col string, vec_col string, key string"
+    "dim int, id_col string, vec_col string, key string, build_id string"
 )
 
 ANN_INDEX_METHODS = ("lsh", "ivf", "pq", "ivfpq")
@@ -133,6 +135,8 @@ def ann_index_build(
     if method not in ANN_INDEX_METHODS:
         raise ValueError(f"unknown index method {method!r}; one of {ANN_INDEX_METHODS}")
     spark = df.sparkSession
+    import uuid
+
     meta = {
         "version": INDEX_VERSION,
         "method": method,
@@ -144,19 +148,45 @@ def ann_index_build(
         "id_col": id_col,
         "vec_col": vec_col,
         "key": key,
+        # epoch of THIS build — never part of the reuse comparison; it
+        # lets operators correlate codes with the build that wrote them
+        "build_id": uuid.uuid4().hex,
     }
     if not rebuild:
         try:
             existing = ann_index_meta(spark, path)
         except Exception:
             existing = None
-        if existing == meta:
-            return {**meta, "reused": True}
+        if existing is not None and {
+            k: v for k, v in existing.items() if k != "build_id"
+        } == {k: v for k, v in meta.items() if k != "build_id"}:
+            return {**existing, "reused": True}
 
     def _write_side(rows, schema: str, name: str) -> None:
         spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
             f"{path}/{name}"
         )
+
+    with writer_fence(spark, path, "ann_index_build"):
+        _build_fenced(df, path, method, meta, kc, m, ksub, iters, vec_col, id_col, dim, _write_side)
+    return meta
+
+
+def _build_fenced(
+    df, path, method, meta, kc, m, ksub, iters, vec_col, id_col, dim, _write_side
+) -> None:
+    spark = df.sparkSession
+    # REBUILD crash-safety: overwriting an existing index rewrites
+    # codes, then coarse/codebook, then meta — all in place. The STALE
+    # meta stays valid-looking throughout, so a crash mid-rebuild would
+    # leave a readable index mixing new codes with old quantizer tables
+    # (and rebuild=False would happily reuse it). Deleting meta FIRST
+    # makes a partial rebuild read as incomplete instead: meta missing
+    # -> ann_index_meta raises -> callers rebuild.
+    jvm = spark._jvm
+    meta_hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
+    fs = meta_hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(meta_hpath, True)
 
     if method == "lsh":
         # train-free: persist (id, vector) PARTITIONED BY the
@@ -223,10 +253,10 @@ def ann_index_build(
             "codebook",
         )
 
-    # meta LAST: its presence marks a complete build, so a crashed write
-    # is retried (meta missing -> rebuild path) rather than half-read
+    # meta LAST (mirroring the delete-FIRST above): its presence marks a
+    # complete build, so a crashed write is retried (meta missing ->
+    # rebuild path) rather than half-read
     _write_side([tuple(meta.values())], _META_SCHEMA, "meta")
-    return meta
 
 
 def _lsh_bucket_py(qv: list[float], dim: int) -> int:
@@ -600,9 +630,19 @@ def ann_index_add(df_new: DataFrame, path: str) -> None:
     map pass and appended — cost is O(|batch|), independent of how
     large the index has grown. Caveats of frozen quantizers apply as in
     any IVF system: cells drift as the distribution does; rebuild on
-    your retrain cadence. Duplicate ids are the caller's contract —
-    dedup the batch first (datapipe.dedup.incremental_dedup) like any
-    at-least-once ingest."""
+    your retrain cadence (:func:`ann_index_stats` measures the drift).
+    Duplicate ids are the caller's contract — dedup the batch first
+    (datapipe.dedup.incremental_dedup) like any at-least-once ingest.
+
+    Single-writer contract: the append is guarded by the artifact
+    fence (artifacts.writer_fence) — a concurrent add/build/compact
+    against the same path raises ConcurrentWriterError instead of
+    interleaving appends."""
+    with writer_fence(df_new.sparkSession, path, "ann_index_add"):
+        _append_codes(df_new, path)
+
+
+def _append_codes(df_new: DataFrame, path: str) -> None:
     import pandas as pd
 
     spark = df_new.sparkSession
@@ -701,7 +741,78 @@ def ann_index_add(df_new: DataFrame, path: str) -> None:
     w.parquet(codes_path)
 
 
-def ann_index_compact(spark: SparkSession, path: str, dedup: bool = False) -> None:
+#: max-cell/mean-cell ratio above which an index is flagged for
+#: retraining. 4x is conservative: a balanced k-means build lands ~1-2x
+#: at the test SFs (see SCALING.md drift table), and probe cost — the
+#: scan is nprobe CELLS, not nprobe/kc of the ROWS — degrades with the
+#: largest probed cell, so by 4x a hot cell already costs ~4 balanced
+#: cells per probe and recall of frozen-quantizer adds has visibly
+#: sagged in the aged-index harness (tools/ann_drift_bench.py).
+SKEW_RETRAIN_THRESHOLD = 4.0
+
+
+def ann_index_stats(
+    spark: SparkSession, path: str, skew_threshold: float = SKEW_RETRAIN_THRESHOLD
+) -> dict:
+    """Cell-balance health check -> the RETRAIN SIGNAL for a
+    frozen-quantizer index.
+
+    :func:`ann_index_add` / :class:`AnnIndexIngest` encode against the
+    centroids the original build trained; as the ingested distribution
+    drifts, new vectors pile into whichever frozen cells sit nearest,
+    so cell-size skew is the observable proxy for quantizer staleness
+    (recall and probe cost both degrade with it — measured in
+    tools/ann_drift_bench.py / SCALING.md). Cost: one groupBy over the
+    partition column — a ≤ max(kc, 2^planes)-row aggregate that reads
+    no vector/code columns.
+
+    Returns ``{method, cells_occupied, cells_total, rows, max_cell,
+    mean_cell, skew, needs_retrain}``. For the unpartitioned ``pq``
+    method there are no cells; skew is 1 and ``needs_retrain`` False
+    (drift still degrades pq recall but has no cell observable — use
+    the drift bench's recall track for that method)."""
+    meta = ann_index_meta(spark, path)
+    part_col = {"lsh": "bucket", "ivf": "centroid_id", "ivfpq": "centroid_id"}.get(
+        meta["method"]
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    if part_col is None:
+        rows = codes.count()
+        return {
+            "method": meta["method"],
+            "cells_occupied": 1,
+            "cells_total": 1,
+            "rows": rows,
+            "max_cell": rows,
+            "mean_cell": float(rows),
+            "skew": 1.0,
+            "needs_retrain": False,
+        }
+    sizes = [
+        r["n"] for r in codes.groupBy(part_col).agg(F.count("*").alias("n")).collect()
+    ]
+    total = sum(sizes)
+    mean = total / len(sizes) if sizes else 0.0
+    skew = (max(sizes) / mean) if sizes and mean else 1.0
+    cells_total = 2**N_PLANES if meta["method"] == "lsh" else meta["kc"]
+    return {
+        "method": meta["method"],
+        "cells_occupied": len(sizes),
+        "cells_total": cells_total,
+        "rows": total,
+        "max_cell": max(sizes) if sizes else 0,
+        "mean_cell": mean,
+        "skew": skew,
+        "needs_retrain": skew > skew_threshold,
+    }
+
+
+def ann_index_compact(
+    spark: SparkSession,
+    path: str,
+    dedup: bool = False,
+    skew_threshold: float = SKEW_RETRAIN_THRESHOLD,
+) -> dict:
     """Rewrite the codes layout so each cell holds ONE file — the
     maintenance pass for an append-heavy index: every
     :func:`ann_index_add` batch lands at least one file per touched
@@ -709,10 +820,20 @@ def ann_index_compact(spark: SparkSession, path: str, dedup: bool = False) -> No
     per partition (open/footer overhead on every probe). Compaction is
     one hash repartition on the partition column (each cell's rows land
     in exactly one task -> exactly one output file per cell), written
-    beside the live codes and swapped in with a filesystem rename —
-    atomic on HDFS/local (on S3 the rename is a copy; run it in the
-    ingest's quiet window). Side tables and search results are
-    unchanged; only file counts drop.
+    beside the live codes and swapped in with filesystem renames.
+    Side tables and search results are unchanged; only file counts
+    drop. Returns :func:`ann_index_stats` of the compacted index, so
+    the maintenance pass that already owns the quiet window is also the
+    one that emits ``needs_retrain``.
+
+    Crash-safe swap: live codes are RENAMED ASIDE to
+    ``codes_precompact``, the compacted ``codes_compacting`` renamed
+    into place, then the backup deleted — a failure at any step leaves
+    a recoverable directory (the next compact restores a missing live
+    dir from the backup at entry), never a window where the only copy
+    of the codes is already deleted. Renames are atomic on HDFS/local;
+    on S3 each is a copy — run in the ingest's quiet window (and the
+    writer fence enforces that no ingest runs concurrently).
 
     ``dedup=True`` additionally drops duplicate code rows — the REPAIR
     for :class:`AnnIndexIngest`'s crash window (codes-before-ledger
@@ -721,28 +842,45 @@ def ann_index_compact(spark: SparkSession, path: str, dedup: bool = False) -> No
     deterministic cell (frozen quantizers), so the pass stays an
     offline rewrite; the dropDuplicates adds one exchange on the dedup
     key, paid only when asked for."""
-    meta = ann_index_meta(spark, path)
-    part_col = {"lsh": "bucket", "ivf": "centroid_id", "ivfpq": "centroid_id"}.get(
-        meta["method"]
-    )
-    codes = spark.read.parquet(f"{path}/codes")
-    if dedup:
-        keys = ["id", "sub"] if meta["method"] in ("pq", "ivfpq") else ["id"]
-        codes = codes.dropDuplicates(keys)
-    tmp = f"{path}/codes_compacting"
-    if part_col is not None:
-        w = codes.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(part_col)
-    else:  # pq: unpartitioned — coalesce to the cluster's parallelism
-        n = max(1, spark.sparkContext.defaultParallelism)
-        w = codes.repartition(n).write.mode("overwrite")
-    w.parquet(tmp)
-    # FS-agnostic swap via the Hadoop filesystem of `path`
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
-        raise RuntimeError(f"compaction rename failed for {path}/codes")
+    with writer_fence(spark, path, "ann_index_compact"):
+        jvm = spark._jvm
+
+        def hp(p: str):
+            return jvm.org.apache.hadoop.fs.Path(p)
+
+        live, backup, tmp = hp(f"{path}/codes"), hp(f"{path}/codes_precompact"), hp(
+            f"{path}/codes_compacting"
+        )
+        fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+        # recovery: a previous compact that died between its two renames
+        # left live missing + backup present — restore before anything
+        if not fs.exists(live) and fs.exists(backup):
+            if not fs.rename(backup, live):
+                raise RuntimeError(f"could not restore {path}/codes from backup")
+
+        meta = ann_index_meta(spark, path)
+        part_col = {"lsh": "bucket", "ivf": "centroid_id", "ivfpq": "centroid_id"}.get(
+            meta["method"]
+        )
+        codes = spark.read.parquet(f"{path}/codes")
+        if dedup:
+            keys = ["id", "sub"] if meta["method"] in ("pq", "ivfpq") else ["id"]
+            codes = codes.dropDuplicates(keys)
+        if part_col is not None:
+            w = codes.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(part_col)
+        else:  # pq: unpartitioned — coalesce to the cluster's parallelism
+            n = max(1, spark.sparkContext.defaultParallelism)
+            w = codes.repartition(n).write.mode("overwrite")
+        w.parquet(f"{path}/codes_compacting")
+
+        fs.delete(backup, True)  # stale backup from a crashed-late run
+        if not fs.rename(live, backup):
+            raise RuntimeError(f"compaction could not move {path}/codes aside")
+        if not fs.rename(tmp, live):
+            fs.rename(backup, live)  # restore — tmp remains for inspection
+            raise RuntimeError(f"compaction rename failed for {path}/codes (restored)")
+        fs.delete(backup, True)
+    return ann_index_stats(spark, path, skew_threshold)
 
 
 class AnnIndexIngest:
@@ -772,29 +910,40 @@ class AnnIndexIngest:
         self.batches = 0
 
     def write(self, batch_df: DataFrame, batch_id: int | None = None) -> int:
-        """One batch through the loop; returns vectors admitted."""
+        """One batch through the loop; returns vectors admitted. The
+        whole batch — dedup, codes append, ledger append — runs under
+        ONE writer fence on the index path, so a scheduler that doubles
+        the job (or a second ingest daemon against the same index) fails
+        fast instead of interleaving codes with a half-written ledger."""
         spark = batch_df.sparkSession
         id_col = ann_index_meta(spark, self.path)["id_col"]
-        from pyspark.errors import AnalysisException
 
         new = batch_df.dropDuplicates([id_col])
-        try:
+        # probe the ledger's existence explicitly: absorbing the read's
+        # AnalysisException would also absorb a CORRUPTED or
+        # schema-mismatched ledger (silently disabling dedup and
+        # re-ingesting duplicates); only a genuinely-absent first-batch
+        # ledger may skip the anti-join, and any failure in an EXISTING
+        # ledger's read or the join itself propagates
+        jvm = spark._jvm
+        lpath = jvm.org.apache.hadoop.fs.Path(self.ledger_dir)
+        lfs = lpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if lfs.exists(lpath):
             seen = spark.read.parquet(self.ledger_dir).withColumnRenamed("id", id_col)
             new = new.join(seen, id_col, "left_anti")
-        except AnalysisException:
-            pass  # first batch: ledger path doesn't exist yet
-        new = new.persist()
-        try:
-            n_new = new.count()
-            n_batch = batch_df.count()
-            if n_new:
-                # codes BEFORE ledger: replay duplicates, never loses
-                ann_index_add(new, self.path)
-                new.select(F.col(id_col).alias("id")).write.mode("append").parquet(
-                    self.ledger_dir
-                )
-        finally:
-            new.unpersist()
+        with writer_fence(spark, self.path, "AnnIndexIngest.write"):
+            new = new.persist()
+            try:
+                n_new = new.count()
+                n_batch = batch_df.count()
+                if n_new:
+                    # codes BEFORE ledger: replay duplicates, never loses
+                    _append_codes(new, self.path)
+                    new.select(F.col(id_col).alias("id")).write.mode("append").parquet(
+                        self.ledger_dir
+                    )
+            finally:
+                new.unpersist()
         self.ingested += n_new
         self.dropped += n_batch - n_new
         self.batches += 1

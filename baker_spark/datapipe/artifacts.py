@@ -1,0 +1,120 @@
+"""Single-writer fencing for persisted artifacts (ANN index, dedup
+ledgers).
+
+The index/ledger writers are APPEND jobs against one shared directory
+tree. Task-level retries are safe (Spark's output committer stages
+per-task files), but a SCHEDULER that retries or doubles a whole job —
+two `ann_index_add`s against one index, two ledger appends for one
+batch — interleaves appends with no error and no repair signal. At
+100 TB that's a real operational hazard (VERDICT r10 watch-point #1),
+so every mutating entry point takes a write-intent fence first:
+
+- acquire = atomically create ``<dir>/_writer.lock`` via the Hadoop
+  FileSystem's exclusive ``create(path, overwrite=False)`` — works on
+  any Hadoop FS. Atomic-exclusive on local/HDFS; on S3A the create is
+  check-then-put (best effort), which still catches the
+  scheduler-double case because the loser's check sees the winner's
+  marker within list consistency (S3 is strongly consistent since
+  2020).
+- the marker body records who/what/when (JSON), so the error a losing
+  writer raises — and the stale-lock message after a crash — names the
+  holder instead of being a bare failure.
+- release = delete the marker. A writer that CRASHES leaves the marker
+  behind by design: the next writer fails fast with the holder's
+  identity and the repair instruction (verify the job is dead, then
+  :func:`break_fence`), rather than silently interleaving with a
+  possibly-still-running ghost.
+
+This is intentionally a fence, not a lease: no TTL auto-expiry,
+because a slow-but-alive writer outliving a TTL is exactly the
+interleaving the fence exists to prevent. Breaking it is a human (or
+supervising-scheduler) decision.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+LOCK_NAME = "_writer.lock"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer tried to mutate a fenced artifact."""
+
+
+def _fs_path(spark: SparkSession, p: str):
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(p)
+    return hp.getFileSystem(spark._jsc.hadoopConfiguration()), hp, jvm
+
+
+def fence_holder(spark: SparkSession, directory: str) -> dict | None:
+    """The current fence marker's JSON body, or None when unfenced."""
+    fs, lock, _ = _fs_path(spark, f"{directory}/{LOCK_NAME}")
+    if not fs.exists(lock):
+        return None
+    stream = fs.open(lock)
+    try:
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+    finally:
+        stream.close()
+    try:
+        return json.loads(bytes(buf).decode())
+    except ValueError:
+        return {"raw": bytes(buf).decode(errors="replace")}
+
+
+def break_fence(spark: SparkSession, directory: str) -> dict | None:
+    """Remove a STALE fence after a writer crash. Returns the dead
+    holder's marker body. Only call once the holding job is confirmed
+    dead — breaking a live writer's fence re-opens the interleaving
+    hazard the fence exists to close."""
+    holder = fence_holder(spark, directory)
+    fs, lock, _ = _fs_path(spark, f"{directory}/{LOCK_NAME}")
+    fs.delete(lock, False)
+    return holder
+
+
+@contextmanager
+def writer_fence(spark: SparkSession, directory: str, op: str):
+    """Hold the single-writer fence on ``directory`` for one mutation."""
+    fs, lock, jvm = _fs_path(spark, f"{directory}/{LOCK_NAME}")
+    # parent must exist for create(); a first build's dir may not yet
+    fs.mkdirs(lock.getParent())
+    marker = json.dumps(
+        {
+            "op": op,
+            "pid": os.getpid(),
+            "writer_id": uuid.uuid4().hex,
+            "acquired_unix": int(time.time()),
+        }
+    ).encode()
+    try:
+        out = fs.create(lock, False)  # overwrite=False -> exclusive
+    except Exception as e:
+        holder = fence_holder(spark, directory)
+        raise ConcurrentWriterError(
+            f"{op}: {directory!r} is fenced by another writer "
+            f"{holder if holder else ''} — a concurrent mutation would "
+            "interleave appends. If that writer crashed, verify it is "
+            "dead and call baker_spark.datapipe.artifacts.break_fence()."
+        ) from e
+    try:
+        out.write(bytearray(marker))
+    finally:
+        out.close()
+    try:
+        yield
+    finally:
+        fs.delete(lock, False)

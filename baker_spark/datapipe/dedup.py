@@ -130,7 +130,19 @@ def write_seen_ledger(
     bucket via the pre-write ``repartition``).
 
     ``path`` makes it an external table (tests use a tmp dir); default
-    is the session warehouse."""
+    is the session warehouse.
+
+    Single-writer contract: the write runs under the artifact fence
+    (artifacts.writer_fence) on the table's storage directory — two
+    concurrent appends (a scheduler retrying a whole ingest job, two
+    daemons pointed at one ledger) would interleave with no error and
+    no repair signal, so the loser fails fast instead."""
+    from baker_spark.datapipe.artifacts import writer_fence
+
+    spark = seen_keys.sparkSession
+    lock_dir = path or (
+        spark.conf.get("spark.sql.warehouse.dir").rstrip("/") + f"/{table.lower()}"
+    )
     w = (
         seen_keys.select("fp")
         .repartition(n_buckets, F.col("fp"))
@@ -140,7 +152,8 @@ def write_seen_ledger(
     )
     if path is not None:
         w = w.option("path", path)
-    w.format("parquet").saveAsTable(table)
+    with writer_fence(spark, lock_dir, f"write_seen_ledger({table})"):
+        w.format("parquet").saveAsTable(table)
 
 
 def incremental_dedup_against_ledger(

@@ -387,3 +387,173 @@ def test_facade_works_without_corpus_frame(spark, emb, ivfpq_path):
     assert rows_to_tuples(out2) == rows_to_tuples(want)
     with pytest.raises(ValueError, match="query_vec"):
         vectors.ann_search(None, index=ivfpq_path)
+
+
+# ---------------------------------------------------------------- r11:
+# single-writer fencing, crash-safe rebuild/compact, drift signal
+
+
+def test_writer_fence_blocks_concurrent_mutation(spark, emb, tmp_path):
+    """Two interleaved writers against one index: the loser errors
+    cleanly (naming the holder) instead of interleaving appends, and
+    the surviving single-writer sequence leaves the index identical to
+    a never-contended build+add."""
+    from baker_spark.datapipe import artifacts
+
+    fenced, clean = str(tmp_path / "fenced"), str(tmp_path / "clean")
+    base = emb.filter(emb.vec_id < 100)
+    batch = emb.filter((emb.vec_id >= 100) & (emb.vec_id < 120))
+    for p in (fenced, clean):
+        ann_index.ann_index_build(base, p, method="ivfpq", kc=KC, iters=1)
+
+    # writer A holds the fence; writer B (add/compact/build/ingest) loses
+    with artifacts.writer_fence(spark, fenced, "writer-a"):
+        with pytest.raises(artifacts.ConcurrentWriterError, match="writer-a"):
+            ann_index.ann_index_add(batch, fenced)
+        with pytest.raises(artifacts.ConcurrentWriterError):
+            ann_index.ann_index_compact(spark, fenced)
+        with pytest.raises(artifacts.ConcurrentWriterError):
+            ann_index.ann_index_build(base, fenced, method="ivfpq", kc=KC, iters=1)
+        with pytest.raises(artifacts.ConcurrentWriterError):
+            ann_index.AnnIndexIngest(fenced).write(batch)
+
+    # fence released: the surviving writer proceeds and self-releases
+    ann_index.ann_index_add(batch, fenced)
+    assert artifacts.fence_holder(spark, fenced) is None
+
+    ann_index.ann_index_add(batch, clean)
+    qv = _qvec(emb, 100)
+    ann_index.ann_index_compact(spark, fenced, dedup=True)
+    assert rows_to_tuples(
+        ann_index.ann_index_search(spark, fenced, qv, k=K, nprobe=KC)[0]
+    ) == rows_to_tuples(
+        ann_index.ann_index_search(spark, clean, qv, k=K, nprobe=KC)[0]
+    )
+
+
+def test_stale_fence_after_crash_breaks_explicitly(spark, emb, tmp_path):
+    """A writer that died holding the fence leaves the marker behind by
+    design: the next writer fails naming the dead holder, break_fence
+    returns the holder's identity, then writes resume."""
+    from baker_spark.datapipe import artifacts
+
+    path = str(tmp_path / "stale")
+    ann_index.ann_index_build(
+        emb.filter(emb.vec_id < 100), path, method="ivfpq", kc=KC, iters=1
+    )
+    # simulate a hard crash: enter the fence, never exit
+    ghost = artifacts.writer_fence(spark, path, "dead-writer")
+    ghost.__enter__()
+    batch = emb.filter((emb.vec_id >= 100) & (emb.vec_id < 110))
+    with pytest.raises(artifacts.ConcurrentWriterError, match="dead-writer"):
+        ann_index.ann_index_add(batch, path)
+    dead = artifacts.break_fence(spark, path)
+    assert dead["op"] == "dead-writer" and dead["pid"] > 0
+    ann_index.ann_index_add(batch, path)
+    assert artifacts.fence_holder(spark, path) is None
+
+
+def test_crashed_rebuild_reads_as_incomplete(spark, emb, tmp_path, monkeypatch):
+    """meta is deleted FIRST on rebuild: a crash mid-rebuild must not
+    leave the stale (valid-looking) meta pointing at a mix of new codes
+    and old quantizer tables — the index reads as incomplete and
+    rebuild=False rebuilds instead of reusing."""
+    path = str(tmp_path / "rb")
+    ann_index.ann_index_build(emb, path, method="ivfpq", kc=KC, iters=1, key="k1")
+
+    with monkeypatch.context() as m:
+        def boom(*a, **k):
+            raise RuntimeError("simulated mid-rebuild crash")
+
+        m.setattr(ann_index, "ivfpq_encode", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            ann_index.ann_index_build(emb, path, method="ivfpq", kc=KC, iters=1, key="k2")
+
+    with pytest.raises(Exception):
+        ann_index.ann_index_meta(spark, path)  # no stale meta survives
+    meta = ann_index.ann_index_build(
+        emb, path, method="ivfpq", kc=KC, iters=1, key="k2", rebuild=False
+    )
+    assert "reused" not in meta  # recovered by rebuilding, not reusing
+    out, _, _ = ann_index.ann_index_search(spark, path, _qvec(emb), k=K, nprobe=NPROBE)
+    inline = vectors.ivfpq_topk(emb, query_id=0, k=K, kc=KC, nprobe=NPROBE, iters=1)
+    assert rows_to_tuples(out) == rows_to_tuples(inline)
+
+
+def test_rebuild_false_reuse_survives_build_id(spark, emb, tmp_path):
+    """build_id is an epoch marker, not identity: two rebuild=False
+    calls with identical params reuse the SAME index (same build_id)."""
+    path = str(tmp_path / "epoch")
+    m1 = ann_index.ann_index_build(
+        emb, path, method="ivfpq", kc=KC, iters=1, key="e1", rebuild=False
+    )
+    m2 = ann_index.ann_index_build(
+        emb, path, method="ivfpq", kc=KC, iters=1, key="e1", rebuild=False
+    )
+    assert m2.get("reused") and m2["build_id"] == m1["build_id"]
+
+
+def test_compact_recovers_from_crashed_swap(spark, emb, tmp_path):
+    """A compact that died between its two renames (live moved aside,
+    replacement not yet in place) leaves the index recoverable: the
+    next compact restores the backup at entry and completes."""
+    path = str(tmp_path / "recov")
+    ann_index.ann_index_build(emb, path, method="ivfpq", kc=KC, iters=1)
+    qv = _qvec(emb)
+    before = rows_to_tuples(
+        ann_index.ann_index_search(spark, path, qv, k=K, nprobe=NPROBE)[0]
+    )
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    assert fs.rename(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/codes"),
+        jvm.org.apache.hadoop.fs.Path(f"{path}/codes_precompact"),
+    )  # the crash window: live codes gone, backup holds the only copy
+    stats = ann_index.ann_index_compact(spark, path)
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/codes_precompact"))
+    after = rows_to_tuples(
+        ann_index.ann_index_search(spark, path, qv, k=K, nprobe=NPROBE)[0]
+    )
+    assert after == before
+    assert stats["rows"] > 0 and stats["method"] == "ivfpq"
+
+
+def test_drifted_ingest_flags_needs_retrain(spark, emb, tmp_path):
+    """The retrain signal: frozen quantizers funnel a drifted arrival
+    distribution into few cells; ann_index_stats (and compact's return)
+    must flag the aged index while the fresh build stays unflagged."""
+    path = str(tmp_path / "drift")
+    base = emb.filter(emb.vec_id < 200)
+    ann_index.ann_index_build(base, path, method="ivfpq", kc=KC, iters=1)
+    fresh = ann_index.ann_index_stats(spark, path)
+    assert fresh["needs_retrain"] is False, fresh
+
+    from pyspark.sql import functions as F
+
+    drifted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.0) + F.lit(10.0)).alias(
+            "embedding"
+        ),
+    )
+    ann_index.ann_index_add(drifted, path)
+    aged = ann_index.ann_index_compact(spark, path)
+    assert aged["needs_retrain"] is True, aged
+    assert aged["skew"] > fresh["skew"]
+    assert aged["rows"] == 2 * fresh["rows"]
+
+
+def test_ingest_corrupted_ledger_fails_loud(spark, emb, tmp_path):
+    """A ledger that EXISTS but can't serve the anti-join (wrong schema,
+    corrupt files) must raise — silently skipping dedup would re-ingest
+    duplicates (doubled ADC distances) with no error anywhere."""
+    path = str(tmp_path / "corrupt")
+    ann_index.ann_index_build(
+        emb.filter(emb.vec_id < 100), path, method="ivfpq", kc=KC, iters=1
+    )
+    ing = ann_index.AnnIndexIngest(path)
+    spark.createDataFrame([(1,)], "wrong_col long").write.parquet(ing.ledger_dir)
+    with pytest.raises(Exception, match="vec_id|wrong_col|UNRESOLVED"):
+        ing.write(emb.filter((emb.vec_id >= 100) & (emb.vec_id < 110)))

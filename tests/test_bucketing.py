@@ -96,3 +96,28 @@ def test_seen_ledger_anti_join_leaves_ledger_unshuffled(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_seen_ledger_append_is_fenced(spark, tmp_path):
+    """Two concurrent ledger appends (a scheduler doubling a whole
+    ingest job) must not interleave: the loser raises naming the
+    holder, and after release the append lands normally."""
+    import pytest
+
+    from baker_spark.datapipe import artifacts, dedup
+
+    table, path = "seen_ledger_fence_test", str(tmp_path / "ledger")
+    keys = spark.createDataFrame([("a",), ("b",)], "fp string")
+    try:
+        dedup.write_seen_ledger(keys, table, path=path, n_buckets=2)
+        with artifacts.writer_fence(spark, path, "in-flight-append"):
+            with pytest.raises(artifacts.ConcurrentWriterError, match="in-flight-append"):
+                dedup.write_seen_ledger(
+                    keys, table, path=path, n_buckets=2, mode="append"
+                )
+        more = spark.createDataFrame([("c",)], "fp string")
+        dedup.write_seen_ledger(more, table, path=path, n_buckets=2, mode="append")
+        assert artifacts.fence_holder(spark, path) is None
+        assert spark.table(table).count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
