@@ -69,8 +69,13 @@ INDEX_VERSION = 1
 
 _META_SCHEMA = (
     "version int, method string, kc int, m int, ksub int, iters int, "
-    "dim int, id_col string, vec_col string, key string, build_id string"
+    "dim int, id_col string, vec_col string, key string, build_id string, "
+    "build_qerr double"
 )
+
+#: meta fields that are build ARTIFACTS, not identity — excluded from
+#: the rebuild=False reuse comparison
+_META_VOLATILE = ("build_id", "build_qerr")
 
 ANN_INDEX_METHODS = ("lsh", "ivf", "pq", "ivfpq")
 
@@ -151,6 +156,10 @@ def ann_index_build(
         # epoch of THIS build — never part of the reuse comparison; it
         # lets operators correlate codes with the build that wrote them
         "build_id": uuid.uuid4().hex,
+        # mean quantization error at build time (ivf only; 0 elsewhere)
+        # — the baseline the drift signal compares against, filled in
+        # by _build_fenced after the codes land
+        "build_qerr": 0.0,
     }
     if not rebuild:
         try:
@@ -158,8 +167,8 @@ def ann_index_build(
         except Exception:
             existing = None
         if existing is not None and {
-            k: v for k, v in existing.items() if k != "build_id"
-        } == {k: v for k, v in meta.items() if k != "build_id"}:
+            k: v for k, v in existing.items() if k not in _META_VOLATILE
+        } == {k: v for k, v in meta.items() if k not in _META_VOLATILE}:
             return {**existing, "reused": True}
 
     def _write_side(rows, schema: str, name: str) -> None:
@@ -242,6 +251,10 @@ def _build_fenced(
             "centroid_id long, cv array<long>",
             "coarse",
         )
+        # build-time mean quantization error: the baseline for the
+        # qerr drift signal (ann_index_stats). One aggregate over the
+        # just-written codes, paid once per build.
+        meta["build_qerr"] = _ivf_qerr(spark, path)
     else:  # pq — no coarse quantizer, ADC scans all codes
         codes, cb = pq_train_encode(df, m, ksub, iters, vec_col, id_col, dim)
         codes.select(F.col(id_col).alias("id"), "sub", "cid").write.mode(
@@ -741,6 +754,42 @@ def _append_codes(df_new: DataFrame, path: str) -> None:
     w.parquet(codes_path)
 
 
+def _ivf_qerr(spark: SparkSession, path: str) -> float:
+    """Mean quantized-L2 distance of each stored vector to its assigned
+    (frozen) centroid — the quantization error. Only computable for
+    ``ivf``, which stores raw vectors; pq/ivfpq codes don't retain them.
+    Per-row d2 is cast to double BEFORE the avg so the aggregate can't
+    wrap int64 at corpus scale (one d2 is ~7e13 at dim 64; a long sum
+    buffer would wrap past ~130k rows)."""
+    codes = spark.read.parquet(f"{path}/codes")
+    coarse = spark.read.parquet(f"{path}/coarse")
+    q = quantize(F.col("v"))
+    d2 = (
+        dot_long(q, q)
+        - 2 * dot_long(q, F.col("cv"))
+        + dot_long(F.col("cv"), F.col("cv"))
+    )
+    row = (
+        codes.join(F.broadcast(coarse), "centroid_id")
+        .agg(F.avg(d2.cast("double")).alias("qerr"))
+        .first()
+    )
+    return float(row["qerr"]) if row["qerr"] is not None else 0.0
+
+
+#: quantization-error growth ratio above which an ivf index is flagged:
+#: current mean d2-to-frozen-centroid vs the build-time baseline. Fires
+#: on SCALE/NORM drift (an embedding-model swap or renormalization —
+#: arrival norms differ, every d2 inflates) and on drift into regions
+#: the frozen centroids represent poorly WHEN the corpus is genuinely
+#: clustered. Measured blind spot (tools/ann_drift_bench.py): on
+#: weakly-clustered data, ROTATIONAL drift (a new topic direction)
+#: moves neither skew (<2) nor qerr (~1.01) while costing the aged
+#: index ~40% recall — for that mode, schedule the bench's recall
+#: probe (aged vs brute truth on n_q sampled queries; cheap) alongside
+#: these in-band signals.
+QERR_RETRAIN_RATIO = 1.5
+
 #: max-cell/mean-cell ratio above which an index is flagged for
 #: retraining. 4x is conservative: a balanced k-means build lands ~1-2x
 #: at the test SFs (see SCALING.md drift table), and probe cost — the
@@ -752,29 +801,41 @@ SKEW_RETRAIN_THRESHOLD = 4.0
 
 
 def ann_index_stats(
-    spark: SparkSession, path: str, skew_threshold: float = SKEW_RETRAIN_THRESHOLD
+    spark: SparkSession,
+    path: str,
+    skew_threshold: float = SKEW_RETRAIN_THRESHOLD,
+    qerr_ratio_threshold: float = QERR_RETRAIN_RATIO,
 ) -> dict:
-    """Cell-balance health check -> the RETRAIN SIGNAL for a
-    frozen-quantizer index.
+    """Index health check -> the RETRAIN SIGNAL for a frozen-quantizer
+    index, from two complementary observables:
 
-    :func:`ann_index_add` / :class:`AnnIndexIngest` encode against the
-    centroids the original build trained; as the ingested distribution
-    drifts, new vectors pile into whichever frozen cells sit nearest,
-    so cell-size skew is the observable proxy for quantizer staleness
-    (recall and probe cost both degrade with it — measured in
-    tools/ann_drift_bench.py / SCALING.md). Cost: one groupBy over the
-    partition column — a ≤ max(kc, 2^planes)-row aggregate that reads
-    no vector/code columns.
+    - **cell-size skew** (all partitioned methods; one groupBy over the
+      partition column, reads no vector/code columns): catches
+      CONCENTRATION drift — arrivals piling into few frozen cells,
+      which degrades probe cost directly (a probe scans whole cells).
+    - **quantization-error growth** (``ivf`` only — it stores raw
+      vectors; full codes scan, maintenance-window cost): current mean
+      d2-to-assigned-centroid vs the build-time baseline in meta.
+      Catches SCALE/NORM drift (embedding-model swaps) and poor-fit
+      drift on clustered corpora. Neither in-band signal catches
+      rotational drift on weakly-clustered data (measured: ~40% recall
+      loss at skew<2, qerr~1.01) — schedule
+      tools/ann_drift_bench.py's recall probe for that mode.
 
     Returns ``{method, cells_occupied, cells_total, rows, max_cell,
-    mean_cell, skew, needs_retrain}``. For the unpartitioned ``pq``
-    method there are no cells; skew is 1 and ``needs_retrain`` False
-    (drift still degrades pq recall but has no cell observable — use
-    the drift bench's recall track for that method)."""
+    mean_cell, skew, qerr, build_qerr, qerr_ratio, needs_retrain}``.
+    For the unpartitioned ``pq`` method there are no observables here
+    (codes don't retain vectors); use the drift bench's recall track.
+    For ``ivfpq``, only the skew track fires — its docstring points
+    drifty deployments at ivf or a periodic-rebuild cadence."""
     meta = ann_index_meta(spark, path)
     part_col = {"lsh": "bucket", "ivf": "centroid_id", "ivfpq": "centroid_id"}.get(
         meta["method"]
     )
+    qerr, build_qerr, qerr_ratio = 0.0, float(meta.get("build_qerr") or 0.0), 1.0
+    if meta["method"] == "ivf" and build_qerr > 0:
+        qerr = _ivf_qerr(spark, path)
+        qerr_ratio = qerr / build_qerr
     codes = spark.read.parquet(f"{path}/codes")
     if part_col is None:
         rows = codes.count()
@@ -786,6 +847,9 @@ def ann_index_stats(
             "max_cell": rows,
             "mean_cell": float(rows),
             "skew": 1.0,
+            "qerr": qerr,
+            "build_qerr": build_qerr,
+            "qerr_ratio": qerr_ratio,
             "needs_retrain": False,
         }
     sizes = [
@@ -803,7 +867,10 @@ def ann_index_stats(
         "max_cell": max(sizes) if sizes else 0,
         "mean_cell": mean,
         "skew": skew,
-        "needs_retrain": skew > skew_threshold,
+        "qerr": qerr,
+        "build_qerr": build_qerr,
+        "qerr_ratio": qerr_ratio,
+        "needs_retrain": skew > skew_threshold or qerr_ratio > qerr_ratio_threshold,
     }
 
 

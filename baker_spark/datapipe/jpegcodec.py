@@ -460,11 +460,26 @@ def _decode_scan(d, pos, width, height, q, dc_tab, ac_tab, restart_interval):
     reader = _BitReader(d, pos)
     pred = 0
     nblocks = 0
-    # entropy-decode ALL blocks into one (n, 64) coefficient matrix
-    # first (plain Python-int writes into a per-block list — cheaper
-    # than per-element numpy stores), then dequantize + IDCT the whole
-    # scan as ONE batched matmul instead of by*bx tiny 8x8 products
-    coefs = np.zeros((by * bx, 64))
+    # entropy-decode into a BOUNDED (chunk, 64) coefficient buffer and
+    # batch-IDCT per chunk into the uint8 output (plain Python-int
+    # writes into a per-block list — cheaper than per-element numpy
+    # stores; the batched matmul replaces by*bx tiny 8x8 products).
+    # Chunking caps the float64 intermediates at ~6 MB however large
+    # the image: a whole-scan coefficient matrix plus the two matmul
+    # temporaries is ~24-32 bytes/pixel — ~500 MB per image per task
+    # at the 16 MP budget, enough for a few concurrent decode tasks to
+    # OOM an executor. Math is float64 throughout either way, so the
+    # chunked output is bit-identical to the whole-scan batch.
+    chunk = 4096
+    coefs = np.zeros((min(chunk, by * bx), 64))
+    out8 = np.empty((by * bx, 8, 8), dtype=np.uint8)
+    filled = 0  # blocks already flushed to out8
+
+    def _flush(cnt: int) -> None:
+        blocks = (coefs[:cnt] * qnat).reshape(-1, 8, 8)
+        pix = _C.T @ blocks @ _C + 128.0
+        out8[filled : filled + cnt] = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+
     zz = _ZZ_FLAT
     for yb in range(by):
         for xb in range(bx):
@@ -505,14 +520,15 @@ def _decode_scan(d, pos, width, height, q, dc_tab, ac_tab, restart_interval):
                     return None
                 buf[zz[k]] = _extend(v, size)
                 k += 1
-            coefs[nblocks] = buf
+            coefs[nblocks - filled] = buf
             nblocks += 1
-    blocks = (coefs * qnat).reshape(-1, 8, 8)
-    pix = _C.T @ blocks @ _C + 128.0  # broadcasted batched IDCT
+            if nblocks - filled == chunk:
+                _flush(chunk)
+                filled = nblocks
+    if nblocks > filled:
+        _flush(nblocks - filled)
     out = (
-        np.clip(np.round(pix), 0, 255)
-        .astype(np.uint8)
-        .reshape(by, bx, 8, 8)
+        out8.reshape(by, bx, 8, 8)
         .transpose(0, 2, 1, 3)
         .reshape(by * 8, bx * 8)
     )

@@ -557,3 +557,37 @@ def test_ingest_corrupted_ledger_fails_loud(spark, emb, tmp_path):
     spark.createDataFrame([(1,)], "wrong_col long").write.parquet(ing.ledger_dir)
     with pytest.raises(Exception, match="vec_id|wrong_col|UNRESOLVED"):
         ing.write(emb.filter((emb.vec_id >= 100) & (emb.vec_id < 110)))
+
+
+def test_scale_drift_flags_via_qerr_ratio(spark, emb, tmp_path):
+    """The quantization-error track of the retrain signal: arrivals
+    from a swapped embedding model (norms doubled) inflate mean
+    d2-to-frozen-centroid well past the 1.5x build baseline — even
+    though cell-size skew barely moves (vectors scale radially, cell
+    assignment by direction is mostly preserved)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "qdrift")
+    base = emb.filter(emb.vec_id < 200)
+    ann_index.ann_index_build(base, path, method="ivf", kc=KC, iters=2)
+    meta = ann_index.ann_index_meta(spark, path)
+    assert meta["build_qerr"] > 0  # ivf builds record the baseline
+
+    scaled = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    ann_index.ann_index_add(scaled, path)
+    stats = ann_index.ann_index_stats(spark, path)
+    assert stats["qerr_ratio"] > 1.5, stats
+    assert stats["needs_retrain"] is True, stats
+    # and the no-drift control stays quiet on BOTH tracks
+    clean = str(tmp_path / "qclean")
+    ann_index.ann_index_build(base, clean, method="ivf", kc=KC, iters=2)
+    ann_index.ann_index_add(
+        base.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"),
+        clean,
+    )
+    s2 = ann_index.ann_index_stats(spark, clean)
+    assert s2["needs_retrain"] is False and s2["qerr_ratio"] < 1.1, s2

@@ -1115,3 +1115,23 @@ def test_ann_search_rejects_typoed_kwargs_for_lsh(spark):
         vectors.ann_search(df, method="lsh", nprobe=3)
     # max_rows is tolerated (auto-resolved calls carry it for brute)
     assert vectors.ann_search(df, k=2, method="lsh", max_rows=10).count() <= 2
+
+
+def test_jpeg_decode_crosses_idct_chunk_boundary(spark):
+    """The chunked batched IDCT (bounded float64 intermediates) must be
+    seamless across its 4096-block flush boundary: a 608x608 image is
+    76x76 = 5776 blocks — one full chunk plus a remainder — and decodes
+    bit-identically to the encoder's input at all-ones quant within the
+    1-level float rounding envelope, with no discontinuity at block
+    4096 (row 53 of the block grid)."""
+    import numpy as np
+
+    from baker_spark.datapipe.jpegcodec import decode_jpeg_pixels, encode_gray_jpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(608, 608), dtype=np.uint8)
+    j = encode_gray_jpeg(img.tobytes(), 608, 608)
+    w, h, ch, px = decode_jpeg_pixels(j)
+    assert (w, h, ch) == (608, 608, 1)
+    got = np.frombuffer(bytes(px), dtype=np.uint8).astype(int).reshape(608, 608)
+    assert np.abs(got - img.astype(int)).max() <= 1
