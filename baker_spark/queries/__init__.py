@@ -15,7 +15,13 @@ window is still swept by tests/test_oracle_parity.py.
 
 from __future__ import annotations
 
-from baker_spark.queries import analytics, baker_ops, datapipe_queries, extended
+from baker_spark.queries import (
+    analytics,
+    baker_ops,
+    datapipe_queries,
+    extended,
+    streaming_queries,
+)
 
 # the driver's 50-query correctness window, in order.
 #
@@ -88,16 +94,23 @@ GATE_ORDER = [
     # dp tail, newest rows r07
     "dp_token_counts",
     "dp_dedup_clusters",
-    "dp_kmeans_train",
-    "dp_pq_codes",
-    "dp_pq_adc_topk",
-    "dp_ivfpq_topk",
+    # ROUND-11 ROTATION (VERDICT r10 "next round" #5): the streaming
+    # surface enters the driver gate — real Structured Streaming runs
+    # (ordered micro-batch replay) hash-compared to batch oracles.
+    # Rotated OUT: dp_kmeans_train / dp_pq_codes / dp_pq_adc_topk /
+    # dp_ivfpq_topk (1 round fresh; the same trainers/encoders are
+    # driver-gated through dp_ann_search + swept four-SF by
+    # tests/test_oracle_parity.py every CI run).
+    "dp_streaming_dedup",
+    "dp_streaming_running_counter",
+    "dp_streaming_sessions",
+    "dp_streaming_ingest_ledger",
 ]
 
 
 def _merged() -> dict:
     out = {}
-    for mod in (baker_ops, analytics, datapipe_queries, extended):
+    for mod in (baker_ops, analytics, datapipe_queries, extended, streaming_queries):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
@@ -117,6 +130,6 @@ def all_queries() -> dict:
 
 def all_oracles() -> dict:
     merged = {}
-    for mod in (baker_ops, analytics, datapipe_queries, extended):
+    for mod in (baker_ops, analytics, datapipe_queries, extended, streaming_queries):
         merged.update(mod.ORACLES)
     return {n: merged[n] for n in all_queries() if n in merged}

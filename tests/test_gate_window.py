@@ -13,18 +13,20 @@ from baker_spark.queries import GATE_ORDER, all_oracles, all_queries
 
 # the CURRENT round's flagship scale paths. Rotation is deliberate:
 # once a query holds green rows in a driver artifact it may yield its
-# slot to newer operators (round 9 is the freshness pass: the never-
-# gated dp_bigram_surprisal, the new ann_search facade, and every
-# query whose newest row was r07 — the r8-semantics-touched §2.2 ops
-# first among them; the 41 first-gated-in-r08 queries stepped out,
-# still swept at four SFs by test_oracle_parity).
+# slot to newer operators. Round 11 rotates the STREAMING surface into
+# the gate (never driver-gated before — real Structured Streaming
+# replays hash-compared to batch oracles); dp_kmeans_train /
+# dp_pq_codes / dp_pq_adc_topk / dp_ivfpq_topk stepped out with green
+# r10 rows, their trainers still gated through dp_ann_search and swept
+# four-SF by test_oracle_parity.
 FLAGSHIP_SCALE_PATHS = [
-    "dp_ann_search",        # NEW: the facade over brute/lsh/pq/ivfpq
-    "dp_bigram_surprisal",  # the last never-gated catalog query
+    "dp_ann_search",        # the facade over brute/lsh/pq/ivfpq
+    "dp_bigram_surprisal",
     "dp_dedup_clusters",    # iterative min-label propagation
-    "dp_kmeans_train",      # bounded-driver-traffic Lloyd's
-    "dp_pq_adc_topk",       # codes-only ADC search
-    "dp_ivfpq_topk",        # the 10^9-vector shape
+    "dp_streaming_dedup",           # NEW: watermarked dedup replay
+    "dp_streaming_running_counter", # NEW: applyInPandasWithState
+    "dp_streaming_sessions",        # NEW: stateful session closure
+    "dp_streaming_ingest_ledger",   # NEW: foreachBatch ingest loop
 ]
 
 
