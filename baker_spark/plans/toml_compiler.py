@@ -209,6 +209,7 @@ def _build_streaming_input(section: dict, fields: list[str], separator: str):
                 fake_dir=cfg.get("fake_dir"),
                 max_records_per_trigger=cfg.get("max_records_per_trigger"),
                 lease_dir=cfg.get("lease_dir"),
+                shard_filter=cfg.get("shard_filter"),
             )
         if not fields:
             return src  # no [fields]: hand the raw connector layout through
@@ -348,6 +349,10 @@ def _build_sink(section: dict, separator: str):
             regions=cfg.get("regions", ["us-west-2"]),
             max_writes_per_sec=int(cfg.get("max_writes_per_sec", 0)),
             max_backoff=parse_go_duration(cfg.get("max_backoff", "2m")),
+            # engine extension (not in dyndb.go): first-writer-wins
+            # conditional puts for replay/race safety — see the sink's
+            # module docstring for when to pay the per-item cost
+            strict_once=bool(cfg.get("strict_once", False)),
         )
     raise ValueError(f"unknown output {section.get('name')!r}")
 

@@ -13,8 +13,24 @@ goroutines/channels — is replaced by ``foreachPartition`` tasks):
 boto3 is not bundled in this environment, so the client is injected: any
 object with ``batch_write_item(RequestItems=...) -> {"UnprocessedItems":
 {...}}``. ``client_factory=None`` tries boto3 and raises a clear error if
-unavailable. Note: Spark task retries make delivery at-least-once —
-DynamoDB puts are idempotent per PK, so replays overwrite, not duplicate.
+unavailable.
+
+Delivery semantics under Spark task retries (SURVEY.md hard part (f)):
+
+- default (batch puts): AT-LEAST-ONCE. A task that dies mid-partition
+  replays its whole partition; DynamoDB puts are idempotent per PK, so
+  replays OVERWRITE rather than duplicate — the table converges to one
+  item per PK with the last-written attribute values. Safe whenever the
+  row content for a PK is deterministic (the normal ETL case). Pinned
+  wire-level by test_moto_aws.py's crash-replay test.
+- ``strict_once=True``: FIRST-WRITER-WINS via per-item conditional puts
+  (``attribute_not_exists(pk)``). A replay — or a concurrent job racing
+  the same PK — can never clobber an item that already landed; losers
+  are counted in ``skipped_existing``. Costs one put_item per row
+  instead of 25-item batches (the condition is unsupported in
+  batch_write_item), so reserve it for sinks where a replay might
+  legitimately carry DIFFERENT values for a PK (non-deterministic
+  enrichment, wall-clock columns) and silent overwrite would corrupt.
 """
 
 from __future__ import annotations
@@ -79,6 +95,10 @@ class _TokenBucket:
             time.sleep((n - self.allowance) / self.rate)
 
 
+def _err_code(e: Exception) -> str:
+    return getattr(e, "response", {}).get("Error", {}).get("Code", "")
+
+
 def write_batches(
     rows,
     *,
@@ -88,18 +108,61 @@ def write_batches(
     clients,
     max_writes_per_sec: int = 0,
     max_backoff: float = 2.0,
+    strict_once: bool = False,
 ) -> dict:
-    """Core batching loop — pure enough to unit-test with a fake client."""
+    """Core batching loop — pure enough to unit-test with a fake client.
+
+    ``strict_once`` switches 25-item batch puts to per-item conditional
+    puts (``attribute_not_exists(pk)``): first-writer-wins under task
+    replays and races; refused items count in ``skipped_existing``."""
     bucket = _TokenBucket(max_writes_per_sec)
-    stats = {"written": 0, "skipped_dup_pk": 0, "retries": 0}
+    stats = {"written": 0, "skipped_dup_pk": 0, "retries": 0, "skipped_existing": 0}
     pk = columns[0]
     batch: list[dict] = []
     seen_pks: set[str] = set()
+
+    def _put_conditional(client, item) -> bool:
+        backoff = 0.05
+        while True:
+            try:
+                client.put_item(
+                    TableName=table,
+                    Item=item,
+                    ConditionExpression="attribute_not_exists(#pk)",
+                    ExpressionAttributeNames={"#pk": pk},
+                )
+                return True
+            except Exception as e:
+                code = _err_code(e)
+                if code == "ConditionalCheckFailedException":
+                    return False  # already landed: first writer won
+                if code not in (
+                    "ProvisionedThroughputExceededException",
+                    "ThrottlingException",
+                ):
+                    raise
+                # throttling is the put_item analog of UnprocessedItems:
+                # same charged-retry + capped-backoff policy as below
+                stats["retries"] += 1
+                bucket.take(1)
+                time.sleep(backoff)
+                backoff = min(backoff * 2, max_backoff)
 
     def flush():
         if not batch:
             return
         bucket.take(len(batch))
+        if strict_once:
+            # stats count the PRIMARY region's outcome (batch mode also
+            # counts each batch once, not once per region client)
+            for i, client in enumerate(clients):
+                for it in batch:
+                    won = _put_conditional(client, it)
+                    if i == 0:
+                        stats["written" if won else "skipped_existing"] += 1
+            batch.clear()
+            seen_pks.clear()
+            return
         for client in clients:
             request = {table: [{"PutRequest": {"Item": it}} for it in batch]}
             backoff = 0.05
@@ -170,6 +233,9 @@ class DynamoDBWriter:
     #: LocalStack/moto/VPC endpoint for the DEFAULT factory (ignored
     #: when client_factory is injected)
     endpoint_url: str = ""
+    #: first-writer-wins conditional puts (see module docstring): task
+    #: replays and racing jobs can never clobber a landed item
+    strict_once: bool = False
 
     def __post_init__(self):
         # validate BEFORE splitting: a column missing its ':' prefix must
@@ -185,6 +251,7 @@ class DynamoDBWriter:
         regions, rate = self.regions, self.max_writes_per_sec
         backoff_cap = self.max_backoff
         endpoint = self.endpoint_url
+        strict = self.strict_once
         factory = self.client_factory or (
             lambda rs: _default_client_factory(rs, endpoint)
         )
@@ -199,6 +266,7 @@ class DynamoDBWriter:
                 clients=clients,
                 max_writes_per_sec=rate,
                 max_backoff=backoff_cap,
+                strict_once=strict,
             )
 
         df.select(*names).foreachPartition(per_partition)

@@ -167,6 +167,12 @@ class KinesisPythonSource:
     #: at-least-once across the probe window). Point it next to the
     #: query checkpoint dir.
     lease_dir: str | None = None
+    #: static shard ownership (MIGRATION.md's multi-job recipe): a
+    #: comma-separated shard-id list restricting this reader to a
+    #: DISJOINT subset so several daemons split one stream with
+    #: deterministic ownership and separate checkpoints — the
+    #: Spark-native replacement for KCL's lease rebalancing.
+    shard_filter: str | None = None
 
     def checkpoint_dir(self, base: str) -> str:
         """AppName-scoped checkpoint location (kcl.go:43 isolation)."""
@@ -190,6 +196,8 @@ class KinesisPythonSource:
             )
         if self.lease_dir:
             reader = reader.option("lease_dir", self.lease_dir)
+        if self.shard_filter:
+            reader = reader.option("shard_filter", self.shard_filter)
         return reader.load()
 
     __call__ = dataframe

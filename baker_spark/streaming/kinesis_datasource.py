@@ -235,6 +235,13 @@ class KinesisStreamReader(DataSourceStreamReader):
         self._lease_path = (
             os.path.join(lease_dir, "tips.json") if lease_dir else None
         )
+        #: static shard ownership (MIGRATION.md's multi-job recipe):
+        #: a comma-separated shard-id list restricts this reader to a
+        #: DISJOINT subset so several daemons can split one stream with
+        #: deterministic ownership and separate checkpoints — the
+        #: Spark-native replacement for KCL's lease rebalancing.
+        raw = options.get("shard_filter") or options.get("shardfilter") or ""
+        self._shard_filter = {s.strip() for s in raw.split(",") if s.strip()} or None
         for shard, tip in self._read_lease().items():
             self._tips[shard] = tip
 
@@ -250,7 +257,10 @@ class KinesisStreamReader(DataSourceStreamReader):
     # --- driver-side planning -------------------------------------------
     def _shards(self) -> list[str]:
         desc = self.client().describe_stream(StreamName=self._stream)
-        return [s["ShardId"] for s in desc["StreamDescription"]["Shards"]]
+        shards = [s["ShardId"] for s in desc["StreamDescription"]["Shards"]]
+        if self._shard_filter is not None:
+            shards = [s for s in shards if s in self._shard_filter]
+        return shards
 
     def client(self):
         if self._client is None:  # executor-side lazy rebuild

@@ -258,6 +258,99 @@ def test_dynamodb_default_factory_writes(spark, endpoint):
         client.delete_table(TableName=table)
 
 
+def _make_ddb_table(client, pk="id"):
+    table = f"moto-ddb-{uuid.uuid4().hex[:8]}"
+    client.create_table(
+        TableName=table,
+        KeySchema=[{"AttributeName": pk, "KeyType": "HASH"}],
+        AttributeDefinitions=[{"AttributeName": pk, "AttributeType": "S"}],
+        BillingMode="PAY_PER_REQUEST",
+    )
+    client.get_waiter("table_exists").wait(TableName=table)
+    return table
+
+
+def test_dynamodb_crash_replay_converges(endpoint):
+    """At-least-once under task retries (SURVEY.md hard part (f)), wire
+    level: a task that dies MID-PARTITION — after some 25-item batches
+    already landed — is replayed from the top by Spark. Batch puts are
+    idempotent per PK, so the replay overwrites rather than duplicates
+    and the table converges to exactly one item per PK. This drives the
+    replay exactly as Spark does: re-running the partition's
+    write_batches over the same rows against a fresh client."""
+    client = boto3.client("dynamodb", region_name="us-west-2", endpoint_url=endpoint)
+    table = _make_ddb_table(client, pk="pk")
+    from baker_spark.sinks.dynamodb import write_batches
+
+    class DiesAfterOneBatch:
+        """First attempt: one 25-item batch lands, then the task dies."""
+
+        def __init__(self, inner):
+            self.inner, self.calls = inner, 0
+
+        def batch_write_item(self, **kw):
+            self.calls += 1
+            if self.calls > 1:
+                raise RuntimeError("executor lost")
+            return self.inner.batch_write_item(**kw)
+
+    rows = [{"pk": str(i), "v": str(i * 2)} for i in range(60)]
+    try:
+        with pytest.raises(RuntimeError, match="executor lost"):
+            write_batches(
+                iter(rows), table=table, columns=["pk", "v"],
+                types=["s", "s"], clients=[DiesAfterOneBatch(client)],
+            )
+        partial = client.scan(TableName=table, Select="COUNT")["Count"]
+        assert 0 < partial < 60  # the crash left a real partial write
+        # the retry: same partition, from the top, fresh client
+        stats = write_batches(
+            iter(rows), table=table, columns=["pk", "v"],
+            types=["s", "s"], clients=[client],
+        )
+        assert stats["written"] == 60
+        items = client.scan(TableName=table)["Items"]
+        assert len(items) == 60  # converged: no duplicates
+        assert {it["pk"]["S"]: it["v"]["S"] for it in items} == {
+            str(i): str(i * 2) for i in range(60)
+        }
+    finally:
+        client.delete_table(TableName=table)
+
+
+def test_dynamodb_strict_once_wire(spark, endpoint):
+    """strict_once=True end to end through DynamoDBWriter and the real
+    ConditionExpression wire field: an item that already landed (from a
+    prior attempt or a racing job) keeps its ORIGINAL attribute values;
+    only genuinely new PKs are written."""
+    client = boto3.client("dynamodb", region_name="us-west-2", endpoint_url=endpoint)
+    table = _make_ddb_table(client)
+    from baker_spark.sinks.dynamodb import DynamoDBWriter
+
+    client.put_item(
+        TableName=table, Item={"id": {"S": "a"}, "v": {"N": "111"}}
+    )
+    try:
+        df = spark.createDataFrame(
+            [("a", 999), ("b", 2), ("c", 3)], "id string, v long"
+        )
+        DynamoDBWriter(
+            table=table,
+            columns=["s:id", "n:v"],
+            regions=["us-west-2"],
+            endpoint_url=endpoint,
+            strict_once=True,
+        ).write(df)
+        items = client.scan(TableName=table)["Items"]
+        assert {it["id"]["S"]: it["v"]["N"] for it in items} == {
+            "a": "111",  # first writer won — 999 was refused
+            "b": "2",
+            "c": "3",
+        }
+    finally:
+        client.delete_table(TableName=table)
+
+
 def test_s3_upload_default_fn_drains(endpoint, tmp_path):
     """S3Upload with its DEFAULT boto3 upload_fn: staging files arrive
     under the prefix and are removed locally (the drain contract)."""

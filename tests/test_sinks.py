@@ -264,6 +264,73 @@ def test_dynamodb_rate_limit_admits_full_batches():
     assert _time.monotonic() - t0 < 5  # finished, didn't spin
 
 
+class _FakeClientError(Exception):
+    """Shaped like botocore.exceptions.ClientError for _err_code()."""
+
+    def __init__(self, code):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code}}
+
+
+class FakeDynamoConditional:
+    """Fake put_item honoring attribute_not_exists(#pk): a tiny
+    in-memory table keyed by the PK's typed value, plus an optional
+    one-shot throttle to exercise the conditional-put retry path."""
+
+    def __init__(self, throttle_first=False):
+        self.table: dict = {}
+        self.puts = 0
+        self.throttle_first = throttle_first
+
+    def put_item(self, TableName, Item, ConditionExpression=None,
+                 ExpressionAttributeNames=None):
+        self.puts += 1
+        if self.throttle_first and self.puts == 1:
+            raise _FakeClientError("ProvisionedThroughputExceededException")
+        assert ConditionExpression == "attribute_not_exists(#pk)"
+        pk = ExpressionAttributeNames["#pk"]
+        key = tuple(sorted(Item[pk].items()))
+        if key in self.table:
+            raise _FakeClientError("ConditionalCheckFailedException")
+        self.table[key] = Item
+
+
+def test_dynamodb_strict_once_replay_first_writer_wins():
+    """strict_once=True: a task replay carrying DIFFERENT values for an
+    already-landed PK is refused per item (first-writer-wins), counted
+    in skipped_existing — where default batch mode would overwrite."""
+    client = FakeDynamoConditional()
+    first = write_batches(
+        [{"pk": "a", "v": "1"}, {"pk": "b", "v": "1"}],
+        table="t", columns=["pk", "v"], types=["s", "s"],
+        clients=[client], strict_once=True,
+    )
+    assert first["written"] == 2 and first["skipped_existing"] == 0
+    # the replay: same PKs, different (non-deterministic) values + one new
+    replay = write_batches(
+        [{"pk": "a", "v": "2"}, {"pk": "b", "v": "2"}, {"pk": "c", "v": "2"}],
+        table="t", columns=["pk", "v"], types=["s", "s"],
+        clients=[client], strict_once=True,
+    )
+    assert replay["written"] == 1 and replay["skipped_existing"] == 2
+    assert client.table[(("S", "a"),)]["v"] == {"S": "1"}  # first write held
+    assert client.table[(("S", "c"),)]["v"] == {"S": "2"}
+
+
+def test_dynamodb_strict_once_throttle_retries_like_batch_mode():
+    """Throttling on a conditional put is the put_item analog of
+    UnprocessedItems: charged against the token bucket and retried with
+    capped backoff, never dropped or double-counted."""
+    client = FakeDynamoConditional(throttle_first=True)
+    stats = write_batches(
+        [{"pk": "a"}], table="t", columns=["pk"], types=["s"],
+        clients=[client], strict_once=True,
+    )
+    assert stats == {
+        "written": 1, "skipped_dup_pk": 0, "retries": 1, "skipped_existing": 0,
+    }
+
+
 def test_dynamodb_empty_pk_skipped_not_fatal():
     """An empty/NULL PK would make DynamoDB reject the whole 25-item
     request; the row is counted and skipped instead."""

@@ -531,3 +531,40 @@ def test_read_pages_through_empty_getrecords_pages():
                 list(reader_read(reader, K._ShardSlice("shard-0", -1, 2)))
     finally:
         K._make_client = orig
+
+
+def test_shard_filter_splits_stream_across_jobs(spark, kstream):
+    """Static shard ownership (MIGRATION.md's multi-job recipe): two
+    readers with DISJOINT shard_filter lists jointly cover the stream
+    with no overlap — the Spark-native replacement for KCL's
+    competing-worker lease rebalancing."""
+    client, start = kstream
+    client.put_record("events", b"s0-a", "pk", ShardId="shardId-000000000000")
+    client.put_record("events", b"s1-a", "pk", ShardId="shardId-000000000001")
+    client.put_record("events", b"s2-a", "pk", ShardId="shardId-000000000002")
+
+    qa, na = start(
+        initial_position="TRIM_HORIZON",
+        shard_filter="shardId-000000000000,shardId-000000000002",
+    )
+    qb, nb = start(
+        initial_position="TRIM_HORIZON", shard_filter="shardId-000000000001"
+    )
+    qa.processAllAvailable()
+    qb.processAllAvailable()
+    got_a = sorted(bytes(r.data) for r in spark.sql(f"SELECT * FROM {na}").collect())
+    got_b = sorted(bytes(r.data) for r in spark.sql(f"SELECT * FROM {nb}").collect())
+    assert got_a == [b"s0-a", b"s2-a"]
+    assert got_b == [b"s1-a"]
+
+    # later records keep flowing to their owner only
+    client.put_record("events", b"s1-b", "pk", ShardId="shardId-000000000001")
+    qa.processAllAvailable()
+    qb.processAllAvailable()
+    assert b"s1-b" not in sorted(
+        bytes(r.data) for r in spark.sql(f"SELECT * FROM {na}").collect()
+    )
+    assert sorted(bytes(r.data) for r in spark.sql(f"SELECT * FROM {nb}").collect()) == [
+        b"s1-a",
+        b"s1-b",
+    ]
