@@ -420,6 +420,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold_c6: int = 800000,
+    max_candidates: int | None = 500_000_000,
 ) -> DataFrame:
     """Exact jaccard >= t pairs over shingle sets via ALL-PAIRS PREFIX
     FILTERING (Bayardo et al. WWW'07; Vernica et al. SIGMOD'10 is the
@@ -441,7 +442,24 @@ def ngram_jaccard_pairs(
     Shuffle ledger: shingle-frequency agg (map-side combined), one
     doc_id window for prefix ranks, the prefix self-join, candidate
     distinct — each moving a fraction of the corpus; the full text never
-    moves."""
+    moves.
+
+    ``max_candidates`` is the exact operator's scale tripwire. Prefix
+    filtering's candidate volume is sum over shingles of C(df_prefix, 2)
+    — tiny on natural text (rare shingles index ~1-2 docs) but
+    LOW-ENTROPY CORPORA COLLAPSE IT: when the vocabulary is small every
+    "rarest" shingle is still shared by thousands of docs and the
+    self-join's OUTPUT is quadratic no matter how exact the pruning
+    bounds are (measured on the 30-word-vocab synthetic corpus, the
+    estimate grows ~x100 per x10 docs: 252 candidates at 500 docs, 122k
+    at 5k, 19.7M at 50k, 2.18B at 500k — where a single run did not
+    finish in 50 minutes; see SCALING.md round 11). The guard
+    computes that sum with one map-side-combined aggregate over the
+    prefix table (a ~second-scale job, independent of the join) and
+    fails LOUD past the budget, naming lsh_verified_pairs — the
+    prune->verify twin whose candidate volume is banded, not quadratic —
+    instead of silently launching a week-long join. ``None`` disables
+    (the exhaustive-audit escape hatch, same convention as band_cap)."""
     # set size _n travels with each exploded row (narrow, from the array
     # itself) instead of a second count-window over the shuffle
     arr = F.array_distinct(word_shingles(text_col, shingle_n))
@@ -477,6 +495,27 @@ def ngram_jaccard_pairs(
         - F.expr(f"(({threshold_c6} * _n) + 999999) div 1000000")
         + F.lit(1)
     )
+    if max_candidates is not None:
+        # the guard materializes prefix once for its aggregate and the
+        # join reads it again — persist so the rank window runs once
+        prefix = managed_persist(prefix)
+        est = (
+            prefix.groupBy("s")
+            .agg(F.count("*").cast("long").alias("_c"))
+            .agg(F.sum(F.expr("_c * (_c - 1) div 2")).alias("_pairs"))
+            .collect()[0][0]
+        ) or 0
+        if est > max_candidates:
+            raise RuntimeError(
+                f"ngram_jaccard_pairs: the prefix self-join would emit "
+                f"~{est:,} candidate pairs (> max_candidates="
+                f"{max_candidates:,}) — the corpus is too low-entropy for "
+                "exact prefix filtering (every 'rare' shingle is still "
+                "shared by thousands of docs). Use lsh_verified_pairs "
+                "(banded prune -> exact verify) at this scale, or raise "
+                "max_candidates / pass None to run the exhaustive join "
+                "anyway"
+            )
     a, b = prefix.alias("a"), prefix.alias("b")
     na, nb_ = F.col("a._n"), F.col("b._n")
     rna, rnb = F.col("a._rn"), F.col("b._rn")

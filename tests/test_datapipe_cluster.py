@@ -541,3 +541,33 @@ def test_ann_multiprobe_candidates_superset_of_single_probe(spark):
         assert len(mp) > len(sp)  # neighbor buckets contributed candidates
     with pytest.raises(ValueError, match="hamming"):
         vectors.ann_topk_bucketed(df, 0, hamming=2)
+
+
+def test_ngram_jaccard_candidate_guard_trips_loud_and_default_passes(spark):
+    """The exact prefix-filter operator must refuse a quadratic-output
+    corpus BEFORE launching the self-join (SCALING.md round 11: the
+    30-word-vocab corpus at 500k docs estimates 2.18B candidates and a
+    run did not finish in 50 minutes), and the error must name the
+    banded prune->verify twin. A budget no real corpus trips leaves the
+    result identical to the unguarded shape."""
+    import pytest as _pytest
+
+    from baker_spark.datapipe import dedup
+
+    # every doc shares the same 6 words -> every prefix shingle is hot
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)]
+    rows += [(100, "one unique doc about spark exchanges and shuffles here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with _pytest.raises(RuntimeError, match="lsh_verified_pairs"):
+        dedup.ngram_jaccard_pairs(df, max_candidates=10).count()
+
+    guarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(df, max_candidates=10**6).collect()
+    }
+    unguarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(df, max_candidates=None).collect()
+    }
+    assert guarded == unguarded and len(guarded) == 66  # C(12,2) exact dups
