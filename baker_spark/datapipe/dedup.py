@@ -225,12 +225,19 @@ def minhash_signature(
     """k minhashes over word n-gram shingles.
 
     Shape: explode shingles -> one codegen'd md5 per shingle -> hash
-    aggregate with k partial-min columns. Spark's higher-order
-    array functions (transform/array_min) run INTERPRETED — a per-row
-    narrow formulation avoids the exchange but evaluates ~50x slower
-    per element — while explode + min() is whole-stage-codegen end to
-    end, and min's map-side partial aggregation means the exchange
-    carries only k longs per (doc, partition), not the shingles. No
+    aggregate with k partial-min columns. This is the op where the
+    explode+codegen-agg shape WINS and the higher-order fold (the shape
+    that won simhash() its round-11 rewrite) LOSES: a single-pass
+    ``aggregate()`` fold carrying the 16 running mins in a struct
+    measured 2.039s vs 0.466s for this shape at sf0.1 (bit-identical
+    output, same warm best-of-5 protocol) — 4.4x SLOWER. The per-element
+    fold work here is 16 interpreted (a*h + b) % P + least() steps plus
+    a 16-field struct allocation against simhash's bare shift-and-add,
+    over ~4x more elements (every shingle; no array_distinct applies
+    since min over duplicates is min over the set). Whole-stage codegen
+    on the k min() columns amortizes exactly that arithmetic, and min's
+    map-side partial aggregation means the exchange carries only k longs
+    per (doc, partition), not the shingles. No
     array_distinct either: min over duplicates equals min over the
     distinct set, so the dedup work (and the oracle's SELECT DISTINCT)
     is irrelevant here. Docs with < n words have no shingle rows and
