@@ -834,62 +834,45 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     the 8-bit bands of a 32-bit signature (measured on sf0.1: 9.5M
     candidate pairs -> 1.6M for the same 5000 docs).
 
-    Shape: a SINGLE PROJECTION — ``aggregate()`` folds the distinct-word
-    hash array into 16 SWAR lane accumulators per doc, no explode and no
-    hash aggregate. Per word the fold runs 16 masked adds, not 60
-    conditional ones: ``(h >> k) & LANE_MASK`` selects bit positions
-    k, k+16, k+32, k+48 into their own 16-bit lanes of one accumulator
-    long, so lane m of accumulator k is the one-count of bit position
-    k+16m. Lanes never carry into each other while a doc has < 2^16
-    distinct words (lane value = count <= n); the sign-bit wrap of
-    lane 3 is harmless two's-complement (extraction masks to 16 bits
-    after an arithmetic shift). Bit j of the signature is set iff
-    2*count_j > n — the same majority vote as the textbook +/-1 fold.
-    Integer adds are order-independent, so the result is bit-identical
+    Shape: explode distinct words -> one codegen'd md5 per word -> SWAR
+    hash aggregate -> assemble bits. Per word row the aggregate runs 16
+    masked sums, not 60 conditional ones: ``(h >> k) & LANE_MASK``
+    selects bit positions k, k+16, k+32, k+48 into their own 16-bit
+    lanes of one accumulator long, so lane m of ``sum(...)`` is the
+    one-count of bit position k+16m. Lanes never carry into each other
+    while a doc has < 2^16 distinct words (lane value = count <= n);
+    the sign-bit wrap of lane 3 is harmless two's-complement (extraction
+    masks to 16 bits after an arithmetic shift). Bit j of the signature
+    is then set iff 2*count_j > n — the same majority vote as the
+    textbook +/-1 fold, decided in the final 1-row-per-doc projection.
+    Integer sums are order-independent, so the result is bit-identical
     to the per-row fold and to the DuckDB oracle (whose HUGEINT sums are
     exact at any n; both engines agree whenever a doc stays under 2^16
     distinct words — ~400 KB of unique text).
 
-    Why a higher-order fold and not explode -> md5 -> groupBy(id): the
-    signature is a PER-ROW function, and expressing it as one forces the
-    plan to stay shuffle-free — on a real cluster the scan partitions
-    map straight to signatures with no exchange at all (fan_out no-ops),
-    where the explode shape either exchanged raw text up front or paid a
-    17-long partial-agg buffer per doc through an aggregate exchange.
-    It is also locally faster despite the lambda being interpreted
-    (Spark does not codegen HOF lambda bodies): no 23x row
-    materialization through the agg operator, no per-row hash-table
-    probe. Measured at sf0.1 (5000 docs, 116k distinct-word rows,
-    best-of-4 warm): signature 0.236s vs 0.451s for the explode+agg
-    shape (1.9x), dp_simhash_pairs end-to-end 1.347s -> 0.95-1.01s
-    (~1.35x); verified bit-identical on the full sf0.1 corpus. A
-    16-separate-``aggregate``s variant (no struct allocation per word,
-    16 array passes) measured 0.337s — the one-pass struct fold wins.
-
-    NULL text: ``explode`` used to drop such docs implicitly (no rows
-    out of a NULL array); the projection keeps rows, so the filter now
-    states that contract explicitly — matching the oracle, whose
-    ``unnest(string_split(NULL, ' '))`` emits nothing."""
-    zero = ", ".join(f"'a{k}', 0L" for k in range(16))
-    step = ", ".join(
-        f"'a{k}', acc.a{k} + (shiftright(h, {k}) & {SIMHASH_LANE_MASK})" for k in range(16)
-    )
-    # the word hash is md5_long(w, nchars=15) (functions/hashing.py)
-    # spelled as SQL so it can live inside the lambda
-    fold = (
-        "aggregate("
-        f"transform(array_distinct(split(`{text_col}`, ' ', -1)), "
-        "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)), "
-        f"named_struct({zero}, 'n', 0L), "
-        f"(acc, h) -> named_struct({step}, 'n', acc.n + 1L))"
-    )
-    lane_sums = fan_out(
-        df.filter(F.col(text_col).isNotNull()), by=id_col
-    ).select(F.col(id_col), F.expr(fold).alias("_ls"))
-    lane_sums = lane_sums.select(
+    Round-11 shape decision, measured both ways: a single-projection
+    ``aggregate()`` fold (no explode, no hash agg — the lane sums
+    accumulated in a 17-field struct per doc) is bit-identical and
+    WINS at sf0.1 (signature 0.236s vs 0.451s; the row there is
+    exchange-floor-bound, and the fold dodges agg machinery), but
+    LOSES at sf10 where compute dominates: interleaved same-session
+    A/B 4.437s vs 3.611s for dp_simhash_pairs (the fold's lambda —
+    md5+conv per distinct word — runs INTERPRETED, while this shape
+    keeps the hash inside whole-stage codegen, same economics as
+    minhash_signature's 4.4x result). 100 TB is the compute regime,
+    so the codegen explode stays; PERFORMANCE.md round 11 has the
+    full profile, including the 0.487s-per-exchange local floor that
+    made the fold look good at bench scale."""
+    wh = fan_out(df, by=id_col).select(
         F.col(id_col),
-        F.col("_ls.n").alias("_n"),
-        *[F.col(f"_ls.a{k}").alias(f"_a{k}") for k in range(16)],
+        F.explode(F.array_distinct(words(text_col))).alias("_word"),
+    ).select(F.col(id_col), md5_long("_word", nchars=15).alias("_h"))
+    lane_sums = wh.groupBy(id_col).agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.shiftright("_h", k).bitwiseAND(F.lit(SIMHASH_LANE_MASK))).alias(f"_a{k}")
+            for k in range(16)
+        ],
     )
     acc = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
