@@ -192,6 +192,162 @@ FROM batch b WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
 """
 
 
+def incremental_neardup(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental NEAR-dup ingest: which new docs are worth adding to a
+    corpus that already holds near-duplicates of the rest? The near-dup
+    extension of :func:`incremental_dedup` — the exact/fingerprint
+    ledger only stops byte-level redelivery, while a crawl refresh
+    mostly redelivers boilerplate-shifted variants of already-ingested
+    pages. This is the ingest-side shape of production corpus dedup
+    (e.g. the RefinedWeb/FineWeb pipelines): new docs are checked
+    against the frozen corpus by LSH band collision, never pairwise.
+
+    Semantics (deterministic, oracle-replayable):
+    1. drop every new doc sharing >= 1 LSH band (k minhashes, b bands)
+       with ANY seen doc — the jaccard >= ~(1/b)^(1/r) near-dup rule of
+       lsh_pairs, applied cross-corpus;
+    2. within the surviving batch, GREEDY-BY-ID: a doc is dropped if any
+       of its bands is also held by a smaller-id survivor ("keep first
+       seen", the standard streaming-LSH rule). Greedy is deliberately
+       not transitive-closure: in a chain a<b<c where only (a,b) and
+       (b,c) collide, c is dropped too — for INGEST that is the right
+       bias (c is a near-dup of something the corpus would hold had b
+       arrived in an earlier batch), and it keeps the decision a 2-join
+       plan instead of an iterative connected-components job
+       (dedup_clusters stays the offline/audit tool).
+
+    Returns the kept doc ids. Docs with < shingle_n words have no
+    shingles, hence no signature, and are EXCLUDED from the decision on
+    both engines (same convention as minhash_signature / unnest) —
+    route sub-shingle snippets through the exact fingerprint ledger,
+    where a key always exists. Scale shape: both corpora reduce to
+    (id, band, h) rows — 4 rows of ~40 bytes per doc, text never moves —
+    and every join key is (band, h). For a persisted, growing corpus
+    use :func:`incremental_neardup_against_band_ledger`, which reads
+    the band ledger bucketed so the per-batch plan exchanges ONLY the
+    batch."""
+    newb = managed_persist(lsh_bands(new_docs, text_col, id_col, k, bands, shingle_n))
+    seenb = lsh_bands(seen_docs, text_col, id_col, k, bands, shingle_n).select("band", "h")
+    hit_ledger = (
+        newb.join(seenb, ["band", "h"], "left_semi").select(id_col).distinct()
+    )
+    kept1 = managed_persist(newb.join(hit_ledger, id_col, "left_anti"))
+    mins = kept1.groupBy("band", "h").agg(F.min(id_col).alias("_m"))
+    hit_batch = (
+        kept1.join(mins, ["band", "h"])
+        .filter(F.col("_m") < F.col(id_col))
+        .select(id_col)
+        .distinct()
+    )
+    return kept1.select(id_col).distinct().join(hit_batch, id_col, "left_anti")
+
+
+def band_ledger_keys(bands_df: DataFrame) -> DataFrame:
+    """(band, h) rows -> single-column ``fp`` keys ('band:h') in the
+    shape :func:`write_seen_ledger` stores — the near-dup band ledger
+    IS a seen-key ledger, so it inherits the bucketed-storage/no-ledger-
+    shuffle machinery and the writer fence for free."""
+    return bands_df.select(
+        F.concat_ws(":", F.col("band").cast("string"), F.col("h")).alias("fp")
+    )
+
+
+def incremental_neardup_against_band_ledger(
+    new_docs: DataFrame,
+    spark,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-batch :func:`incremental_neardup` against a persisted band
+    ledger (written by ``write_seen_ledger(band_ledger_keys(lsh_bands(
+    corpus)), table, ...)``): same kept set as the two-corpora form, but
+    the ever-growing seen side is the bucketed table probed in place —
+    one exchange for the batch bands, zero for the ledger, identical to
+    the exact ledger's economics (see incremental_dedup_against_ledger
+    on why the shuffle_hash hint is load-bearing).
+
+    Returns ``(kept_ids, kept_keys)``; after accepting the batch, append
+    ``kept_keys`` with ``write_seen_ledger(..., mode="append")`` so the
+    next batch dedups against this one too (the fence makes concurrent
+    appenders fail fast, and duplicate fp rows from an at-least-once
+    replay are harmless — anti-join semantics ignore them)."""
+    newb = managed_persist(
+        lsh_bands(new_docs, text_col, id_col, k, bands, shingle_n).withColumn(
+            "fp", F.concat_ws(":", F.col("band").cast("string"), F.col("h"))
+        )
+    )
+    seen = spark.table(table).hint("shuffle_hash")
+    hit_ledger = newb.join(seen, "fp", "left_semi").select(id_col).distinct()
+    kept1 = managed_persist(newb.join(hit_ledger, id_col, "left_anti"))
+    mins = kept1.groupBy("fp").agg(F.min(id_col).alias("_m"))
+    hit_batch = (
+        kept1.join(mins, "fp")
+        .filter(F.col("_m") < F.col(id_col))
+        .select(id_col)
+        .distinct()
+    )
+    kept_ids = kept1.select(id_col).distinct().join(hit_batch, id_col, "left_anti")
+    kept_keys = kept1.join(kept_ids, id_col, "left_semi").select("fp")
+    return kept_ids, kept_keys
+
+
+def duck_incremental_neardup(
+    new_pred: str,
+    seen_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> str:
+    """Oracle: identical minhash/banding arithmetic, then the two drop
+    rules as plain joins (no recursion — greedy-by-id needs only the
+    per-(band,h) min over ledger-survivors)."""
+    r = k // bands
+    mins = ",\n  ".join(
+        f"min({duck_affine_hash('h32', a, b)}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(k))
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, {b} AS band, "
+        f"md5(concat_ws(',', {', '.join(f'm{b * r + j}' for j in range(r))})) AS h FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT {id_col}, unnest({duck_word_shingles(text_col, shingle_n)}) AS s
+  FROM {table} WHERE ({new_pred}) OR ({seen_pred})
+),
+hp AS (SELECT {id_col}, {duck_md5_long('s', nchars=8)} AS h32 FROM sh),
+sig AS (SELECT {id_col}, {mins} FROM hp GROUP BY {id_col}),
+allbands AS ({band_rows}),
+newb AS (SELECT * FROM allbands JOIN {table} USING ({id_col}) WHERE {new_pred}),
+seenb AS (SELECT DISTINCT band, h FROM allbands JOIN {table} USING ({id_col}) WHERE {seen_pred}),
+hit1 AS (SELECT DISTINCT {id_col} FROM newb JOIN seenb USING (band, h)),
+kept1 AS (SELECT n.* FROM newb n WHERE NOT EXISTS (SELECT 1 FROM hit1 x WHERE x.{id_col} = n.{id_col})),
+mins AS (SELECT band, h, min({id_col}) AS m FROM kept1 GROUP BY band, h),
+hit2 AS (
+  SELECT DISTINCT k.{id_col} FROM kept1 k
+  JOIN mins m ON k.band = m.band AND k.h = m.h AND m.m < k.{id_col}
+)
+SELECT DISTINCT {id_col} FROM kept1 k2
+WHERE NOT EXISTS (SELECT 1 FROM hit2 y WHERE y.{id_col} = k2.{id_col})
+"""
+
+
 # -------------------------------------------------------------- minhash ----
 
 #: Default hot-group caps for the candidate-pair emitters. Near-dup
@@ -263,6 +419,34 @@ def minhash_signature(
     )
 
 
+def lsh_bands(
+    df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, h) LSH band keys: k minhashes grouped into ``bands``
+    rows of r = k/bands each, h = md5 of the comma-joined row. The
+    shared banding step of lsh_pairs (self-join flavor) and
+    incremental_neardup (ledger flavor) — one definition so the two
+    can never drift apart on band layout."""
+    if sig is None:
+        sig = minhash_signature(df, text_col, id_col, k, shingle_n)
+    r = k // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * r + j}").cast("string") for j in range(r)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("h"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bh")
+    ).select(id_col, "bh.band", "bh.h")
+
+
 def lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -287,24 +471,13 @@ def lsh_pairs(
     (dp_dedup_exact, incremental_dedup) already collapses upstream.
     Default DEFAULT_BUCKET_CAP; pass None for the exhaustive audit
     shape (unbounded quadratic output)."""
-    r = k // bands
     # Signatures are (id + k longs) — tiny relative to the corpus even at
     # 100 TB, the standard LSH materialization point. A caller that also
     # needs the signatures passes its (persisted) sig to avoid a
     # recompute. The capped (default) shape reads them exactly once; the
     # exhaustive self-join persists its band table below so the
     # shingle->md5 pipeline (the expensive part) doesn't run twice.
-    if sig is None:
-        sig = minhash_signature(df, text_col, id_col, k, shingle_n)
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"m{b * r + j}").cast("string") for j in range(r)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("h"))
-        )
-    bands_df = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bh")
-    ).select(id_col, "bh.band", "bh.h")
+    bands_df = lsh_bands(df, text_col, id_col, k, bands, shingle_n, sig)
     if bucket_cap is not None:
         # GROUP-AND-ENUMERATE: the capped shape needs no self-join at
         # all. One exchange on (band, h); a row_number bound of cap+1

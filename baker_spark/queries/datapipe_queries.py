@@ -122,6 +122,26 @@ def dp_dedup_incremental(spark, sf_dir):
     )
 
 
+@query(
+    "dp_dedup_incremental_neardup",
+    dedup.duck_incremental_neardup("doc_id >= 200", "doc_id < 300"),
+)
+def dp_dedup_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup ingest: the batch (doc_id >= 200) against
+    the frozen corpus (doc_id < 300) by LSH band collision — redelivered
+    docs AND boilerplate-shifted near-dup variants both drop, then the
+    in-batch greedy-by-id pass keeps first-seen among new near-dup
+    groups. The near-dup twin of dp_dedup_incremental; at deployment
+    the seen side is the bucketed band ledger
+    (incremental_neardup_against_band_ledger) and the batch is the only
+    exchanged side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_neardup(
+        docs.filter(F.col("doc_id") >= 200),
+        docs.filter(F.col("doc_id") < 300),
+    )
+
+
 @query("dp_dedup_clusters", dedup.duck_dedup_clusters())
 def dp_dedup_clusters(spark, sf_dir):
     """Near-dup cluster resolution: connected components over the

@@ -121,3 +121,53 @@ def test_seen_ledger_append_is_fenced(spark, tmp_path):
         assert spark.table(table).count() == 3
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_band_ledger_neardup_matches_two_corpora_form_and_is_exchange_lean(
+    spark, tmp_path
+):
+    """incremental_neardup_against_band_ledger must return the same kept
+    set as the two-corpora incremental_neardup, with the ledger side
+    read bucketed (no ledger exchange) and the anti-joins hash, not
+    sort-merge."""
+    import re
+
+    from baker_spark.datapipe import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    new_docs = docs.filter(F.col("doc_id") >= 200)
+    seen_docs = docs.filter(F.col("doc_id") < 300)
+
+    table = "band_ledger_test"
+    dedup.write_seen_ledger(
+        dedup.band_ledger_keys(dedup.lsh_bands(seen_docs)),
+        table,
+        path=str(tmp_path / "bledger"),
+        n_buckets=4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kept_ids, kept_keys = dedup.incremental_neardup_against_band_ledger(
+            new_docs, spark, table
+        )
+        plan = _plan(kept_ids)
+        assert "Bucketed: true" in plan
+        # the hinted ledger anti-join is hash, never a full-ledger sort;
+        # the batch-sized follow-up joins may SMJ under this test's
+        # forced no-broadcast regime (at real scale they broadcast)
+        assert "ShuffledHashJoin" in plan
+
+        expected = sorted(
+            r["doc_id"]
+            for r in dedup.incremental_neardup(new_docs, seen_docs).collect()
+        )
+        got = sorted(r["doc_id"] for r in kept_ids.collect())
+        assert got == expected
+        assert expected, "fixture produced an empty kept set — test is vacuous"
+        # every kept doc contributes its band keys for the append
+        assert kept_keys.count() > 0
+        assert kept_keys.distinct().count() <= len(expected) * 4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

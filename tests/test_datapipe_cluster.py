@@ -571,3 +571,41 @@ def test_ngram_jaccard_candidate_guard_trips_loud_and_default_passes(spark):
         for r in dedup.ngram_jaccard_pairs(df, max_candidates=None).collect()
     }
     assert guarded == unguarded and len(guarded) == 66  # C(12,2) exact dups
+
+
+def test_incremental_neardup_semantics(spark):
+    """Cross-corpus drop (exact redelivery AND band-colliding variants),
+    in-batch greedy-by-id keep-first, fresh docs kept, sub-shingle docs
+    excluded from the decision (documented convention)."""
+    from baker_spark.datapipe import dedup
+
+    page = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from a warm stone wall near the old garden gate"
+    )
+    other = (
+        "completely different content about spark exchanges adaptive "
+        "execution and the economics of shuffle partitions at scale"
+    )
+    fresh = (
+        "a third unrelated document discussing parquet row groups "
+        "predicate pushdown and column pruning for large table scans"
+    )
+    pair = (
+        "yet another topic entirely namely bucketed ledgers writer "
+        "fences crash safe compaction plus idempotent replay contracts"
+    )
+    seen = spark.createDataFrame([(1, page), (2, other)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (10, page),     # exact redelivery of doc 1 -> drop
+            (11, other),    # redelivery of doc 2 -> drop
+            (12, fresh),    # fresh -> keep
+            (13, pair),     # near-dup group with 14 (disjoint from 12)
+            (14, pair),     # identical to 13 -> greedy keeps 13
+            (15, "too short"),       # < 3 words of shingles -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup.incremental_neardup(batch, seen).collect())
+    assert kept == [12, 13]  # redeliveries, 14 (greedy), and 15 all absent
