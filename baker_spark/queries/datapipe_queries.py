@@ -1389,6 +1389,52 @@ _SOURCE_QUOTA = 15
 
 
 @query(
+    "dp_source_overlap",
+    f"""
+WITH sh AS (
+  SELECT DISTINCT source, unnest({text.duck_word_shingles("text", 3)}) AS s
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS shared_shingles
+FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+GROUP BY source_a, source_b
+""",
+)
+def dp_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: for every unordered source
+    pair, how many distinct 3-gram shingles they share — the
+    leakage-analysis view behind train/eval splits by source (a pair
+    with outsized overlap means splitting on source does NOT decorrelate
+    the sets; the per-pair counts feed an overlap-jaccard downstream).
+
+    Scale shape: GROUP-AND-ENUMERATE on the shingle, never a shingle
+    self-join — collect_set(source) per shingle is bounded by the
+    source-universe size (20 here; never by corpus size), the pair
+    explode emits <= C(|sources|, 2) rows per shingle, and the final
+    aggregate's output is one row per source pair. The oracle uses the
+    self-join formulation — fine at DuckDB's fixture scale, same
+    semantics — while the Spark plan keeps every stage map-side-combined
+    and skew-proof (a boilerplate shingle shared by millions of docs
+    still contributes one set of <= 20 sources)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = fan_out(docs, by="doc_id").select(
+        "source", F.explode(text.word_shingles("text", 3)).alias("s")
+    )
+    per = sh.groupBy("s").agg(F.sort_array(F.collect_set("source")).alias("_src"))
+    pair_expr = (
+        "flatten(transform(_src, (x, i) -> "
+        "transform(slice(_src, i + 2, size(_src)), y -> "
+        "struct(x AS source_a, y AS source_b))))"
+    )
+    return (
+        per.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+
+
+@query(
     "dp_source_quota",
     f"""
 WITH allowed AS (
