@@ -71,6 +71,28 @@ def main() -> None:
     print(f"ledger holds {total} keys; corpus has {distinct_all} distinct fingerprints")
     spark.sql(f"DROP TABLE IF EXISTS {LEDGER_TABLE}")
 
+    # ---- the NEAR-dup tier (round 11) over the same batches -------------
+    # The fingerprint ledger only stops byte-level redelivery; a crawl
+    # refresh mostly redelivers boilerplate-shifted VARIANTS. The band
+    # ledger applies lsh_pairs' jaccard-threshold rule at ingest time,
+    # through the same bucketed write_seen_ledger machinery (fp='band:h').
+    nd_table, nd_path = "ingest_band_ledger_example", os.path.abspath("_out/band_ledger")
+    spark.sql(f"DROP TABLE IF EXISTS {nd_table}")
+    kept0 = dedup.incremental_neardup(batches[0], batches[0].limit(0))
+    keys0 = dedup.band_ledger_keys(
+        dedup.lsh_bands(batches[0]).join(kept0, "doc_id", "left_semi")
+    )
+    dedup.write_seen_ledger(keys0, nd_table, path=nd_path)
+    print(f"near-dup batch 0: admitted {kept0.count()} docs (bootstrap)")
+    for i, batch in enumerate(batches[1:], start=1):
+        kept_ids, kept_keys = dedup.incremental_neardup_against_band_ledger(
+            batch, spark, nd_table
+        )
+        n = kept_ids.count()
+        dedup.write_seen_ledger(kept_keys, nd_table, path=nd_path, mode="append")
+        print(f"near-dup batch {i}: admitted {n} docs (redelivered AND near-dup variants dropped)")
+    spark.sql(f"DROP TABLE IF EXISTS {nd_table}")
+
 
 if __name__ == "__main__":
     main()
