@@ -603,3 +603,71 @@ def test_ann_index_equals_inline_ivfpq(spark, tmp_path_factory, vecs, qpick):
     ann_index.ann_index_build(df, path, method="ivfpq", **kw)
     out, _, _ = ann_index.ann_index_search(spark, path, vecs[qid], k=5, nprobe=2)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, inline.collect()))
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["red", "blue", "fox", "jumps", "wall"]), min_size=1, max_size=7),
+        min_size=1,
+        max_size=10,
+    ),
+    split=st.integers(0, 9),
+)
+@settings(**SETTINGS)
+def test_incremental_neardup_matches_model(spark, docs, split):
+    """incremental_neardup vs a direct Python model of its contract:
+    same md5/affine/banding arithmetic, cross-corpus band-collision
+    drop, greedy-by-id in-batch, sub-shingle docs excluded. A tiny word
+    pool makes shared bands (and full near-dups) frequent."""
+    import hashlib
+
+    from baker_spark.datapipe import dedup
+    from baker_spark.functions.hashing import MINHASH_P, minhash_params
+
+    def model_bands(words):
+        sh = (
+            {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+            if len(words) >= 3
+            else set()
+        )
+        if not sh:
+            return None
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+        mins = [min((a * h + b) % MINHASH_P for h in hs) for a, b in minhash_params(16)]
+        return {
+            (
+                b,
+                hashlib.md5(
+                    ",".join(str(mins[b * 4 + j]) for j in range(4)).encode()
+                ).hexdigest(),
+            )
+            for b in range(4)
+        }
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    cut = min(split, len(rows))
+    seen_rows, new_rows = rows[:cut], rows[cut:]
+
+    seen_bands = set()
+    for i, _ in seen_rows:
+        b = model_bands(docs[i])
+        if b:
+            seen_bands |= b
+    kept1 = {
+        i: b
+        for i, _ in new_rows
+        if (b := model_bands(docs[i])) is not None and not (b & seen_bands)
+    }
+    band_min: dict = {}
+    for i, bs in kept1.items():
+        for bk in bs:
+            band_min[bk] = min(band_min.get(bk, i), i)
+    want = sorted(i for i, bs in kept1.items() if all(band_min[bk] == i for bk in bs))
+
+    schema = "doc_id long, text string"
+    new_df = spark.createDataFrame(new_rows or [], schema)
+    seen_df = spark.createDataFrame(seen_rows or [], schema)
+    got = sorted(
+        r["doc_id"] for r in dedup.incremental_neardup(new_df, seen_df).collect()
+    )
+    assert got == want, f"docs={docs} split={cut}"
