@@ -655,10 +655,44 @@ def ann_index_add(df_new: DataFrame, path: str) -> None:
         _append_codes(df_new, path)
 
 
+def _has_data_files(fs, hpath) -> bool:
+    """True when the directory holds at least one COMMITTED data file
+    (not ``_SUCCESS``/``_temporary``/hidden). The crash window where a
+    parquet append died after creating the directory but before any
+    part file committed leaves an existing-but-file-less dir; an
+    inferred-schema read of it raises UNABLE_TO_INFER_SCHEMA on every
+    replay — bricking recovery — while FORCING a schema would also
+    blind the read to a schema-MISMATCHED ledger (missing columns read
+    as nulls, silently disabling dedup). Distinguishing 'no data files
+    yet' from 'has data' keeps both failure modes loud/safe."""
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return True
+    return False
+
+
 def _append_codes(df_new: DataFrame, path: str) -> None:
     import pandas as pd
 
     spark = df_new.sparkSession
+    # a compact that died between its two renames leaves codes MISSING
+    # and codes_precompact holding the only full copy. Appending here
+    # would silently recreate codes with just this batch — and the next
+    # compact, seeing codes present, would skip its entry restore and
+    # DELETE the backup, destroying the corpus. Refuse; compact restores.
+    jvm = spark._jvm
+    live = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
+    cfs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not cfs.exists(live) and cfs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/codes_precompact")
+    ):
+        raise RuntimeError(
+            f"{path}/codes is missing but codes_precompact exists — a "
+            "compaction crashed mid-swap. Run ann_index_compact() to "
+            "restore the live codes from the backup before appending."
+        )
     idx = AnnIndex(spark, path)
     vec_col, id_col, dim, m = (
         idx.meta["vec_col"],
@@ -822,8 +856,11 @@ def ann_index_stats(
       loss at skew<2, qerr~1.01) — schedule
       tools/ann_drift_bench.py's recall probe for that mode.
 
-    Returns ``{method, cells_occupied, cells_total, rows, max_cell,
-    mean_cell, skew, qerr, build_qerr, qerr_ratio, needs_retrain}``.
+    Returns ``{method, cells_occupied, cells_total, rows, vectors,
+    max_cell, mean_cell, skew, qerr, build_qerr, qerr_ratio,
+    needs_retrain}`` — ``rows`` is code rows (the probe-cost unit:
+    pq/ivfpq store m sub-code rows per vector), ``vectors`` is
+    rows/m, the unit to reconcile against ingest counters.
     For the unpartitioned ``pq`` method there are no observables here
     (codes don't retain vectors); use the drift bench's recall track.
     For ``ivfpq``, only the skew track fires — its docstring points
@@ -836,6 +873,12 @@ def ann_index_stats(
     if meta["method"] == "ivf" and build_qerr > 0:
         qerr = _ivf_qerr(spark, path)
         qerr_ratio = qerr / build_qerr
+    # pq/ivfpq store m sub-code ROWS per vector — "rows" is the honest
+    # probe-cost unit (a scan touches code rows), but cross-checking
+    # against AnnIndexIngest.ingested needs VECTORS, so report both
+    # rather than leave an m-times discrepancy for the operator to
+    # misread as crash-window duplication.
+    rows_per_vec = meta["m"] if meta["method"] in ("pq", "ivfpq") else 1
     codes = spark.read.parquet(f"{path}/codes")
     if part_col is None:
         rows = codes.count()
@@ -844,6 +887,7 @@ def ann_index_stats(
             "cells_occupied": 1,
             "cells_total": 1,
             "rows": rows,
+            "vectors": rows // rows_per_vec,
             "max_cell": rows,
             "mean_cell": float(rows),
             "skew": 1.0,
@@ -864,6 +908,7 @@ def ann_index_stats(
         "cells_occupied": len(sizes),
         "cells_total": cells_total,
         "rows": total,
+        "vectors": total // rows_per_vec,
         "max_cell": max(sizes) if sizes else 0,
         "mean_cell": mean,
         "skew": skew,
@@ -985,20 +1030,24 @@ class AnnIndexIngest:
         spark = batch_df.sparkSession
         id_col = ann_index_meta(spark, self.path)["id_col"]
 
-        new = batch_df.dropDuplicates([id_col])
-        # probe the ledger's existence explicitly: absorbing the read's
-        # AnalysisException would also absorb a CORRUPTED or
-        # schema-mismatched ledger (silently disabling dedup and
-        # re-ingesting duplicates); only a genuinely-absent first-batch
-        # ledger may skip the anti-join, and any failure in an EXISTING
-        # ledger's read or the join itself propagates
-        jvm = spark._jvm
-        lpath = jvm.org.apache.hadoop.fs.Path(self.ledger_dir)
-        lfs = lpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if lfs.exists(lpath):
-            seen = spark.read.parquet(self.ledger_dir).withColumnRenamed("id", id_col)
-            new = new.join(seen, id_col, "left_anti")
         with writer_fence(spark, self.path, "AnnIndexIngest.write"):
+            new = batch_df.dropDuplicates([id_col])
+            # probe the ledger's existence explicitly: absorbing the
+            # read's AnalysisException would also absorb a CORRUPTED or
+            # schema-mismatched ledger (silently disabling dedup and
+            # re-ingesting duplicates); only a genuinely-absent
+            # first-batch ledger may skip the anti-join, and any failure
+            # in an EXISTING ledger's read or the join itself propagates.
+            # The probe AND the seen read sit INSIDE the fence — probed
+            # outside, a doubled first batch could both see "no ledger"
+            # while one of them is mid-write (TOCTOU), and the loser
+            # would append the whole batch with no anti-join.
+            jvm = spark._jvm
+            lpath = jvm.org.apache.hadoop.fs.Path(self.ledger_dir)
+            lfs = lpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if lfs.exists(lpath) and _has_data_files(lfs, lpath):
+                seen = spark.read.parquet(self.ledger_dir).withColumnRenamed("id", id_col)
+                new = new.join(seen, id_col, "left_anti")
             new = new.persist()
             try:
                 n_new = new.count()

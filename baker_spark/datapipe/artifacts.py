@@ -9,7 +9,9 @@ batch — interleaves appends with no error and no repair signal. At
 100 TB that's a real operational hazard (VERDICT r10 watch-point #1),
 so every mutating entry point takes a write-intent fence first:
 
-- acquire = atomically create ``<dir>/_writer.lock`` via the Hadoop
+- acquire = atomically create ``<dir>._writer.lock`` (a SIBLING of the
+  fenced directory — see :func:`_lock_path` for why in-dir markers
+  self-destruct under overwrite-mode writes) via the Hadoop
   FileSystem's exclusive ``create(path, overwrite=False)`` — works on
   any Hadoop FS. Atomic-exclusive on local/HDFS; on S3A the create is
   check-then-put (best effort), which still catches the
@@ -54,9 +56,19 @@ def _fs_path(spark: SparkSession, p: str):
     return hp.getFileSystem(spark._jsc.hadoopConfiguration()), hp, jvm
 
 
+def _lock_path(directory: str) -> str:
+    """The lock lives BESIDE the fenced directory (``<dir>._writer.lock``),
+    never inside it: several fenced writes rewrite the directory's own
+    contents (``saveAsTable(mode='overwrite')`` clears the table path,
+    a rebuild deletes ``meta/``), and an in-dir marker would be deleted
+    BY the very write it is fencing — leaving the rest of that write
+    unfenced with no error (verified against Spark's overwrite path)."""
+    return f"{directory.rstrip('/')}.{LOCK_NAME}"
+
+
 def fence_holder(spark: SparkSession, directory: str) -> dict | None:
     """The current fence marker's JSON body, or None when unfenced."""
-    fs, lock, _ = _fs_path(spark, f"{directory}/{LOCK_NAME}")
+    fs, lock, _ = _fs_path(spark, _lock_path(directory))
     if not fs.exists(lock):
         return None
     stream = fs.open(lock)
@@ -81,7 +93,7 @@ def break_fence(spark: SparkSession, directory: str) -> dict | None:
     dead — breaking a live writer's fence re-opens the interleaving
     hazard the fence exists to close."""
     holder = fence_holder(spark, directory)
-    fs, lock, _ = _fs_path(spark, f"{directory}/{LOCK_NAME}")
+    fs, lock, _ = _fs_path(spark, _lock_path(directory))
     fs.delete(lock, False)
     return holder
 
@@ -89,8 +101,8 @@ def break_fence(spark: SparkSession, directory: str) -> dict | None:
 @contextmanager
 def writer_fence(spark: SparkSession, directory: str, op: str):
     """Hold the single-writer fence on ``directory`` for one mutation."""
-    fs, lock, jvm = _fs_path(spark, f"{directory}/{LOCK_NAME}")
-    # parent must exist for create(); a first build's dir may not yet
+    fs, lock, jvm = _fs_path(spark, _lock_path(directory))
+    # parent must exist for create(); a first build's parent may not yet
     fs.mkdirs(lock.getParent())
     marker = json.dumps(
         {
@@ -110,11 +122,16 @@ def writer_fence(spark: SparkSession, directory: str, op: str):
             "interleave appends. If that writer crashed, verify it is "
             "dead and call baker_spark.datapipe.artifacts.break_fence()."
         ) from e
+    # one try spans marker-write THROUGH the yield: a failure writing
+    # the marker body (disk full, S3 PUT error after the exclusive
+    # create) must release the just-created lock, not orphan an
+    # empty-holder fence that blocks every later writer for a write
+    # that did zero work. Only a process CRASH leaves the marker.
     try:
-        out.write(bytearray(marker))
-    finally:
-        out.close()
-    try:
+        try:
+            out.write(bytearray(marker))
+        finally:
+            out.close()
         yield
     finally:
         fs.delete(lock, False)

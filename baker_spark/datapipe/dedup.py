@@ -25,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from baker_spark.datapipe.text import duck_word_shingles, word_shingles, words
 from baker_spark.functions.hashing import (
@@ -250,14 +250,22 @@ def incremental_neardup(
     return kept1.select(id_col).distinct().join(hit_batch, id_col, "left_anti")
 
 
+def band_fp() -> Column:
+    """The band ledger's key encoding, ``'band:h'`` — the ONE place it
+    is spelled. Both the ledger writer (:func:`band_ledger_keys`) and
+    the per-batch probe (:func:`incremental_neardup_against_band_ledger`)
+    build their ``fp`` through this column; a private respelling on
+    either side would silently break ledger-vs-batch key parity (every
+    probe misses -> near-dup dedup admits everything)."""
+    return F.concat_ws(":", F.col("band").cast("string"), F.col("h"))
+
+
 def band_ledger_keys(bands_df: DataFrame) -> DataFrame:
     """(band, h) rows -> single-column ``fp`` keys ('band:h') in the
     shape :func:`write_seen_ledger` stores — the near-dup band ledger
     IS a seen-key ledger, so it inherits the bucketed-storage/no-ledger-
     shuffle machinery and the writer fence for free."""
-    return bands_df.select(
-        F.concat_ws(":", F.col("band").cast("string"), F.col("h")).alias("fp")
-    )
+    return bands_df.select(band_fp().alias("fp"))
 
 
 def incremental_neardup_against_band_ledger(
@@ -285,7 +293,7 @@ def incremental_neardup_against_band_ledger(
     replay are harmless — anti-join semantics ignore them)."""
     newb = managed_persist(
         lsh_bands(new_docs, text_col, id_col, k, bands, shingle_n).withColumn(
-            "fp", F.concat_ws(":", F.col("band").cast("string"), F.col("h"))
+            "fp", band_fp()
         )
     )
     seen = spark.table(table).hint("shuffle_hash")

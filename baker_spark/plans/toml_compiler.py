@@ -65,6 +65,13 @@ def _build_input(section: dict, fields: list[str], separator: str):
     name = section.get("name", "").lower()
     cfg = _snake_keys(section.get("config", {}))
     region = cfg.get("region") or "us-west-2"  # reference default, input/list.go:60
+    # s3:// DIRECTORY expansion lists via boto3 (ListObjectsV2), which
+    # does not read the Hadoop fs.s3a.* conf the data read uses — a
+    # MinIO/LocalStack/VPC deployment that sets fs.s3a.endpoint must
+    # set s3_endpoint_url here too (AWS_ENDPOINT_URL_S3 env is the
+    # boto3-native alternative). Concrete s3:// object paths never
+    # touch boto3 and need no extra config.
+    endpoint = cfg.get("s3_endpoint_url") or os.environ.get("AWS_ENDPOINT_URL_S3", "")
     if name == "list":
         return ListSource(
             files=cfg.get("files", []),
@@ -72,6 +79,7 @@ def _build_input(section: dict, fields: list[str], separator: str):
             separator=separator,
             match_path=cfg.get("match_path"),
             region=region,
+            s3_endpoint_url=endpoint,
         )
     if name == "jsonlines":
         return JsonLinesSource(
@@ -79,6 +87,7 @@ def _build_input(section: dict, fields: list[str], separator: str):
             fields=fields,
             match_path=cfg.get("match_path"),
             region=region,
+            s3_endpoint_url=endpoint,
         )
     if name == "parquet":
         return ParquetSource(
@@ -86,6 +95,7 @@ def _build_input(section: dict, fields: list[str], separator: str):
             fields=fields or None,
             match_path=cfg.get("match_path"),
             region=region,
+            s3_endpoint_url=endpoint,
         )
     raise ValueError(
         f"unknown input {section.get('name')!r} (batch inputs: List, "

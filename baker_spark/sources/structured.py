@@ -43,7 +43,13 @@ class _NoHttpMixin:
 
 class JsonLinesSource(_NoHttpMixin, ListSource):
     def __init__(
-        self, files, fields, match_path=None, attach_metadata=True, region="us-west-2"
+        self,
+        files,
+        fields,
+        match_path=None,
+        attach_metadata=True,
+        region="us-west-2",
+        s3_endpoint_url="",
     ):
         super().__init__(
             files,
@@ -52,6 +58,7 @@ class JsonLinesSource(_NoHttpMixin, ListSource):
             match_path=match_path,
             attach_metadata=attach_metadata,
             region=region,
+            s3_endpoint_url=s3_endpoint_url,
         )
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
@@ -71,7 +78,13 @@ class JsonLinesSource(_NoHttpMixin, ListSource):
 
 class ParquetSource(_NoHttpMixin, ListSource):
     def __init__(
-        self, files, fields=None, match_path=None, attach_metadata=True, region="us-west-2"
+        self,
+        files,
+        fields=None,
+        match_path=None,
+        attach_metadata=True,
+        region="us-west-2",
+        s3_endpoint_url="",
     ):
         super().__init__(
             files,
@@ -80,6 +93,7 @@ class ParquetSource(_NoHttpMixin, ListSource):
             match_path=match_path,
             attach_metadata=attach_metadata,
             region=region,
+            s3_endpoint_url=s3_endpoint_url,
         )
 
     def dataframe(self, spark: SparkSession) -> DataFrame:

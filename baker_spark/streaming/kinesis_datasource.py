@@ -65,6 +65,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import sys
 import time
 from datetime import datetime, timezone
 
@@ -259,6 +260,28 @@ class KinesisStreamReader(DataSourceStreamReader):
         desc = self.client().describe_stream(StreamName=self._stream)
         shards = [s["ShardId"] for s in desc["StreamDescription"]["Shards"]]
         if self._shard_filter is not None:
+            # a filter entry matching NO live shard is a typo (or a
+            # shard aged past retention): the reader would silently
+            # consume nothing for it forever while looking healthy —
+            # fail loud instead. Live shards OUTSIDE every daemon's
+            # filter (reshard children) are this daemon's blind spot
+            # by design; it can't know the other daemons' filters, so
+            # it logs them for the operator reconciling ownership.
+            unknown = self._shard_filter - set(shards)
+            if unknown:
+                raise ValueError(
+                    f"shard_filter names unknown shards {sorted(unknown)}; "
+                    f"stream {self._stream!r} has {sorted(shards)}"
+                )
+            unowned = [s for s in shards if s not in self._shard_filter]
+            if unowned:
+                print(
+                    f"bakerkinesis: shards NOT owned by this reader's "
+                    f"shard_filter: {unowned} — verify another daemon's "
+                    "filter covers them (reshard children are not "
+                    "picked up by static ownership)",
+                    file=sys.stderr,
+                )
             shards = [s for s in shards if s in self._shard_filter]
         return shards
 

@@ -591,3 +591,58 @@ def test_scale_drift_flags_via_qerr_ratio(spark, emb, tmp_path):
     )
     s2 = ann_index.ann_index_stats(spark, clean)
     assert s2["needs_retrain"] is False and s2["qerr_ratio"] < 1.1, s2
+
+
+def test_ingest_replays_past_fileless_ledger_dir(spark, emb, tmp_path):
+    """The documented crash window, first-batch edition: codes landed,
+    then the FIRST ledger append died after creating the output
+    directory but before any part file committed. The replay must run
+    (a file-less dir is zero seen ids), not brick every retry on
+    UNABLE_TO_INFER_SCHEMA — 'replay duplicates, never loses' is the
+    class's recovery contract."""
+    path = str(tmp_path / "fileless")
+    ann_index.ann_index_build(
+        emb.filter(emb.vec_id < 100), path, method="ivfpq", kc=KC, iters=1
+    )
+    ing = ann_index.AnnIndexIngest(path)
+    os.makedirs(ing.ledger_dir)  # the crashed append's empty dir
+    batch = emb.filter((emb.vec_id >= 100) & (emb.vec_id < 110))
+    assert ing.write(batch) == 10
+    # the now-real ledger absorbs a redelivery of the same batch
+    assert ing.write(batch) == 0
+
+
+def test_append_refuses_over_crashed_compact_swap(spark, emb, tmp_path):
+    """A compact that died between its two renames leaves codes missing
+    and codes_precompact holding the ONLY full copy. An append arriving
+    before the recovery compact must refuse — recreating codes with
+    just its batch would make the next compact skip the entry restore
+    and delete the backup, destroying the corpus."""
+    path = str(tmp_path / "crashswap")
+    base = emb.filter(emb.vec_id < 100)
+    ann_index.ann_index_build(base, path, method="ivf", kc=KC, iters=1)
+    os.rename(f"{path}/codes", f"{path}/codes_precompact")
+    late = emb.filter((emb.vec_id >= 100) & (emb.vec_id < 105)).select(
+        "vec_id", "embedding", "label"
+    )
+    with pytest.raises(RuntimeError, match="codes_precompact"):
+        ann_index.ann_index_add(late, path)
+    # compact's entry restore repairs the swap; then the append lands
+    ann_index.ann_index_compact(spark, path)
+    ann_index.ann_index_add(late, path)
+    assert ann_index.ann_index_stats(spark, path)["vectors"] == 105
+
+
+def test_stats_report_vectors_alongside_code_rows(spark, emb, tmp_path):
+    """pq/ivfpq store m sub-code rows per vector: 'rows' is the probe-
+    cost unit, 'vectors' the ingest-reconciliation unit — conflating
+    them reads as m-times row duplication to an operator."""
+    path = str(tmp_path / "vecunit")
+    base = emb.filter(emb.vec_id < 100)
+    n = base.count()
+    ann_index.ann_index_build(base, path, method="ivfpq", kc=KC, iters=1)
+    st = ann_index.ann_index_stats(spark, path)
+    m = ann_index.ann_index_meta(spark, path)["m"]
+    assert m > 1
+    assert st["rows"] == n * m
+    assert st["vectors"] == n

@@ -171,3 +171,24 @@ def test_band_ledger_neardup_matches_two_corpora_form_and_is_exchange_lean(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_fence_survives_overwrite_of_fenced_dir(spark, tmp_path):
+    """The lock lives BESIDE the fenced directory: overwrite-mode
+    writes (saveAsTable / parquet mode=overwrite) clear the directory's
+    own contents, so an in-dir marker would be deleted BY the very
+    write it is fencing — leaving the rest of that write unfenced with
+    no error (verified against Spark's overwrite path in review)."""
+    import pytest
+
+    from baker_spark.datapipe import artifacts
+
+    path = str(tmp_path / "artifact")
+    spark.createDataFrame([("a",)], "fp string").write.parquet(path)
+    with artifacts.writer_fence(spark, path, "bootstrap-overwrite"):
+        spark.createDataFrame([("x",)], "fp string").write.mode("overwrite").parquet(path)
+        assert artifacts.fence_holder(spark, path) is not None
+        with pytest.raises(artifacts.ConcurrentWriterError, match="bootstrap-overwrite"):
+            with artifacts.writer_fence(spark, path, "second"):
+                pass  # pragma: no cover — loser must never enter
+    assert artifacts.fence_holder(spark, path) is None
