@@ -1271,6 +1271,50 @@ def dp_shard_manifest(spark, sf_dir, n_shards: int = 16):
 
 
 @query(
+    "dp_global_shuffle",
+    f"""
+WITH a AS (
+  SELECT doc_id,
+         {_hashing.duck_md5_long("CAST(doc_id AS VARCHAR)", salt="shard")} % 16 AS shard_id,
+         {_hashing.duck_md5_long("CAST(doc_id AS VARCHAR)", salt="order:42")} AS ord
+  FROM documents
+)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY ord, doc_id) AS BIGINT) AS pos
+FROM a
+""",
+)
+def dp_global_shuffle(spark, sf_dir, n_shards: int = 16, seed: int = 42):
+    """Seeded GLOBAL SHUFFLE into training shards: every doc gets its
+    shard (same salted assignment as dp_shard_manifest, so the manifest
+    describes exactly these shards) and a dense within-shard position
+    ordered by an independent seeded hash — the reproducible random
+    training order every pretraining run needs (docs must arrive
+    decorrelated from crawl/source order, identically across reruns,
+    engines and cluster sizes; rand() gives none of that, and the
+    seed in the salt makes epoch-2 a different-but-reproducible order).
+
+    Scale shape: one exchange on shard_id, then a per-shard sort for
+    row_number — the sort IS the operation (a total order within each
+    shard cannot cost less), and parallelism equals the shard count,
+    which in production is the knob already sized to the corpus
+    (thousands of Megatron/WebDataset shards for a 100 TB run; the 16
+    here is the fixture-scale oracle configuration). Tie-break on
+    doc_id makes positions deterministic even under hash collisions.
+    To materialize, write ``repartition(shard_id).sortWithinPartitions
+    (ord)`` with the manifest riding the same assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    shard = _hashing.md5_long(key, salt="shard") % n_shards
+    ord_ = _hashing.md5_long(key, salt=f"order:{seed}")
+    win = Window.partitionBy("shard_id").orderBy("ord", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard_id"), ord_.alias("ord"))
+        .select("doc_id", "shard_id", F.row_number().over(win).cast("long").alias("pos"))
+    )
+
+
+@query(
     "dp_repeated_passages",
     f"""
 WITH sh AS (
