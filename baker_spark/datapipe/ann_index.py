@@ -196,6 +196,14 @@ def _build_fenced(
     meta_hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
     fs = meta_hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(meta_hpath, True)
+    # the DEFAULT ingest ledger dies with the index it describes: its
+    # ids mean "already in THESE codes", and a rebuild from a corpus
+    # snapshot that lacks some previously streamed ids would otherwise
+    # anti-join those ids away on every later AnnIndexIngest batch —
+    # permanent silent loss (worse than the repairable duplicate
+    # direction). A CUSTOM ledger_dir is the operator's to clear —
+    # AnnIndexIngest's docstring states the contract.
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/ingest_ledger"), True)
 
     if method == "lsh":
         # train-free: persist (id, vector) PARTITIONED BY the
@@ -307,6 +315,12 @@ class AnnIndex:
         self.m = self.meta["m"]
         self.coarse: dict[int, list[int]] = {}
         self.codebook: dict[tuple[int, int], list[int]] = {}
+        #: search_batch's persisted frames from the LATEST call — a
+        #: long-lived handle (query service, recall-eval loop) releases
+        #: them at the next call; without this the global managed-cache
+        #: list (released only on catalog query builds) pins one query
+        #: frame + probe frame per call until the session dies.
+        self._batch_caches: list[DataFrame] = []
         if self.method in ("ivf", "ivfpq"):
             self.coarse = {
                 int(r["centroid_id"]): list(r["cv"])
@@ -447,7 +461,22 @@ class AnnIndex:
         spark, id_col = self.spark, self.id_col
         from pyspark.sql import Window
 
-        from baker_spark.session import managed_persist
+        from baker_spark.session import managed_persist as _mp
+
+        # release the PREVIOUS call's frames (see _batch_caches): the
+        # prior results are materialized by then, and sequential calls
+        # on one handle are the contract (the fence story is per-index,
+        # not per-handle — searches don't mutate)
+        while self._batch_caches:
+            try:
+                self._batch_caches.pop().unpersist()
+            except Exception:
+                pass
+
+        def managed_persist(df: DataFrame) -> DataFrame:
+            df = _mp(df)
+            self._batch_caches.append(df)
+            return df
 
         # persisted: the projected/quantized query frame feeds the probe
         # assignment AND the per-subspace slices (pq/ivfpq) — without a
@@ -664,16 +693,25 @@ def _has_data_files(fs, hpath) -> bool:
     replay — bricking recovery — while FORCING a schema would also
     blind the read to a schema-MISMATCHED ledger (missing columns read
     as nulls, silently disabling dedup). Distinguishing 'no data files
-    yet' from 'has data' keeps both failure modes loud/safe."""
+    yet' from 'has data' keeps both failure modes loud/safe.
+
+    'Committed' must match the READER's definition: Spark filters any
+    file with a hidden ANCESTOR (``_temporary/``, ``.staging``), so a
+    crash that left task files staged under ``_temporary/0/.../part-*``
+    is still 'no data'. Checking only basenames would call those
+    part files data and re-brick the read this function exists to
+    unbrick — every path segment below the root is checked."""
+    base = hpath.toString().rstrip("/")
     it = fs.listFiles(hpath, True)
     while it.hasNext():
-        name = it.next().getPath().getName()
-        if not name.startswith("_") and not name.startswith("."):
+        p = it.next().getPath().toString()
+        rel = p[len(base) + 1 :] if p.startswith(base + "/") else p
+        if not any(seg.startswith(("_", ".")) for seg in rel.split("/")):
             return True
     return False
 
 
-def _append_codes(df_new: DataFrame, path: str) -> None:
+def _append_codes(df_new: DataFrame, path: str, idx: "AnnIndex | None" = None) -> None:
     import pandas as pd
 
     spark = df_new.sparkSession
@@ -693,7 +731,10 @@ def _append_codes(df_new: DataFrame, path: str) -> None:
             "compaction crashed mid-swap. Run ann_index_compact() to "
             "restore the live codes from the backup before appending."
         )
-    idx = AnnIndex(spark, path)
+    # an injected handle (AnnIndexIngest's open-once loop) skips the
+    # per-batch meta read + coarse/codebook collects; one-shot
+    # ann_index_add callers open fresh
+    idx = idx or AnnIndex(spark, path)
     vec_col, id_col, dim, m = (
         idx.meta["vec_col"],
         idx.meta["id_col"],
@@ -1020,6 +1061,18 @@ class AnnIndexIngest:
         self.ingested = 0
         self.dropped = 0
         self.batches = 0
+        #: index handle opened ONCE for the loop's lifetime — the
+        #: quantizers are frozen by contract (only a build rewrites
+        #: them, and a rebuild clears the default ledger, after which
+        #: this object must be recreated anyway), so re-reading
+        #: meta/coarse/codebook per micro-batch would add ~4 Spark jobs
+        #: of latency to every batch for tables that cannot change.
+        self._idx: AnnIndex | None = None
+
+    def _index(self, spark: SparkSession) -> "AnnIndex":
+        if self._idx is None:
+            self._idx = AnnIndex(spark, self.path)
+        return self._idx
 
     def write(self, batch_df: DataFrame, batch_id: int | None = None) -> int:
         """One batch through the loop; returns vectors admitted. The
@@ -1027,8 +1080,17 @@ class AnnIndexIngest:
         ONE writer fence on the index path, so a scheduler that doubles
         the job (or a second ingest daemon against the same index) fails
         fast instead of interleaving codes with a half-written ledger."""
+        from pyspark.sql import Observation
+
         spark = batch_df.sparkSession
-        id_col = ann_index_meta(spark, self.path)["id_col"]
+        idx = self._index(spark)
+        id_col = idx.meta["id_col"]
+        # batch size rides the dedup scan as an observation — a separate
+        # batch_df.count() would re-execute the whole batch lineage
+        # (decode, projections) just for the dropped counter (the same
+        # trap CorpusIngest.write documents)
+        obs = Observation()
+        batch_df = batch_df.observe(obs, F.count(F.lit(1)).alias("n"))
 
         with writer_fence(spark, self.path, "AnnIndexIngest.write"):
             new = batch_df.dropDuplicates([id_col])
@@ -1051,10 +1113,10 @@ class AnnIndexIngest:
             new = new.persist()
             try:
                 n_new = new.count()
-                n_batch = batch_df.count()
+                n_batch = int(obs.get["n"])
                 if n_new:
                     # codes BEFORE ledger: replay duplicates, never loses
-                    _append_codes(new, self.path)
+                    _append_codes(new, self.path, idx=idx)
                     new.select(F.col(id_col).alias("id")).write.mode("append").parquet(
                         self.ledger_dir
                     )

@@ -68,23 +68,21 @@ def _lock_path(directory: str) -> str:
 
 def fence_holder(spark: SparkSession, directory: str) -> dict | None:
     """The current fence marker's JSON body, or None when unfenced."""
-    fs, lock, _ = _fs_path(spark, _lock_path(directory))
+    fs, lock, jvm = _fs_path(spark, _lock_path(directory))
     if not fs.exists(lock):
         return None
     stream = fs.open(lock)
     try:
-        buf = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            buf.append(b)
+        # one gateway call for the whole marker (commons-io ships with
+        # Spark); a python read() loop would cost one driver->JVM
+        # round-trip PER BYTE of the JSON body
+        buf = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
     try:
-        return json.loads(bytes(buf).decode())
+        return json.loads(buf.decode())
     except ValueError:
-        return {"raw": bytes(buf).decode(errors="replace")}
+        return {"raw": buf.decode(errors="replace")}
 
 
 def break_fence(spark: SparkSession, directory: str) -> dict | None:

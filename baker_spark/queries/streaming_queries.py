@@ -22,6 +22,7 @@ ordered replay.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -57,6 +58,7 @@ def _stage_batches(df: DataFrame, order_col: str, n: int = N_BATCHES) -> str:
     ]
     stream_dir = tempfile.mkdtemp(prefix="bkstream_src_")
     lo = None
+    staged = 0
     for i in range(n):
         hi = bounds[i] if i < n - 1 else None
         part = df
@@ -64,6 +66,7 @@ def _stage_batches(df: DataFrame, order_col: str, n: int = N_BATCHES) -> str:
             part = part.filter(F.col(order_col) > lo)
         if hi is not None:
             part = part.filter(F.col(order_col) <= hi)
+        staged += part.count()
         tmp = os.path.join(stream_dir, f"_stage_{i}")
         part.coalesce(1).write.parquet(tmp)
         src = next(
@@ -74,6 +77,17 @@ def _stage_batches(df: DataFrame, order_col: str, n: int = N_BATCHES) -> str:
         shutil.rmtree(tmp)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         lo = hi
+    # every source row must land in exactly one file: a NULL order
+    # value fails BOTH range filters and would vanish from the stream
+    # while the SQL oracle still counts it — a harness drop that would
+    # surface as an operator hash mismatch with no hint of the cause
+    total = df.count()
+    if staged != total:
+        raise AssertionError(
+            f"_stage_batches dropped {total - staged} of {total} rows — "
+            f"is {order_col!r} NULL for some rows? The percentile bands "
+            "partition only non-NULL values."
+        )
     return stream_dir
 
 
@@ -105,6 +119,10 @@ def _run_stream(spark: SparkSession, stream_df, sink_fn=None, mode="update") -> 
     finally:
         q.stop()
         q.awaitTermination()
+        # the checkpoint is replay state for a query that just finished
+        # for good — repeated sweeps otherwise accumulate one state
+        # store per query run in /tmp
+        shutil.rmtree(ckpt, ignore_errors=True)
     return name
 
 
@@ -140,14 +158,19 @@ def dp_streaming_dedup(spark, sf_dir):
         "doc_id",
     )
     stream_dir = _stage_batches(keyed, "doc_id")
-    stream = (
-        spark.readStream.schema(keyed.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stream_dir)
-        .drop("doc_id")
-    )
-    deduped = StreamingDedup(["fp"], event_time_col="ts", delay="1 hour").apply(stream)
-    name = _run_stream(spark, deduped)
+    try:
+        stream = (
+            spark.readStream.schema(keyed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+            .drop("doc_id")
+        )
+        deduped = StreamingDedup(["fp"], event_time_col="ts", delay="1 hour").apply(stream)
+        name = _run_stream(spark, deduped)
+    finally:
+        # the memory sink holds the result rows driver-side; the staged
+        # arrivals are fully consumed once the stream drains
+        shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.table(name).select(
         "fp", F.unix_timestamp("ts").alias("sec")
     )
@@ -170,13 +193,16 @@ def dp_streaming_running_counter(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
     stream_dir = _stage_batches(ev, "event_id")
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stream_dir)
-    )
-    counted = running_counter(stream, key_col="event_type")
-    name = _run_stream(spark, counted)
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        counted = running_counter(stream, key_col="event_type")
+        name = _run_stream(spark, counted)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -221,13 +247,16 @@ def dp_streaming_sessions(spark, sf_dir):
         F.unix_timestamp("ts").alias("sec"),
     )
     stream_dir = _stage_batches(ev, "sec")
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stream_dir)
-    )
-    sessions = session_aggregator(stream, key_col="user_id", ts_col="sec", gap_seconds=1800)
-    name = _run_stream(spark, sessions, mode="append")
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        sessions = session_aggregator(stream, key_col="user_id", ts_col="sec", gap_seconds=1800)
+        name = _run_stream(spark, sessions, mode="append")
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.table(name).select(
         "user_id", "session_start", "session_end", "n_events"
     )
@@ -253,15 +282,23 @@ def dp_streaming_ingest_ledger(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     stream_dir = _stage_batches(docs, "doc_id")
     base = tempfile.mkdtemp(prefix="bkstream_ingest_")
+    # the corpus dir must OUTLIVE this function — the returned frame
+    # reads it lazily and the driver collects later — so it is cleaned
+    # at interpreter exit rather than here (stage/checkpoint dirs, by
+    # contrast, are fully consumed once the stream drains)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     ing = CorpusIngest(
         corpus_dir=f"{base}/corpus",
         ledger_dir=f"{base}/ledger",
         key=text.fingerprint("text"),
     )
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stream_dir)
-    )
-    _run_stream(spark, stream, sink_fn=lambda batch, _bid: ing.write(batch))
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        _run_stream(spark, stream, sink_fn=lambda batch, _bid: ing.write(batch))
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.read.parquet(ing.corpus_dir).select("doc_id")

@@ -646,3 +646,47 @@ def test_stats_report_vectors_alongside_code_rows(spark, emb, tmp_path):
     assert m > 1
     assert st["rows"] == n * m
     assert st["vectors"] == n
+
+
+def test_ingest_replays_past_temporary_only_ledger_dir(spark, emb, tmp_path):
+    """Harsher edition of the file-less-dir window: the crashed append
+    left task files STAGED under _temporary/ but none committed. The
+    reader filters hidden-ancestor paths, so 'has data' must too —
+    counting staged part files as data re-bricks the replay on
+    UNABLE_TO_INFER_SCHEMA."""
+    path = str(tmp_path / "tmponly")
+    ann_index.ann_index_build(
+        emb.filter(emb.vec_id < 100), path, method="ivfpq", kc=KC, iters=1
+    )
+    ing = ann_index.AnnIndexIngest(path)
+    # FileOutputCommitter v1 layout for a task attempt that NEVER
+    # committed — _temporary/<appAttempt>/_temporary/attempt_*/ — the
+    # one state a later job's commitJob does NOT adopt into the output
+    # (committed-task dirs _temporary/0/task_* WOULD be promoted, which
+    # is at-least-once duplicate adoption, not data loss)
+    staged = os.path.join(ing.ledger_dir, "_temporary", "0", "_temporary", "attempt_001")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-00000.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    batch = emb.filter((emb.vec_id >= 100) & (emb.vec_id < 110))
+    assert ing.write(batch) == 10
+    assert ing.write(batch) == 0
+
+
+def test_rebuild_clears_default_ingest_ledger(spark, emb, tmp_path):
+    """A rebuilt index starts with a fresh default ledger: the old one
+    said 'already in the PREVIOUS codes', and keeping it would anti-join
+    previously streamed ids away from the NEW index forever — permanent
+    silent loss when the rebuild corpus lacks them."""
+    path = str(tmp_path / "rebuilt")
+    base = emb.filter(emb.vec_id < 100)
+    ann_index.ann_index_build(base, path, method="ivfpq", kc=KC, iters=1)
+    ing = ann_index.AnnIndexIngest(path)
+    streamed = emb.filter((emb.vec_id >= 100) & (emb.vec_id < 120))
+    assert ing.write(streamed) == 20
+    # retrain cadence: rebuild from the ORIGINAL snapshot (streamed ids
+    # lived only in codes); the stale ledger must not survive it
+    ann_index.ann_index_build(base, path, method="ivfpq", kc=KC, iters=1)
+    ing2 = ann_index.AnnIndexIngest(path)
+    assert ing2.write(streamed) == 20  # admitted again, not silently lost
+    assert ann_index.ann_index_stats(spark, path)["vectors"] == 120
