@@ -11,10 +11,12 @@ so every mutating entry point takes a write-intent fence first:
 
 - acquire = atomically create ``<dir>._writer.lock`` (a SIBLING of the
   fenced directory — see :func:`_lock_path` for why in-dir markers
-  self-destruct under overwrite-mode writes) via the Hadoop
-  FileSystem's exclusive ``create(path, overwrite=False)`` — works on
-  any Hadoop FS. Atomic-exclusive on local/HDFS; on S3A the create is
-  check-then-put (best effort), which still catches the
+  self-destruct under overwrite-mode writes). On ``file:`` the
+  primitive is ``java.io.File.createNewFile`` (true O_EXCL — Hadoop's
+  RawLocalFileSystem ``create(overwrite=False)`` is check-then-create
+  and loses real races, measured); on HDFS the Hadoop
+  ``create(path, overwrite=False)`` is atomic server-side; on S3A the
+  create is check-then-put (best effort), which still catches the
   scheduler-double case because the loser's check sees the winner's
   marker within list consistency (S3 is strongly consistent since
   2020).
@@ -96,6 +98,17 @@ def break_fence(spark: SparkSession, directory: str) -> dict | None:
     return holder
 
 
+def _raise_fenced(spark, directory: str, op: str, cause: Exception | None):
+    holder = fence_holder(spark, directory)
+    err = ConcurrentWriterError(
+        f"{op}: {directory!r} is fenced by another writer "
+        f"{holder if holder else ''} — a concurrent mutation would "
+        "interleave appends. If that writer crashed, verify it is "
+        "dead and call baker_spark.datapipe.artifacts.break_fence()."
+    )
+    raise err from cause
+
+
 @contextmanager
 def writer_fence(spark: SparkSession, directory: str, op: str):
     """Hold the single-writer fence on ``directory`` for one mutation."""
@@ -110,21 +123,33 @@ def writer_fence(spark: SparkSession, directory: str, op: str):
             "acquired_unix": int(time.time()),
         }
     ).encode()
+    if fs.getUri().getScheme() == "file":
+        # Hadoop's RawLocalFileSystem.create(overwrite=False) is
+        # CHECK-then-create, NOT O_EXCL — a 6-thread race through a
+        # barrier saw ALL SIX acquire (test_fence_race_exactly_one_
+        # winner pins the fix). java.io.File.createNewFile is the real
+        # atomic primitive on a local/POSIX-mounted artifact dir.
+        local = jvm.java.io.File(lock.toUri().getPath())
+        if not local.createNewFile():
+            _raise_fenced(spark, directory, op, None)
+        # one try spans marker-write THROUGH the yield: a failure
+        # writing the body must release the lock, not orphan an
+        # empty-holder fence. Only a process CRASH leaves the marker.
+        try:
+            with open(local.getPath(), "wb") as f:
+                f.write(marker)
+            yield
+        finally:
+            fs.delete(lock, False)
+        return
+    # HDFS: create(overwrite=False) is atomic server-side. S3A: the
+    # create is check-then-put (best effort) — it still catches the
+    # scheduler-double case because the loser's check sees the winner's
+    # marker within list consistency (S3 is strongly consistent).
     try:
-        out = fs.create(lock, False)  # overwrite=False -> exclusive
+        out = fs.create(lock, False)
     except Exception as e:
-        holder = fence_holder(spark, directory)
-        raise ConcurrentWriterError(
-            f"{op}: {directory!r} is fenced by another writer "
-            f"{holder if holder else ''} — a concurrent mutation would "
-            "interleave appends. If that writer crashed, verify it is "
-            "dead and call baker_spark.datapipe.artifacts.break_fence()."
-        ) from e
-    # one try spans marker-write THROUGH the yield: a failure writing
-    # the marker body (disk full, S3 PUT error after the exclusive
-    # create) must release the just-created lock, not orphan an
-    # empty-holder fence that blocks every later writer for a write
-    # that did zero work. Only a process CRASH leaves the marker.
+        _raise_fenced(spark, directory, op, e)
     try:
         try:
             out.write(bytearray(marker))

@@ -192,3 +192,41 @@ def test_fence_survives_overwrite_of_fenced_dir(spark, tmp_path):
             with artifacts.writer_fence(spark, path, "second"):
                 pass  # pragma: no cover — loser must never enter
     assert artifacts.fence_holder(spark, path) is None
+
+
+def test_fence_race_exactly_one_winner(spark, tmp_path):
+    """TRUE concurrency, not nested acquisition: N threads race
+    writer_fence on one directory through a barrier. Exactly one enters
+    (the Hadoop create(overwrite=False) is atomic-exclusive on
+    local/HDFS), every loser raises ConcurrentWriterError, and the
+    winner's release leaves the path unfenced."""
+    import threading
+
+    from baker_spark.datapipe import artifacts
+
+    path = str(tmp_path / "raced")
+    n = 6
+    barrier = threading.Barrier(n)
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def contender(i: int) -> None:
+        barrier.wait()
+        try:
+            with artifacts.writer_fence(spark, path, f"racer-{i}"):
+                with lock:
+                    outcomes.append("won")
+                import time
+
+                time.sleep(0.3)  # hold long enough that others collide
+        except artifacts.ConcurrentWriterError:
+            with lock:
+                outcomes.append("lost")
+
+    threads = [threading.Thread(target=contender, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(outcomes) == ["lost"] * (n - 1) + ["won"], outcomes
+    assert artifacts.fence_holder(spark, path) is None
