@@ -104,6 +104,28 @@ def incremental_dedup_against_keys(
 LEDGER_BUCKETS = 64
 
 
+def _table_location(spark, table: str) -> str:
+    """Canonical storage location for ``table`` — the fence directory.
+    Deriving it by string-concatenating the CALLER'S SPELLING onto the
+    warehouse dir would let two writers addressing one table by
+    different names ('db.ledger' vs 'ledger' under USE db) fence on
+    different paths and interleave freely. An existing table's location
+    comes from the catalog (canonical however it is spelled); a not-yet-
+    created one resolves the database explicitly so both racers of a
+    first write compute the same path."""
+    try:
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+            if (r["col_name"] or "").strip() == "Location":
+                return r["data_type"]
+    except Exception:
+        pass  # not created yet — resolve where the metastore will put it
+    parts = table.split(".")
+    name = parts[-1].lower()
+    db = parts[-2].lower() if len(parts) > 1 else spark.catalog.currentDatabase()
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    return f"{wh}/{name}" if db == "default" else f"{wh}/{db}.db/{name}"
+
+
 def write_seen_ledger(
     seen_keys: DataFrame,
     table: str,
@@ -140,9 +162,7 @@ def write_seen_ledger(
     from baker_spark.datapipe.artifacts import writer_fence
 
     spark = seen_keys.sparkSession
-    lock_dir = path or (
-        spark.conf.get("spark.sql.warehouse.dir").rstrip("/") + f"/{table.lower()}"
-    )
+    lock_dir = path or _table_location(spark, table)
     w = (
         seen_keys.select("fp")
         .repartition(n_buckets, F.col("fp"))
@@ -441,6 +461,11 @@ def lsh_bands(
     shared banding step of lsh_pairs (self-join flavor) and
     incremental_neardup (ledger flavor) — one definition so the two
     can never drift apart on band layout."""
+    if k % bands:
+        # silently banding only bands*(k//bands) of the k minhashes
+        # would shift the documented (1/b)^(1/r) jaccard threshold with
+        # no warning — the recall knob the caller is explicitly tuning
+        raise ValueError(f"k ({k}) must be divisible by bands ({bands})")
     if sig is None:
         sig = minhash_signature(df, text_col, id_col, k, shingle_n)
     r = k // bands
@@ -753,6 +778,17 @@ def _verify_jaccard(
     groupBy whose output partitioning the b-side of the pair join reuses,
     which is both an exchange and a full second document scan saved."""
     cands = managed_persist(cands)
+    # bound the explicit broadcasts: ngram_jaccard_pairs' tripwire
+    # deliberately admits up to max_candidates (default 500M) pairs —
+    # a size no broadcast survives (gigabytes collected through the
+    # driver, Spark's 8GB broadcast hard cap). Past a few million
+    # candidates the verify join must go shuffle-side; the count also
+    # materializes the persist the downstream consumers share.
+    bcast = cands.count() <= 5_000_000
+
+    def maybe_b(frame: DataFrame) -> DataFrame:
+        return F.broadcast(frame) if bcast else frame
+
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))
@@ -762,7 +798,7 @@ def _verify_jaccard(
         # the exploded rows were array_distinct'd before the explode, so
         # collect_list reassembles exactly the shingle SET
         sets_ = (
-            shingles.join(F.broadcast(cand_ids), id_col, "left_semi")
+            shingles.join(maybe_b(cand_ids), id_col, "left_semi")
             .groupBy(id_col)
             .agg(F.collect_list("s").alias("sh"))
         )
@@ -772,17 +808,18 @@ def _verify_jaccard(
         # expensive expression — then runs on every core instead of inside
         # the scan stage on however many splits the parquet offers
         sets_ = fan_out(
-            df.join(F.broadcast(cand_ids), id_col, "left_semi"), by=id_col
+            df.join(maybe_b(cand_ids), id_col, "left_semi"), by=id_col
         ).select(
             F.col(id_col),
             F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
         )
     a = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sha"))
     b = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("shb"))
-    # broadcast only the array-free pair list; the array-carrying
-    # enrichment result stays partitioned (broadcasting rows that drag
-    # whole shingle arrays through the driver is the expensive mistake)
-    with_a = a.join(F.broadcast(cands), "doc_a")
+    # broadcast (when bounded) only the array-free pair list; the
+    # array-carrying enrichment result stays partitioned (broadcasting
+    # rows that drag whole shingle arrays through the driver is the
+    # expensive mistake)
+    with_a = a.join(maybe_b(cands), "doc_a")
     joined = with_a.join(b, "doc_b")
     # long casts: int32 `inter * 1000000` wraps for pairs sharing
     # >2147 shingles — exactly the long near-dups this verifies

@@ -212,21 +212,36 @@ def duck_repetition_sql(expr: str, n: int = 3) -> dict[str, str]:
 def chunks(col_name: str, size: int = 32, step: int = 24) -> Column:
     """Token-window chunking with overlap (size-step tokens) — the
     document->training-sample split. Returns array<string> of chunks;
-    chunk i covers words [i*step+1, i*step+size]."""
+    chunk i covers words [i*step+1, i*step+size]; NULL text chunks to
+    NULL (posexplode emits nothing — no phantom samples; unguarded,
+    size(NULL) = -1 under ansi=off and F.sequence(0, -1) counts DOWN,
+    yielding TWO empty chunks per NULL row).
+
+    Count is ceil((n-size)/step) + 1, clamped: the naive
+    floor((n-1)/step) + 1 emits a final window FULLY CONTAINED in the
+    previous one whenever the tail is shorter than the overlap
+    (n=56, 32/24 -> third chunk = words 49-56, a strict suffix of
+    25-56) — a duplicate training sample for every such doc."""
     w = words(col_name)
     n = F.size(w)
-    n_chunks = F.floor((n - 1) / F.lit(step)) + 1
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(w, i * step + 1, size)),
+    n_chunks = F.greatest(F.ceil((n - F.lit(size)) / F.lit(step)), F.lit(0)) + 1
+    return F.when(
+        F.col(col_name).isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i * step + 1, size)),
+        ),
     )
 
 
 def duck_chunks(expr: str, size: int = 32, step: int = 24) -> str:
     w = f"string_split({expr}, ' ')"
+    n_chunks = (
+        f"greatest(CAST(ceil((len({w}) - {size}) / {step}) AS BIGINT), 0) + 1"
+    )
     return (
         f"[array_to_string(({w})[(i * {step} + 1):(i * {step} + {size})], ' ') "
-        f"for i in range(0, CAST(floor((len({w}) - 1) / {step}) AS BIGINT) + 1)]"
+        f"for i in range(0, {n_chunks})]"
     )
 
 
@@ -294,7 +309,11 @@ def scrub_arrow(col_name: str) -> Column:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        arr = pa.Array.from_pandas(s)
+        # type pinned: an all-NULL batch otherwise infers a NullArray,
+        # for which count_substring_regex has no kernel
+        # (ArrowNotImplementedError kills the job) — the JVM engine
+        # handles the same rows by returning NULL counts, and so must we
+        arr = pa.Array.from_pandas(s, type=pa.string())
         out: dict[str, object] = {}
         for name, pat, repl in SCRUB_PATTERNS:
             out[f"n_{name}"] = pc.count_substring_regex(arr, pattern=pat).to_pandas()

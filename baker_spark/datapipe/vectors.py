@@ -42,8 +42,18 @@ def cosine(a: Column, b: Column) -> Column:
 
 def duck_dot(a: str, b: str) -> str:
     """DuckDB sequential dot product matching ``dot`` op-for-op
-    (1-based list indexing, left-to-right sum)."""
-    return f"list_sum([({a})[i] * ({b})[i] for i in range(1, len({a}) + 1)])"
+    (1-based list indexing, left-to-right sum). NULL ELEMENTS propagate
+    to a NULL result like Spark's fold (acc + NULL = NULL) — bare
+    list_sum SKIPS nulls and would return the partial sum, silently
+    landing a malformed vector in a different LSH bucket / cosine score
+    per engine. (The quantized twin duck_dot_int needs no guard:
+    list_dot_product fails loud on NULL elements.)"""
+    guard = (
+        f"len(list_filter({a}, x -> x IS NULL)) > 0 OR "
+        f"len(list_filter({b}, x -> x IS NULL)) > 0"
+    )
+    s = f"list_sum([({a})[i] * ({b})[i] for i in range(1, len({a}) + 1)])"
+    return f"(CASE WHEN {guard} THEN NULL ELSE {s} END)"
 
 
 def duck_dot_int(a: str, b: str) -> str:
@@ -850,6 +860,11 @@ def _pq_subspaces(q: DataFrame, m: int, dim: int) -> DataFrame:
     """(id, q) -> (id, sub, v): one row per subspace slice. Same bytes as
     the input (m rows of dim/m longs), and the natural distributed shape:
     every downstream PQ step groups on (sub, ...) with map-side combine."""
+    if dim % m:
+        # silently training/encoding/searching on only m*(dim//m) of the
+        # dim coordinates would make every PQ/IVF-PQ search rank by a
+        # truncated approximation while reporting itself full-dimension
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
     d = dim // m
     slices = F.array(*[F.slice("q", s * d + 1, d) for s in range(m)])
     return q.select("_id", F.posexplode(slices).alias("sub", "v"))

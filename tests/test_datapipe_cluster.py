@@ -609,3 +609,63 @@ def test_incremental_neardup_semantics(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup.incremental_neardup(batch, seen).collect())
     assert kept == [12, 13]  # redeliveries, 14 (greedy), and 15 all absent
+
+
+def test_chunks_null_text_and_no_contained_final_window(spark):
+    """Two review catches in one: NULL text must chunk to NULL (not the
+    TWO phantom empty chunks size(NULL)=-1 + descending sequence(0,-1)
+    produced), and the final window must never be fully contained in
+    the previous one (floor((n-1)/step)+1 emitted a strict-suffix
+    duplicate sample whenever the tail was shorter than the overlap)."""
+    from baker_spark.datapipe import text as T
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(56))), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["c"] for r in df.select("doc_id", T.chunks("text").alias("c")).collect()}
+    assert rows[2] is None
+    got = rows[1]
+    # 56 words at 32/24: exactly 2 chunks ([1..32], [25..56]); the old
+    # formula emitted a third = words[49..56], a suffix of chunk 2
+    assert len(got) == 2
+    assert got[0].split() == [f"w{i}" for i in range(32)]
+    assert got[1].split() == [f"w{i}" for i in range(24, 56)]
+    # DuckDB twin agrees cell-for-cell
+    import duckdb
+
+    con = duckdb.connect()
+    duck = con.sql(
+        f"SELECT {T.duck_chunks('t')} AS c FROM (VALUES ('{ ' '.join(f'w{i}' for i in range(56)) }')) v(t)"
+    ).fetchone()[0]
+    assert duck == got
+
+
+def test_scrub_arrow_survives_all_null_batch(spark):
+    """An Arrow batch whose every text is NULL must behave like the JVM
+    engine (NULL counts/clean_text), not kill the job: unpinned,
+    pa.Array.from_pandas infers a NullArray and count_substring_regex
+    has no kernel for it (ArrowNotImplementedError)."""
+    from baker_spark.datapipe import text as T
+
+    df = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
+    out = df.select(T.scrub_arrow("text").alias("s")).select("s.clean_text").collect()
+    assert [r["clean_text"] for r in out] == [None, None]
+
+
+def test_lsh_bands_rejects_indivisible_k(spark):
+    from baker_spark.datapipe import dedup
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.lsh_bands(df, k=16, bands=5)
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from baker_spark.datapipe import vectors as V
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 60)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        V.pq_train_encode(df, m=8, dim=60)
