@@ -1551,6 +1551,13 @@ def dp_lang_mix_weights(spark, sf_dir):
 
 _PACK_BUDGET = 512  # BPE-estimate tokens per packed training sequence
 _PACK_STREAMS = 16
+#: stream slot width for seq_id = stream * SLOT + per-stream index.
+#: At 1e6 a stream collided into its neighbor once it accumulated
+#: 512M tokens (~2 GB of text — a ~32 GB corpus at 16 streams),
+#: far below the 100 TB this query advertises. 1e12 sequences/stream
+#: = 512e12 tokens/stream; stream*SLOT tops out at 16e12, five
+#: decimal orders inside int64.
+_PACK_SLOT = 10**12
 
 
 @query(
@@ -1569,7 +1576,7 @@ s AS (
   FROM t
 )
 SELECT doc_id, CAST(stream AS BIGINT) AS stream,
-       CAST(stream * 1000000 + (cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(stream * {_PACK_SLOT} + (cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
        CAST((cum - n_tok) % {_PACK_BUDGET} AS BIGINT) AS offset_in_seq
 FROM s
 """,
@@ -1578,7 +1585,7 @@ def dp_sequence_packing(spark, sf_dir):
     """Pack documents into ~fixed-token training sequences: docs are
     dealt into S deterministic streams by hash, each stream greedily
     fills sequences by a running token sum (window), and
-    seq_id = stream * 1e6 + cum_tokens div budget. Deterministic
+    seq_id = stream * 1e12 + cum_tokens div budget. Deterministic
     (md5-ordered, pure integer arithmetic — reproducible across engines
     and cluster sizes) and scalable: streams are the parallelism unit,
     each stream's window state is one running sum, and S grows with the
@@ -1599,7 +1606,7 @@ def dp_sequence_packing(spark, sf_dir):
     return s.select(
         "doc_id",
         F.col("stream").cast("long").alias("stream"),
-        F.expr(f"stream * 1000000 + (cum - n_tok) div {_PACK_BUDGET}")
+        F.expr(f"stream * {_PACK_SLOT} + (cum - n_tok) div {_PACK_BUDGET}")
         .cast("long")
         .alias("seq_id"),
         F.expr(f"(cum - n_tok) % {_PACK_BUDGET}").cast("long").alias("offset_in_seq"),

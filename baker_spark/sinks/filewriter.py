@@ -216,6 +216,15 @@ class FileWriter:
             raise ValueError(
                 f"gzip_level {self.gzip_level} not in -1..9"
             )
+        # fail at construction like the gzip path does — unvalidated,
+        # a bad zstd config surfaces mid-write inside the job (or in
+        # the rotate-estimate's pyarrow codec), long after the typo
+        if not 1 <= self.zstd_level <= 22:
+            raise ValueError(f"zstd_level {self.zstd_level} not in 1..22")
+        if self.zstd_window_log and not 10 <= self.zstd_window_log <= 31:
+            raise ValueError(
+                f"zstd_window_log {self.zstd_window_log} not in 10..31 (0 = default)"
+            )
         if self.compression is None:
             base = self.path.rstrip("/")
             # .d output dirs keep the configured file extension visible
@@ -250,9 +259,21 @@ class FileWriter:
     def _event_ts(self, df: DataFrame):
         """Timestamp column for the time layout. String fields accept
         both datetime text and epoch seconds (the output of the
-        reference's Timestamp filter) — per-row coalesce, all JVM-side."""
+        reference's Timestamp filter) — per-row coalesce, all JVM-side.
+
+        Both modes route through from_unixtime so they share ONE time
+        base (the session timezone). A naive wall-clock literal for the
+        batch mode would render as-is while the event path renders
+        epoch seconds in session tz — on a non-UTC session the same
+        instant would land batch-clock data and its event-time backfill
+        in DIFFERENT day= directories, breaking the module's
+        same-directories promise. ``batch_time`` (the test clock) is
+        interpreted as UTC."""
         if self.timestamp_field is None:
-            return F.lit(self.batch_time or datetime.now(timezone.utc).replace(tzinfo=None))
+            now = self.batch_time or datetime.now(timezone.utc)
+            if now.tzinfo is None:
+                now = now.replace(tzinfo=timezone.utc)
+            return F.to_timestamp(F.from_unixtime(F.lit(int(now.timestamp()))))
         c = F.col(self.timestamp_field)
         return F.coalesce(
             F.to_timestamp(c),
@@ -346,10 +367,29 @@ class FileWriter:
             # exactly the bytes each rotated file will hold
             max_records = self._rotate_records(df, record_cols)
         line = serialize_line(record_cols, self.separator)
-        out = df.select(*partition_cols, line.alias("value")) if partition_cols else df.select(line.alias("value"))
+        # the text source doesn't care what the single data column is
+        # called, so dodge a record field named 'value' used as
+        # partition_by (a duplicate name would be an ambiguous-column
+        # AnalysisException at partitionBy time)
+        line_col = "value"
+        while line_col in partition_cols:
+            line_col = "_" + line_col
+        out = (
+            df.select(*partition_cols, line.alias(line_col))
+            if partition_cols
+            else df.select(line.alias(line_col))
+        )
         writer = out.write.mode(self.mode).option(
             "compression", self._codec_option(df.sparkSession)
         )
+        if self.mode == "overwrite" and partition_cols:
+            # dynamic, not static: a static overwrite DELETES THE WHOLE
+            # SINK ROOT first, so Tuesday's day=14 backfill would wipe
+            # Monday's day=15 tree before writing — the opposite of the
+            # documented 'backfill lands in the same directories'
+            # semantics. Dynamic replaces only the partitions this
+            # batch actually carries.
+            writer = writer.option("partitionOverwriteMode", "dynamic")
         if self.compression == "zstd":
             # per-JOB level: file-source options overlay the job's Hadoop
             # conf (SessionState.newHadoopConfWithOptions), so concurrent

@@ -71,6 +71,8 @@ class ListSource:
         #: LocalStack/moto endpoint for tests; "" = real AWS
         self.s3_endpoint_url = s3_endpoint_url
         self._spool = tempfile.mkdtemp(prefix="baker_spark_stdin_")
+        #: set once by the first _spool_stdin (stdin can't be re-read)
+        self._stdin_spool: str | None = None
         #: http(s) URLs split out by resolve() for the bakerhttp source
         self._http_urls: list[str] = []
         #: ListObjectsV2 page size (the API max, input/list.go:313);
@@ -78,15 +80,20 @@ class ListSource:
         self._s3_page_size = 1000
 
     def _spool_stdin(self) -> str:
-        # unique file per call: a fixed name opened 'wb' would TRUNCATE
-        # the spool a previously-built (lazy) DataFrame still points at
-        # — its later action would silently read zero records
-        import uuid
+        # spooled ONCE per source: stdin is exhausted by the first read,
+        # so a second resolve() (df rebuilt for a count, then for the
+        # real write) would spool an EMPTY file and the scan would
+        # silently return zero records. The single spool file is never
+        # rewritten, so lazy DataFrames built from an earlier resolve()
+        # keep reading valid bytes too.
+        if self._stdin_spool is None:
+            import uuid
 
-        local = os.path.join(self._spool, f"stdin-{uuid.uuid4().hex[:12]}")
-        with open(local, "wb") as fh:
-            fh.write(sys.stdin.buffer.read())
-        return local
+            local = os.path.join(self._spool, f"stdin-{uuid.uuid4().hex[:12]}")
+            with open(local, "wb") as fh:
+                fh.write(sys.stdin.buffer.read())
+            self._stdin_spool = local
+        return self._stdin_spool
 
     def resolve(self) -> list[str]:
         """Expand @listfiles, directories, schemes -> concrete paths.
@@ -124,6 +131,17 @@ class ListSource:
                     # exactly like the reference (input/list.go:298-348
                     # matches `*obj.Key`, not the bucket-qualified URL)
                     out.extend(self._expand_s3_prefix(item))
+                elif self.match_path is not None and self._s3_is_prefix(item):
+                    # a directory given WITHOUT the trailing slash:
+                    # handing it to the reader as a path would
+                    # recursiveFileLookup every nested object with
+                    # MatchPath silently never applied — the local-dir
+                    # branch filters the no-slash form (os.path.isdir
+                    # doesn't care), so the s3 form must too. One
+                    # ListObjectsV2 probe decides object-vs-prefix; only
+                    # reached when match_path is set, so plain object
+                    # lists never touch boto3.
+                    out.extend(self._expand_s3_prefix(item + "/"))
                 else:
                     out.append("s3a://" + item[len("s3://") :])
             else:
@@ -137,6 +155,30 @@ class ListSource:
                 else:
                     out.append(path)
         return out
+
+    def _s3_client(self, item: str):
+        kw: dict = {"region_name": self.region}
+        if self.s3_endpoint_url:
+            kw["endpoint_url"] = self.s3_endpoint_url
+        try:
+            import boto3  # type: ignore
+        except ImportError as e:  # pragma: no cover — boto3 baked in here
+            raise RuntimeError(
+                f"listing remote directory {item!r} requires boto3; "
+                "list concrete s3:// objects (or an @listfile) instead"
+            ) from e
+        return boto3.client("s3", **kw)
+
+    def _s3_is_prefix(self, item: str) -> bool:
+        """True when ``s3://bucket/key`` (no trailing slash) is a
+        DIRECTORY — i.e. at least one object lives under ``key/``. One
+        MaxKeys=1 listing on the driver."""
+        rest = item[len("s3://") :]
+        bucket, _, key = rest.partition("/")
+        resp = self._s3_client(item).list_objects_v2(
+            Bucket=bucket, Prefix=key.rstrip("/") + "/", MaxKeys=1
+        )
+        return bool(resp.get("Contents"))
 
     def _expand_s3_prefix(self, item: str) -> list[str]:
         """``s3://bucket/prefix/`` -> concrete ``s3a://bucket/key`` paths.
@@ -154,17 +196,7 @@ class ListSource:
         """
         rest = item[len("s3://") :]
         bucket, _, prefix = rest.partition("/")
-        kw: dict = {"region_name": self.region}
-        if self.s3_endpoint_url:
-            kw["endpoint_url"] = self.s3_endpoint_url
-        try:
-            import boto3  # type: ignore
-        except ImportError as e:  # pragma: no cover — boto3 baked in here
-            raise RuntimeError(
-                f"listing remote directory {item!r} requires boto3; "
-                "list concrete s3:// objects (or an @listfile) instead"
-            ) from e
-        client = boto3.client("s3", **kw)
+        client = self._s3_client(item)
         out: list[str] = []
         token: str | None = None
         while True:

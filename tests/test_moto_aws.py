@@ -437,3 +437,40 @@ def test_list_source_matchpath_on_s3_prefix(endpoint):
         s3_endpoint_url=endpoint,
     )
     assert src_one.resolve() == [f"s3a://{bucket}/logs/checkpoint.json"]
+
+
+def test_list_source_matchpath_on_noslash_s3_prefix(endpoint):
+    """A directory given WITHOUT the trailing slash must not silently
+    bypass MatchPath (the local-dir branch filters the no-slash form via
+    os.path.isdir, so the s3 form must match): with match_path set, one
+    MaxKeys=1 probe decides object-vs-prefix and a prefix expands
+    filtered; a genuine object path stays a concrete s3a path."""
+    s3 = boto3.client("s3", region_name="us-west-2", endpoint_url=endpoint)
+    bucket = f"moto-nsl-{uuid.uuid4().hex[:8]}"
+    s3.create_bucket(
+        Bucket=bucket,
+        CreateBucketConfiguration={"LocationConstraint": "us-west-2"},
+    )
+    for k in ("logs/a.log.gz", "logs/skip.txt", "logs/b.log.gz"):
+        s3.put_object(Bucket=bucket, Key=k, Body=b"x")
+
+    from baker_spark.sources.list_source import ListSource
+
+    src = ListSource(
+        files=[f"s3://{bucket}/logs"],  # no trailing slash
+        fields=["f0"],
+        match_path=r".*\.log\.gz",
+        s3_endpoint_url=endpoint,
+    )
+    assert src.resolve() == [
+        f"s3a://{bucket}/logs/a.log.gz",
+        f"s3a://{bucket}/logs/b.log.gz",
+    ]
+    # a concrete object given with match_path set is still an object
+    src_obj = ListSource(
+        files=[f"s3://{bucket}/logs/skip.txt"],
+        fields=["f0"],
+        match_path=r".*\.log\.gz",
+        s3_endpoint_url=endpoint,
+    )
+    assert src_obj.resolve() == [f"s3a://{bucket}/logs/skip.txt"]

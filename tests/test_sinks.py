@@ -415,3 +415,50 @@ def test_s3_upload_drains_and_skips_staging_dirs(tmp_path):
     assert not (staging / "good.gz").exists()  # drained
     assert (staging / "bad.gz").exists()  # failed file left for next pass
     assert up.run() == []  # nothing re-uploaded except the retrying bad.gz
+
+
+def test_filewriter_partition_overwrite_is_dynamic(spark, tmp_path):
+    """A backfill in the default overwrite mode must replace ONLY the
+    partitions it carries: static overwrite deletes the whole sink root
+    first, wiping every other day's tree — the opposite of the module's
+    'backfill lands in the same directories' promise."""
+    from baker_spark.sinks.filewriter import FileWriter
+
+    out = str(tmp_path / "out")
+    w = FileWriter(
+        path=out, time_partitions=["Year", "Month", "Day"], timestamp_field="ts"
+    )
+    w.write(spark.createDataFrame([("2024-03-15 01:00:00", "mon")], ["ts", "v"]))
+    w.write(spark.createDataFrame([("2024-03-14 01:00:00", "backfill")], ["ts", "v"]))
+    assert os.path.isdir(os.path.join(out, "year=2024/month=03/day=15"))
+    assert os.path.isdir(os.path.join(out, "year=2024/month=03/day=14"))
+    # and re-overwriting an existing day replaces just that day
+    w.write(spark.createDataFrame([("2024-03-15 02:00:00", "mon2")], ["ts", "v"]))
+    back = spark.read.text(out + "/year=2024/month=03/day=15")
+    assert [r["value"] for r in back.collect()] == ["2024-03-15 02:00:00,mon2"]
+
+
+def test_filewriter_partition_by_value_field(spark, tmp_path):
+    """A record field literally named 'value' used as Field0 must work:
+    the serialized-line column dodges the name instead of colliding into
+    an ambiguous-reference AnalysisException."""
+    from baker_spark.sinks.filewriter import FileWriter
+
+    df = spark.createDataFrame([("a", "1"), ("b", "2")], ["value", "x"])
+    out = str(tmp_path / "byval")
+    FileWriter(path=out, partition_by="value").write(df)
+    assert os.path.isdir(os.path.join(out, "value=a"))
+    assert os.path.isdir(os.path.join(out, "value=b"))
+
+
+def test_filewriter_rejects_bad_zstd_config():
+    """zstd knobs fail at construction like gzip_level does — not
+    mid-write inside the job."""
+    import pytest
+
+    from baker_spark.sinks.filewriter import FileWriter
+
+    with pytest.raises(ValueError, match="zstd_level"):
+        FileWriter(path="/tmp/x.zst", zstd_level=25)
+    with pytest.raises(ValueError, match="zstd_window_log"):
+        FileWriter(path="/tmp/x.zst", zstd_window_log=5)
