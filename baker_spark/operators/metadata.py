@@ -35,7 +35,11 @@ def _last_modified(df: DataFrame) -> Column:
     # whole job with UNRESOLVED_COLUMN — MetadataUrl already degrades
     # this way because input_file_name() just returns ''
     try:
-        df.select(F.col("_metadata.file_modification_time"))
+        # .schema forces ANALYSIS: under Spark Connect, select() only
+        # builds a client-side plan and raises nothing, so without it
+        # the probe always "succeeds" and the unresolvable column kills
+        # the real job at action time
+        df.select(F.col("_metadata.file_modification_time")).schema
     except Exception:
         return F.lit(None).cast("timestamp")
     return F.col("_metadata.file_modification_time")

@@ -88,7 +88,13 @@ class ExternalMatch(Operator):
         if isinstance(v, DataFrame):
             vdf = v.toDF("_bk_match")
         elif v is not None:
-            vdf = spark.createDataFrame([(str(x),) for x in v], ["_bk_match"])
+            # schema EXPLICIT: an empty values iterable (a refresh
+            # callable's off cycle, an empty external list) must match
+            # nothing like the reference's empty set does — inference
+            # over zero rows raises CANNOT_INFER_EMPTY_SCHEMA instead
+            vdf = spark.createDataFrame(
+                [(str(x),) for x in v], "_bk_match string"
+            )
         elif self.files:
             raw = spark.read.csv(list(self.files))
             col = raw.columns[self.csv_column]

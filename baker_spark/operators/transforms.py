@@ -313,15 +313,26 @@ class FormatTime(Operator):
     def _parse(self, col: Column) -> Column:
         fmt = self.src_format
         if fmt in _EPOCH_FORMATS:
-            n = col.cast("long")
+            # ParseInt strictness (format_time.go:156): the reference
+            # REJECTS "1700000000.9" / " 17 " and clears dst; a bare
+            # non-ANSI cast would happily truncate them to an epoch.
+            # Same rlike guard TimestampRange uses for the same reason.
+            strict = F.when(col.rlike("^-?[0-9]+$"), col).otherwise(
+                F.lit(None).cast("string")
+            )
+            n = strict.cast("long")
             if fmt == "unix":
                 return F.timestamp_seconds(n)
             if fmt == "unixms":
                 return F.timestamp_millis(n)
-            # BIGINT `div`, not `/`: ns epochs exceed double's exact range
-            return F.timestamp_micros(
-                F.expr(f"CAST(`{self.src}` AS BIGINT) div 1000")
-            )
+            # exact BIGINT-scale division via DECIMAL, not `/`: ns
+            # epochs (~2^61) exceed double's 2^53 exact range, and a
+            # double roundtrip can shift values near a boundary. Built
+            # from `n` (the guarded column), not an F.expr respelling
+            # of the field name — that ignored the guard and broke on
+            # names containing backticks.
+            micros = (n.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+            return F.timestamp_micros(micros)
         pattern = GO_LAYOUTS.get(fmt) or _go_layout_to_java(fmt)
         # Spark 3+ forbids day-of-week tokens in PARSE patterns
         # (E is format-only; to_timestamp('EEE ...') throws
@@ -347,7 +358,33 @@ class FormatTime(Operator):
             col = F.when(
                 col.rlike(strip), F.regexp_replace(col, strip, "")
             ).otherwise(F.lit(None).cast("string"))
-        if fmt in _GO_SPACE_PAD_DAY:
+        # CUSTOM layouts can also carry a mid-pattern weekday
+        # ("2006-01-02 Mon 15:04"): the anchored branches above only
+        # cover the named layouts' leading forms, and any E token left
+        # in a PARSE pattern throws DATETIME_PATTERN_RECOGNITION before
+        # seeing data. Drop the token wherever it sits and strip the
+        # weekday name (plus one adjacent space) from the input — a
+        # time string carries at most one weekday, so the global
+        # regexp_replace is safe.
+        for tok, names in (("EEEE", dow_full), ("EEE", dow)):
+            if tok in pattern:
+                if f"{tok} " in pattern:
+                    pattern = pattern.replace(f"{tok} ", "", 1)
+                    rx = f"{names} "
+                elif f" {tok}" in pattern:
+                    pattern = pattern.replace(f" {tok}", "", 1)
+                    rx = f" {names}"
+                else:
+                    pattern = pattern.replace(tok, "", 1)
+                    rx = names
+                col = F.when(
+                    col.rlike(rx), F.regexp_replace(col, rx, "")
+                ).otherwise(F.lit(None).cast("string"))
+        # Go's _2 space-pads days < 10: collapse runs for the NAMED
+        # layouts that use it AND any custom layout containing _2 (the
+        # membership test alone silently skipped custom strings, so
+        # "Jan  2 ..." input failed to parse for days 1-9)
+        if fmt in _GO_SPACE_PAD_DAY or "_2" in fmt:
             col = F.regexp_replace(col, "  +", " ")
         return F.to_timestamp(col, pattern)
 
@@ -518,7 +555,16 @@ class ReplaceFields(Operator):
 class Slice(Operator):
     """Byte-slice src[start:end) into dst, clamped
     (/root/reference/filter/slice.go:9-87). Byte (not char) semantics are
-    preserved by slicing the UTF-8 encoding."""
+    preserved by slicing the UTF-8 encoding — offsets and clamping are
+    byte-exact.
+
+    DOCUMENTED DEVIATION: a slice boundary that cuts a multibyte
+    character mid-sequence yields U+FFFD for the torn bytes where the
+    reference (whose fields are raw []byte) carries the partial bytes
+    verbatim. Spark string columns are validated UTF-8, so raw torn
+    bytes cannot ride a string field; every slice landing on character
+    boundaries — including all-ASCII data, the reference's log domain —
+    is byte-identical."""
 
     name = "Slice"
 

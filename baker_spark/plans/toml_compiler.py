@@ -256,10 +256,15 @@ def _build_sink(section: dict, separator: str):
     if name == "filewriter":
         path = cfg.get("path_string", cfg.get("pathstring", "_out"))
         # reference semantics (filewriter.go:257): gzip unless the path
-        # says .zst/.zstd — zstd rides the compiled bakerspark codec jar
-        # (tools/build_zstd_codec.sh); FileWriter.__post_init__ applies
-        # the same extension rule, so compression=None delegates to it
-        compression = None
+        # says .zst/.zstd. Detected from the FULL PathString here, not
+        # left to FileWriter.__post_init__: a time-templated path's
+        # FileWriter only ever sees the pre-placeholder base DIRECTORY
+        # ("/out" from "/out/{{.Year}}/log.zst"), which never carries
+        # the extension — delegating would silently compile the zstd
+        # config to gzip output.
+        compression = (
+            "zstd" if path.rstrip("/").endswith((".zst", ".zstd")) else "gzip"
+        )
         zstd_level = int(cfg.get("zstd_compression_level", 0)) or 3
         # ZstdWindowLog (filewriter.go:99): long-range mode, 0=off
         zstd_window_log = int(cfg.get("zstd_window_log", 0))
@@ -330,7 +335,12 @@ def _build_sink(section: dict, separator: str):
         )
     if name == "stats":
         return Stats(
-            fields=cfg.get("fields", []),
+            # the frequency-tracked fields are the TOPOLOGY-level
+            # [output] fields list (stats.go:258 iterates cfg.Fields of
+            # OutputParams), same as FileWriter/WebSocket — reading them
+            # from [output.config] left the per-field sections of a
+            # reference TOML's report silently empty
+            fields=section.get("fields") or cfg.get("fields", []),
             timestamp_field=cfg.get("timestamp_field"),
             separator=separator,
             # StatsConfig.CSVPath (output/stats.go:31, default stats.csv);

@@ -1135,3 +1135,55 @@ def test_jpeg_decode_crosses_idct_chunk_boundary(spark):
     assert (w, h, ch) == (608, 608, 1)
     got = np.frombuffer(bytes(px), dtype=np.uint8).astype(int).reshape(608, 608)
     assert np.abs(got - img.astype(int)).max() <= 1
+
+
+def test_format_time_epoch_parse_is_strict(spark):
+    """ParseInt strictness (format_time.go:156): '1700000000.9' and
+    ' 17 ' must clear dst, not truncate-cast to an epoch — the same
+    rlike guard TimestampRange always had."""
+    df = make_df(
+        spark,
+        [("1700000000",), ("1700000000.9",), (" 17 ",), ("-1",)],
+        ["ts"],
+    )
+    out = ops.FormatTime(
+        src_field="ts", dst_field="d", src_format="unix", dst_format="DateTime"
+    ).apply(df)
+    got = {r.ts: r.d for r in out.collect()}
+    assert got["1700000000"] == "2023-11-14 22:13:20"
+    assert got["1700000000.9"] == ""
+    assert got[" 17 "] == ""
+    assert got["-1"] == "1969-12-31 23:59:59"  # negative epochs are valid ints
+
+
+def test_format_time_custom_layout_space_pad_and_mid_weekday(spark):
+    """Custom Go layouts (not just the named ones) must honor _2
+    space-padding and weekday tokens ANYWHERE in the pattern — Spark
+    forbids E in parse patterns, so the weekday is stripped from
+    pattern and input wherever it sits."""
+    # custom layout with _2: day < 10 arrives double-spaced
+    df = make_df(spark, [("Jan  2 15:04:05",), ("Jan 12 15:04:05",)], ["t"])
+    out = ops.FormatTime(
+        src_field="t", dst_field="d", src_format="Jan _2 15:04:05", dst_format="unix"
+    ).apply(df)
+    got = [r.d for r in out.collect()]
+    assert "" not in got and len(set(got)) == 2
+    # custom layout with a MID-pattern weekday
+    df2 = make_df(spark, [("2024-03-05 Tue 06:07",)], ["t"])
+    out2 = ops.FormatTime(
+        src_field="t",
+        dst_field="d",
+        src_format="2006-01-02 Mon 15:04",
+        dst_format="unix",
+    ).apply(df2)
+    assert out2.collect()[0].d == "1709618820"
+
+
+def test_externalmatch_empty_values_matches_nothing(spark, generic):
+    """An empty values iterable must behave like the reference's empty
+    set (keep_on_match drops everything, anti keeps everything) — not
+    crash on CANNOT_INFER_EMPTY_SCHEMA."""
+    kept = ops.ExternalMatch(field_name="f1", values=[], keep_on_match=True).apply(generic)
+    assert kept.count() == 0
+    anti = ops.ExternalMatch(field_name="f1", values=[], keep_on_match=False).apply(generic)
+    assert anti.count() == generic.count()

@@ -881,3 +881,54 @@ name="FileWriter"
     # long-range frames
     back = spark.read.text(parts).count()
     assert back == 4
+
+
+def test_templated_zst_pathstring_compiles_to_zstd():
+    """A time-templated PathString ending in .zst must compile to zstd:
+    the template parser hands FileWriter only the pre-placeholder base
+    DIRECTORY, which never carries the extension, so leaving detection
+    to __post_init__ silently produced gzip where the config demanded
+    zstd (filewriter.go:257 extension rule)."""
+    toml = """
+[fields]
+names = ["a", "b"]
+
+[input]
+name = "List"
+[input.config]
+files = ["/dev/null"]
+
+[output]
+name = "FileWriter"
+procs = 1
+fields = ["a", "b"]
+[output.config]
+pathstring = "/tmp/zt/{{.Year}}/{{.Month}}/log-{{.Index}}.zst"
+"""
+    pipe = compile_toml(toml)
+    assert pipe.sink.compression == "zstd"
+    assert pipe.sink.time_partitions == ["Year", "Month"]
+
+
+def test_stats_fields_come_from_topology_level_output_fields():
+    """stats.go:258 iterates the topology-level [output] fields list for
+    the per-field frequency sections — reading them from [output.config]
+    left a reference TOML's report sections silently empty."""
+    toml = """
+[fields]
+names = ["a", "b", "c"]
+
+[input]
+name = "List"
+[input.config]
+files = ["/dev/null"]
+
+[output]
+name = "Stats"
+procs = 1
+fields = ["a", "b"]
+[output.config]
+CountEmptyFields = true
+"""
+    pipe = compile_toml(toml)
+    assert pipe.sink.fields == ["a", "b"]
