@@ -136,19 +136,21 @@ _TS_DUCK = "TIMESTAMP '2026-01-01 00:00:00' + to_seconds(n_chars % 600)"
 @query(
     "dp_streaming_dedup",
     f"""
-SELECT DISTINCT {text.duck_fingerprint('text')} AS fp,
-       CAST(floor(epoch({_TS_DUCK})) AS BIGINT) AS sec
-FROM documents
+SELECT DISTINCT {text.duck_fingerprint('text')} AS fp FROM documents
 """,
 )
 def dp_streaming_dedup(spark, sf_dir):
-    """StreamingDedup (watermark-bounded dropDuplicates — the
-    documented deviation from the reference's grow-forever dedup set,
-    streaming/daemon.py) replayed over 3 ordered micro-batches of the
-    documents table: the surviving (fp, event-time) set must equal the
-    batch DISTINCT. Projected to the dedup key BEFORE the operator so
-    the survivor row is deterministic (dropDuplicates keeps an
-    arbitrary first-arrival row otherwise)."""
+    """StreamingDedup (watermark-bounded dropDuplicatesWithinWatermark —
+    the documented deviation from the reference's grow-forever dedup
+    set, streaming/daemon.py) replayed over 3 ordered micro-batches of
+    the documents table: the surviving fp set must equal the batch
+    DISTINCT of the dedup FIELDS — the key is the fields alone
+    (dedup.go:60), so a redelivery with a shifted event time still
+    drops; the event-time column rides along only for the watermark.
+    Returning fp (not the survivor's timestamp) keeps the row
+    deterministic: which arrival survives within a micro-batch is not,
+    and this corpus has rolling-hash fp collisions across texts with
+    different lengths (hence different synthesized event times)."""
     from baker_spark.streaming.daemon import StreamingDedup
 
     docs = load_table(spark, sf_dir, "documents")
@@ -171,9 +173,7 @@ def dp_streaming_dedup(spark, sf_dir):
         # the memory sink holds the result rows driver-side; the staged
         # arrivals are fully consumed once the stream drains
         shutil.rmtree(stream_dir, ignore_errors=True)
-    return spark.table(name).select(
-        "fp", F.unix_timestamp("ts").alias("sec")
-    )
+    return spark.table(name).select("fp")
 
 
 @query(

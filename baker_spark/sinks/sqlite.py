@@ -62,24 +62,12 @@ class SQLiteWriter:
         pre, post = list(self.pre_run), list(self.post_run)
         journal, vacuum = self.journal_mode, self.vacuum
         clear, page_size = self.clear, self.page_size
-        if clear and "{shard}" not in path and df.rdd.getNumPartitions() > 1:
-            # several partitions writing ONE file: a per-partition
-            # DELETE would race other partitions' inserts and keep only
-            # the last committer's rows — truncate once, driver-side
-            import sqlite3 as _sq
-
-            conn = _sq.connect(path)
-            try:
-                row = conn.execute(
-                    "SELECT name FROM sqlite_master WHERE type='table' AND name=?",
-                    (table,),
-                ).fetchone()
-                if row:
-                    conn.execute(f'DELETE FROM "{table}"')
-                    conn.commit()
-            finally:
-                conn.close()
-            clear = False
+        # no driver-side truncate needed: the non-{shard} path is always
+        # coalesced to ONE partition above (single-writer SQLite), so
+        # the per-partition Clear can never race another partition's
+        # inserts — a multi-partition truncate guard here would be dead
+        # code (the old one tested getNumPartitions() > 1 AFTER the
+        # coalesce and never fired)
 
         def write_partition(rows):
             import sqlite3

@@ -207,6 +207,12 @@ class Stats:
             dt = datetime.datetime.fromtimestamp(int(v), tz=datetime.timezone.utc)
             return dt.strftime("%Y-%m-%d %H:%M:%S +0000 UTC")
 
+        # the first cell is the VALID count despite the header's
+        # "(valid+invalid+empty)" claim: the reference prints
+        # s.qt.Count() — only parseable timestamps enter the quantile
+        # stream (stats.go:180-192,211) — under this exact header
+        # string. The header is wrong IN THE REFERENCE; the golden
+        # report mirrors its bytes, misleading label included.
         header = (
             ["num timestamps (valid+invalid+empty)", "num errors", "num empty", "first"]
             + _QUANT_HEADERS

@@ -84,7 +84,16 @@ class StreamingDedup(Operator):
     DOCUMENTED DEVIATION from the reference: its dedup set grows without
     bound and eventually OOMs (dedup.go:14-21 says so itself). Here state
     is evicted once ``delay`` older than the event-time watermark — the
-    semantics the reference never defined."""
+    semantics the reference never defined.
+
+    The dedup KEY is ``fields`` alone, like the reference's
+    (dedup.go:60 keys on the configured fields): via
+    ``dropDuplicatesWithinWatermark``, which is what makes
+    fields-only keys legal under a watermark. Plain
+    ``dropDuplicates(fields)`` can't evict state without the event-time
+    column IN the key — and adding it silently un-dedups the most
+    common duplicate of all, an at-least-once redelivery arriving with
+    a different timestamp."""
 
     name = "StreamingDedup"
 
@@ -92,9 +101,9 @@ class StreamingDedup(Operator):
         self.fields, self.event_time_col, self.delay = list(fields), event_time_col, delay
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.withWatermark(self.event_time_col, self.delay).dropDuplicates(
-            self.fields + [self.event_time_col]
-        )
+        return df.withWatermark(
+            self.event_time_col, self.delay
+        ).dropDuplicatesWithinWatermark(self.fields)
 
 
 def windowed_counts(

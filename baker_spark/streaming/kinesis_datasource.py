@@ -215,7 +215,9 @@ class KinesisStreamReader(DataSourceStreamReader):
         #: committed backlog exceeds one trigger budget re-admits up to
         #: one probe window (at-least-once); with a lease, resume is
         #: exact.
-        self._tips: dict[str, int | None] = {}
+        self._tips: dict[str, int | str | None] = {}
+        #: rotating head for the per-trigger budget (see latestOffset)
+        self._rr = 0
         #: shard -> first sequence number ever admitted for shards that
         #: started in unseeded-latest mode (no prior concrete position);
         #: carried in offsets so a WAL replay can AT_SEQUENCE_NUMBER it
@@ -257,8 +259,20 @@ class KinesisStreamReader(DataSourceStreamReader):
 
     # --- driver-side planning -------------------------------------------
     def _shards(self) -> list[str]:
-        desc = self.client().describe_stream(StreamName=self._stream)
-        shards = [s["ShardId"] for s in desc["StreamDescription"]["Shards"]]
+        # PAGINATED: describe_stream returns at most 100 shards per call
+        # plus HasMoreShards — a single call on a 128-shard stream (the
+        # module docstring's own sizing example) would silently plan
+        # only the first page and never read the rest
+        c = self.client()
+        shards: list[str] = []
+        kw: dict = {"StreamName": self._stream}
+        while True:
+            desc = c.describe_stream(**kw)["StreamDescription"]
+            page = [s["ShardId"] for s in desc["Shards"]]
+            shards.extend(page)
+            if not desc.get("HasMoreShards") or not page:
+                break
+            kw = {"StreamName": self._stream, "ExclusiveStartShardId": page[-1]}
         if self._shard_filter is not None:
             # a filter entry matching NO live shard is a typo (or a
             # shard aged past retention): the reader would silently
@@ -305,7 +319,14 @@ class KinesisStreamReader(DataSourceStreamReader):
         c = self.client()
         if isinstance(c, DirStreamClient):
             return c._count(shard) - 1
-        return None  # pragma: no cover — unseeded-latest on real Kinesis
+        # real Kinesis has no tip query. A bare LATEST iterator cannot
+        # be the seed: iterators expire in minutes and a FRESH LATEST
+        # iterator per trigger only returns records written after its
+        # own issuance — records landing BETWEEN triggers would never be
+        # admitted by any batch. Pin the start as a timestamp instead:
+        # every probe until the first record uses AT_TIMESTAMP(seed),
+        # which replays everything since the pin.
+        return f"t:{time.time()}"  # pragma: no cover — real-service path
 
     def initialOffset(self) -> dict:
         return {"shards": {s: self._seed(s) for s in self._shards()}}
@@ -313,11 +334,22 @@ class KinesisStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         budget = self._max_per_trigger
         c = self.client()
-        for shard in self._shards():
+        shards = self._shards()
+        # ROTATE who drinks the budget first: a fixed sorted order lets
+        # one hot early shard exhaust max_records_per_trigger every
+        # trigger and starve the rest indefinitely (their tips never
+        # advance while backlog grows). Rotation gives each shard the
+        # front of the line once per cycle — Kafka's maxOffsetsPerTrigger
+        # apportions for the same reason.
+        if shards:
+            rot = self._rr % len(shards)
+            self._rr += 1
+            shards = shards[rot:] + shards[:rot]
+        for shard in shards:
             if shard not in self._tips:
                 seed = self._seed(shard)
                 self._tips[shard] = seed
-                if seed is not None and seed >= 0:
+                if isinstance(seed, int) and seed >= 0:
                     # discovered mid-stream under LATEST: journal the
                     # discovery tip so partitions() can bound this
                     # shard's first slice (see _seeded)
@@ -325,7 +357,13 @@ class KinesisStreamReader(DataSourceStreamReader):
             if budget <= 0:
                 continue
             tip = self._tips[shard]
-            if tip is None:  # pragma: no cover — unseeded-latest, real svc
+            if isinstance(tip, str):  # pragma: no cover — pinned LATEST
+                it = c.get_shard_iterator(
+                    StreamName=self._stream, ShardId=shard,
+                    ShardIteratorType="AT_TIMESTAMP",
+                    Timestamp=float(tip[2:]),
+                )["ShardIterator"]
+            elif tip is None:  # pragma: no cover — legacy unseeded marker
                 it = c.get_shard_iterator(
                     StreamName=self._stream, ShardId=shard,
                     ShardIteratorType="LATEST",
@@ -362,7 +400,8 @@ class KinesisStreamReader(DataSourceStreamReader):
                     it = resp.get("NextShardIterator")
                     continue
                 empty_pages = 0
-                if self._tips[shard] is None:  # pragma: no cover
+                if not isinstance(self._tips[shard], int):  # pragma: no cover
+                    # first records under (pinned or legacy) LATEST
                     self._first[shard] = int(recs[0]["SequenceNumber"])
                 self._tips[shard] = int(recs[-1]["SequenceNumber"])
                 budget -= len(recs)
@@ -379,10 +418,12 @@ class KinesisStreamReader(DataSourceStreamReader):
         first = end.get("first", {})
         seeded = end.get("seeded", {})
         for shard, tip in end.get("shards", {}).items():
-            if tip is None:
+            if not isinstance(tip, int):
                 continue  # unseeded-latest shard with nothing admitted yet
             if shard in starts:
                 lo = starts[shard]
+                if isinstance(lo, str):
+                    lo = None  # pinned-LATEST marker: same as legacy None
             else:
                 # shard absent from the start offset = discovered
                 # mid-stream during this batch's planning: its lower
@@ -395,7 +436,7 @@ class KinesisStreamReader(DataSourceStreamReader):
             # budget-bounded re-probe can never plan a regressed slice
             cur = self._tips.get(shard)
             floor = max(tip, lo if isinstance(lo, int) else -1)
-            if cur is None or (isinstance(cur, int) and cur < floor):
+            if not isinstance(cur, int) or cur < floor:
                 self._tips[shard] = floor
             if lo is None:
                 # the shard's first concrete batch under LATEST: start

@@ -16,6 +16,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _sql_type(df: DataFrame, col: str) -> str:
+    """The column's actual SQL type string — output schemas must echo
+    the INPUT's key/ts types. Hard-coding ``string`` broke every
+    non-string key at Arrow conversion time (the update fn emits the
+    raw key value) and silently retyped columns for downstream
+    consumers."""
+    return df.schema[col].dataType.simpleString()
+
+
 def running_counter(
     df: DataFrame,
     key_col: str,
@@ -31,7 +40,10 @@ def running_counter(
     the updated running values.
     """
 
-    out_schema = f"{key_col} string, batch_rows long, running_count long, running_sum double"
+    out_schema = (
+        f"{key_col} {_sql_type(df, key_col)}, "
+        "batch_rows long, running_count long, running_sum double"
+    )
     state_schema = "count long, total double"
 
     def update(
@@ -82,7 +94,10 @@ def session_aggregator(
     would never see the stream go idle.
     """
 
-    out_schema = f"{key_col} string, session_start long, session_end long, n_events long"
+    out_schema = (
+        f"{key_col} {_sql_type(df, key_col)}, "
+        "session_start long, session_end long, n_events long"
+    )
     state_schema = "start long, last long, n long"
 
     def update(
@@ -167,7 +182,7 @@ def ttl_dedup(
     Emits passing rows (append semantics).
     """
 
-    out_schema = f"{key_col} string, {ts_col} long"
+    out_schema = f"{key_col} {_sql_type(df, key_col)}, {ts_col} {_sql_type(df, ts_col)}"
     state_schema = "last_emit long"
 
     def update(

@@ -104,7 +104,11 @@ class TCPGzipListener:
         top = 0
         try:
             for name in os.listdir(spool_dir):
-                m = re.fullmatch(r"tcp-(\d{8})\.csv(\.gz)?", name)
+                # {8,}, not {8}: f"{seq:08d}" widens past 99,999,999,
+                # and a resume that can't SEE 9-digit spools would
+                # restart the counter and rename onto published names —
+                # the exact loss this scan exists to prevent
+                m = re.fullmatch(r"tcp-(\d{8,})\.csv(\.gz)?", name)
                 if m:
                     top = max(top, int(m.group(1)))
         except FileNotFoundError:

@@ -460,3 +460,49 @@ Prefix="pre"
     finally:
         q.stop()
     assert n_first >= 1 and len(sent) > n_first  # uploads ran per batch
+
+
+def test_streaming_dedup_drops_redelivery_with_different_ts(spark, tmp_path):
+    """The dedup KEY is the configured fields ALONE (dedup.go:60): an
+    at-least-once redelivery arriving with a DIFFERENT timestamp is
+    still the same record and must drop. Keying on fields+ts (the old
+    shape, forced by plain dropDuplicates' watermark rules) silently
+    passed both copies — dropDuplicatesWithinWatermark is what makes
+    fields-only keys legal under a watermark."""
+    import os
+
+    from baker_spark.streaming.daemon import StreamingDedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    df0 = spark.createDataFrame(
+        [
+            ("u1", "/a", "2026-01-01 00:00:00"),
+            ("u1", "/a", "2026-01-01 00:00:05"),  # redelivery, 5s later
+            ("u2", "/b", "2026-01-01 00:00:01"),
+        ],
+        "user string, url string, ts_s string",
+    ).select("user", "url", F.col("ts_s").cast("timestamp").alias("ts"))
+    df0.coalesce(1).write.parquet(src + "/b0")
+
+    stream = (
+        spark.readStream.schema("user string, url string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b0")
+    )
+    deduped = StreamingDedup(["user", "url"], event_time_col="ts").apply(stream)
+    name = f"sdd_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = sorted((r.user, r.url) for r in spark.table(name).collect())
+    assert rows == [("u1", "/a"), ("u2", "/b")]

@@ -568,3 +568,71 @@ def test_shard_filter_splits_stream_across_jobs(spark, kstream):
         b"s1-a",
         b"s1-b",
     ]
+
+
+def test_describe_stream_pagination_plans_every_shard(tmp_path):
+    """describe_stream returns at most 100 shards per call; a stream
+    past one page must still plan EVERY shard (a single call silently
+    lost everything after the first page)."""
+    from baker_spark.streaming import kinesis_datasource as K
+
+    class PagingClient(K.DirStreamClient):
+        PAGE = 2
+
+        def describe_stream(self, StreamName, ExclusiveStartShardId=None):
+            all_ = super().describe_stream(StreamName)["StreamDescription"]["Shards"]
+            names = [s["ShardId"] for s in all_]
+            start = 0
+            if ExclusiveStartShardId is not None:
+                start = names.index(ExclusiveStartShardId) + 1
+            page = all_[start : start + self.PAGE]
+            return {
+                "StreamDescription": {
+                    "Shards": page,
+                    "HasMoreShards": start + self.PAGE < len(all_),
+                }
+            }
+
+    root = str(tmp_path / "shards")
+    import os as _os
+
+    _os.makedirs(root)
+    client = PagingClient(root)
+    for i in range(5):  # 3 pages at PAGE=2
+        client.put_record("s", b"x", "pk", ShardId=f"shardId-00000000000{i}")
+
+    reader = K.KinesisStreamReader({"fake_dir": root, "stream": "s"})
+    reader._client = client
+    assert len(reader._shards()) == 5
+
+
+def test_budget_rotation_unstarves_late_shards(tmp_path):
+    """max_records_per_trigger is a SHARED budget: with a hot first
+    shard and fixed iteration order, later shards' tips never advanced.
+    The rotating head must let every shard drink within a cycle."""
+    from baker_spark.streaming import kinesis_datasource as K
+
+    root = str(tmp_path / "shards")
+    import os as _os
+
+    _os.makedirs(root)
+    client = K.DirStreamClient(root)
+    for i in range(40):
+        client.put_record("s", f"a{i}".encode(), "pk", ShardId="shardId-000000000000")
+        client.put_record("s", f"b{i}".encode(), "pk", ShardId="shardId-000000000001")
+
+    reader = K.KinesisStreamReader(
+        {
+            "fake_dir": root,
+            "stream": "s",
+            "initial_position": "TRIM_HORIZON",
+            "max_records_per_trigger": "10",
+        }
+    )
+    reader._client = client
+    reader.initialOffset()
+    reader.latestOffset()  # budget goes to shard 0 first
+    reader.latestOffset()  # rotation puts shard 1 first
+    tips = dict(reader._tips)
+    assert tips["shardId-000000000000"] >= 0
+    assert tips["shardId-000000000001"] >= 0, tips
