@@ -11,6 +11,8 @@ operations a 100 TB text corpus needs.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, functions as F
 
 #: tiny English stopword list shared by langid & quality scoring.
@@ -163,6 +165,212 @@ def duck_quality_sql(expr: str) -> dict[str, str]:
         "quality_ok": (
             f"({n_words} >= 20 AND {n_punct} * 5 <= {n_words} "
             f"AND {mean} BETWEEN 150 AND 1200)"
+        ),
+    }
+
+
+#: the eight Gopher "stop words" (Rae et al. 2021, A1.1): a document
+#: must contain at least two of these to pass the stop-word rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: bullet glyphs for the Gopher bullet-line rule. The paper says
+#: "bullet point"; we pin the concrete set here so Spark and the
+#: oracle can never disagree on what a bullet is.
+GOPHER_BULLETS = ["•", "-", "*"]
+
+
+def _lines(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, "\n", -1)
+
+
+def gopher_rules(col_name: str) -> dict[str, Column]:
+    """The Gopher quality rules (Rae et al. 2021, "Scaling Language
+    Models", Appendix A1.1) — the published filter set FineWeb / Dolma /
+    RedPajama re-implement — as pure integer Catalyst expressions:
+
+    1. word count in [50, 100000]
+    2. mean word length in [3, 10] chars (fixed-point c2: [300, 1000])
+    3. symbol-to-word ratio ('#' or ellipsis) <= 0.1
+    4. <= 90% of lines start with a bullet glyph
+    5. <= 30% of lines end with an ellipsis
+    6. >= 80% of words contain an alphabetic character
+    7. >= 2 distinct Gopher stop words present
+
+    plus the A1.2 repetition signal ``dup_line_frac_c6`` (fraction of
+    lines that are duplicates of an earlier line, micro-fixed-point).
+    Every ratio is cross-multiplied, never divided, so the booleans are
+    integer-exact and hash-match the DuckDB oracle bit for bit. All
+    expressions are narrow (no shuffle): the filter runs at scan
+    parallelism on any corpus size."""
+    w = words(col_name)
+    nw = n_words(col_name).cast("long")
+    n_chars = F.length(F.col(col_name)).cast("long")
+    mean_c2 = F.floor((n_chars - (nw - 1)) * 100 / nw).cast("long")
+    n_sym = (
+        F.regexp_count(F.col(col_name), F.lit("#"))
+        + F.regexp_count(F.col(col_name), F.lit(r"\.\.\."))
+        + F.regexp_count(F.col(col_name), F.lit("…"))
+    ).cast("long")
+    ls = _lines(col_name)
+    # every size() goes through nullif(-1): under the engine's legacy
+    # sizeOfNull setting size(NULL array) is -1 where the DuckDB oracle's
+    # len(NULL) is NULL — same pin as n_words, and -1 is unambiguous
+    # (a real array/filter result size is always >= 0)
+    sz = lambda c: F.nullif(F.size(c), F.lit(-1)).cast("long")  # noqa: E731
+    n_lines = sz(ls)
+    is_bullet = lambda l: reduce(  # noqa: E731
+        lambda acc, b: acc | l.startswith(b), GOPHER_BULLETS, F.lit(False)
+    )
+    n_bullet = sz(F.filter(ls, is_bullet))
+    n_ellipsis = sz(F.filter(ls, lambda l: l.endswith("...") | l.endswith("…")))
+    n_alpha = sz(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    n_stop = sz(
+        F.array_intersect(
+            F.array_distinct(w), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    n_distinct_lines = sz(F.array_distinct(ls))
+    dup_line_frac_c6 = repetition_ratio_c6(n_lines, n_distinct_lines)
+    ok = (
+        nw.between(50, 100000)
+        & mean_c2.between(300, 1000)
+        & (n_sym * 10 <= nw)
+        & (n_bullet * 10 <= n_lines * 9)
+        & (n_ellipsis * 10 <= n_lines * 3)
+        & (n_alpha * 5 >= nw * 4)
+        & (n_stop >= 2)
+    )
+    return {
+        "n_words": nw,
+        "mean_word_len_c2": mean_c2,
+        "n_symbols": n_sym,
+        "n_lines": n_lines,
+        "n_bullet_lines": n_bullet,
+        "n_ellipsis_lines": n_ellipsis,
+        "n_alpha_words": n_alpha,
+        "n_stopwords": n_stop,
+        "dup_line_frac_c6": dup_line_frac_c6,
+        "gopher_ok": ok,
+    }
+
+
+def duck_gopher_sql(expr: str) -> dict[str, str]:
+    """DuckDB twin of :func:`gopher_rules` — identical integer arithmetic."""
+    w = f"string_split({expr}, ' ')"
+    nw = f"len({w})"
+    mean = f"CAST(floor((length({expr}) - ({nw} - 1)) * 100 / {nw}) AS BIGINT)"
+    n_sym = (
+        f"(len(regexp_extract_all({expr}, '#'))"
+        f" + len(regexp_extract_all({expr}, '\\.\\.\\.'))"
+        f" + len(regexp_extract_all({expr}, '…')))"
+    )
+    ls = f"string_split({expr}, chr(10))"
+    n_lines = f"len({ls})"
+    bullet_pred = " OR ".join(f"starts_with(l, '{b}')" for b in GOPHER_BULLETS)
+    n_bullet = f"len(list_filter({ls}, l -> {bullet_pred}))"
+    n_ellipsis = f"len(list_filter({ls}, l -> ends_with(l, '...') OR ends_with(l, '…')))"
+    n_alpha = f"len(list_filter({w}, x -> regexp_matches(x, '[A-Za-z]')))"
+    stop_list = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+    n_stop = f"len(list_intersect(list_distinct({w}), {stop_list}))"
+    n_dl = f"len(list_distinct({ls}))"
+    dup_frac = (
+        f"CAST(CASE WHEN {n_lines} > 0 THEN floor(({n_lines} - {n_dl}) * 1000000 / {n_lines}) "
+        f"ELSE 0 END AS BIGINT)"
+    )
+    return {
+        "n_words": f"CAST({nw} AS BIGINT)",
+        "mean_word_len_c2": mean,
+        "n_symbols": f"CAST({n_sym} AS BIGINT)",
+        "n_lines": f"CAST({n_lines} AS BIGINT)",
+        "n_bullet_lines": f"CAST({n_bullet} AS BIGINT)",
+        "n_ellipsis_lines": f"CAST({n_ellipsis} AS BIGINT)",
+        "n_alpha_words": f"CAST({n_alpha} AS BIGINT)",
+        "n_stopwords": f"CAST({n_stop} AS BIGINT)",
+        "dup_line_frac_c6": dup_frac,
+        "gopher_ok": (
+            f"({nw} BETWEEN 50 AND 100000 AND {mean} BETWEEN 300 AND 1000"
+            f" AND {n_sym} * 10 <= {nw}"
+            f" AND {n_bullet} * 10 <= {n_lines} * 9"
+            f" AND {n_ellipsis} * 10 <= {n_lines} * 3"
+            f" AND {n_alpha} * 5 >= {nw} * 4"
+            f" AND {n_stop} >= 2)"
+        ),
+    }
+
+
+#: terminal punctuation for the C4 line rule (Raffel et al. 2020 §2.2):
+#: a line is retained only if it ends in one of these.
+C4_TERMINALS = [".", "!", "?", '"']
+
+
+def c4_filters(col_name: str, min_line_words: int = 5) -> dict[str, Column]:
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2) as Catalyst
+    expressions. Line level: keep only lines that end in terminal
+    punctuation, have >= ``min_line_words`` words, and don't mention
+    'javascript'. Document level: ``c4_keep`` is false for pages with
+    fewer than 3 sentences after line filtering, pages containing '{'
+    (code), or the string 'lorem ipsum' (placeholder boilerplate).
+
+    ``clean_text`` is the page with dropped lines removed — the actual
+    C4 output artifact. Narrow per-row array ops: the whole filter is
+    one scan-stage projection at any corpus size; the dirty-word list
+    (the paper's remaining rule) plugs in as RegexMatch/StringMatch
+    upstream, which is where the reference handles blocklists."""
+    ls = _lines(col_name)
+    term = lambda l: reduce(  # noqa: E731
+        lambda acc, t: acc | l.endswith(t), C4_TERMINALS, F.lit(False)
+    )
+    keep = lambda l: (  # noqa: E731
+        term(l)
+        & (F.size(F.split(l, " ", -1)) >= min_line_words)
+        & ~F.contains(F.lower(l), F.lit("javascript"))
+    )
+    kept = F.filter(ls, keep)
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(clean, F.lit(r"[.!?]")).cast("long")
+    c4_keep = (
+        (n_sentences >= 3)
+        & ~F.contains(F.col(col_name), F.lit("{"))
+        & ~F.contains(F.lower(F.col(col_name)), F.lit("lorem ipsum"))
+    )
+    sz = lambda c: F.nullif(F.size(c), F.lit(-1)).cast("long")  # noqa: E731
+    return {
+        "clean_text": clean,
+        "n_lines": sz(ls),
+        "n_lines_kept": sz(kept),
+        "n_sentences": n_sentences,
+        "c4_keep": c4_keep,
+    }
+
+
+def duck_c4_sql(expr: str, min_line_words: int = 5) -> dict[str, str]:
+    """DuckDB twin of :func:`c4_filters`."""
+    ls = f"string_split({expr}, chr(10))"
+    term_pred = " OR ".join(
+        "ends_with(l, '" + ('"' if t == '"' else t) + "')" for t in C4_TERMINALS
+    )
+    keep_pred = (
+        f"({term_pred}) AND len(string_split(l, ' ')) >= {min_line_words} "
+        f"AND NOT contains(lower(l), 'javascript')"
+    )
+    kept = f"list_filter({ls}, l -> {keep_pred})"
+    # DuckDB's array_to_string returns NULL for an EMPTY list where
+    # Spark's array_join returns '' — pin them together, but only for
+    # non-NULL text (NULL text stays NULL in both engines)
+    clean = (
+        f"CASE WHEN {expr} IS NULL THEN NULL "
+        f"ELSE coalesce(array_to_string({kept}, chr(10)), '') END"
+    )
+    n_sent = f"len(regexp_extract_all({clean}, '[.!?]'))"
+    return {
+        "clean_text": clean,
+        "n_lines": f"CAST(len({ls}) AS BIGINT)",
+        "n_lines_kept": f"CAST(len({kept}) AS BIGINT)",
+        "n_sentences": f"CAST({n_sent} AS BIGINT)",
+        "c4_keep": (
+            f"({n_sent} >= 3 AND NOT contains({expr}, '{{')"
+            f" AND NOT contains(lower({expr}), 'lorem ipsum'))"
         ),
     }
 

@@ -90,10 +90,16 @@ GATE_ORDER = [
     "q_window_funcs",
     "q_salted_agg",
     "q_anti_join",
-    "q_percentile_by_group",
     # dp tail, newest rows r07
-    "dp_token_counts",
     "dp_dedup_clusters",
+    # ROUND-11 ADDITIONS (published filter sets): never driver-gated,
+    # rotated in over dp_token_counts / q_percentile_by_group (both
+    # green in r10; token_counts' arithmetic underlies several
+    # still-gated dp rows, q_percentile_by_group's quantile machinery
+    # stays gated through q_stats_quantiles, and both are swept four-SF
+    # by test_oracle_parity every CI run).
+    "dp_gopher_quality",
+    "dp_c4_filters",
     # ROUND-11 ROTATION (VERDICT r10 "next round" #5): the streaming
     # surface enters the driver gate — real Structured Streaming runs
     # (ordered micro-batch replay) hash-compared to batch oracles.

@@ -437,6 +437,74 @@ def dp_quality(spark, sf_dir):
     return df.select("doc_id", *[c.alias(n) for n, c in flags.items()])
 
 
+# The synthetic corpus is single-line and punctuation-free, which would
+# leave the line-level Gopher/C4 rules trivially satisfied. Stage line
+# structure DETERMINISTICALLY from corpus words (the multimodal queries'
+# fixture trick): the same literal-replace chain runs in both engines,
+# so every rule — terminal punctuation, bullets, ellipses, the
+# javascript line drop — sees real positives and negatives at sf0.01.
+_STAGE_REPLACES = [
+    (" value ", ".\n"),
+    (" part ", "!\n"),
+    (" row ", "\n- "),
+    (" merge ", "...\n"),
+    (" scan ", " javascript "),
+]
+
+
+def _staged_text() -> Column:
+    c = F.col("text")
+    for find, repl in _STAGE_REPLACES:
+        c = F.replace(c, F.lit(find), F.lit(repl))
+    return c
+
+
+_STAGED_SQL = "text"
+for _find, _repl in _STAGE_REPLACES:
+    _repl_sql = _repl.replace("\n", "' || chr(10) || '")
+    _STAGED_SQL = f"replace({_STAGED_SQL}, '{_find}', '{_repl_sql}')"
+
+_GOPHER = text.duck_gopher_sql(_STAGED_SQL)
+
+
+@query(
+    "dp_gopher_quality",
+    "SELECT doc_id, "
+    + ", ".join(f"{sql} AS {name}" for name, sql in _GOPHER.items())
+    + " FROM documents",
+)
+def dp_gopher_quality(spark, sf_dir):
+    """The Gopher quality rules (Rae et al. 2021 A1.1) over the staged
+    corpus: all seven published rules plus the duplicate-line repetition
+    signal, integer-exact in both engines (text.gopher_rules docstring
+    has the rule list and the scale argument — one narrow projection,
+    no shuffle)."""
+    df = load_table(spark, sf_dir, "documents").withColumn("_staged", _staged_text())
+    rules = text.gopher_rules("_staged")
+    return df.select("doc_id", *[c.alias(n) for n, c in rules.items()])
+
+
+_C4 = text.duck_c4_sql(_STAGED_SQL)
+
+
+@query(
+    "dp_c4_filters",
+    "SELECT doc_id, "
+    + ", ".join(f"{sql} AS {name}" for name, sql in _C4.items())
+    + " FROM documents",
+)
+def dp_c4_filters(spark, sf_dir):
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) over the staged
+    corpus: line-level terminal-punctuation / min-words / javascript
+    drops rebuilt into clean_text, document-level sentence-count,
+    curly-brace and lorem-ipsum gates. The hash covers the cleaned TEXT
+    itself, so the oracle proves the reassembled artifact byte-exact,
+    not just the counters."""
+    df = load_table(spark, sf_dir, "documents").withColumn("_staged", _staged_text())
+    cols = text.c4_filters("_staged")
+    return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
 @query(
     "dp_tfidf_topk",
     """
