@@ -1156,6 +1156,23 @@ def simhash_pairs(
     exact/fingerprint dedup collapses upstream. Default DEFAULT_BAND_CAP;
     pass None for the exhaustive audit shape, which keeps the exact
     pigeonhole guarantee at unbounded output."""
+    sig = simhash(df, text_col, id_col)
+    return banded_hamming_pairs(sig, "simhash", id_col, max_hamming, band_cap)
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_cap: int | None = DEFAULT_BAND_CAP,
+) -> DataFrame:
+    """Hamming near-dup pairs over ANY <=60-bit signature column — the
+    banding engine behind :func:`simhash_pairs`, shared with the image
+    perceptual hash (multimodal.media_phash) so text and image near-dup
+    can never drift in their banding arithmetic. ``sig`` must carry
+    (``id_col``, ``hash_col``: a long using at most 60 bits); see
+    simhash_pairs for the pigeonhole guarantee and the band_cap trade."""
     if max_hamming > 3:
         # a hard error, not an assert: asserts strip under python -O,
         # and past bands-1 differing bits the pigeonhole guarantee is
@@ -1165,7 +1182,6 @@ def simhash_pairs(
             "banded blocking guarantees recall only for max_hamming <= 3 "
             "(pairs can differ in all 4 bands beyond bands-1 bits)"
         )
-    sig = simhash(df, text_col, id_col)
     if band_cap is None:
         # persist: both sides of the exhaustive band self-join read the
         # signature; tiny (id + 1 long) at any corpus scale. The capped
@@ -1173,13 +1189,13 @@ def simhash_pairs(
         sig = managed_persist(sig)
     bands = sig.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(hash_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                        F.shiftright(F.col(hash_col), b * SIMHASH_BAND_BITS)
                         .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
                         .alias("key"),
                     )
@@ -1187,7 +1203,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "simhash", "bk.band", "bk.key")
+    ).select(id_col, hash_col, "bk.band", "bk.key")
     if band_cap is not None:
         # GROUP-AND-ENUMERATE, same shape and rationale as lsh_pairs'
         # capped path: one exchange on (band, key), WindowGroupLimit
@@ -1207,7 +1223,7 @@ def simhash_pairs(
             .agg(
                 F.sort_array(
                     F.collect_list(
-                        F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+                        F.struct(F.col(id_col).alias("i"), F.col(hash_col).alias("s"))
                     )
                 ).alias("_m")
             )
@@ -1229,7 +1245,7 @@ def simhash_pairs(
             .distinct()
         )
     a, b = bands.alias("a"), bands.alias("b")
-    xor = F.expr("a.simhash ^ b.simhash")
+    xor = F.expr(f"a.{hash_col} ^ b.{hash_col}")
     ham = F.bit_count(xor)
     # first-match-band dedup: a pair matching in several bands would come
     # out of the join once per band; instead of a `.distinct()` (a full

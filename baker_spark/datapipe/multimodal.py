@@ -916,6 +916,104 @@ def media_features(
     )
 
 
+#: perceptual-hash grid: 10 columns x 6 rows = 60 bits, deliberately the
+#: same width as the text simhash so dedup.banded_hamming_pairs (4 x
+#: 15-bit bands, exact recall at hamming <= 3) serves both signals.
+PHASH_GRID_W = 10
+PHASH_GRID_H = 6
+
+
+def phash60(width: int, height: int, channels: int, px) -> int | None:
+    """60-bit average perceptual hash over a PHASH_GRID_W x PHASH_GRID_H
+    cell grid: pixel (x, y) lands in cell (x*10//w, y*6//h); a cell's
+    bit is 1 iff its mean exceeds the image mean. All comparisons are
+    cross-multiplied integers (cell_sum * n_pixels > image_sum *
+    cell_count), so the hash is bit-reproducible in ANSI SQL — the
+    DuckDB oracle regenerates it from the arithmetic pixel grids.
+    Cells left empty by images narrower/shorter than the grid hash to 0
+    (deterministic, and hamming between two same-size images is
+    unaffected since both have the same empty set). Multi-channel
+    pixels use the per-pixel channel SUM as luminance (exact, and
+    channel-weight-free so the oracle needs no float matrix).
+
+    This is the classic aHash (average hash) construction — near-dup
+    images (re-encodes, brightness-preserving crops of the fixture
+    grids) collide within a few bits, unrelated images differ in ~30."""
+    if width <= 0 or height <= 0 or not px:
+        return None
+    a = np.asarray(px, dtype=np.int64)
+    if a.size != width * height * max(channels, 1):
+        return None  # torn decode — refuse rather than hash garbage
+    if channels > 1:
+        a = a.reshape(height, width, channels).sum(axis=2, dtype=np.int64)
+    else:
+        a = a.reshape(height, width)
+    cx = (np.arange(width, dtype=np.int64) * PHASH_GRID_W) // width
+    cy = (np.arange(height, dtype=np.int64) * PHASH_GRID_H) // height
+    cell = (cy[:, None] * PHASH_GRID_W + cx[None, :]).ravel()
+    n_cells = PHASH_GRID_W * PHASH_GRID_H
+    sums = np.zeros(n_cells, dtype=np.int64)
+    np.add.at(sums, cell, a.ravel())
+    counts = np.bincount(cell, minlength=n_cells).astype(np.int64)
+    total = int(a.sum())
+    n_px = int(a.size)
+    # strict >: a uniform image hashes to 0 in both engines
+    bits = (sums * n_px) > (total * counts)
+    h = 0
+    for idx in np.nonzero(bits & (counts > 0))[0]:
+        h |= 1 << int(idx)
+    return h
+
+
+def media_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_decode_bytes: int | None = MAX_DECODE_BYTES,
+) -> DataFrame:
+    """(id, format, width, height, phash) for every payload that
+    pixel-decodes as PNG/GIF/JPEG — the image half of near-dup dedup:
+    feed ``phash`` to dedup.banded_hamming_pairs for hamming-banded
+    image pairs exactly like text simhash. Same honest-skip contract as
+    media_features (undecodable or over-budget payloads emit nothing).
+    Scale shape: one mapInPandas over (id, payload) — embarrassingly
+    parallel, no shuffle; the decode cost ceiling and the libvips swap
+    path are documented in PERFORMANCE.md (media codecs)."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                if max_decode_bytes is not None and len(b) > max_decode_bytes:
+                    continue
+                b = bytes(b)
+                for fmt, dec in (
+                    ("png", decode_png_pixels),
+                    ("gif", decode_gif_pixels),
+                    ("jpeg", decode_jpeg_pixels),
+                ):
+                    out = dec(b)
+                    if out is not None:
+                        w, h, ch, px = out
+                        ph = phash60(w, h, ch, px)
+                        if ph is not None:
+                            rows.append((int(i), fmt, w, h, ph))
+                        break
+            yield pd.DataFrame(
+                rows, columns=[id_col, "format", "width", "height", "phash"]
+            )
+
+    from baker_spark.session import fan_out
+
+    src = fan_out(df.select(id_col, payload_col), by=id_col)
+    return src.mapInPandas(
+        hash_batches,
+        f"{id_col} long, format string, width int, height int, phash long",
+    )
+
+
 def with_pixel_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out_col: str = "payload"
 ) -> DataFrame:

@@ -89,7 +89,6 @@ GATE_ORDER = [
     "q_cube_rollup",
     "q_window_funcs",
     "q_salted_agg",
-    "q_anti_join",
     # dp tail, newest rows r07
     "dp_dedup_clusters",
     # ROUND-11 ADDITIONS (published filter sets): never driver-gated,
@@ -100,6 +99,12 @@ GATE_ORDER = [
     # by test_oracle_parity every CI run).
     "dp_gopher_quality",
     "dp_c4_filters",
+    # ROUND-11 ADDITION (image near-dup): never driver-gated, rotated
+    # in over q_anti_join (green r10; the broadcast anti-join shape
+    # stays gated through op_externalmatch). The pairs row drives the
+    # full encode -> pixel-decode -> phash -> banded-hamming chain, so
+    # it subsumes dp_image_phash's arithmetic (still swept four-SF).
+    "dp_image_phash_pairs",
     # ROUND-11 ROTATION (VERDICT r10 "next round" #5): the streaming
     # surface enters the driver gate — real Structured Streaming runs
     # (ordered micro-batch replay) hash-compared to batch oracles.

@@ -918,6 +918,112 @@ def dp_multimodal_features(spark, sf_dir):
     return multimodal.media_features(packed)
 
 
+# the arithmetic pixel grids of with_pixel_payload's three image
+# formats, regenerated in SQL (same generate_series trick as
+# dp_multimodal_features' oracle), reduced to the 60-bit average
+# perceptual hash with the exact cross-multiplied cell-vs-image mean
+# compare of multimodal.phash60. Shared by the hash and the pairs
+# oracles so they can't drift.
+_PHASH_HASHES_SQL = """
+png_dims AS (
+  SELECT doc_id, 'png' AS format, (doc_id % 16) + 1 AS w, (doc_id % 12) + 1 AS h
+  FROM documents WHERE doc_id % 5 = 0
+),
+gif_dims AS (
+  SELECT doc_id, 'gif' AS format, (doc_id % 16) + 1 AS w, (doc_id % 12) + 1 AS h
+  FROM documents WHERE doc_id % 5 = 2
+),
+jpg_dims AS (
+  SELECT doc_id, 'jpeg' AS format, (doc_id % 24) + 8 AS w, (doc_id % 16) + 8 AS h
+  FROM documents WHERE doc_id % 5 = 3
+),
+dims AS (
+  SELECT * FROM png_dims UNION ALL SELECT * FROM gif_dims UNION ALL SELECT * FROM jpg_dims
+),
+xs AS (SELECT doc_id, format, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+xy AS (SELECT doc_id, format, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+vals AS (
+  SELECT doc_id, format, w, h, x, y,
+         CASE format
+           WHEN 'png' THEN (x + 2 * y + doc_id) % 256
+           WHEN 'gif' THEN (3 * x + y + doc_id) % 256
+           ELSE (5 * (x // 8) + 3 * (y // 8) + doc_id) % 256 END AS v
+  FROM xy
+),
+cells AS (
+  SELECT doc_id, format, w, h, (y * 6 // h) * 10 + (x * 10 // w) AS cell,
+         CAST(sum(v) AS BIGINT) AS cs, CAST(count(*) AS BIGINT) AS cc
+  FROM vals GROUP BY ALL
+),
+tot AS (
+  SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts, CAST(sum(cc) AS BIGINT) AS tc
+  FROM cells GROUP BY doc_id
+),
+hashes AS (
+  SELECT c.doc_id, any_value(c.format) AS format,
+         CAST(any_value(c.w) AS INTEGER) AS width,
+         CAST(any_value(c.h) AS INTEGER) AS height,
+         CAST(sum(CASE WHEN c.cs * t.tc > t.ts * c.cc
+                       THEN CAST(1 AS BIGINT) << CAST(c.cell AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+)"""
+
+
+@query(
+    "dp_image_phash",
+    f"WITH {_PHASH_HASHES_SQL}\n"
+    "SELECT doc_id, format, width, height, phash FROM hashes",
+)
+def dp_image_phash(spark, sf_dir):
+    """Perceptual image hashing over REAL binary decode: encode the
+    arithmetic pixel grids as PNG/GIF/JPEG (with_pixel_payload), decode
+    them back with the pure-python codecs, and reduce each image to a
+    60-bit average hash (multimodal.phash60). The oracle never touches
+    the binaries — it regenerates the grids with generate_series and
+    replays the integer cell arithmetic, so a hash match proves
+    encode -> decode -> hash is value-exact end to end."""
+    df = load_table(spark, sf_dir, "documents")
+    packed = multimodal.with_pixel_payload(df)
+    return multimodal.media_phash(packed)
+
+
+@query(
+    "dp_image_phash_pairs",
+    f"""WITH {_PHASH_HASHES_SQL},
+bands0 AS (
+  SELECT doc_id, phash,
+         (phash >> (CAST(r.b AS INTEGER) * 15)) & 32767 AS key,
+         CAST(r.b AS INTEGER) AS band
+  FROM hashes CROSS JOIN range(0, 4) r(b)
+),
+bands AS (
+  SELECT b.* FROM bands0 b
+  LEFT JOIN (SELECT band, key FROM bands0 GROUP BY band, key
+             HAVING count(*) > {dedup.DEFAULT_BAND_CAP}) hot
+    ON b.band = hot.band AND b.key = hot.key
+  WHERE hot.key IS NULL
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3""",
+)
+def dp_image_phash_pairs(spark, sf_dir):
+    """Image near-dup pairs: hamming(phash) <= 3 via the SAME 4 x 15-bit
+    banding engine as text simhash (dedup.banded_hamming_pairs — exact
+    recall by pigeonhole, hot-band cap against the quadratic-output
+    regime, mirrored in the oracle's cap CTE). The multimodal-dedup
+    crossover: image dedup at LAION scale is this exact shape, with the
+    pure-python decode swapped for libvips behind the same mapInPandas
+    plumbing."""
+    df = load_table(spark, sf_dir, "documents")
+    packed = multimodal.with_pixel_payload(df)
+    sig = multimodal.media_phash(packed).select("doc_id", "phash")
+    return dedup.banded_hamming_pairs(sig, "phash")
+
+
 # ---------------------------------------------------------- full pipeline ---
 
 _P_CLEAN = _SCRUB["clean_text"]  # same binding as dp_scrub's oracle — must not drift

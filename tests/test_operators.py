@@ -1187,3 +1187,94 @@ def test_externalmatch_empty_values_matches_nothing(spark, generic):
     assert kept.count() == 0
     anti = ops.ExternalMatch(field_name="f1", values=[], keep_on_match=False).apply(generic)
     assert anti.count() == generic.count()
+
+
+def test_phash60_construction_properties():
+    """The 60-bit average hash: brightness-shift invariance (the aHash
+    property, as long as no pixel wraps mod 256), uniform image -> 0,
+    torn decode -> None, multi-channel luminance = channel sum."""
+    from baker_spark.datapipe import multimodal as M
+
+    w, h = 16, 12
+    base = [((x + 2 * y) % 100) + 20 for y in range(h) for x in range(w)]
+    shifted = [v + 50 for v in base]  # stays < 256: no wrap
+    h1 = M.phash60(w, h, 1, base)
+    h2 = M.phash60(w, h, 1, shifted)
+    assert h1 == h2 and h1 is not None and 0 < h1 < (1 << 60)
+    # uniform image: strict > never fires
+    assert M.phash60(8, 8, 1, [7] * 64) == 0
+    # 1x1: single cell equals the image mean
+    assert M.phash60(1, 1, 1, [200]) == 0
+    # torn decode (wrong pixel count) refuses
+    assert M.phash60(4, 4, 1, [1, 2, 3]) is None
+    assert M.phash60(0, 4, 1, []) is None
+    # channels: per-pixel sum as luminance — (r+g+b) grid equals the
+    # same grid pre-summed into one channel
+    rgb = [c for v in base for c in (v, v // 2, 10)]
+    summed = [v + v // 2 + 10 for v in base]
+    assert M.phash60(w, h, 3, rgb) == M.phash60(w, h, 1, summed)
+
+
+def test_media_phash_operator_matches_direct_decode(spark):
+    """media_phash over real encoded payloads equals phash60 of the
+    direct decoder output for every image format; WAV and raw-text
+    payloads emit nothing (the honest-skip contract)."""
+    from baker_spark.datapipe import multimodal as M
+
+    ids = list(range(10))  # id % 5 cycles png/wav/gif/jpeg/text
+    df = spark.createDataFrame([(i, f"doc {i}") for i in ids], "doc_id long, text string")
+    out = M.media_phash(M.with_pixel_payload(df)).collect()
+    got = {r.doc_id: r for r in out}
+    assert set(got) == {i for i in ids if i % 5 in (0, 2, 3)}
+    for i, r in got.items():
+        fmt = {0: "png", 2: "gif", 3: "jpeg"}[i % 5]
+        assert r.format == fmt
+        dec = {
+            "png": M.decode_png_pixels,
+            "gif": M.decode_gif_pixels,
+            "jpeg": M.decode_jpeg_pixels,
+        }[fmt]
+        pay = {
+            "png": lambda i: M.png_pixel_bytes((i % 16) + 1, (i % 12) + 1, seed=i),
+            "gif": lambda i: M.gif_pixel_bytes((i % 16) + 1, (i % 12) + 1, seed=i),
+            "jpeg": lambda i: M.jpeg_pixel_bytes((i % 24) + 8, (i % 16) + 8, seed=i),
+        }[fmt](i)
+        pw, ph_, ch, px = dec(pay)
+        assert (r.width, r.height) == (pw, ph_)
+        assert r.phash == M.phash60(pw, ph_, ch, px)
+
+
+def test_banded_hamming_pairs_phash_equals_brute_force(spark):
+    """banded_hamming_pairs on an arbitrary 60-bit signature column is
+    EXACTLY brute force at hamming <= 3 (pigeonhole over 4 x 15-bit
+    bands) when no cap binds — verified on image hashes with planted
+    near-dups at hamming 0/1/3/4."""
+    from baker_spark.datapipe import dedup
+
+    base = 0x0123456789ABCDE  # 60-bit pattern
+    sigs = [
+        (0, base),
+        (1, base),                      # hamming 0
+        (2, base ^ 0b1),                # hamming 1 vs 0/1
+        (3, base ^ 0b10110),            # hamming 4 vs 0/1 -> excluded
+        (4, base ^ (1 << 59)),          # hamming 1, high bit
+        (5, 0x0FFFFFFFFFFFFFF ^ base),  # far away
+    ]
+    df = spark.createDataFrame(sigs, "doc_id long, phash long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.banded_hamming_pairs(df, "phash", band_cap=None).collect()
+    }
+    brute = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            d = bin(sigs[i][1] ^ sigs[j][1]).count("1")
+            if d <= 3:
+                brute.add((sigs[i][0], sigs[j][0], d))
+    assert got == brute and (0, 1, 0) in got and (0, 4, 1) in got
+    # capped path agrees when the cap doesn't bind
+    capped = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.banded_hamming_pairs(df, "phash", band_cap=200).collect()
+    }
+    assert capped == brute
