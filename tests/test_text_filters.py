@@ -153,3 +153,46 @@ def test_cross_engine_parity_on_edge_fixtures(spark, docs, spark_map, duck_map):
     for s, d in zip(s_rows, d_rows):
         for name, sv, dv in zip(names, s, d):
             assert sv == dv, f"doc {s[0]} col {name}: spark={sv!r} duck={dv!r}"
+
+
+def test_cross_engine_parity_randomized_fuzz(spark):
+    """200 seeded random documents over an adversarial alphabet —
+    newlines, bullets, ASCII and unicode ellipses, '#', quotes, braces,
+    digits, blocklist words in mixed case, empty and whitespace-heavy
+    lines — must produce CELL-IDENTICAL Gopher and C4 outputs in both
+    engines. One batched DataFrame/table keeps it fast (a per-example
+    Spark job would take minutes); the seed makes failures replayable."""
+    import random
+
+    rng = random.Random(0xBA5E)
+    words = [
+        "the", "of", "and", "that", "have", "with", "be", "to",  # gopher stops
+        "word", "data", "12345", "c++", "#", "...", "…", "x",
+        "javascript", "JavaScript", "lorem", "ipsum", "Lorem Ipsum",
+        "{", "}", '"quoted"', "", "  ",
+    ]
+    line_ends = [".", "!", "?", '"', "...", "…", "", " "]
+    line_starts = ["", "- ", "* ", "• ", " -", ". "]
+
+    def rand_line():
+        n = rng.randrange(0, 9)
+        body = " ".join(rng.choice(words) for _ in range(n))
+        return rng.choice(line_starts) + body + rng.choice(line_ends)
+
+    docs = []
+    for i in range(200):
+        n_lines = rng.randrange(0, 7)
+        docs.append((i, "\n".join(rand_line() for _ in range(n_lines)), None))
+    docs.append((200, None, None))
+    docs.append((201, "", None))
+
+    for col_map, sql_map in (
+        (text.gopher_rules("text"), text.duck_gopher_sql("text")),
+        (text.c4_filters("text"), text.duck_c4_sql("text")),
+    ):
+        s_rows = _spark_rows(spark, docs, col_map)
+        d_rows = _duck_rows(docs, sql_map)
+        names = ["doc_id", *col_map.keys()]
+        for s, d in zip(s_rows, d_rows):
+            for name, sv, dv in zip(names, s, d):
+                assert sv == dv, f"doc {s[0]} col {name}: spark={sv!r} duck={dv!r}"
