@@ -132,6 +132,7 @@ def write_seen_ledger(
     path: str | None = None,
     n_buckets: int = LEDGER_BUCKETS,
     mode: str = "overwrite",
+    extra_cols: tuple[str, ...] = (),
 ) -> None:
     """Persist a fingerprint ledger as a parquet table BUCKETED (and
     sorted) by ``fp`` — the storage layout that makes per-batch
@@ -163,8 +164,12 @@ def write_seen_ledger(
 
     spark = seen_keys.sparkSession
     lock_dir = path or _table_location(spark, table)
+    # extra_cols ride the same fp-bucketed files (the image band ledger
+    # stores the full phash beside each key for collision verification
+    # — see incremental_neardup_against_phash_ledger); bucketing and
+    # probe economics are unchanged, the join key is still fp alone
     w = (
-        seen_keys.select("fp")
+        seen_keys.select("fp", *extra_cols)
         .repartition(n_buckets, F.col("fp"))
         .write.mode(mode)
         .bucketBy(n_buckets, "fp")
@@ -286,6 +291,158 @@ def band_ledger_keys(bands_df: DataFrame) -> DataFrame:
     IS a seen-key ledger, so it inherits the bucketed-storage/no-ledger-
     shuffle machinery and the writer fence for free."""
     return bands_df.select(band_fp().alias("fp"))
+
+
+def phash_bands(sig: DataFrame, hash_col: str = "phash", id_col: str = "doc_id") -> DataFrame:
+    """(id, phash, band, h) rows from a 60-bit image signature — the
+    image twin of :func:`lsh_bands`, 4 rows of 3 longs per image, built
+    on the same 4 x 15-bit split as text simhash/banded_hamming_pairs."""
+    c = F.col(hash_col)
+    return sig.select(
+        F.col(id_col),
+        c.alias("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(c, b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                        .alias("h"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "phash", "bk.band", "bk.h")
+
+
+def incremental_neardup_phash(
+    new_sigs: DataFrame,
+    seen_sigs: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental IMAGE near-dup ingest: :func:`incremental_neardup`'s
+    greedy semantics over perceptual hashes, with one load-bearing
+    difference — band collisions are VERIFIED against the colliding
+    hash before anything is dropped.
+
+    Why verification is not optional here (it is for minhash): a
+    minhash band key lives in a ~60-bit space, so an accidental
+    collision between genuinely dissimilar docs is ~2^-60 — dropping on
+    bare collision is sound. A phash band is only 15 BITS of the
+    signature: two unrelated images share a given band with p = 2^-15,
+    so against a 100M-image corpus a new image accidentally collides
+    with ~12k non-duplicates (4 bands x 100M x 2^-15). Unverified
+    banding would reject essentially every image once the corpus is
+    large. The verify step pins the drop rule to the real predicate —
+    hamming(phash) <= ``max_hamming`` (pigeonhole-complete for <= 3,
+    same guarantee as banded_hamming_pairs) — at the cost of carrying
+    the 8-byte hash alongside each band row.
+
+    Rules (oracle-replayable, same greedy-by-id bias as the text form):
+    1. drop a new image if ANY seen image shares a band AND is within
+       ``max_hamming`` bits;
+    2. within the ledger-surviving batch, drop image i if a SMALLER-id
+       survivor j shares a band and is within ``max_hamming`` bits
+       (non-transitive by design — see incremental_neardup).
+
+    Scale shape: both sides reduce to (id, phash, band, h) rows; joins
+    key on (band, h). The in-batch self-join is batch x batch only.
+    Returns the kept ids."""
+    newb = managed_persist(phash_bands(new_sigs, hash_col, id_col))
+    seenb = phash_bands(seen_sigs, hash_col, id_col).select(
+        "band", "h", F.col("phash").alias("_sp")
+    )
+    hit_ledger = (
+        newb.join(seenb, ["band", "h"])
+        .filter(F.bit_count(F.col("phash").bitwiseXOR(F.col("_sp"))) <= max_hamming)
+        .select(id_col)
+        .distinct()
+    )
+    # the id anti-joins hint shuffle_hash: their build sides are hit-id
+    # sets bounded by the BATCH (never the corpus), but Catalyst's
+    # static estimate for a band-join-derived subtree is inflated by the
+    # join multiplier, so without the hint these plan as SortMergeJoin —
+    # a pointless full sort of both sides. AQE still upgrades the tiny
+    # real sides to broadcast at runtime.
+    kept1 = managed_persist(
+        newb.join(hit_ledger.hint("shuffle_hash"), id_col, "left_anti")
+    )
+    a, b = kept1.alias("a"), kept1.alias("b")
+    hit_batch = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .filter(F.bit_count(F.expr("a.phash ^ b.phash")) <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        kept1.select(id_col)
+        .distinct()
+        .join(hit_batch.hint("shuffle_hash"), id_col, "left_anti")
+    )
+
+
+def incremental_neardup_against_phash_ledger(
+    new_sigs: DataFrame,
+    spark,
+    table: str,
+    hash_col: str = "phash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-batch :func:`incremental_neardup_phash` against a persisted
+    band ledger whose rows carry the full hash for verification:
+    ``write_seen_ledger(keys, table, extra_cols=["phash"])`` where keys
+    come from this function's second return value (fp = 'band:h' via
+    the shared :func:`band_fp`, plus the phash column). Economics match
+    the text band ledger: the fp-bucketed ledger is probed in place
+    (zero ledger exchange per batch; the stored phash rides the same
+    bucket files), only the batch bands shuffle, and the writer fence
+    makes concurrent appenders fail fast. Returns (kept_ids,
+    kept_keys) — append kept_keys after accepting the batch."""
+    newb = managed_persist(
+        phash_bands(new_sigs, hash_col, id_col).withColumn("fp", band_fp())
+    )
+    seen = spark.table(table).hint("shuffle_hash").select(
+        "fp", F.col("phash").alias("_sp")
+    )
+    hit_ledger = (
+        newb.join(seen, "fp")
+        .filter(F.bit_count(F.col("phash").bitwiseXOR(F.col("_sp"))) <= max_hamming)
+        .select(id_col)
+        .distinct()
+    )
+    # shuffle_hash on the batch-bounded hit sets — same SMJ-estimate
+    # rationale as incremental_neardup_phash
+    kept1 = managed_persist(
+        newb.join(hit_ledger.hint("shuffle_hash"), id_col, "left_anti")
+    )
+    a, b = kept1.alias("a"), kept1.alias("b")
+    hit_batch = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .filter(F.bit_count(F.expr("a.phash ^ b.phash")) <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    kept_ids = (
+        kept1.select(id_col)
+        .distinct()
+        .join(hit_batch.hint("shuffle_hash"), id_col, "left_anti")
+    )
+    kept_keys = kept1.join(kept_ids, id_col, "left_semi").select("fp", "phash")
+    return kept_ids, kept_keys
 
 
 def incremental_neardup_against_band_ledger(

@@ -1024,6 +1024,54 @@ def dp_image_phash_pairs(spark, sf_dir):
     return dedup.banded_hamming_pairs(sig, "phash")
 
 
+@query(
+    "dp_image_neardup_ingest",
+    f"""WITH {_PHASH_HASHES_SQL},
+seen AS (SELECT doc_id, phash FROM hashes WHERE doc_id % 2 = 0),
+batch AS (SELECT doc_id, phash FROM hashes WHERE doc_id % 2 = 1),
+sb AS (
+  SELECT phash, (phash >> (CAST(r.b AS INTEGER) * 15)) & 32767 AS h,
+         CAST(r.b AS INTEGER) AS band
+  FROM seen CROSS JOIN range(0, 4) r(b)
+),
+nb AS (
+  SELECT doc_id, phash, (phash >> (CAST(r.b AS INTEGER) * 15)) & 32767 AS h,
+         CAST(r.b AS INTEGER) AS band
+  FROM batch CROSS JOIN range(0, 4) r(b)
+),
+hit_ledger AS (
+  SELECT DISTINCT n.doc_id FROM nb n JOIN sb s ON n.band = s.band AND n.h = s.h
+  WHERE bit_count(xor(n.phash, s.phash)) <= 3
+),
+kept1 AS (SELECT * FROM nb WHERE doc_id NOT IN (SELECT doc_id FROM hit_ledger)),
+hit_batch AS (
+  SELECT DISTINCT a.doc_id FROM kept1 a JOIN kept1 b
+    ON a.band = b.band AND a.h = b.h AND b.doc_id < a.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+)
+SELECT DISTINCT doc_id FROM kept1
+WHERE doc_id NOT IN (SELECT doc_id FROM hit_batch)""",
+)
+def dp_image_neardup_ingest(spark, sf_dir):
+    """Incremental image near-dup ingest: even-id images are the frozen
+    corpus, odd-id images the arriving batch; keep a batch image only
+    if no corpus image — and no smaller-id surviving batch image —
+    shares a band AND sits within hamming 3. The VERIFIED-band twist
+    (phash bands are 15 bits, so bare collisions are random at corpus
+    scale — the dedup.incremental_neardup_phash docstring carries the
+    2^-15 arithmetic) is what makes this shape deployable for LAION-
+    style dedup; the persisted-ledger form
+    (incremental_neardup_against_phash_ledger) stores the hash beside
+    each band key in the same fp-bucketed ledger as text near-dup."""
+    df = load_table(spark, sf_dir, "documents")
+    sigs = multimodal.media_phash(multimodal.with_pixel_payload(df)).select(
+        "doc_id", "phash"
+    )
+    new_sigs = sigs.filter(F.col("doc_id") % 2 == 1)
+    seen_sigs = sigs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_neardup_phash(new_sigs, seen_sigs)
+
+
 # ---------------------------------------------------------- full pipeline ---
 
 _P_CLEAN = _SCRUB["clean_text"]  # same binding as dp_scrub's oracle — must not drift

@@ -230,3 +230,68 @@ def test_fence_race_exactly_one_winner(spark, tmp_path):
         t.join()
     assert sorted(outcomes) == ["lost"] * (n - 1) + ["won"], outcomes
     assert artifacts.fence_holder(spark, path) is None
+
+
+def test_phash_ledger_neardup_matches_two_corpora_form(spark, tmp_path):
+    """The image band ledger (fp + the full phash for verification) must
+    reproduce incremental_neardup_phash's kept set exactly, read its
+    ledger side bucketed, and VERIFY collisions — a planted 15-bit band
+    collision between dissimilar hashes must not cause a drop."""
+    from baker_spark.datapipe import dedup, multimodal
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = multimodal.media_phash(multimodal.with_pixel_payload(docs)).select(
+        "doc_id", "phash"
+    )
+    new_sigs = sigs.filter(F.col("doc_id") % 2 == 1).persist()
+    seen_sigs = sigs.filter(F.col("doc_id") % 2 == 0).persist()
+
+    table = "phash_ledger_test"
+    seen_keys = dedup.phash_bands(seen_sigs).withColumn("fp", dedup.band_fp())
+    dedup.write_seen_ledger(
+        seen_keys,
+        table,
+        path=str(tmp_path / "pledger"),
+        n_buckets=4,
+        extra_cols=("phash",),
+    )
+    try:
+        kept_ids, kept_keys = dedup.incremental_neardup_against_phash_ledger(
+            new_sigs, spark, table
+        )
+        plan = _plan(kept_ids)
+        assert "Bucketed: true" in plan
+        expected = sorted(
+            r["doc_id"]
+            for r in dedup.incremental_neardup_phash(new_sigs, seen_sigs).collect()
+        )
+        got = sorted(r["doc_id"] for r in kept_ids.collect())
+        assert got == expected
+        assert expected, "fixture produced an empty kept set — test is vacuous"
+        # kept_keys carry the hash for the verified append
+        assert kept_keys.columns == ["fp", "phash"]
+        assert kept_keys.count() == len(expected) * 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        new_sigs.unpersist()
+        seen_sigs.unpersist()
+
+
+def test_phash_ingest_verifies_band_collisions(spark):
+    """Two hashes that share one 15-bit band but differ in 30 bits must
+    BOTH survive ingest (bare band collision is not a duplicate); a
+    hamming-1 neighbor must be dropped."""
+    from baker_spark.datapipe import dedup
+
+    base = 0x0123456789ABCDE
+    # shares band 0 (low 15 bits) with base, scrambles the other 45
+    collider = (base & 0x7FFF) | (0x555555555 << 15)
+    seen = spark.createDataFrame([(0, base)], "doc_id long, phash long")
+    batch = spark.createDataFrame(
+        [(1, collider), (3, base ^ 2)], "doc_id long, phash long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_neardup_phash(batch, seen).collect()
+    )
+    assert kept == [1], f"collider must survive, hamming-1 neighbor must drop: {kept}"
