@@ -449,6 +449,11 @@ _STAGE_REPLACES = [
     (" row ", "\n- "),
     (" merge ", "...\n"),
     (" scan ", " javascript "),
+    # the fixture vocabulary holds exactly ONE Gopher stop word ('the'),
+    # which would pin the >=2-stopwords rule (and gopher_ok) to a
+    # constant false corpus-wide; staging stop words off a common vocab
+    # word makes the gate VARY, so its hash carries signal
+    (" key ", " of and that have with "),
 ]
 
 
@@ -1070,6 +1075,63 @@ def dp_image_neardup_ingest(spark, sf_dir):
     new_sigs = sigs.filter(F.col("doc_id") % 2 == 1)
     seen_sigs = sigs.filter(F.col("doc_id") % 2 == 0)
     return dedup.incremental_neardup_phash(new_sigs, seen_sigs)
+
+
+_FUNNEL_C4 = text.duck_c4_sql(_STAGED_SQL)
+_FUNNEL_G = text.duck_gopher_sql(_STAGED_SQL)
+
+
+@query(
+    "dp_quality_funnel",
+    f"""
+WITH flags AS (
+  SELECT source,
+         {_FUNNEL_C4['c4_keep']} AS c4_keep,
+         {_FUNNEL_G['gopher_ok']} AS gopher_ok,
+         {_FUNNEL_C4['n_lines_kept']} AS n_lines_kept,
+         {text.duck_fingerprint('text')} AS fp
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE c4_keep) AS BIGINT) AS n_c4_keep,
+       CAST(count(*) FILTER (WHERE gopher_ok) AS BIGINT) AS n_gopher_ok,
+       CAST(count(*) FILTER (WHERE c4_keep AND gopher_ok) AS BIGINT) AS n_both,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+       CAST(sum(n_lines_kept) AS BIGINT) AS lines_kept
+FROM flags GROUP BY source
+""",
+)
+def dp_quality_funnel(spark, sf_dir):
+    """Per-source quality FUNNEL — the observability report every
+    production ingest pipeline ships: how many documents each source
+    contributes, how many survive the C4 gates, the Gopher rules, both,
+    and how many are unique by fingerprint (the dedup stage's yield),
+    plus total retained lines. One scan -> one map-side-combined
+    aggregate on the 20-source key; the count(DISTINCT fp) is the only
+    expansion and Spark plans it as the standard two-phase
+    partial-distinct (per-source state is bounded by that source's
+    unique docs, and at 100 TB this is the same shape as any
+    distinct-count rollup). Integer-exact columns only."""
+    df = load_table(spark, sf_dir, "documents").withColumn("_staged", _staged_text())
+    c4 = text.c4_filters("_staged")
+    g = text.gopher_rules("_staged")
+    flags = df.select(
+        "source",
+        c4["c4_keep"].alias("c4_keep"),
+        g["gopher_ok"].alias("gopher_ok"),
+        c4["n_lines_kept"].alias("n_lines_kept"),
+        text.fingerprint("text").alias("fp"),
+    )
+    both = F.col("c4_keep") & F.col("gopher_ok")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("c4_keep")).alias("n_c4_keep"),
+        F.count_if(F.col("gopher_ok")).alias("n_gopher_ok"),
+        F.count_if(both).alias("n_both"),
+        F.countDistinct("fp").alias("n_unique_docs"),
+        F.sum("n_lines_kept").alias("lines_kept"),
+    )
 
 
 # ---------------------------------------------------------- full pipeline ---
