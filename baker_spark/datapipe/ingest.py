@@ -166,3 +166,100 @@ class CorpusIngest:
         self.dropped_null_id += n_null_id  # GROUPS rejected for NULL ids
         self.batches += 1
         return n_kept
+
+
+@dataclass
+class MediaIngest:
+    """Continuous IMAGE ingestion: the near-dup twin of
+    :class:`CorpusIngest` for binary media batches. Each batch's
+    payloads pixel-decode to 60-bit perceptual hashes
+    (multimodal.media_phash), the batch is screened against a
+    persistent phash band ledger with VERIFIED collisions
+    (dedup.incremental_neardup_against_phash_ledger — bare 15-bit band
+    collisions are random at corpus scale, see its docstring), admitted
+    rows append to the corpus, and their (fp, phash) band keys append
+    to the fp-bucketed ledger.
+
+    Same failure contract as CorpusIngest: corpus BEFORE ledger, so a
+    crash between the appends re-admits on replay — duplicates, never
+    loss (the verified anti-join absorbs the replay at the next batch).
+    Payloads that don't pixel-decode (or exceed the decode budget) are
+    SKIPPED and counted, never admitted — the honest-skip contract of
+    media_phash; route them through CorpusIngest's byte-exact
+    fingerprint if undecodable blobs must still be kept.
+
+    Works as a batch call or as a ``StreamingPipeline`` foreachBatch
+    sink. Scale shape: only (id, phash, band, h) rows join; the ledger
+    is read in place (bucketed, zero exchange per batch); payload bytes
+    cross the wire once, into the corpus append."""
+
+    corpus_dir: str
+    ledger_dir: str
+    id_col: str = "doc_id"
+    payload_col: str = "payload"
+    max_hamming: int = 3
+    ledger_buckets: int = 16
+    ledger_table: str = "media_ingest_ledger"
+    ingested: int = 0
+    dropped_dup: int = 0
+    skipped_undecodable: int = 0
+    batches: int = 0
+    #: failure-injection seam (see CorpusIngest): raise on the Nth
+    #: write, between corpus append and ledger append
+    inject_crash_between_appends: int = 0
+
+    def _ensure_ledger(self, spark) -> None:
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.ledger_table} "
+            f"(fp STRING, phash BIGINT) "
+            f"USING PARQUET CLUSTERED BY (fp) SORTED BY (fp) "
+            f"INTO {self.ledger_buckets} BUCKETS "
+            f"LOCATION '{self.ledger_dir}'"
+        )
+
+    def write(self, batch_df: DataFrame) -> int:
+        """One batch through the loop; returns images admitted."""
+        from pyspark.sql import Observation
+
+        from baker_spark.datapipe.dedup import (
+            incremental_neardup_against_phash_ledger,
+        )
+        from baker_spark.datapipe.multimodal import media_phash
+
+        spark = batch_df.sparkSession
+        self._ensure_ledger(spark)
+        obs = Observation()
+        batch_df = batch_df.observe(obs, F.count(F.lit(1)).alias("n"))
+        sigs = media_phash(batch_df, self.payload_col, self.id_col).select(
+            self.id_col, "phash"
+        ).persist()
+        try:
+            n_decoded = sigs.count()
+            n_batch = int(obs.get["n"])
+            kept_ids, kept_keys = incremental_neardup_against_phash_ledger(
+                sigs, spark, self.ledger_table,
+                id_col=self.id_col, max_hamming=self.max_hamming,
+            )
+            kept_ids = kept_ids.persist()
+            n_kept = kept_ids.count()
+            admitted = batch_df.join(kept_ids, self.id_col, "left_semi")
+            # corpus BEFORE ledger — duplicates on replay, never loss
+            admitted.write.mode("append").parquet(self.corpus_dir)
+            if self.inject_crash_between_appends == self.batches + 1:
+                raise RuntimeError(
+                    "injected crash between corpus and ledger append "
+                    "(MediaIngest failure-injection seam)"
+                )
+            write_seen_ledger(
+                kept_keys, self.ledger_table, self.ledger_dir,
+                n_buckets=self.ledger_buckets, mode="append",
+                extra_cols=("phash",),
+            )
+            kept_ids.unpersist()
+        finally:
+            sigs.unpersist()
+        self.ingested += n_kept
+        self.dropped_dup += n_decoded - n_kept
+        self.skipped_undecodable += n_batch - n_decoded
+        self.batches += 1
+        return n_kept

@@ -235,3 +235,153 @@ def test_bucketed_ledger_ingest_dedups_and_reuses_writer(spark, tmp_path):
         assert spark.table(table).count() == 4
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# five mutually-distinct images (pairwise phash hamming 8-26, computed
+# offline): aHash is brightness-shift INVARIANT, so same-dim fixtures
+# differing only in seed are hamming-0 duplicates by design — distinct
+# images need distinct dimensions here
+_IMGS = {"A": (1, 9, 7), "B": (2, 16, 5), "C": (40, 7, 11),
+         "D": (50, 12, 12), "E": (3, 5, 13)}
+
+
+def _png(key):
+    from baker_spark.datapipe import multimodal as M
+
+    seed, w, h = _IMGS[key]
+    return M.png_pixel_bytes(w, h, seed=seed)
+
+
+def test_media_ingest_dedups_images_within_and_across_batches(spark, tmp_path):
+    """MediaIngest: identical and hamming<=3 images drop against the
+    ledger; a fresh instance over the same dirs (restart) keeps
+    dedup'ing; undecodable payloads are skipped and counted."""
+    from baker_spark.datapipe.ingest import MediaIngest
+
+    sink = MediaIngest(
+        corpus_dir=str(tmp_path / "mcorpus"),
+        ledger_dir=str(tmp_path / "mledger"),
+        ledger_table="media_ledger_t1",
+        ledger_buckets=4,
+    )
+    try:
+        b1 = spark.createDataFrame(
+            [
+                (1, _png("A")),
+                (2, _png("B")),
+                (3, _png("A")),      # identical to 1 -> in-batch drop
+                (4, b"not an image"),  # undecodable -> skipped
+            ],
+            "doc_id long, payload binary",
+        )
+        assert sink.write(b1) == 2  # images 1 and 2
+        assert sink.skipped_undecodable == 1 and sink.dropped_dup == 1
+        b2 = spark.createDataFrame(
+            [(5, _png("B")), (6, _png("C"))],  # 5 identical to ledgered 2
+            "doc_id long, payload binary",
+        )
+        assert sink.write(b2) == 1  # only C is new
+        corpus = spark.read.parquet(sink.corpus_dir)
+        assert {r.doc_id for r in corpus.collect()} == {1, 2, 6}
+        # restart: a FRESH instance over the same dirs still dedups
+        sink2 = MediaIngest(
+            corpus_dir=sink.corpus_dir,
+            ledger_dir=sink.ledger_dir,
+            ledger_table=sink.ledger_table,
+            ledger_buckets=4,
+        )
+        b3 = spark.createDataFrame(
+            [(7, _png("A")), (8, _png("D"))], "doc_id long, payload binary"
+        )
+        assert sink2.write(b3) == 1
+        corpus = spark.read.parquet(sink.corpus_dir)
+        assert {r.doc_id for r in corpus.collect()} == {1, 2, 6, 8}
+        assert (sink.ingested, sink2.ingested) == (3, 1)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS media_ledger_t1")
+
+
+def test_media_ingest_crash_window_readmits_never_loses(spark, tmp_path):
+    """A crash between corpus and ledger append re-admits the batch on
+    replay (duplicate corpus rows), never loses it — CorpusIngest's
+    contract, verified on the image loop."""
+    from baker_spark.datapipe.ingest import MediaIngest
+
+    sink = MediaIngest(
+        corpus_dir=str(tmp_path / "mcorpus"),
+        ledger_dir=str(tmp_path / "mledger"),
+        ledger_table="media_ledger_t2",
+        ledger_buckets=4,
+        inject_crash_between_appends=1,
+    )
+    try:
+        b = spark.createDataFrame(
+            [(1, _png("A")), (2, _png("B"))], "doc_id long, payload binary"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            sink.write(b)
+        sink.inject_crash_between_appends = 0  # disarm for the replay
+        # corpus has the rows, ledger does not -> replay re-admits
+        assert spark.read.parquet(sink.corpus_dir).count() == 2
+        assert sink.write(b) == 2  # replay: duplicates, never loss
+        corpus = spark.read.parquet(sink.corpus_dir)
+        assert corpus.count() == 4
+        assert {r.doc_id for r in corpus.collect()} == {1, 2}
+        # next batch dedups against the now-written ledger
+        b2 = spark.createDataFrame([(3, _png("A"))], "doc_id long, payload binary")
+        assert sink.write(b2) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS media_ledger_t2")
+
+
+def test_media_ingest_as_streaming_sink(spark, tmp_path):
+    """MediaIngest as a foreachBatch sink on the file stream source:
+    two micro-batches of image rows, cross-batch near-dups dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from baker_spark.datapipe.ingest import MediaIngest
+
+    src_dir = tmp_path / "arrivals"
+    src_dir.mkdir()
+    sink = MediaIngest(
+        corpus_dir=str(tmp_path / "mcorpus"),
+        ledger_dir=str(tmp_path / "mledger"),
+        ledger_table="media_ledger_t3",
+        ledger_buckets=4,
+    )
+
+    def drop(name, rows):
+        t = pa.table(
+            {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+             "payload": pa.array([r[1] for r in rows], pa.binary())}
+        )
+        pq.write_table(t, str(src_dir / name))
+
+    try:
+        drop("b1.parquet", [(1, _png("A")), (2, _png("B"))])
+        stream = (
+            spark.readStream.schema("doc_id long, payload binary")
+            .parquet(str(src_dir))
+        )
+        q = (
+            stream.writeStream.foreachBatch(lambda df, _id: sink.write(df))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        drop("b2.parquet", [(3, _png("B")), (4, _png("E"))])
+        q2 = (
+            stream.writeStream.foreachBatch(lambda df, _id: sink.write(df))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        corpus = spark.read.parquet(sink.corpus_dir)
+        assert {r.doc_id for r in corpus.collect()} == {1, 2, 4}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS media_ledger_t3")
