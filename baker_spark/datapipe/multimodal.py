@@ -1014,6 +1014,64 @@ def media_phash(
     )
 
 
+def audio_fp60(samples) -> int | None:
+    """60-bit delta-sign acoustic fingerprint: bit j is 1 iff sample
+    j+1 > sample j, over the first 60 deltas (shorter recordings leave
+    the tail bits 0 — deterministic, and hamming between equal-length
+    recordings is unaffected). This is the sign-of-energy-delta
+    primitive of Haitsma-Kalker-style audio fingerprinting reduced to
+    its integer-exact core: re-encodes and resamplings that preserve
+    the waveform's local slopes collide, unrelated audio differs in
+    ~30 bits. 60 bits wide on purpose — dedup.banded_hamming_pairs
+    serves audio exactly as it serves text simhash and image phash."""
+    if not samples:
+        return None
+    h = 0
+    for j in range(min(59, len(samples) - 1)):
+        if samples[j + 1] > samples[j]:
+            h |= 1 << j
+    return h
+
+
+def media_audio_fp(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_decode_bytes: int | None = MAX_DECODE_BYTES,
+) -> DataFrame:
+    """(id, sample_rate, n_samples, afp) for every payload that decodes
+    as 16-bit PCM WAV — the audio leg of near-dup dedup, same
+    honest-skip contract and shuffle-free mapInPandas shape as
+    media_phash."""
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                if max_decode_bytes is not None and len(b) > max_decode_bytes:
+                    continue
+                wav = decode_wav_samples(bytes(b))
+                if wav is None:
+                    continue
+                ch, rate, samples = wav
+                fp = audio_fp60(samples)
+                if fp is not None:
+                    rows.append((int(i), int(rate), len(samples), fp))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "sample_rate", "n_samples", "afp"]
+            )
+
+    from baker_spark.session import fan_out
+
+    src = fan_out(df.select(id_col, payload_col), by=id_col)
+    return src.mapInPandas(
+        fp_batches,
+        f"{id_col} long, sample_rate int, n_samples int, afp long",
+    )
+
+
 def with_pixel_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out_col: str = "payload"
 ) -> DataFrame:

@@ -1077,6 +1077,85 @@ def dp_image_neardup_ingest(spark, sf_dir):
     return dedup.incremental_neardup_phash(new_sigs, seen_sigs)
 
 
+# the WAV fixture's sample grid regenerated in SQL and reduced to the
+# 60-bit delta-sign fingerprint of multimodal.audio_fp60 — shared by
+# the fingerprint and the pairs oracles
+_AUDIO_FP_SQL = """
+wav AS (
+  SELECT doc_id, (doc_id % 64) + 16 AS n, 8000 * (1 + doc_id % 3) AS rate
+  FROM documents WHERE doc_id % 5 = 1
+),
+idx AS (
+  SELECT doc_id, n, rate, unnest(generate_series(0, least(58, n - 2))) AS j
+  FROM wav
+),
+bits AS (
+  SELECT doc_id, n, rate, j,
+         CASE WHEN ((37 * (j + 1) + doc_id) % 2000) - 1000
+                 > ((37 * j + doc_id) % 2000) - 1000
+              THEN 1 ELSE 0 END AS b
+  FROM idx
+),
+afps AS (
+  SELECT doc_id, CAST(any_value(rate) AS INTEGER) AS sample_rate,
+         CAST(any_value(n) AS INTEGER) AS n_samples,
+         CAST(sum(CASE WHEN b = 1
+                       THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS afp
+  FROM bits GROUP BY doc_id
+)"""
+
+
+@query(
+    "dp_audio_fp",
+    f"WITH {_AUDIO_FP_SQL}\n"
+    "SELECT doc_id, sample_rate, n_samples, afp FROM afps",
+)
+def dp_audio_fp(spark, sf_dir):
+    """Acoustic fingerprinting over REAL binary decode: the PCM WAV
+    payloads decode through the RIFF chunk walk and reduce to 60-bit
+    delta-sign fingerprints (multimodal.audio_fp60). The oracle
+    regenerates the sample grid arithmetically — a hash match proves
+    encode -> decode -> fingerprint value-exact, the audio twin of
+    dp_image_phash."""
+    df = load_table(spark, sf_dir, "documents")
+    packed = multimodal.with_pixel_payload(df)
+    return multimodal.media_audio_fp(packed)
+
+
+@query(
+    "dp_audio_fp_pairs",
+    f"""WITH {_AUDIO_FP_SQL},
+bands0 AS (
+  SELECT doc_id, afp,
+         (afp >> (CAST(r.b AS INTEGER) * 15)) & 32767 AS key,
+         CAST(r.b AS INTEGER) AS band
+  FROM afps CROSS JOIN range(0, 4) r(b)
+),
+bands AS (
+  SELECT b.* FROM bands0 b
+  LEFT JOIN (SELECT band, key FROM bands0 GROUP BY band, key
+             HAVING count(*) > {dedup.DEFAULT_BAND_CAP}) hot
+    ON b.band = hot.band AND b.key = hot.key
+  WHERE hot.key IS NULL
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3""",
+)
+def dp_audio_fp_pairs(spark, sf_dir):
+    """Audio near-dup pairs at hamming(afp) <= 3 through the SAME
+    banding engine as text simhash and image phash — one pair-search
+    implementation now serves all three modalities, with the hot-band
+    cap mirrored in SQL."""
+    df = load_table(spark, sf_dir, "documents")
+    packed = multimodal.with_pixel_payload(df)
+    sig = multimodal.media_audio_fp(packed).select("doc_id", "afp")
+    return dedup.banded_hamming_pairs(sig, "afp")
+
+
 _FUNNEL_C4 = text.duck_c4_sql(_STAGED_SQL)
 _FUNNEL_G = text.duck_gopher_sql(_STAGED_SQL)
 

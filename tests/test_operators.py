@@ -1278,3 +1278,44 @@ def test_banded_hamming_pairs_phash_equals_brute_force(spark):
         for r in dedup.banded_hamming_pairs(df, "phash", band_cap=200).collect()
     }
     assert capped == brute
+
+
+def test_audio_fp60_construction_properties():
+    """Delta-sign fingerprint: amplitude scaling and DC offset preserve
+    it (slopes keep their signs), short recordings zero-fill the tail,
+    empty input refuses."""
+    from baker_spark.datapipe import multimodal as M
+
+    base = [((37 * j) % 200) - 100 for j in range(80)]
+    scaled = [v * 3 for v in base]
+    offset = [v + 500 for v in base]
+    fp = M.audio_fp60(base)
+    assert fp == M.audio_fp60(scaled) == M.audio_fp60(offset)
+    assert fp is not None and 0 < fp < (1 << 60)
+    # a recording with n samples sets only the first n-1 bits
+    assert M.audio_fp60([1, 2]) == 1
+    assert M.audio_fp60([2, 1]) == 0
+    assert M.audio_fp60([5]) == 0
+    assert M.audio_fp60([]) is None
+    # hamming between base and a one-sample corruption is exactly the
+    # two slope signs the dent reverses (deltas 9->10 and 10->11)
+    dented = list(base)
+    dented[10] = -2000
+    d = bin(fp ^ M.audio_fp60(dented)).count("1")
+    assert d == 2
+
+
+def test_media_audio_fp_matches_direct_decode(spark):
+    """media_audio_fp over real WAV payloads equals audio_fp60 of the
+    direct decoder output; image and text payloads emit nothing."""
+    from baker_spark.datapipe import multimodal as M
+
+    ids = list(range(10))
+    df = spark.createDataFrame([(i, f"doc {i}") for i in ids], "doc_id long, text string")
+    out = {r.doc_id: r for r in M.media_audio_fp(M.with_pixel_payload(df)).collect()}
+    assert set(out) == {i for i in ids if i % 5 == 1}
+    for i, r in out.items():
+        pay = M.wav_pcm_bytes(8000 * (1 + i % 3), (i % 64) + 16, seed=i)
+        ch, rate, samples = M.decode_wav_samples(pay)
+        assert (r.sample_rate, r.n_samples) == (rate, len(samples))
+        assert r.afp == M.audio_fp60(samples)
