@@ -87,8 +87,6 @@ GATE_ORDER = [
     "q_stats_timestamps",
     "q_field_frequency",
     "q_cube_rollup",
-    "q_window_funcs",
-    "q_salted_agg",
     # dp tail, newest rows r07
     "dp_dedup_clusters",
     # ROUND-11 ADDITIONS (published filter sets): never driver-gated,
@@ -99,12 +97,18 @@ GATE_ORDER = [
     # by test_oracle_parity every CI run).
     "dp_gopher_quality",
     "dp_c4_filters",
-    # ROUND-11 ADDITION (image near-dup): never driver-gated, rotated
-    # in over q_anti_join (green r10; the broadcast anti-join shape
-    # stays gated through op_externalmatch). The pairs row drives the
-    # full encode -> pixel-decode -> phash -> banded-hamming chain, so
-    # it subsumes dp_image_phash's arithmetic (still swept four-SF).
+    # ROUND-11 ADDITIONS (multimodal near-dup + observability): never
+    # driver-gated, rotated in over q_anti_join / q_window_funcs /
+    # q_salted_agg (all green r10; the anti-join shape stays gated via
+    # op_externalmatch, window machinery via q_session_windows +
+    # q_topk_per_group, and the salted-agg demo is swept four-SF like
+    # everything outside the window). dp_image_phash_pairs drives the
+    # full encode -> pixel-decode -> phash -> banded-hamming chain;
+    # dp_audio_fp_pairs gates the audio leg of the same engine;
+    # dp_image_neardup_ingest gates the verified-band ingest decision.
     "dp_image_phash_pairs",
+    "dp_audio_fp_pairs",
+    "dp_image_neardup_ingest",
     # ROUND-11 ROTATION (VERDICT r10 "next round" #5): the streaming
     # surface enters the driver gate — real Structured Streaming runs
     # (ordered micro-batch replay) hash-compared to batch oracles.
