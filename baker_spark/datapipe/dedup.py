@@ -293,14 +293,19 @@ def band_ledger_keys(bands_df: DataFrame) -> DataFrame:
     return bands_df.select(band_fp().alias("fp"))
 
 
-def phash_bands(sig: DataFrame, hash_col: str = "phash", id_col: str = "doc_id") -> DataFrame:
-    """(id, phash, band, h) rows from a 60-bit image signature — the
-    image twin of :func:`lsh_bands`, 4 rows of 3 longs per image, built
-    on the same 4 x 15-bit split as text simhash/banded_hamming_pairs."""
+def _explode_hash_bands(
+    sig: DataFrame, hash_col: str, id_col: str, key_name: str
+) -> DataFrame:
+    """The ONE spelling of the 4 x 15-bit band explode over a <=60-bit
+    signature column: (id, hash, band, <key_name>) rows. Shared by
+    :func:`banded_hamming_pairs` (key column ``key``) and
+    :func:`phash_bands` (key column ``h``, the band-ledger convention)
+    so the pair-search and ingest paths can never drift in their
+    banding arithmetic."""
     c = F.col(hash_col)
     return sig.select(
         F.col(id_col),
-        c.alias("phash"),
+        c,
         F.explode(
             F.array(
                 *[
@@ -308,13 +313,21 @@ def phash_bands(sig: DataFrame, hash_col: str = "phash", id_col: str = "doc_id")
                         F.lit(b).alias("band"),
                         F.shiftright(c, b * SIMHASH_BAND_BITS)
                         .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
-                        .alias("h"),
+                        .alias(key_name),
                     )
                     for b in range(4)
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "phash", "bk.band", "bk.h")
+    ).select(id_col, hash_col, "bk.band", f"bk.{key_name}")
+
+
+def phash_bands(sig: DataFrame, hash_col: str = "phash", id_col: str = "doc_id") -> DataFrame:
+    """(id, phash, band, h) rows from a 60-bit image signature — the
+    image twin of :func:`lsh_bands`, 4 rows of 3 longs per image, built
+    on the same band explode as text simhash/banded_hamming_pairs."""
+    out = _explode_hash_bands(sig, hash_col, id_col, "h")
+    return out.withColumnRenamed(hash_col, "phash") if hash_col != "phash" else out
 
 
 def incremental_neardup_phash(
@@ -397,6 +410,7 @@ def incremental_neardup_against_phash_ledger(
     hash_col: str = "phash",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    persist_fn=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Per-batch :func:`incremental_neardup_phash` against a persisted
     band ledger whose rows carry the full hash for verification:
@@ -407,8 +421,16 @@ def incremental_neardup_against_phash_ledger(
     (zero ledger exchange per batch; the stored phash rides the same
     bucket files), only the batch bands shuffle, and the writer fence
     makes concurrent appenders fail fast. Returns (kept_ids,
-    kept_keys) — append kept_keys after accepting the batch."""
-    newb = managed_persist(
+    kept_keys) — append kept_keys after accepting the batch.
+
+    ``persist_fn`` overrides how the two intermediate frames are
+    cached. The default (session.managed_persist) registers them for
+    release at the next catalog-query build — right for one-shot
+    queries, a leak for a long-running sink calling this every
+    micro-batch; MediaIngest passes its own collector and unpersists
+    per batch."""
+    persist_fn = persist_fn or managed_persist
+    newb = persist_fn(
         phash_bands(new_sigs, hash_col, id_col).withColumn("fp", band_fp())
     )
     seen = spark.table(table).hint("shuffle_hash").select(
@@ -422,7 +444,7 @@ def incremental_neardup_against_phash_ledger(
     )
     # shuffle_hash on the batch-bounded hit sets — same SMJ-estimate
     # rationale as incremental_neardup_phash
-    kept1 = managed_persist(
+    kept1 = persist_fn(
         newb.join(hit_ledger.hint("shuffle_hash"), id_col, "left_anti")
     )
     a, b = kept1.alias("a"), kept1.alias("b")
@@ -1344,23 +1366,7 @@ def banded_hamming_pairs(
         # signature; tiny (id + 1 long) at any corpus scale. The capped
         # (default) shape reads it exactly once — no persist needed.
         sig = managed_persist(sig)
-    bands = sig.select(
-        F.col(id_col),
-        F.col(hash_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col(hash_col), b * SIMHASH_BAND_BITS)
-                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
-                        .alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, hash_col, "bk.band", "bk.key")
+    bands = _explode_hash_bands(sig, hash_col, id_col, "key")
     if band_cap is not None:
         # GROUP-AND-ENUMERATE, same shape and rationale as lsh_pairs'
         # capped path: one exchange on (band, key), WindowGroupLimit

@@ -230,17 +230,31 @@ class MediaIngest:
         self._ensure_ledger(spark)
         obs = Observation()
         batch_df = batch_df.observe(obs, F.count(F.lit(1)).alias("n"))
-        sigs = media_phash(batch_df, self.payload_col, self.id_col).select(
-            self.id_col, "phash"
-        ).persist()
+        # every cache this batch creates is unpersisted in the finally —
+        # a long-running sink must own its caches per batch (the default
+        # managed_persist registry is only drained at catalog-query
+        # builds, which a streaming daemon never performs)
+        caches: list[DataFrame] = []
+
+        def _persist(df: DataFrame) -> DataFrame:
+            df = df.persist()
+            caches.append(df)
+            return df
+
+        sigs = _persist(
+            media_phash(batch_df, self.payload_col, self.id_col).select(
+                self.id_col, "phash"
+            )
+        )
         try:
             n_decoded = sigs.count()
             n_batch = int(obs.get["n"])
             kept_ids, kept_keys = incremental_neardup_against_phash_ledger(
                 sigs, spark, self.ledger_table,
                 id_col=self.id_col, max_hamming=self.max_hamming,
+                persist_fn=_persist,
             )
-            kept_ids = kept_ids.persist()
+            kept_ids = _persist(kept_ids)
             n_kept = kept_ids.count()
             admitted = batch_df.join(kept_ids, self.id_col, "left_semi")
             # corpus BEFORE ledger — duplicates on replay, never loss
@@ -255,9 +269,9 @@ class MediaIngest:
                 n_buckets=self.ledger_buckets, mode="append",
                 extra_cols=("phash",),
             )
-            kept_ids.unpersist()
         finally:
-            sigs.unpersist()
+            for df in caches:
+                df.unpersist()
         self.ingested += n_kept
         self.dropped_dup += n_decoded - n_kept
         self.skipped_undecodable += n_batch - n_decoded

@@ -863,7 +863,11 @@ def media_features(
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                if b is None:
+                # pd.isna(i): a NULL id arrives as NaN after the Arrow
+                # long -> float64 conversion and int(i) would raise,
+                # killing the whole job for one bad row — an id-less
+                # payload is skipped-and-uncounted like a null payload
+                if b is None or pd.isna(i):
                     continue
                 if max_decode_bytes is not None and len(b) > max_decode_bytes:
                     continue  # same honest skip as an undecodable format
@@ -984,7 +988,11 @@ def media_phash(
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                if b is None:
+                # pd.isna(i): a NULL id arrives as NaN after the Arrow
+                # long -> float64 conversion and int(i) would raise,
+                # killing the whole job for one bad row — an id-less
+                # payload is skipped-and-uncounted like a null payload
+                if b is None or pd.isna(i):
                     continue
                 if max_decode_bytes is not None and len(b) > max_decode_bytes:
                     continue
@@ -1027,7 +1035,10 @@ def audio_fp60(samples) -> int | None:
     if not samples:
         return None
     h = 0
-    for j in range(min(59, len(samples) - 1)):
+    # j ranges over deltas 0..59 — exactly 60 bits, so band 3 of the
+    # 4 x 15-bit split carries full selectivity (a 59-bit fill would
+    # halve its accidental-collision resistance)
+    for j in range(min(60, len(samples) - 1)):
         if samples[j + 1] > samples[j]:
             h |= 1 << j
     return h
@@ -1048,7 +1059,11 @@ def media_audio_fp(
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                if b is None:
+                # pd.isna(i): a NULL id arrives as NaN after the Arrow
+                # long -> float64 conversion and int(i) would raise,
+                # killing the whole job for one bad row — an id-less
+                # payload is skipped-and-uncounted like a null payload
+                if b is None or pd.isna(i):
                     continue
                 if max_decode_bytes is not None and len(b) > max_decode_bytes:
                     continue

@@ -347,9 +347,7 @@ def c4_filters(col_name: str, min_line_words: int = 5) -> dict[str, Column]:
 def duck_c4_sql(expr: str, min_line_words: int = 5) -> dict[str, str]:
     """DuckDB twin of :func:`c4_filters`."""
     ls = f"string_split({expr}, chr(10))"
-    term_pred = " OR ".join(
-        "ends_with(l, '" + ('"' if t == '"' else t) + "')" for t in C4_TERMINALS
-    )
+    term_pred = " OR ".join(f"ends_with(l, '{t}')" for t in C4_TERMINALS)
     keep_pred = (
         f"({term_pred}) AND len(string_split(l, ' ')) >= {min_line_words} "
         f"AND NOT contains(lower(l), 'javascript')"

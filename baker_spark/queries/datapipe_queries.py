@@ -1086,7 +1086,7 @@ wav AS (
   FROM documents WHERE doc_id % 5 = 1
 ),
 idx AS (
-  SELECT doc_id, n, rate, unnest(generate_series(0, least(58, n - 2))) AS j
+  SELECT doc_id, n, rate, unnest(generate_series(0, least(59, n - 2))) AS j
   FROM wav
 ),
 bits AS (
@@ -1156,18 +1156,14 @@ def dp_audio_fp_pairs(spark, sf_dir):
     return dedup.banded_hamming_pairs(sig, "afp")
 
 
-_FUNNEL_C4 = text.duck_c4_sql(_STAGED_SQL)
-_FUNNEL_G = text.duck_gopher_sql(_STAGED_SQL)
-
-
 @query(
     "dp_quality_funnel",
     f"""
 WITH flags AS (
   SELECT source,
-         {_FUNNEL_C4['c4_keep']} AS c4_keep,
-         {_FUNNEL_G['gopher_ok']} AS gopher_ok,
-         {_FUNNEL_C4['n_lines_kept']} AS n_lines_kept,
+         {_C4['c4_keep']} AS c4_keep,
+         {_GOPHER['gopher_ok']} AS gopher_ok,
+         {_C4['n_lines_kept']} AS n_lines_kept,
          {text.duck_fingerprint('text')} AS fp
   FROM documents
 )

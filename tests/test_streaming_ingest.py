@@ -385,3 +385,35 @@ def test_media_ingest_as_streaming_sink(spark, tmp_path):
         assert {r.doc_id for r in corpus.collect()} == {1, 2, 4}
     finally:
         spark.sql("DROP TABLE IF EXISTS media_ledger_t3")
+
+
+def test_media_ingest_releases_every_cache_per_batch(spark, tmp_path):
+    """The long-running-sink contract: after write() returns, NO frame
+    this batch persisted may remain cached (the managed_persist registry
+    is only drained at catalog-query builds, which a streaming daemon
+    never performs — so the sink must own its caches per batch)."""
+    from baker_spark.datapipe.ingest import MediaIngest
+    from baker_spark.session import release_caches
+
+    release_caches()  # start from a clean registry
+    spark.catalog.clearCache()
+    sink = MediaIngest(
+        corpus_dir=str(tmp_path / "mcorpus"),
+        ledger_dir=str(tmp_path / "mledger"),
+        ledger_table="media_ledger_t4",
+        ledger_buckets=4,
+    )
+    try:
+        for n, batch in enumerate(
+            [[(1, _png("A")), (2, _png("B"))], [(3, _png("A")), (4, _png("C"))]]
+        ):
+            sink.write(
+                spark.createDataFrame(batch, "doc_id long, payload binary")
+            )
+            cached = [
+                info.name()
+                for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            ]
+            assert not cached, f"batch {n} leaked cached RDDs: {cached}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS media_ledger_t4")
