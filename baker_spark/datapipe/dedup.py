@@ -363,11 +363,24 @@ def incremental_neardup_phash(
        (non-transitive by design — see incremental_neardup).
 
     Scale shape: both sides reduce to (id, phash, band, h) rows; joins
-    key on (band, h). The in-batch self-join is batch x batch only.
-    Returns the kept ids."""
+    key on (band, h), and — load-bearing at dup-heavy density — the
+    PROBED side is collapsed to DISTINCT hashes per band key before the
+    join. The drop decision only asks "is SOME collider within
+    max_hamming", so every member of an identical-hash class beyond
+    the first adds nothing; without the collapse a corpus whose
+    classes have grown to ~1300 members (measured, sf100 synthetic)
+    multiplies the verify join into billions of candidate rows — the
+    exact quadratic blowup the pair emitter's band_cap guards against,
+    which an INGEST rule cannot cap without admitting near-dups.
+    In-batch, the same collapse keeps min(id) per (band, h, phash):
+    "exists j < i sharing a band within max_hamming" is equivalent to
+    "some group's min id < i" because hamming to every member of an
+    equal-hash group is one number. Returns the kept ids."""
     newb = managed_persist(phash_bands(new_sigs, hash_col, id_col))
-    seenb = phash_bands(seen_sigs, hash_col, id_col).select(
-        "band", "h", F.col("phash").alias("_sp")
+    seenb = (
+        phash_bands(seen_sigs, hash_col, id_col)
+        .select("band", "h", F.col("phash").alias("_sp"))
+        .distinct()
     )
     hit_ledger = (
         newb.join(seenb, ["band", "h"])
@@ -384,15 +397,17 @@ def incremental_neardup_phash(
     kept1 = managed_persist(
         newb.join(hit_ledger.hint("shuffle_hash"), id_col, "left_anti")
     )
-    a, b = kept1.alias("a"), kept1.alias("b")
+    groups = kept1.groupBy("band", "h", "phash").agg(F.min(id_col).alias("_mid"))
     hit_batch = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        kept1.alias("a")
+        .join(
+            groups.alias("g"),
+            (F.col("a.band") == F.col("g.band")) & (F.col("a.h") == F.col("g.h")),
         )
-        .filter(F.bit_count(F.expr("a.phash ^ b.phash")) <= max_hamming)
+        .filter(
+            (F.bit_count(F.expr("a.phash ^ g.phash")) <= max_hamming)
+            & (F.col("g._mid") < F.col(f"a.{id_col}"))
+        )
         .select(F.col(f"a.{id_col}").alias(id_col))
         .distinct()
     )
@@ -433,8 +448,16 @@ def incremental_neardup_against_phash_ledger(
     newb = persist_fn(
         phash_bands(new_sigs, hash_col, id_col).withColumn("fp", band_fp())
     )
-    seen = spark.table(table).hint("shuffle_hash").select(
-        "fp", F.col("phash").alias("_sp")
+    # distinct (fp, phash) before the verify join — the dup-density
+    # guard incremental_neardup_phash documents. The distinct itself is
+    # exchange-FREE: the ledger is bucketed by fp, and hash-partitioning
+    # on fp co-locates every (fp, phash) group, so the aggregate runs on
+    # the bucketed scan in place.
+    seen = (
+        spark.table(table)
+        .select("fp", F.col("phash").alias("_sp"))
+        .distinct()
+        .hint("shuffle_hash")
     )
     hit_ledger = (
         newb.join(seen, "fp")
@@ -447,14 +470,14 @@ def incremental_neardup_against_phash_ledger(
     kept1 = persist_fn(
         newb.join(hit_ledger.hint("shuffle_hash"), id_col, "left_anti")
     )
-    a, b = kept1.alias("a"), kept1.alias("b")
+    groups = kept1.groupBy("fp", "phash").agg(F.min(id_col).alias("_mid"))
     hit_batch = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        kept1.alias("a")
+        .join(groups.alias("g"), F.col("a.fp") == F.col("g.fp"))
+        .filter(
+            (F.bit_count(F.expr("a.phash ^ g.phash")) <= max_hamming)
+            & (F.col("g._mid") < F.col(f"a.{id_col}"))
         )
-        .filter(F.bit_count(F.expr("a.phash ^ b.phash")) <= max_hamming)
         .select(F.col(f"a.{id_col}").alias(id_col))
         .distinct()
     )
