@@ -90,8 +90,14 @@ def main() -> int:
             r["doc_id"]
             for r in spark.read.parquet(sink.corpus_dir).select("doc_id").collect()
         }
-        all_ids = {r["doc_id"] for r in imgs.select("doc_id").collect()}
-        ingest_dropped = all_ids - ingest_kept
+        # compare over DECODABLE ids only: a payload media_phash skips
+        # (undecodable / over decode budget) is absent from the ground
+        # truth's hash set AND from the corpus — counting it as an
+        # ingest over-drop would charge the dedup rule for a decision
+        # it never made (all fixture payloads decode, but the harness
+        # must stay honest on corpora where some don't)
+        decodable_ids = {r["doc_id"] for r in sigs.select("doc_id").collect()}
+        ingest_dropped = decodable_ids - ingest_kept
         caught = len(offline_dropped & ingest_dropped)
         over = len(ingest_dropped - offline_dropped)
         print(
