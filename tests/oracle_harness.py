@@ -21,8 +21,13 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):  # partial sf dirs still sweep what they have
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):
+            # chunk-written tables (the sf100 generators) are DIRECTORIES
+            # of part files — glob them like Spark's directory scan does
+            p = f"{p}/*.parquet"
+        elif not os.path.exists(p):  # partial sf dirs still sweep what they have
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 
