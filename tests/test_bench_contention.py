@@ -1,0 +1,118 @@
+"""Measurement-integrity tests for the bench orchestrator (VERDICT r11
+next-round #1): the official BENCH_r{N}.json artifact must not be
+capturable under host contention without flagging and retrying itself.
+Round 11's artifact carried canary_32p 0.418s with `chain_retried:
+false` and headlined a 2.11x-vs-baseline suite while a same-commit idle
+re-run measured 1.29x — these tests pin the orchestrator shape that
+makes that impossible: before+after canaries per suite pass, whole-suite
+retry while clean passes are short of quota, median-of-clean headline,
+and an explicit `contended` flag when the budget exhausts hot."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import bench
+
+
+def _pass(total: float, c_before: float, c_after: float, rps: int = 400_000) -> dict:
+    return {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {"q": total},
+        "records_per_sec": rps,
+        "canary_before": {"canary_1p_s": 0.13, "canary_32p_s": c_before},
+        "canary_after": {"canary_1p_s": 0.13, "canary_32p_s": c_after},
+    }
+
+
+CLEAN = 0.31  # idle calibration (bench.py gate comment)
+HOT = 0.60
+
+
+def test_all_clean_headlines_median_no_retry():
+    seq = iter([_pass(9.3, CLEAN, CLEAN), _pass(9.0, CLEAN, CLEAN), _pass(9.6, CLEAN, CLEAN)])
+    out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=2, max_jvms=6)
+    assert out["n_passes"] == 3 and out["n_clean"] == 3
+    assert not out["suite_retried"] and not out["contended"]
+    assert out["value"] == 9.3  # median of {9.0, 9.3, 9.6}
+    assert out["envelope"] == {"min": 9.0, "median": 9.3, "max": 9.6, "n": 3}
+    # headline pass is reported verbatim: value == sum(queries)
+    assert sum(out["queries"].values()) == out["value"]
+
+
+def test_contended_passes_trigger_whole_suite_retry():
+    # the r11 failure mode: contended captures early. The orchestrator
+    # must run EXTRA passes (not just retry the chain row) until the
+    # clean quota is met, and the hot passes must not headline.
+    seq = iter(
+        [
+            _pass(12.8, 0.418, 0.44),  # r11's exact hot shape: slow suite, hot canary
+            _pass(12.5, HOT, HOT),
+            _pass(9.1, CLEAN, CLEAN),
+            _pass(9.3, CLEAN, CLEAN),
+        ]
+    )
+    out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=2, max_jvms=6)
+    assert out["n_passes"] == 4 and out["n_clean"] == 2
+    assert out["suite_retried"] and not out["contended"]
+    assert out["value"] == 9.1  # lower median of the two clean passes
+    flags = [p["clean"] for p in out["suite_passes"]]
+    assert flags == [False, False, True, True]
+
+
+def test_mid_suite_spike_caught_by_after_stamp():
+    # a co-tenant burst that starts AFTER the pre-run canary: the old
+    # single-stamp harness headlined it silently; the after-stamp must
+    # classify the pass contended.
+    seq = iter([_pass(12.0, CLEAN, HOT), _pass(9.2, CLEAN, CLEAN), _pass(9.0, CLEAN, CLEAN)])
+    out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=2, max_jvms=6)
+    assert not out["suite_passes"][0]["clean"]
+    assert out["value"] in (9.0, 9.2) and not out["contended"]
+
+
+def test_budget_exhausted_hot_flags_contended_least_hot_headlines():
+    seq = iter([_pass(12.0 + i / 10, 0.5 + i / 100, 0.5) for i in range(6)])
+    out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=2, max_jvms=6)
+    assert out["contended"] and out["n_clean"] == 0 and out["n_passes"] == 6
+    assert out["value"] == 12.0  # least-contended pass (smallest worst canary)
+
+
+def test_legacy_single_stamp_doc_is_never_clean():
+    # rounds 7-11 artifacts carry one pre-run canary only; they must not
+    # pass the clean classifier even with a low stamp
+    assert not bench.pass_is_clean({"value": 9.0, "canary_32p_s": 0.30})
+
+
+def test_busy_loop_contention_spike_trips_gate_and_retry():
+    """The physical leg: a synthetic contention spike (busy-loop
+    co-processes oversubscribing all cores) must stretch the REAL
+    cpu_canary past the absolute gate, and a suite pass stamped under
+    the spike must trigger the orchestrator's retry path."""
+    code = "while True:\n pass"
+    spin = [
+        subprocess.Popen([sys.executable, "-c", code])
+        for _ in range(2 * (len(__import__("os").sched_getaffinity(0)) or 32))
+    ]
+    try:
+        hot = bench.cpu_canary()
+    finally:
+        for p in spin:
+            p.kill()
+        for p in spin:
+            p.wait()
+    assert hot["canary_32p_s"] > bench.CANARY_GATE_32P_S, hot
+    # a pass stamped with the measured hot canary is contended and the
+    # orchestrator runs a replacement pass beyond the n_jvms quota
+    seq = iter(
+        [
+            _pass(12.0, hot["canary_32p_s"], hot["canary_32p_s"]),
+            _pass(9.1, CLEAN, CLEAN),
+            _pass(9.2, CLEAN, CLEAN),
+        ]
+    )
+    out = bench.orchestrate(lambda: next(seq), n_jvms=2, min_clean=2, max_jvms=6)
+    assert out["suite_retried"] and not out["suite_passes"][0]["clean"]
+    assert out["n_passes"] == 3 and out["value"] in (9.1, 9.2)
