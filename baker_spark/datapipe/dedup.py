@@ -1374,7 +1374,20 @@ def banded_hamming_pairs(
     perceptual hash (multimodal.media_phash) so text and image near-dup
     can never drift in their banding arithmetic. ``sig`` must carry
     (``id_col``, ``hash_col``: a long using at most 60 bits); see
-    simhash_pairs for the pigeonhole guarantee and the band_cap trade."""
+    simhash_pairs for the pigeonhole guarantee and the band_cap trade.
+
+    At saturation density (every pair-capable (band,key) group over
+    ``band_cap`` — the documented sf100 regime, SCALING.md) this query
+    correctly returns ZERO pairs, and the bare result is then
+    indistinguishable from "no near-dups exist". Callers that DECIDE on
+    the pair set should also run :func:`band_cap_saturation` (one cheap
+    group-count job over the same band explode) or use
+    :func:`banded_hamming_pairs_with_metrics`, which returns both. A
+    ``df.observe``/Observation hook was tried first and rejected: under
+    AQE this plan's CollectMetrics row comes back empty flakily in
+    Spark 4.1 (the metrics future resolves to a size-0 row), and a
+    saturation signal that silently vanishes is worse than a second
+    tiny job."""
     if max_hamming > 3:
         # a hard error, not an assert: asserts strip under python -O,
         # and past bands-1 differing bits the pigeonhole guarantee is
@@ -1423,12 +1436,19 @@ def banded_hamming_pairs(
         )
         return (
             bounded.select(F.explode(F.expr(pair_expr)).alias("p"))
-            .select("p.doc_a", "p.doc_b", "p.hamming")
             # a pair can share several surviving bands (the first-match-
             # band trick is unsound under a cap — its xor-first intact
             # band may be the dropped hot one); candidates are sparse
-            # under the cap, so the distinct exchange is tiny.
-            .distinct()
+            # under the cap, so the dedup exchange is tiny. groupBy
+            # rather than .distinct(): identical semantics (hamming is a
+            # function of the pair) and exchange count, but distinct-
+            # above-an-observed-aggregate breaks Observation.get in
+            # Spark 4.1 (PythonSQLUtils.toPyRow assertion) while this
+            # shape reports metrics fine.
+            .groupBy(
+                F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+            )
+            .agg(F.min("p.hamming").alias("hamming"))
         )
     a, b = bands.alias("a"), bands.alias("b")
     xor = F.expr(f"a.{hash_col} ^ b.{hash_col}")
@@ -1457,6 +1477,78 @@ def banded_hamming_pairs(
         F.col(f"b.{id_col}").alias("doc_b"),
         ham.alias("hamming"),
     )
+
+
+def band_cap_saturation(
+    sig: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    band_cap: int = DEFAULT_BAND_CAP,
+) -> DataFrame:
+    """One-row saturation report for the band cap on a signature frame:
+    how much of the candidate mass :func:`banded_hamming_pairs` would
+    exclude at ``band_cap``. Columns: ``n_groups`` (all (band,key)
+    groups), ``n_pair_groups`` (>= 2 members — the only groups that can
+    emit pairs), ``n_capped_groups`` (pair groups over cap),
+    ``capped_frac_c6`` (capped / pair groups, micro fixed-point; 0 when
+    no pair groups exist). ~1,000,000 means EVERY potential pair source
+    was excluded — the sf100-dense regime where a zero-pair result means
+    "cap saturated", not "no near-dups" (VERDICT r11 watch-point #1).
+    One exchange on (band,key) group counts; integer-exact for the
+    DuckDB oracle twin."""
+    bands = _explode_hash_bands(sig, hash_col, id_col, "key")
+    g = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    pair = F.sum((F.col("n") >= 2).cast("long"))
+    capped = F.sum((F.col("n") > band_cap).cast("long"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        pair.alias("n_pair_groups"),
+        capped.alias("n_capped_groups"),
+        F.when(pair > 0, F.floor(capped * 1000000 / pair))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("capped_frac_c6"),
+    )
+
+
+def banded_hamming_pairs_with_metrics(
+    sig: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_cap: int = DEFAULT_BAND_CAP,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`banded_hamming_pairs` plus its :func:`band_cap_saturation`
+    report as a (pairs, saturation) tuple — the operational entry point
+    for callers that act on the pair set: a zero-pair result with
+    ``capped_frac_c6`` ~= 1,000,000 means the cap excluded everything
+    (the sf100-dense regime), not that the corpus is duplicate-free.
+    ``sig`` is persisted across the two jobs so the signature lineage
+    (often a media decode) computes once; caller owns the unpersist via
+    the returned frames' lifecycle (managed_persist registry)."""
+    sig = managed_persist(sig)
+    return (
+        banded_hamming_pairs(sig, hash_col, id_col, max_hamming, band_cap),
+        band_cap_saturation(sig, hash_col, id_col, band_cap),
+    )
+
+
+def duck_band_cap_saturation(
+    bands_cte: str, band_cap: int = DEFAULT_BAND_CAP
+) -> str:
+    """DuckDB twin of :func:`band_cap_saturation` over a CTE named by
+    ``bands_cte`` exposing (band, key) rows — identical integer
+    arithmetic so the saturation numbers hash-match."""
+    return f"""
+g AS (SELECT band, key, count(*) AS n FROM {bands_cte} GROUP BY band, key)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pair_groups,
+       CAST(sum(CASE WHEN n > {band_cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_groups,
+       CAST(CASE WHEN sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) > 0
+                 THEN floor(sum(CASE WHEN n > {band_cap} THEN 1 ELSE 0 END) * 1000000
+                            / sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END))
+                 ELSE 0 END AS BIGINT) AS capped_frac_c6
+FROM g"""
 
 
 def duck_simhash_pairs(

@@ -43,34 +43,46 @@ from baker_spark.queries import (
 # dp_embedding_dedup, dp_sequence_packing) — all still swept at four
 # SFs every CI run by tests/test_oracle_parity.py.
 GATE_ORDER = [
-    # flagship + new/never-gated
+    # flagship + r11 carry (fresh enough to hold their slots)
     "q1_pricing_summary",
-    "dp_ann_search",          # NEW this round: the ANN facade
-    "dp_bigram_surprisal",    # never driver-gated until now
-    # §2.2 filters, newest rows r07 (four with r8-touched semantics)
+    "dp_ann_search",
+    "dp_bigram_surprisal",
+    # ROUND-12 ROTATION (VERDICT r11 "next round" #5): q_asof_join /
+    # q_set_ops / q_pivot / q_unpivot / q_range_join /
+    # q_scalar_subquery / q_grouping_sets have never (or not since r08)
+    # been driver-gated; the kmeans/PQ/IVF family rotated out in r11;
+    # dp_phash_band_saturation is new this round (band-cap
+    # observability). Rotated OUT to make room: twelve §2.2 filters
+    # green for three consecutive driver rounds (r09-r11) whose
+    # machinery is plain column transforms swept four-SF by
+    # test_oracle_parity every CI run (the semantically-tricky §2.2
+    # rows — clause grammar, crypt, dedup null-fidelity, Go time
+    # layouts, ParseInt strictness, URL decoding, metadata — stay
+    # gated below). Rotation contract: COVERAGE.md §gate-rotation.
+    "q_asof_join",
+    "q_set_ops",
+    "q_pivot",
+    "q_unpivot",
+    "q_range_join",
+    "q_scalar_subquery",
+    "q_grouping_sets",
+    "dp_kmeans_train",
+    "dp_pq_codes",
+    "dp_pq_adc_topk",
+    "dp_ivfpq_topk",
+    "dp_phash_band_saturation",
+    # §2.2 filters with reference-quirk semantics — kept gated
     "op_clausefilter",
-    "op_clearfields",
-    "op_concatenate",
     "op_countandtag",
     "op_crypt",
     "op_dedup",
     "op_expandjson",
-    "op_expandlist",
     "op_externalmatch",
-    "op_formattime",          # r8-touched: Go layout table
-    "op_hash",                # r8-touched: raw-digest default
-    "op_metadata",            # r8-touched: graceful missing-metadata
-    "op_notnull",
-    "op_partialclone",
+    "op_formattime",          # Go layout table
+    "op_metadata",            # graceful missing-metadata
     "op_regexmatch",
-    "op_replacefields",
-    "op_setstringfromurl",
-    "op_slice",
-    "op_stringmatch",
-    "op_timestamp",
-    "op_timestamprange",      # r8-touched: ParseInt strictness
-    "op_urlescape",
-    "op_urlparam",            # r8-touched: URL-decoded values
+    "op_timestamprange",      # ParseInt strictness
+    "op_urlparam",            # URL-decoded values
     # §2.5 topology ops, newest rows r07
     "op_validation",
     "op_sharding",

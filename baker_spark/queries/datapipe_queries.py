@@ -1077,6 +1077,33 @@ def dp_image_neardup_ingest(spark, sf_dir):
     return dedup.incremental_neardup_phash(new_sigs, seen_sigs)
 
 
+@query(
+    "dp_phash_band_saturation",
+    f"""WITH {_PHASH_HASHES_SQL},
+bands0 AS (
+  SELECT doc_id, phash,
+         (phash >> (CAST(r.b AS INTEGER) * 15)) & 32767 AS key,
+         CAST(r.b AS INTEGER) AS band
+  FROM hashes CROSS JOIN range(0, 4) r(b)
+),{dedup.duck_band_cap_saturation("bands0")}""",
+)
+def dp_phash_band_saturation(spark, sf_dir):
+    """Band-cap saturation report for the image phash corpus (VERDICT
+    r11 next-round #2): the fraction of pair-capable (band,key) groups
+    that banded_hamming_pairs' hot-band cap excludes. At sf100 density
+    every group saturates and dp_image_phash_pairs correctly returns
+    zero pairs — this one-row metric makes that regime visible in the
+    RESULT (capped_frac_c6 ~= 1000000) instead of only in SCALING.md;
+    at the driver SFs it reads 0. Same numbers ride
+    dp_image_phash_pairs itself via the optional Observation hook on
+    dedup.banded_hamming_pairs."""
+    df = load_table(spark, sf_dir, "documents")
+    sig = multimodal.media_phash(multimodal.with_pixel_payload(df)).select(
+        "doc_id", "phash"
+    )
+    return dedup.band_cap_saturation(sig, "phash")
+
+
 # the WAV fixture's sample grid regenerated in SQL and reduced to the
 # 60-bit delta-sign fingerprint of multimodal.audio_fp60 — shared by
 # the fingerprint and the pairs oracles

@@ -669,3 +669,41 @@ def test_pq_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="divisible"):
         V.pq_train_encode(df, m=8, dim=60)
+
+
+def test_band_cap_saturation_dense_vs_sparse(spark):
+    """VERDICT r11 watch-point #1 pinned: at saturation density every
+    pair-capable (band,key) group exceeds the cap, banded_hamming_pairs
+    correctly emits ZERO pairs, and the saturation report must read
+    ~1.0 (capped_frac_c6 == 1000000) so the zero-pair result is
+    distinguishable from "no near-dups". At normal density it reads 0."""
+    from baker_spark.datapipe import dedup
+
+    # dense regime: one signature shared by many docs -> every band
+    # group holds all of them, far over cap
+    dense = spark.createDataFrame(
+        [(i, 0x0123456789ABCD) for i in range(12)], "doc_id long, sig long"
+    )
+    pairs, sat_df = dedup.banded_hamming_pairs_with_metrics(
+        dense, "sig", band_cap=5
+    )
+    assert pairs.count() == 0  # the documented sf100-dense outcome
+    sat = sat_df.collect()[0]
+    assert sat["n_groups"] == 4 and sat["n_pair_groups"] == 4
+    assert sat["n_capped_groups"] == 4 and sat["capped_frac_c6"] == 1_000_000
+
+    # sparse regime: distinct signatures (keys spread across ALL four
+    # bands — a low-entropy fixture quietly saturates the high bands)
+    # + one genuine near-dup pair -> nothing capped, pairs flow,
+    # saturation reads 0
+    mask = (1 << 60) - 1
+    rows = [(i, (i * 0x9E3779B97F4A7C15) & mask) for i in range(1, 11)]
+    rows += [(100, 7), (101, 5)]
+    sparse = spark.createDataFrame(rows, "doc_id long, sig long")
+    pairs2, sat2_df = dedup.banded_hamming_pairs_with_metrics(
+        sparse, "sig", band_cap=5
+    )
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs2.collect()} >= {(100, 101)}
+    sat2 = sat2_df.collect()[0]
+    assert sat2["n_capped_groups"] == 0 and sat2["capped_frac_c6"] == 0
+    assert sat2["n_pair_groups"] >= 1  # the near-dup group is visible
