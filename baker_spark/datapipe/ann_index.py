@@ -865,6 +865,14 @@ def _ivf_qerr(spark: SparkSession, path: str) -> float:
 #: these in-band signals.
 QERR_RETRAIN_RATIO = 1.5
 
+#: recall@k floor for the OUT-OF-BAND sampled probe: the fresh-build
+#: floor on this engine's exact-int64 ivf is ~0.87 (PERFORMANCE.md) and
+#: the measured rotational-drift failure lands ~0.5-0.6 (a ~40% drop,
+#: tools/ann_drift_bench.py), so 0.7 separates them with margin on both
+#: sides. Deployments with a different method/nprobe should pass their
+#: own floor calibrated from the build-time probe reading.
+RECALL_RETRAIN_FLOOR = 0.7
+
 #: max-cell/mean-cell ratio above which an index is flagged for
 #: retraining. 4x is conservative: a balanced k-means build lands ~1-2x
 #: at the test SFs (see SCALING.md drift table), and probe cost — the
@@ -880,6 +888,8 @@ def ann_index_stats(
     path: str,
     skew_threshold: float = SKEW_RETRAIN_THRESHOLD,
     qerr_ratio_threshold: float = QERR_RETRAIN_RATIO,
+    recall: float | None = None,
+    recall_floor: float = RECALL_RETRAIN_FLOOR,
 ) -> dict:
     """Index health check -> the RETRAIN SIGNAL for a frozen-quantizer
     index, from two complementary observables:
@@ -894,18 +904,23 @@ def ann_index_stats(
       Catches SCALE/NORM drift (embedding-model swaps) and poor-fit
       drift on clustered corpora. Neither in-band signal catches
       rotational drift on weakly-clustered data (measured: ~40% recall
-      loss at skew<2, qerr~1.01) — schedule
-      tools/ann_drift_bench.py's recall probe for that mode.
+      loss at skew<2, qerr~1.01) — for that mode run
+      :func:`ann_index_recall_probe` in the maintenance window and
+      pass its reading as ``recall`` here.
+    - **sampled recall** (all methods; OUT-OF-BAND — this function
+      never runs the probe itself, the caller schedules it): when
+      ``recall`` is given, ``recall < recall_floor`` joins the retrain
+      disjunction. This is the only signal that fires on rotational
+      drift.
 
     Returns ``{method, cells_occupied, cells_total, rows, vectors,
-    max_cell, mean_cell, skew, qerr, build_qerr, qerr_ratio,
-    needs_retrain}`` — ``rows`` is code rows (the probe-cost unit:
-    pq/ivfpq store m sub-code rows per vector), ``vectors`` is
-    rows/m, the unit to reconcile against ingest counters.
-    For the unpartitioned ``pq`` method there are no observables here
-    (codes don't retain vectors); use the drift bench's recall track.
-    For ``ivfpq``, only the skew track fires — its docstring points
-    drifty deployments at ivf or a periodic-rebuild cadence."""
+    max_cell, mean_cell, skew, qerr, build_qerr, qerr_ratio, recall,
+    recall_floor, needs_retrain}`` — ``rows`` is code rows (the
+    probe-cost unit: pq/ivfpq store m sub-code rows per vector),
+    ``vectors`` is rows/m, the unit to reconcile against ingest
+    counters. For the unpartitioned ``pq`` method the recall probe is
+    the ONLY observable (codes don't retain vectors, no partitions).
+    For ``ivfpq``, skew + recall fire; qerr needs ivf's raw vectors."""
     meta = ann_index_meta(spark, path)
     part_col = {"lsh": "bucket", "ivf": "centroid_id", "ivfpq": "centroid_id"}.get(
         meta["method"]
@@ -935,7 +950,9 @@ def ann_index_stats(
             "qerr": qerr,
             "build_qerr": build_qerr,
             "qerr_ratio": qerr_ratio,
-            "needs_retrain": False,
+            "recall": recall,
+            "recall_floor": recall_floor,
+            "needs_retrain": recall is not None and recall < recall_floor,
         }
     sizes = [
         r["n"] for r in codes.groupBy(part_col).agg(F.count("*").alias("n")).collect()
@@ -956,7 +973,148 @@ def ann_index_stats(
         "qerr": qerr,
         "build_qerr": build_qerr,
         "qerr_ratio": qerr_ratio,
-        "needs_retrain": skew > skew_threshold or qerr_ratio > qerr_ratio_threshold,
+        "recall": recall,
+        "recall_floor": recall_floor,
+        "needs_retrain": (
+            skew > skew_threshold
+            or qerr_ratio > qerr_ratio_threshold
+            or (recall is not None and recall < recall_floor)
+        ),
+    }
+
+
+def ann_index_recall_probe(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame | None = None,
+    queries: DataFrame | None = None,
+    n_q: int = 20,
+    k: int = 10,
+    sample_frac: float = 1.0,
+    nprobe: int = 2,
+    hamming: int = 1,
+    seed: int = 13,
+) -> dict:
+    """OUT-OF-BAND recall probe for an aged index — the signal the
+    in-band observables provably miss: rotational drift (a new topic
+    direction in the arrivals) moves neither cell skew (<2) nor qerr
+    (~1.01) while costing the frozen-quantizer index ~40% recall
+    (tools/ann_drift_bench.py, SCALING.md). This operator is the
+    drift bench's recall track productionized: ONE brute exact-scoring
+    job over a corpus sample + ONE ``search_batch``, compared top-k per
+    query. Schedule it in the maintenance window (the bench's
+    prescribed cadence) and feed the reading to :func:`ann_index_stats`
+    so ``needs_retrain`` covers all three drift modes.
+
+    - ``corpus``: (id_col, vec_col) frame holding raw vectors. Omitted,
+      it is reconstructed from the index's own codes — possible for
+      ivf/lsh (they store ``v``); pq/ivfpq codes don't retain vectors,
+      so those methods must be handed the corpus they indexed.
+    - ``queries``: (id_col, vec_col) frame to probe with; omitted,
+      ``n_q`` corpus rows are drawn by a seeded hash order
+      (deterministic across runs — a probe that samples differently
+      every night would alias sampling noise into the drift signal).
+      Operationally, pass RECENT ARRIVALS here: drift shows on queries
+      from the drifted region, and the corpus tail is where it lives.
+    - ``sample_frac`` < 1 bounds the brute job's scan: ground truth is
+      exact top-k WITHIN the sample, and the index side asks for
+      ceil(k/sample_frac) results then keeps in-sample hits, so the
+      expected in-sample depth matches k. Unbiased at 1.0; at f<1 an
+      estimator (documented bias: cell-boundary neighbors slightly
+      over-penalized) — fine for a floor alarm, not for benchmarking.
+
+    Cost shape at 100 TB: brute is n_q * |corpus|*f exact dots in one
+    scan (queries broadcast — n_q rows); search_batch prunes to probed
+    cells; driver state is n_q*k id lists. Returns ``{recall, k, n_q,
+    sample_frac, corpus_rows, method, nprobe, hits, possible}``."""
+    idx = AnnIndex(spark, path)
+    id_col, vec_col = idx.id_col, idx.meta["vec_col"]
+    if corpus is None:
+        if idx.method in ("pq", "ivfpq"):
+            raise ValueError(
+                f"{idx.method} codes do not retain raw vectors; pass the "
+                "indexed corpus (id, vector) to ann_index_recall_probe"
+            )
+        corpus = spark.read.parquet(f"{path}/codes").select(
+            F.col("id").alias(id_col), F.col("v").alias(vec_col)
+        )
+    corpus = corpus.select(id_col, vec_col)
+    if queries is None:
+        queries = corpus.orderBy(F.xxhash64(F.col(id_col), F.lit(seed))).limit(n_q)
+    q = queries.select(
+        F.col(id_col).alias("qid"), as_double(vec_col).alias("qv")
+    ).limit(n_q)
+    sample = (
+        corpus.sample(fraction=sample_frac, seed=seed)
+        if sample_frac < 1.0
+        else corpus
+    ).persist()
+    try:
+        from pyspark.sql import Window
+
+        # ground truth: exact scoring with the metric the index
+        # approximates — quantized-int64 L2 for the trained methods
+        # (the trainers' arithmetic), cosine_c4 for lsh — top-k per
+        # query within the sample, self-hit excluded
+        if idx.method == "lsh":
+            score, asc = cosine_c4(as_double(vec_col), F.col("qv")), False
+        else:
+            cq = quantize(as_double(vec_col))
+            score = (
+                dot_long(cq, cq)
+                - 2 * dot_long(cq, F.col("qq"))
+                + dot_long(F.col("qq"), F.col("qq"))
+            )
+            asc = True
+            q = q.withColumn("qq", quantize(F.col("qv")))
+        order = [F.col("_s").asc() if asc else F.col("_s").desc(), F.col(id_col).asc()]
+        w = Window.partitionBy("qid").orderBy(*order)
+        truth_rows = (
+            sample.crossJoin(F.broadcast(q))
+            .select("qid", id_col, score.alias("_s"))
+            .filter(F.col(id_col) != F.col("qid"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .collect()
+        )
+        truth: dict[int, set] = {}
+        for r in truth_rows:
+            truth.setdefault(r["qid"], set()).add(r[id_col])
+
+        # index side: deep enough that the expected IN-SAMPLE depth is
+        # k (+1 absorbs the self-hit)
+        k_idx = int(math.ceil(k / sample_frac)) + 1
+        res, score_col, res_asc = idx.search_batch(
+            q.select("qid", "qv"), k=k_idx, nprobe=nprobe, hamming=hamming
+        )
+        got_rows = res.join(
+            sample.select(id_col), id_col, "left_semi"
+        ).collect()
+        got_rows.sort(
+            key=lambda r: (r["qid"], r[score_col] if res_asc else -r[score_col], r[id_col])
+        )
+        got: dict[int, set] = {}
+        for r in got_rows:
+            if r[id_col] == r["qid"]:
+                continue
+            s = got.setdefault(r["qid"], set())
+            if len(s) < k:
+                s.add(r[id_col])
+        hits = sum(len(got.get(qid, set()) & t) for qid, t in truth.items())
+        possible = sum(len(t) for t in truth.values())
+        corpus_rows = sample.count()  # cached: the persist above
+    finally:
+        sample.unpersist()
+    return {
+        "recall": (hits / possible) if possible else 1.0,
+        "k": k,
+        "n_q": len(truth),
+        "sample_frac": sample_frac,
+        "corpus_rows": corpus_rows,
+        "method": idx.method,
+        "nprobe": nprobe,
+        "hits": hits,
+        "possible": possible,
     }
 
 

@@ -690,3 +690,105 @@ def test_rebuild_clears_default_ingest_ledger(spark, emb, tmp_path):
     ing2 = ann_index.AnnIndexIngest(path)
     assert ing2.write(streamed) == 20  # admitted again, not silently lost
     assert ann_index.ann_index_stats(spark, path)["vectors"] == 120
+
+
+def _clustered_corpus(spark, seed=7, centers=8, per=40, dim=64):
+    """Deterministic clustered unit-norm corpus — the realistic regime
+    for embedding tables (real encoders cluster; the synthetic
+    isotropic testdata is the pathological recall floor where even a
+    FRESH ivf reads ~0.5 at nprobe=2, see SCALING.md r11 addendum)."""
+    import math as _math
+    import random as _random
+
+    rng = _random.Random(seed)
+
+    def unit(v):
+        n = _math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    cs = [unit([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(centers)]
+    rows, vid = [], 0
+    for c in cs:
+        for _ in range(per):
+            rows.append((vid, unit([c[j] + 0.15 * rng.gauss(0, 1) for j in range(dim)])))
+            vid += 1
+    # rotational drift: arrivals around a NEW direction the frozen
+    # centroids never saw, with enough residual spread that their true
+    # neighbor structure disagrees with the frozen cell assignment
+    topic = unit([rng.gauss(0, 1) for _ in range(dim)])
+    drift = []
+    for _ in range(3 * per):
+        drift.append(
+            (vid, unit([0.9 * topic[j] + 1.4 * rng.gauss(0, 1) for j in range(dim)]))
+        )
+        vid += 1
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(rows, schema),
+        spark.createDataFrame(drift, schema),
+    )
+
+
+def test_recall_probe_flags_rotational_drift_inband_signals_miss(spark, tmp_path):
+    """VERDICT r11 next-round #3 pinned: rotational drift (arrivals
+    around a new topic direction) is the measured BLIND SPOT of both
+    in-band signals — skew and qerr stay under their thresholds — yet
+    aged-index recall on drifted queries collapses. The out-of-band
+    sampled probe must catch it, and feeding its reading into
+    ann_index_stats must flip needs_retrain; healthy-region queries on
+    the same aged index stay above the floor (measured on this fixture:
+    drifted 0.475, healthy 0.992, skew 2.3, qerr_ratio 1.25)."""
+    a, drifted_b = _clustered_corpus(spark)
+    aged = str(tmp_path / "aged")
+    ann_index.ann_index_build(a, aged, method="ivf", kc=KC, iters=4)
+    ann_index.ann_index_add(drifted_b, aged)
+
+    probe = ann_index.ann_index_recall_probe(
+        spark, aged, queries=drifted_b.limit(12), n_q=12, k=K, nprobe=1
+    )
+    healthy = ann_index.ann_index_recall_probe(
+        spark, aged, queries=a.limit(12), n_q=12, k=K, nprobe=1
+    )
+    assert probe["recall"] < ann_index.RECALL_RETRAIN_FLOOR, probe
+    assert healthy["recall"] >= ann_index.RECALL_RETRAIN_FLOOR, healthy
+
+    # the blind spot, reproduced: in-band signals alone do NOT flag the
+    # drifted index...
+    stats_inband = ann_index.ann_index_stats(spark, aged)
+    assert not stats_inband["needs_retrain"], stats_inband
+    # ...the probe reading folded in DOES
+    stats = ann_index.ann_index_stats(spark, aged, recall=probe["recall"])
+    assert stats["needs_retrain"] and stats["recall"] == probe["recall"]
+    ok = ann_index.ann_index_stats(spark, aged, recall=healthy["recall"])
+    assert not ok["needs_retrain"], ok
+
+
+def test_recall_probe_sampled_corpus_estimator(spark, tmp_path):
+    """sample_frac < 1 bounds the brute job: truth within the sample,
+    index asked for ceil(k/f) and scored on in-sample hits. On a fresh
+    clustered index the estimate must stay near the full-corpus reading
+    (both above the floor), and the probe must be deterministic for a
+    fixed seed."""
+    a, _ = _clustered_corpus(spark)
+    path = str(tmp_path / "fresh")
+    ann_index.ann_index_build(a, path, method="ivf", kc=KC, iters=4)
+    full = ann_index.ann_index_recall_probe(spark, path, n_q=10, k=K, nprobe=NPROBE)
+    est = ann_index.ann_index_recall_probe(
+        spark, path, n_q=10, k=K, nprobe=NPROBE, sample_frac=0.5
+    )
+    est2 = ann_index.ann_index_recall_probe(
+        spark, path, n_q=10, k=K, nprobe=NPROBE, sample_frac=0.5
+    )
+    assert full["recall"] >= ann_index.RECALL_RETRAIN_FLOOR
+    assert est["recall"] >= ann_index.RECALL_RETRAIN_FLOOR
+    assert est == est2  # seeded: identical reading run-to-run
+    assert est["corpus_rows"] < full["corpus_rows"]  # the brute job truly shrank
+
+
+def test_recall_probe_pq_requires_corpus(spark, emb, tmp_path):
+    path = str(tmp_path / "pq")
+    ann_index.ann_index_build(emb, path, method="pq", iters=1)
+    with pytest.raises(ValueError, match="retain raw vectors"):
+        ann_index.ann_index_recall_probe(spark, path)
+    probe = ann_index.ann_index_recall_probe(spark, path, corpus=emb, n_q=8, k=5)
+    assert 0.0 <= probe["recall"] <= 1.0 and probe["method"] == "pq"
