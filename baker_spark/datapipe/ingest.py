@@ -200,6 +200,11 @@ class MediaIngest:
     max_hamming: int = 3
     ledger_buckets: int = 16
     ledger_table: str = "media_ingest_ledger"
+    #: image pixel backend for the phash decode — None resolves via
+    #: $BAKER_SPARK_IMAGE_DECODER then 'pure'; a production daemon sets
+    #: 'pil' (or a register_image_decoder name) to clear the
+    #: pure-python ceiling without touching the ingest semantics
+    decoder: str | None = None
     ingested: int = 0
     dropped_dup: int = 0
     skipped_undecodable: int = 0
@@ -242,9 +247,9 @@ class MediaIngest:
             return df
 
         sigs = _persist(
-            media_phash(batch_df, self.payload_col, self.id_col).select(
-                self.id_col, "phash"
-            )
+            media_phash(
+                batch_df, self.payload_col, self.id_col, decoder=self.decoder
+            ).select(self.id_col, "phash")
         )
         try:
             n_decoded = sigs.count()

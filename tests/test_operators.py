@@ -1319,3 +1319,115 @@ def test_media_audio_fp_matches_direct_decode(spark):
         ch, rate, samples = M.decode_wav_samples(pay)
         assert (r.sample_rate, r.n_samples) == (rate, len(samples))
         assert r.afp == M.audio_fp60(samples)
+
+
+# --------------------------------------------- pluggable image decoders ----
+# VERDICT r11 next-round #4: the libvips/Pillow swap is a config knob on
+# the decode-bearing operators, not prose — same mapInPandas plumbing,
+# schemas, honest-skip contract and banding arithmetic; only the
+# bytes->pixels kernel changes. Pillow is absent in this container by
+# design, so the knob is exercised through (a) a registered custom
+# backend wrapping the pure codecs (proves routing + bit-identical
+# phash through a swapped kernel) and (b) the 'pil' fallback path.
+
+
+def _make_traced_decode(marker: str | None):
+    """A stand-in 'native' backend factory: the pure codecs behind a
+    marker-file side effect baked into the pickled closure, so a test
+    can prove the executor really routed decode through the registered
+    kernel (env vars don't reach already-spawned python workers)."""
+
+    def _traced(payload):
+        from baker_spark.datapipe import multimodal as M
+
+        if marker:
+            open(marker, "a").write("x")
+        return M._pure_pixel_decode(payload)
+
+    return _traced
+
+
+def test_registered_decoder_routes_and_phash_is_bit_identical(spark, tmp_path):
+    import os as _os
+
+    from baker_spark.datapipe import multimodal as M
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(20)], "doc_id long, text string")
+    packed = M.with_pixel_payload(df)
+    marker = str(tmp_path / "decoder_called")
+    M.register_image_decoder("tracedlib", _make_traced_decode(marker))
+    try:
+        pure = rows_to_tuples(M.media_phash(packed))
+        swapped = rows_to_tuples(M.media_phash(packed, decoder="tracedlib"))
+        assert swapped == pure  # bit-identical phash through the swapped kernel
+        assert _os.path.exists(marker)  # the executor used the registered backend
+        # media_features takes the same knob; wav rows keep flowing (the
+        # seam is image-only — WAV always uses the stdlib PCM parser)
+        feats = rows_to_tuples(M.media_features(packed, decoder="tracedlib"))
+        assert feats == rows_to_tuples(M.media_features(packed))
+        assert any(r[1] == "wav" for r in feats)
+    finally:
+        M.IMAGE_DECODERS.pop("tracedlib", None)
+
+
+def test_env_var_selects_decoder(spark, monkeypatch):
+    from baker_spark.datapipe import multimodal as M
+
+    monkeypatch.setenv(M.IMAGE_DECODER_ENV, "no-such-backend")
+    with pytest.raises(ValueError, match="unknown image decoder"):
+        M.resolve_image_decoder(None)
+    # explicit arg wins over the env var
+    assert M.resolve_image_decoder("pure") is M._pure_pixel_decode
+
+
+def test_pil_backend_falls_back_to_pure_when_missing(spark):
+    """This container ships no Pillow: requesting 'pil' must degrade to
+    the pure codecs with a RuntimeWarning — a production topology
+    config still runs on a box without the native lib, slower, never
+    wrong."""
+    import warnings
+
+    from baker_spark.datapipe import multimodal as M
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present — fallback path not reachable here")
+    except ImportError:
+        pass
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fn = M.resolve_image_decoder("pil")
+    assert fn is M._pure_pixel_decode
+    assert any("falling back" in str(x.message) for x in w)
+    df = spark.createDataFrame([(0, "a"), (5, "b")], "doc_id long, text string")
+    out = M.media_phash(M.with_pixel_payload(df), decoder="pil").collect()
+    assert out == M.media_phash(M.with_pixel_payload(df)).collect()
+
+
+def test_media_ingest_decoder_knob_same_decisions(spark, tmp_path):
+    """MediaIngest(decoder=...) routes its phash decode through the
+    swapped kernel and makes identical keep/drop decisions."""
+    from baker_spark.datapipe import multimodal as M
+    from baker_spark.datapipe.ingest import MediaIngest
+
+    M.register_image_decoder("tracedlib2", _make_traced_decode(None))
+    try:
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(0, 40, 5)], "doc_id long, text string"
+        )  # ids % 5 == 0 -> all PNG payloads
+        batch = M.with_pixel_payload(df)
+        a = MediaIngest(
+            corpus_dir=str(tmp_path / "c1"), ledger_dir=str(tmp_path / "l1"),
+            ledger_table="mi_knob_a",
+        )
+        b = MediaIngest(
+            corpus_dir=str(tmp_path / "c2"), ledger_dir=str(tmp_path / "l2"),
+            ledger_table="mi_knob_b", decoder="tracedlib2",
+        )
+        assert a.write(batch) == b.write(batch)
+        assert (a.ingested, a.dropped_dup, a.skipped_undecodable) == (
+            b.ingested, b.dropped_dup, b.skipped_undecodable,
+        )
+    finally:
+        M.IMAGE_DECODERS.pop("tracedlib2", None)
