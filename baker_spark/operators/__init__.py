@@ -47,3 +47,9 @@ from baker_spark.operators.topology import (  # noqa: F401
     Shard,
     Validation,
 )
+from baker_spark.operators.datapipe_filters import (  # noqa: F401
+    C4Clean,
+    C4Filter,
+    GopherQuality,
+    NearDupDrop,
+)

@@ -1,0 +1,176 @@
+"""TOML-registrable operators over the LLM-data-pipeline filter sets
+(VERDICT r11 next-round #6): the published quality batteries and the
+near-dup tier were Python-API-only (baker_spark.datapipe.*), while the
+TOML compiler covered exactly the reference's §2 inventory — a topology
+user couldn't get `[[filter]] name="GopherQuality"` without writing
+Python. These wrappers put the datapipe kernels behind the same
+Operator contract the reference's filters use (desc.go:76-81 name-based
+construction; record model = string fields), with the hoisting metadata
+filled in so the topology engine treats them correctly:
+
+- GopherQuality / C4Filter are PURE PREDICATES built from Catalyst
+  column expressions (zero exchanges, scan-stage parallel) — they
+  expose keep_predicate() like ClauseFilter/RegexMatch, marked
+  expensive (regexp-heavy) so the barrier hoist leaves them in the
+  parallel post-exchange chain.
+- C4Clean REWRITES the text field to the line-filtered page (the
+  actual C4 output artifact) and drops pages failing the document
+  rules — a transform + predicate, writes=[field].
+- NearDupDrop is the in-batch near-dup tier (simhash banding engine):
+  a WIDE operator (two keyed exchanges), declared writes=None so the
+  chain splitter treats it as a hoisting barrier. For the continuous
+  cross-batch form use datapipe.ingest.CorpusIngest/MediaIngest — this
+  filter is the one-shot topology tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from baker_spark.operators.base import Operator, register
+
+
+def _text(field: str) -> Column:
+    # record-model view: NULL and '' are the same value (record.go:35-39)
+    return F.coalesce(F.col(field).cast("string"), F.lit(""))
+
+
+@register
+class GopherQuality(Operator):
+    """Keep rows passing the Gopher quality rules (Rae et al. 2021,
+    A1.1) over ``field`` — the seven-rule battery of
+    :func:`baker_spark.datapipe.text.gopher_rules`, applied as one pure
+    column predicate. ``invert`` keeps the REJECTS instead (the audit
+    topology: route dropped docs to a quarantine sink)."""
+
+    name = "GopherQuality"
+    writes: list[str] = []
+    expensive_predicate = True  # regexp_count/split-heavy per row
+
+    def __init__(self, field: str = "text", invert: bool = False):
+        self.field = field
+        self.invert = invert
+        self.reads = [field]
+
+    def keep_predicate(self) -> Column:
+        from baker_spark.datapipe.text import gopher_rules
+
+        ok = gopher_rules(self.field)["gopher_ok"]
+        # a NULL verdict (empty/NULL doc: n_words arithmetic nulls out)
+        # is a failing doc, and under invert must be KEPT like any
+        # other reject — coalesce before negating, not after
+        ok = F.coalesce(ok, F.lit(False))
+        return ~ok if self.invert else ok
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.filter(self.keep_predicate())
+
+
+@register
+class C4Filter(Operator):
+    """Keep rows passing the C4 DOCUMENT rules (Raffel et al. 2020
+    §2.2: >= 3 sentences after line filtering, no '{', no 'lorem
+    ipsum') without rewriting the text — the predicate-only sibling of
+    :class:`C4Clean` for topologies that must preserve the original
+    bytes (e.g. when the sink re-serializes the raw record)."""
+
+    name = "C4Filter"
+    writes: list[str] = []
+    expensive_predicate = True
+
+    def __init__(self, field: str = "text", min_line_words: int = 5, invert: bool = False):
+        self.field = field
+        self.min_line_words = int(min_line_words)
+        self.invert = invert
+        self.reads = [field]
+
+    def keep_predicate(self) -> Column:
+        from baker_spark.datapipe.text import c4_filters
+
+        ok = c4_filters(self.field, self.min_line_words)["c4_keep"]
+        ok = F.coalesce(ok, F.lit(False))
+        return ~ok if self.invert else ok
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.filter(self.keep_predicate())
+
+
+@register
+class C4Clean(Operator):
+    """The full C4 cleaning pass: rewrite ``field`` to the
+    line-filtered page (keep only lines ending in terminal punctuation
+    with >= min_line_words words and no 'javascript' — the actual C4
+    output artifact) and drop pages failing the document rules. A
+    transform + predicate, so it does NOT hoist (writes=[field]); put a
+    :class:`C4Filter` earlier in the chain when pre-exchange dropping
+    matters more than the rewrite."""
+
+    name = "C4Clean"
+
+    def __init__(self, field: str = "text", min_line_words: int = 5):
+        self.field = field
+        self.min_line_words = int(min_line_words)
+        self.reads = [field]
+        self.writes = [field]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from baker_spark.datapipe.text import c4_filters
+
+        cols = c4_filters(self.field, self.min_line_words)
+        return df.filter(F.coalesce(cols["c4_keep"], F.lit(False))).withColumn(
+            self.field, cols["clean_text"]
+        )
+
+
+@register
+class NearDupDrop(Operator):
+    """In-batch near-duplicate drop over ``field``: simhash the text,
+    find pairs within ``max_hamming`` via the 4 x 15-bit banding engine
+    (exact recall at hamming <= 3 by pigeonhole —
+    :func:`baker_spark.datapipe.dedup.simhash_pairs`), and drop every
+    row that has a smaller-``id_field`` near-dup (survivors are the
+    rows minimal in their near-dup relation). Slightly stricter than
+    the ingest tier's greedy rule — there, a doc whose only smaller
+    collider was itself dropped gets re-admitted; here it still drops
+    (one anti-join instead of an iterative admit loop). ``id_field``
+    must be a key column; ordering is the column's natural Spark
+    ordering (numeric for longs, lexicographic for strings — any total
+    order dedups correctly, it only changes WHICH copy survives).
+
+    Scale shape: two keyed exchanges (band group + anti-join ship only
+    (id, simhash) pairs, never the text), hot bands truncated map-side
+    by ``band_cap``. A topology barrier (writes=None): downstream
+    predicates don't hoist across it."""
+
+    name = "NearDupDrop"
+    writes = None  # wide op — hoisting barrier
+
+    def __init__(
+        self,
+        field: str = "text",
+        id_field: str = "doc_id",
+        max_hamming: int = 3,
+        band_cap: int | None = None,
+    ):
+        from baker_spark.datapipe.dedup import DEFAULT_BAND_CAP
+
+        self.field = field
+        self.id_field = id_field
+        self.max_hamming = int(max_hamming)
+        self.band_cap = DEFAULT_BAND_CAP if band_cap is None else int(band_cap)
+        self.reads = [field, id_field]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from baker_spark.datapipe.dedup import simhash_pairs
+
+        pairs = simhash_pairs(
+            df.select(
+                F.col(self.id_field).alias("doc_id"), _text(self.field).alias("text")
+            ),
+            max_hamming=self.max_hamming,
+            band_cap=self.band_cap,
+        )
+        # doc_b of every pair has a smaller doc_a partner -> drop it;
+        # the min-id representative never appears as doc_b
+        losers = pairs.select(F.col("doc_b").alias(self.id_field)).distinct()
+        return df.join(losers, self.id_field, "left_anti")

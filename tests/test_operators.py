@@ -1431,3 +1431,29 @@ def test_media_ingest_decoder_knob_same_decisions(spark, tmp_path):
         )
     finally:
         M.IMAGE_DECODERS.pop("tracedlib2", None)
+
+
+def test_llm_filter_hoisting_metadata(spark):
+    """GopherQuality/C4Filter are expensive pure predicates (hoist-
+    eligible in shape, skipped by the cost rule, elidable never since
+    they stay in the chain); C4Clean writes its field; NearDupDrop is a
+    barrier — the chain splitter must not hoist a later predicate
+    across it."""
+    from baker_spark import operators as ops
+
+    chain = [
+        ops.GopherQuality(field="text"),
+        ops.C4Clean(field="text"),
+        ops.NearDupDrop(field="text", id_field="doc_id"),
+        ops.NotNull(["doc_id"]),  # after the barrier: must NOT hoist
+    ]
+    preds, rest = ops.split_chain(chain)
+    assert preds == []  # gopher is expensive_predicate; rest blocked
+    assert [type(o).__name__ for o in rest] == [
+        "GopherQuality", "C4Clean", "NearDupDrop", "NotNull",
+    ]
+    # a cheap predicate BEFORE the battery still hoists and elides
+    chain2 = [ops.NotNull(["doc_id"]), ops.GopherQuality(field="text")]
+    preds2, rest2 = ops.split_chain(chain2)
+    assert len(preds2) == 1
+    assert [type(o).__name__ for o in rest2] == ["GopherQuality"]

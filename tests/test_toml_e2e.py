@@ -932,3 +932,91 @@ CountEmptyFields = true
 """
     pipe = compile_toml(toml)
     assert pipe.sink.fields == ["a", "b"]
+
+
+def test_llm_pipeline_filters_from_toml(spark, tmp_path):
+    """VERDICT r11 next-round #6: the corpus-cleaning example driven
+    end-to-end from config — Parquet documents in, GopherQuality +
+    C4Clean + NearDupDrop from [[filter]] blocks, Recorder out — over a
+    crafted corpus with known pass/fail/near-dup docs (the driver's
+    synthetic documents fail the Gopher stop-word rule wholesale, which
+    would make this an empty-set equality)."""
+    from baker_spark.plans import compile_toml
+
+    stop = "the be to of and that have with"
+    # 48 filler words + 8 stopwords = pass word count; three '.'-ended
+    # lines of >= 3 words = pass the C4 line + sentence rules
+    good_line = ("data " * 15 + stop + " sort.").strip()
+    good = "\n".join([good_line, good_line, good_line])
+    other_line = ("join " * 15 + stop + " scan.").strip()
+    other = "\n".join([other_line, other_line, other_line])
+    no_punct = ("row " * 20 + stop).strip()  # gopher-ok, every line C4-dropped
+    braces = good + " {"  # C4 document rule: code page
+    rows = [
+        (1, good),       # survives
+        (2, good),       # identical -> NearDupDrop loser
+        (3, other),      # survives (different vocabulary)
+        (4, "too short"),  # gopher: n_words < 50
+        (5, no_punct),   # C4: no terminal-punct lines -> < 3 sentences
+        (6, braces),     # C4: contains '{'
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    toml_text = f"""
+[input]
+name="Parquet"
+[input.config]
+files=["{src}"]
+
+[[filter]]
+name="GopherQuality"
+[filter.config]
+Field="text"
+
+[[filter]]
+name="C4Clean"
+[filter.config]
+Field="text"
+MinLineWords=3
+
+[[filter]]
+name="NearDupDrop"
+[filter.config]
+Field="text"
+IdField="doc_id"
+
+[output]
+name="Recorder"
+"""
+    records = compile_toml(toml_text).run(spark)
+    assert sorted(int(r["doc_id"]) for r in records) == [1, 3]
+    # C4Clean really rewrote the field: the kept page is the
+    # line-filtered text (all three lines pass, joined by newline)
+    by_id = {int(r["doc_id"]): r["text"] for r in records}
+    assert by_id[1] == good and by_id[3] == other
+
+
+def test_gopher_quality_invert_routes_rejects(spark):
+    """invert=true is the audit topology: keep exactly the docs the
+    quality gate rejects (keep + reject partitions the corpus)."""
+    from baker_spark.plans import compile_toml
+
+    base = """
+[input]
+name="Parquet"
+[input.config]
+files=["/root/testdata/sf0.001/documents.parquet"]
+[[filter]]
+name="GopherQuality"
+[filter.config]
+Field="text"
+%s
+[output]
+name="Recorder"
+"""
+    kept = compile_toml(base % "").run(spark)
+    rejects = compile_toml(base % "Invert=true").run(spark)
+    n_total = 500  # documents at sf0.001
+    assert len(kept) + len(rejects) == n_total
+    assert not {r["doc_id"] for r in kept} & {r["doc_id"] for r in rejects}
