@@ -15,11 +15,15 @@ so every mutating entry point takes a write-intent fence first:
   primitive is ``java.io.File.createNewFile`` (true O_EXCL — Hadoop's
   RawLocalFileSystem ``create(overwrite=False)`` is check-then-create
   and loses real races, measured); on HDFS the Hadoop
-  ``create(path, overwrite=False)`` is atomic server-side; on S3A the
-  create is check-then-put (best effort), which still catches the
-  scheduler-double case because the loser's check sees the winner's
-  marker within list consistency (S3 is strongly consistent since
-  2020).
+  ``create(path, overwrite=False)`` is atomic server-side; on
+  s3://...s3a:// the primitive is S3's native conditional write —
+  ``PutObject`` with ``If-None-Match: *`` (supported by AWS since
+  2024-08), which the service rejects with 412 when the key exists, so
+  the second of two RACING acquirers loses deterministically
+  server-side (round 12, replacing the best-effort check-then-put
+  that only caught sequenced doubles). The S3 leg runs through boto3
+  (honoring AWS_ENDPOINT_URL_S3 / standard credential resolution), not
+  the Hadoop FS, so it needs no s3a jars and works from a bare driver.
 - the marker body records who/what/when (JSON), so the error a losing
   writer raises — and the stale-lock message after a crash — names the
   holder instead of being a bare failure.
@@ -52,6 +56,24 @@ class ConcurrentWriterError(RuntimeError):
     """A second writer tried to mutate a fenced artifact."""
 
 
+_S3_SCHEMES = ("s3", "s3a", "s3n")
+
+
+def _s3_split(url: str) -> tuple[str, str]:
+    from urllib.parse import urlparse
+
+    u = urlparse(url)
+    return u.netloc, u.path.lstrip("/")
+
+
+def _s3_client():
+    import boto3
+
+    # boto3 >= 1.28 resolves AWS_ENDPOINT_URL_S3 natively; passing it
+    # explicitly keeps older stacks (and test monkeypatching) honest
+    return boto3.client("s3", endpoint_url=os.environ.get("AWS_ENDPOINT_URL_S3") or None)
+
+
 def _fs_path(spark: SparkSession, p: str):
     jvm = spark._jvm
     hp = jvm.org.apache.hadoop.fs.Path(p)
@@ -68,8 +90,26 @@ def _lock_path(directory: str) -> str:
     return f"{directory.rstrip('/')}.{LOCK_NAME}"
 
 
+def _scheme(directory: str) -> str:
+    return directory.split("://", 1)[0].lower() if "://" in directory else ""
+
+
 def fence_holder(spark: SparkSession, directory: str) -> dict | None:
     """The current fence marker's JSON body, or None when unfenced."""
+    if _scheme(directory) in _S3_SCHEMES:
+        from botocore.exceptions import ClientError
+
+        bucket, key = _s3_split(_lock_path(directory))
+        try:
+            buf = _s3_client().get_object(Bucket=bucket, Key=key)["Body"].read()
+        except ClientError as e:
+            if e.response.get("Error", {}).get("Code") in ("NoSuchKey", "404"):
+                return None
+            raise
+        try:
+            return json.loads(buf.decode())
+        except ValueError:
+            return {"raw": buf.decode(errors="replace")}
     fs, lock, jvm = _fs_path(spark, _lock_path(directory))
     if not fs.exists(lock):
         return None
@@ -93,6 +133,10 @@ def break_fence(spark: SparkSession, directory: str) -> dict | None:
     dead — breaking a live writer's fence re-opens the interleaving
     hazard the fence exists to close."""
     holder = fence_holder(spark, directory)
+    if _scheme(directory) in _S3_SCHEMES:
+        bucket, key = _s3_split(_lock_path(directory))
+        _s3_client().delete_object(Bucket=bucket, Key=key)
+        return holder
     fs, lock, _ = _fs_path(spark, _lock_path(directory))
     fs.delete(lock, False)
     return holder
@@ -112,9 +156,6 @@ def _raise_fenced(spark, directory: str, op: str, cause: Exception | None):
 @contextmanager
 def writer_fence(spark: SparkSession, directory: str, op: str):
     """Hold the single-writer fence on ``directory`` for one mutation."""
-    fs, lock, jvm = _fs_path(spark, _lock_path(directory))
-    # parent must exist for create(); a first build's parent may not yet
-    fs.mkdirs(lock.getParent())
     marker = json.dumps(
         {
             "op": op,
@@ -123,6 +164,31 @@ def writer_fence(spark: SparkSession, directory: str, op: str):
             "acquired_unix": int(time.time()),
         }
     ).encode()
+    if _scheme(directory) in _S3_SCHEMES:
+        # S3 native conditional write: PutObject If-None-Match:* is
+        # rejected 412 server-side when the key exists — a TRUE atomic
+        # create-if-absent, closing the scheduler-double race even when
+        # both acquirers PUT in the same instant (the old check-then-put
+        # only caught sequenced doubles). No s3a jars involved.
+        from botocore.exceptions import ClientError
+
+        bucket, key = _s3_split(_lock_path(directory))
+        s3 = _s3_client()
+        try:
+            s3.put_object(Bucket=bucket, Key=key, Body=marker, IfNoneMatch="*")
+        except ClientError as e:
+            code = e.response.get("Error", {}).get("Code")
+            if code in ("PreconditionFailed", "ConditionalRequestConflict", "412"):
+                _raise_fenced(spark, directory, op, e)
+            raise
+        try:
+            yield
+        finally:
+            s3.delete_object(Bucket=bucket, Key=key)
+        return
+    fs, lock, jvm = _fs_path(spark, _lock_path(directory))
+    # parent must exist for create(); a first build's parent may not yet
+    fs.mkdirs(lock.getParent())
     if fs.getUri().getScheme() == "file":
         # Hadoop's RawLocalFileSystem.create(overwrite=False) is
         # CHECK-then-create, NOT O_EXCL — a 6-thread race through a
@@ -142,10 +208,9 @@ def writer_fence(spark: SparkSession, directory: str, op: str):
         finally:
             fs.delete(lock, False)
         return
-    # HDFS: create(overwrite=False) is atomic server-side. S3A: the
-    # create is check-then-put (best effort) — it still catches the
-    # scheduler-double case because the loser's check sees the winner's
-    # marker within list consistency (S3 is strongly consistent).
+    # HDFS (and other Hadoop FSes with real namespaces):
+    # create(overwrite=False) is atomic server-side. s3/s3a never
+    # reaches here — the boto3 conditional-PUT branch above owns it.
     try:
         out = fs.create(lock, False)
     except Exception as e:
