@@ -21,6 +21,7 @@ is Spark's micro-batch, checkpointed by the streaming engine.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
@@ -32,6 +33,22 @@ from baker_spark.datapipe.dedup import (
 )
 
 LEDGER_SCHEMA = StructType([StructField("fp", StringType())])
+
+_IDENT_RX = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _ledger_ddl_parts(table: str, location: str) -> tuple[str, str]:
+    """Validate/escape the two values the ledger DDL interpolates:
+    ``table`` must be a bare identifier (anything else — dots, quotes,
+    hyphens — would re-scope or break the statement), and single quotes
+    in ``location`` are doubled per SQL string-literal rules (tempfile
+    paths with quotes are legal on POSIX and must not silently re-scope
+    the LOCATION clause)."""
+    if not _IDENT_RX.match(table):
+        raise ValueError(
+            f"ledger_table must be a bare SQL identifier, got {table!r}"
+        )
+    return table, location.replace("'", "''")
 
 
 @dataclass
@@ -73,11 +90,12 @@ class CorpusIngest:
 
     def _ledger(self, spark) -> DataFrame:
         if self.ledger_buckets:
+            table, loc = _ledger_ddl_parts(self.ledger_table, self.ledger_dir)
             spark.sql(
-                f"CREATE TABLE IF NOT EXISTS {self.ledger_table} (fp STRING) "
+                f"CREATE TABLE IF NOT EXISTS {table} (fp STRING) "
                 f"USING PARQUET CLUSTERED BY (fp) SORTED BY (fp) "
-                f"INTO {self.ledger_buckets} BUCKETS "
-                f"LOCATION '{self.ledger_dir}'"
+                f"INTO {int(self.ledger_buckets)} BUCKETS "
+                f"LOCATION '{loc}'"
             )
             # shuffle_hash: without it the bucketed side falls into a
             # sort-merge join that re-sorts the whole ledger per batch
@@ -214,12 +232,13 @@ class MediaIngest:
     inject_crash_between_appends: int = 0
 
     def _ensure_ledger(self, spark) -> None:
+        table, loc = _ledger_ddl_parts(self.ledger_table, self.ledger_dir)
         spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self.ledger_table} "
+            f"CREATE TABLE IF NOT EXISTS {table} "
             f"(fp STRING, phash BIGINT) "
             f"USING PARQUET CLUSTERED BY (fp) SORTED BY (fp) "
-            f"INTO {self.ledger_buckets} BUCKETS "
-            f"LOCATION '{self.ledger_dir}'"
+            f"INTO {int(self.ledger_buckets)} BUCKETS "
+            f"LOCATION '{loc}'"
         )
 
     def write(self, batch_df: DataFrame) -> int:
@@ -233,6 +252,14 @@ class MediaIngest:
 
         spark = batch_df.sparkSession
         self._ensure_ledger(spark)
+        # collapse same-id rows INSIDE the batch first: the left_semi
+        # admit below keeps every physical row carrying a kept id, and
+        # the in-batch greedy rule (min id < id) cannot drop an EQUAL
+        # id — so a same-id redelivery landing in one micro-batch would
+        # write duplicate corpus rows and skew the counters (CorpusIngest
+        # collapses via its groupBy(fp).min(id); this is the media twin).
+        # Counters are derived from the deduped frame: one unit per id.
+        batch_df = batch_df.dropDuplicates([self.id_col])
         obs = Observation()
         batch_df = batch_df.observe(obs, F.count(F.lit(1)).alias("n"))
         # every cache this batch creates is unpersisted in the finally —

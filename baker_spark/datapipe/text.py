@@ -312,6 +312,15 @@ def c4_filters(col_name: str, min_line_words: int = 5) -> dict[str, Column]:
     fewer than 3 sentences after line filtering, pages containing '{'
     (code), or the string 'lorem ipsum' (placeholder boilerplate).
 
+    APPROXIMATION (deliberate, oracle-mirrored): ``n_sentences`` is a
+    raw count of ``[.!?]`` CHARACTERS in the cleaned text, not a
+    sentence segmentation — an ellipsis-terminated line counts as 3 and
+    abbreviations inflate the >= 3-sentence gate, making it LOOSER than
+    the paper's sentence-based drop. Both engines compute the identical
+    count (duck_c4_sql), so parity holds; a deployment wanting the
+    stricter rule counts terminal-punct LINE ENDINGS instead — change
+    this expression and duck_c4_sql together.
+
     ``clean_text`` is the page with dropped lines removed — the actual
     C4 output artifact. Narrow per-row array ops: the whole filter is
     one scan-stage projection at any corpus size; the dirty-word list

@@ -177,3 +177,21 @@ def test_failure_matrix_with_bucketed_ledger(spark, tmp_path):
     assert out["sqs"]["lost"] == 0
     assert out["sqs"]["duplicate_rows"] == out["crash_batch_rows_readmitted"]
     assert out["dup_redelivery_admitted"] == 0
+
+
+def test_failure_matrix_media_ingest(spark, tmp_path):
+    """MediaIngest rows in the failure matrix (VERDICT r11 #8): in-batch
+    near-dup collapse, same-id redelivery collapse, injected crash in
+    the corpus->ledger window with replay-duplicates-never-loss, band-
+    ledger consistency after the mid-batch kill (no torn/duplicate band
+    rows), committed-redelivery zero-admit, and cross-batch near-dup
+    drops through the verified probe. tools/soak_matrix.py holds the
+    harness and asserts everything internally."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from soak_matrix import run_media_soak
+
+    out = run_media_soak(spark, str(tmp_path), log=lambda *a: None)
+    assert out["crash_batch_readmitted"] > 0  # the window was really hit
+    assert out["ledger_rows"] == 4 * out["classes"]

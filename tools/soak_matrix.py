@@ -329,6 +329,164 @@ def run_soak(spark, workdir: str, n_kin: int = 40_000, n_sqs: int = 10_000,
     }
 
 
+def run_media_soak(
+    spark,
+    workdir: str,
+    n_classes: int = 24,
+    dup: int = 3,
+    log=print,
+) -> dict:
+    """MediaIngest through the same failure matrix (VERDICT r11 #8):
+    the phash band ledger has the same crash windows as CorpusIngest's
+    fp ledger PLUS the verified-probe path, and until now only the text
+    ledgers had kill/resume rows. Batches are driven through the
+    foreachBatch contract directly — the redelivery semantics under
+    test are write()'s own; the streaming-checkpoint resume machinery
+    is covered by the CorpusIngest rows above.
+
+    Matrix rows (all asserted internally):
+    - in-batch near-dup collapse: ``dup`` identical images per class ->
+      one greedy min-id representative admitted per class
+    - same-id redelivery INSIDE one batch -> one corpus row (the
+      dropDuplicates(id) collapse; physical row count proves it)
+    - injected crash between corpus and ledger append, then replay with
+      a FRESH MediaIngest: corpus duplicates == exactly the crashed
+      batch's admitted rows, never loss
+    - LEDGER CONSISTENCY after the mid-batch kill: no torn/partial band
+      writes — row count == 4 bands x unique admitted images, zero
+      duplicate (fp, phash) rows even across the replay
+    - duplicate redelivery of a COMMITTED batch -> zero admits
+    - cross-batch near-dup (a later batch reusing an earlier class) ->
+      dropped through the verified band probe."""
+    import random
+    import struct
+    import zlib
+
+    from baker_spark.datapipe import multimodal as M
+    from baker_spark.datapipe.ingest import MediaIngest
+
+    w = lambda *p: os.path.join(workdir, *p)  # noqa: E731
+    run_tag = os.path.basename(workdir).replace("-", "_").replace(".", "_")
+    table = f"soak_media_{run_tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def img(cls: int) -> bytes:
+        # one deterministic RANDOM-pixel PNG per class: same class =>
+        # identical bytes => identical phash (hamming 0, inside the <=3
+        # band); distinct classes land ~30 bits apart (measured min 18
+        # over 26 classes — the gradient fixtures cluster their coarse
+        # cell structure and near-dup EACH OTHER, which this matrix
+        # must not)
+        rng = random.Random(cls * 9973 + 11)
+        wpx, hpx = 20, 16
+        raw = bytearray()
+        for _y in range(hpx):
+            raw.append(0)  # filter None
+            raw += bytes(rng.randrange(256) for _ in range(wpx))
+        return (
+            M._PNG_SIG
+            + M._png_chunk(b"IHDR", struct.pack(">IIBBBBB", wpx, hpx, 8, 0, 0, 0, 0))
+            + M._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + M._png_chunk(b"IEND", b"")
+        )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def mk(crash_on: int = 0) -> MediaIngest:
+        return MediaIngest(
+            corpus_dir=w("media_corpus"), ledger_dir=w("media_ledger"),
+            ledger_table=table, ledger_buckets=4,
+            inject_crash_between_appends=crash_on,
+        )
+
+    half = n_classes // 2
+    # ---- batch 1: first half of the classes, dup copies each ----------
+    b1 = [(cls * 100 + j, img(cls)) for cls in range(half) for j in range(dup)]
+    ing = mk(crash_on=2)
+    t0 = time.perf_counter()
+    admitted1 = ing.write(batch(b1))
+    assert admitted1 == half, f"in-batch near-dup collapse: {admitted1} != {half}"
+    assert ing.dropped_dup == half * (dup - 1)
+
+    # ---- batch 2: second half + cross-batch dups; CRASHES mid-write ---
+    b2 = [(cls * 100, img(cls)) for cls in range(half, n_classes)]
+    b2 += [(cls * 100 + 50, img(cls)) for cls in range(0, 4)]  # ledger dups
+    crashed = False
+    try:
+        ing.write(batch(b2))
+    except RuntimeError as e:
+        crashed = "injected crash" in str(e)
+    assert crashed, "the injected crash between appends did not fire"
+    corpus_after_crash = spark.read.parquet(w("media_corpus")).count()
+    crash_batch_admitted = corpus_after_crash - admitted1
+    assert crash_batch_admitted == half, (
+        f"crashed batch should have admitted the {half} new classes "
+        f"(ledger dups screened out), got {crash_batch_admitted}"
+    )
+
+    # ---- replay batch 2 with a FRESH ingest (the daemon restart) ------
+    ing2 = mk()
+    t1 = time.perf_counter()
+    readmitted = ing2.write(batch(b2))
+    replay_s = time.perf_counter() - t1
+    # the ledger never saw the crashed batch -> the replay re-admits it
+    # whole: duplicates, never loss (module-doc contract)
+    assert readmitted == crash_batch_admitted
+
+    # ---- ledger consistency after the mid-batch kill -------------------
+    ledger = spark.read.parquet(w("media_ledger")).persist()
+    try:
+        n_rows = ledger.count()
+        n_distinct = ledger.distinct().count()
+        n_imgs = ledger.select("phash").distinct().count()
+    finally:
+        ledger.unpersist()
+    assert n_rows == n_distinct, "replay bloated the band ledger with duplicate rows"
+    assert n_rows == 4 * n_classes, (
+        f"band ledger should hold 4 bands x {n_classes} images, got {n_rows}"
+    )
+    assert n_imgs == n_classes
+
+    # ---- duplicate redelivery of the now-COMMITTED batch ---------------
+    assert ing2.write(batch(b2)) == 0, "committed redelivery re-admitted rows"
+
+    # ---- same-id redelivery inside one batch (in-batch collapse) -------
+    new_cls = n_classes + 1
+    b3 = [(new_cls * 100, img(new_cls))] * 2 + [(0 * 100 + 77, img(0))]
+    before = spark.read.parquet(w("media_corpus")).count()
+    assert ing2.write(batch(b3)) == 1  # the new class, once
+    gained = spark.read.parquet(w("media_corpus")).count() - before
+    assert gained == 1, f"same-id rows wrote {gained} corpus rows, want 1"
+    # counters partition the UNIQUE ids of the batch (2 of them)
+    assert ing2.batches == 3 and ing2.dropped_dup >= 1
+
+    # ---- final accounting: no loss; duplicates == exactly the crash
+    # replay (the module-doc contract: corpus-before-ledger re-admits
+    # the crashed batch whole — same ids twice — never loses) ----------
+    corpus = spark.read.parquet(w("media_corpus"))
+    total = corpus.count()
+    distinct_ids = corpus.select("doc_id").distinct().count()
+    assert distinct_ids == admitted1 + crash_batch_admitted + 1, (
+        f"lost images: {distinct_ids} distinct ids"
+    )
+    assert total - distinct_ids == readmitted, (
+        f"corpus duplicates {total - distinct_ids} != crash replay {readmitted}"
+    )
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return {
+        "classes": n_classes,
+        "admitted": admitted1 + readmitted + 1,
+        "crash_batch_readmitted": readmitted,
+        "ledger_rows": n_rows,
+        "timings": {
+            "total_s": round(time.perf_counter() - t0, 2),
+            "replay_s": round(replay_s, 2),
+        },
+    }
+
+
 def main() -> int:
     import shutil
     import tempfile
