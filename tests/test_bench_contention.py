@@ -73,11 +73,31 @@ def test_mid_suite_spike_caught_by_after_stamp():
     assert out["value"] in (9.0, 9.2) and not out["contended"]
 
 
-def test_budget_exhausted_hot_flags_contended_least_hot_headlines():
+def test_chronic_load_short_circuits_flags_contended_least_hot_headlines():
+    # steady contention: zero clean passes after the quota count + one
+    # probe pass -> stop (retries can't find a window that isn't there),
+    # flag contended, headline the least-hot pass
     seq = iter([_pass(12.0 + i / 10, 0.5 + i / 100, 0.5) for i in range(6)])
     out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=2, max_jvms=6)
-    assert out["contended"] and out["n_clean"] == 0 and out["n_passes"] == 6
+    assert out["contended"] and out["n_clean"] == 0 and out["n_passes"] == 4
     assert out["value"] == 12.0  # least-contended pass (smallest worst canary)
+
+
+def test_bursty_load_still_retries_to_quota():
+    # one clean pass exists -> the load is bursty; keep retrying past
+    # the chronic cutoff until the clean quota is met or max_jvms
+    seq = iter(
+        [
+            _pass(12.0, HOT, HOT),
+            _pass(9.2, CLEAN, CLEAN),
+            _pass(12.1, HOT, HOT),
+            _pass(12.2, HOT, HOT),
+            _pass(9.0, CLEAN, CLEAN),
+        ]
+    )
+    out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=2, max_jvms=6)
+    assert out["n_passes"] == 5 and out["n_clean"] == 2 and not out["contended"]
+    assert out["value"] == 9.0
 
 
 def test_legacy_single_stamp_doc_is_never_clean():
