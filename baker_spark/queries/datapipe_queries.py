@@ -1184,6 +1184,29 @@ def dp_audio_fp_pairs(spark, sf_dir):
 
 
 @query(
+    "dp_audio_band_saturation",
+    f"""WITH {_AUDIO_FP_SQL},
+bands0 AS (
+  SELECT doc_id, afp,
+         (afp >> (CAST(r.b AS INTEGER) * 15)) & 32767 AS key,
+         CAST(r.b AS INTEGER) AS band
+  FROM afps CROSS JOIN range(0, 4) r(b)
+),{dedup.duck_band_cap_saturation("bands0")}""",
+)
+def dp_audio_band_saturation(spark, sf_dir):
+    """Audio leg of the band-cap saturation observable (VERDICT r11
+    next-round #2) — the same one-row report as
+    dp_phash_band_saturation, over the delta-sign audio fingerprints,
+    so a zero-pair dp_audio_fp_pairs at saturation density is
+    distinguishable from a duplicate-free corpus."""
+    df = load_table(spark, sf_dir, "documents")
+    sig = multimodal.media_audio_fp(multimodal.with_pixel_payload(df)).select(
+        "doc_id", "afp"
+    )
+    return dedup.band_cap_saturation(sig, "afp")
+
+
+@query(
     "dp_quality_funnel",
     f"""
 WITH flags AS (
