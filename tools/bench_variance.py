@@ -39,8 +39,13 @@ def main() -> None:
 
     docs = []
     for i in range(k):
+        # --single: one suite pass per fresh JVM. Plain `bench.py` is
+        # now the contention-proof ORCHESTRATOR (itself K fresh JVMs
+        # with retries) — spawning it here would square the JVM count
+        # and re-measure what it already envelopes.
         proc = subprocess.run(
-            [sys.executable, "bench.py"], cwd=REPO, env=env, capture_output=True, text=True
+            [sys.executable, "bench.py", "--single"],
+            cwd=REPO, env=env, capture_output=True, text=True,
         )
         if proc.returncode != 0:
             sys.stderr.write(proc.stderr[-2000:])
@@ -96,6 +101,16 @@ def compare(path_a: str, path_b: str) -> None:
     # driver artifacts wrap the bench line under "parsed"
     a, b = a.get("parsed", a), b.get("parsed", b)
     ca, cb = _contention(a), _contention(b)
+    # round-12+ orchestrated artifacts: surface the envelope + clean
+    # count next to the headline so a cross-round delta can be
+    # attributed without opening the JSON
+    for name, d in ((path_a, a), (path_b, b)):
+        if "envelope" in d:
+            print(
+                f"{os.path.basename(name)}: envelope {d['envelope']} "
+                f"clean {d.get('n_clean')}/{d.get('n_passes')} "
+                f"contended={d.get('contended')}"
+            )
     print(f"| artifact | suite | contention |")
     print(f"|---|---|---|")
     print(f"| {os.path.basename(path_a)} | {a['value']:.3f}s | {ca} |")
