@@ -71,16 +71,23 @@ GATE_ORDER = [
     "dp_pq_adc_topk",
     "dp_ivfpq_topk",
     "dp_phash_band_saturation",
+    # ROUND-12 LATE ADDITIONS (contract rule 1: every NEW query enters
+    # the window its first round): the audio saturation leg and the
+    # full Gopher A1.2 repetition battery. Rotated OUT to hold 50:
+    # op_regexmatch (plain rlike; the same machinery runs driver-gated
+    # inside the bench chain and RegexMatch e2e) and op_countandtag
+    # (count+tag shape gated via q_field_frequency), both green
+    # r09-r11 and four-SF CI-swept.
+    "dp_audio_band_saturation",
+    "dp_gopher_repetition",
     # §2.2 filters with reference-quirk semantics — kept gated
     "op_clausefilter",
-    "op_countandtag",
     "op_crypt",
     "op_dedup",
     "op_expandjson",
     "op_externalmatch",
     "op_formattime",          # Go layout table
     "op_metadata",            # graceful missing-metadata
-    "op_regexmatch",
     "op_timestamprange",      # ParseInt strictness
     "op_urlparam",            # URL-decoded values
     # §2.5 topology ops, newest rows r07

@@ -489,6 +489,41 @@ def dp_gopher_quality(spark, sf_dir):
     return df.select("doc_id", *[c.alias(n) for n, c in rules.items()])
 
 
+_REPETITION = text.duck_gopher_repetition_sql(_STAGED_SQL)
+
+
+@query(
+    "dp_gopher_repetition",
+    "SELECT doc_id, "
+    + ", ".join(f"{sql} AS {name}" for name, sql in _REPETITION.items())
+    + " FROM documents",
+)
+def dp_gopher_repetition(spark, sf_dir):
+    """The FULL Gopher A1.2 repetition battery (Rae et al. 2021, Table
+    A1 — the filter set FineWeb/Dolma re-implement) over the staged
+    corpus: duplicate line/paragraph fractions by count and character
+    mass, top {2,3,4}-gram character fractions, duplicate {5..10}-gram
+    character fractions, and the thresholded repetition_ok verdict.
+    Spark computes each signal with one array_sort + one linear
+    aggregate() run-length scan per n (pure per-row Columns, scan
+    parallelism, no shuffle). The words array is MATERIALIZED once
+    (managed_persist) before the nine shingle signals reference it —
+    without the boundary Catalyst inlines the split into every signal
+    and re-evaluates it per signal (measured 4.5x at sf0.1; same
+    blowup class as PERFORMANCE.md "Expression-substitution blowup").
+    The oracle mirrors the pinned definitions via DuckDB list
+    histograms — every c6 value hash-matches."""
+    from baker_spark.session import managed_persist
+
+    df = managed_persist(
+        load_table(spark, sf_dir, "documents")
+        .withColumn("_staged", _staged_text())
+        .select("doc_id", "_staged", F.split(F.col("_staged"), " ", -1).alias("_w"))
+    )
+    cols = text.gopher_repetition("_staged", words_col="_w")
+    return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
 _C4 = text.duck_c4_sql(_STAGED_SQL)
 
 

@@ -196,3 +196,85 @@ def test_cross_engine_parity_randomized_fuzz(spark):
         for s, d in zip(s_rows, d_rows):
             for name, sv, dv in zip(names, s, d):
                 assert sv == dv, f"doc {s[0]} col {name}: spark={sv!r} duck={dv!r}"
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """A1.2 battery against hand-computed fixtures: the pinned
+    definitions (module-section comment in datapipe/text.py), the 1.0
+    cap on overlap-naive n-gram mass, and the threshold verdict."""
+    from baker_spark.datapipe import text as T
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, "a b a b a b c d"),          # 15 chars; top 2-gram "a b" x3
+        (2, "x\ny\nx\nz"),               # 4 lines, 3 distinct; 7 chars
+        (3, "one two three four five"),  # clean
+        (4, "w w w w w w w w w w w w"),  # degenerate: every signal maxed
+        (5, None),
+        (6, ""),
+        (7, "same\n\nsame\n\ndiff"),     # 3 paras, 2 distinct
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cols = T.gopher_repetition("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[v.alias(k) for k, v in cols.items()]).collect()
+    }
+    # doc 1: top 2-gram "a b" count 3, len 3 -> 9/15 = 600000; trips the
+    # 0.20 threshold -> not ok
+    assert out[1]["top_2gram_char_frac_c6"] == 600_000
+    assert not out[1]["repetition_ok"]
+    # doc 2: dup line frac (4-3)/4; char mass (count-1)*len("x")=1 over 7
+    assert out[2]["dup_line_frac_c6"] == 250_000
+    assert out[2]["dup_line_char_frac_c6"] == 142_857
+    # doc 3: clean -> all zeros, ok
+    assert out[3]["repetition_ok"]
+    assert out[3]["top_2gram_char_frac_c6"] == 0
+    assert out[3]["dup_5gram_char_frac_c6"] == 0
+    # doc 4: overlap-naive mass far exceeds chars -> capped at 1.0
+    assert out[4]["dup_5gram_char_frac_c6"] == 1_000_000
+    assert out[4]["top_2gram_char_frac_c6"] == 1_000_000
+    assert not out[4]["repetition_ok"]
+    # NULL/empty: zeros, ok (nothing repeats in nothing)
+    for i in (5, 6):
+        assert out[i]["repetition_ok"]
+        assert out[i]["dup_line_frac_c6"] == 0
+    # doc 7: paragraphs split on blank lines -> (3-2)/3, char mass
+    # (2-1)*len("same")=4 over 16 chars
+    assert out[7]["dup_para_frac_c6"] == 333_333
+    assert out[7]["dup_para_char_frac_c6"] == 250_000
+
+
+def test_gopher_repetition_matches_duckdb_bit_for_bit(spark):
+    """The SQL twin hash-matches on adversarial fixtures: ties between
+    equal-count n-grams (lexicographically smallest must win in BOTH
+    engines), multi-line + multi-paragraph structure, unicode."""
+    import duckdb
+
+    from baker_spark.datapipe import text as T
+
+    docs = [
+        (1, "b a b a c"),                      # tie: "a b" x1... counts tie
+        (2, "z y z y x w x w"),                # two 2-grams tied at 2
+        (3, "l1.\nl1.\n\nl2.\nl2.\n\nl1.\nl3."),
+        (4, "héllo wörld héllo wörld héllo"),
+        (5, "single"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cols = T.gopher_repetition("text")
+    sp = [
+        tuple(r)
+        for r in df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    dsql = T.duck_gopher_repetition_sql("text")
+    dk = con.execute(
+        "SELECT doc_id, "
+        + ", ".join(f"{v} AS {k}" for k, v in dsql.items())
+        + " FROM d ORDER BY doc_id"
+    ).fetchall()
+    assert sp == [tuple(r) for r in dk]
