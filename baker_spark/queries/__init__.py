@@ -80,6 +80,11 @@ GATE_ORDER = [
     # r09-r11 and four-SF CI-swept.
     "dp_audio_band_saturation",
     "dp_gopher_repetition",
+    # dp_exact_substring_dedup (new: Lee et al. ExactSubstr — the
+    # within-document surgical tier) enters over q5_local_supplier_volume
+    # (green r09-r11; its broadcast-join machinery stays gated via
+    # q3_shipping_priority and the CI four-SF sweep).
+    "dp_exact_substring_dedup",
     # §2.2 filters with reference-quirk semantics — kept gated
     "op_clausefilter",
     "op_crypt",
@@ -97,7 +102,6 @@ GATE_ORDER = [
     "op_fieldselect",
     # analytics / stats surface, newest rows r07
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q_topk_per_group",
     "q_session_windows",
     "q_stats_sizes",

@@ -489,6 +489,20 @@ def dp_gopher_quality(spark, sf_dir):
     return df.select("doc_id", *[c.alias(n) for n, c in rules.items()])
 
 
+@query("dp_exact_substring_dedup", dedup.duck_exact_substring_dedup(k=12))
+def dp_exact_substring_dedup(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022): remove every token covered
+    by a 12-token span occurring >= 2 times anywhere in the corpus
+    (cross-document AND self-repeats), keep the surrounding text — the
+    within-document surgical tier whole-doc dedup can't express. The
+    hash covers the REWRITTEN text itself, so the oracle proves the
+    surgery byte-exact, not just the counters. Scale shape on the
+    operator docstring (one token-scale exchange on the gram hash, one
+    id exchange for spans, per-doc linear interval fold)."""
+    df = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_dedup(df, k=12)
+
+
 _REPETITION = text.duck_gopher_repetition_sql(_STAGED_SQL)
 
 
