@@ -83,8 +83,12 @@ GATE_ORDER = [
     # dp_exact_substring_dedup (new: Lee et al. ExactSubstr — the
     # within-document surgical tier) enters over q5_local_supplier_volume
     # (green r09-r11; its broadcast-join machinery stays gated via
-    # q3_shipping_priority and the CI four-SF sweep).
+    # q3_shipping_priority and the CI four-SF sweep);
+    # dp_token_frequency (new: corpus vocabulary tf/df top-200) enters
+    # over q_cube_rollup (green r09-r11; grouping-set machinery now
+    # gated via the rotated-in q_grouping_sets).
     "dp_exact_substring_dedup",
+    "dp_token_frequency",
     # §2.2 filters with reference-quirk semantics — kept gated
     "op_clausefilter",
     "op_crypt",
@@ -109,7 +113,6 @@ GATE_ORDER = [
     "q_stats_report",
     "q_stats_timestamps",
     "q_field_frequency",
-    "q_cube_rollup",
     # dp tail, newest rows r07
     "dp_dedup_clusters",
     # ROUND-11 ADDITIONS (published filter sets): never driver-gated,

@@ -658,6 +658,45 @@ def dp_token_counts(spark, sf_dir):
 
 
 @query(
+    "dp_token_frequency",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  WHERE text IS NOT NULL
+),
+agg AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok WHERE word <> '' GROUP BY word
+)
+SELECT word, tf, df FROM agg ORDER BY tf DESC, word ASC LIMIT 200
+""",
+)
+def dp_token_frequency(spark, sf_dir):
+    """Corpus vocabulary diagnostics: top-200 whitespace tokens by term
+    frequency with their document frequency — the Zipf table every
+    corpus report opens with, and the df side of tf-idf/DSIR-style
+    weighting. Scale shape: explode words -> ONE hash aggregate on the
+    token (partial map-side combine collapses each partition's
+    vocabulary before the exchange — the shuffle carries distinct
+    (token, doc) pairs for df and distinct tokens for tf, not token
+    occurrences), then a 200-row ordered cut (deterministic tie-break
+    on the token). Empty tokens (split artifacts of repeated spaces)
+    and NULL texts are excluded in both engines."""
+    df = load_table(spark, sf_dir, "documents")
+    tok = (
+        df.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(text.words("text")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    agg = tok.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return agg.orderBy(F.desc("tf"), F.asc("word")).limit(200)
+
+
+@query(
     "dp_quality_filter",
     """
 WITH scored AS (
