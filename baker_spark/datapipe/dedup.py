@@ -181,6 +181,88 @@ def write_seen_ledger(
         w.format("parquet").saveAsTable(table)
 
 
+def compact_seen_ledger(
+    spark,
+    table: str,
+    path: str | None = None,
+    n_buckets: int = LEDGER_BUCKETS,
+    extra_cols: tuple[str, ...] = (),
+) -> dict:
+    """Maintenance pass for an append-heavy seen-ledger: every
+    ``write_seen_ledger(mode="append")`` lands ONE file per bucket, so
+    a daemon at batch B holds B files per bucket and the per-batch
+    anti-join's "read the ledger in place" opens B x n_buckets files —
+    open/footer overhead that grows with ingest age (the same decay
+    ann_index_compact fixes for the ANN codes). Compaction rewrites the
+    ledger to one file per bucket, dropping any duplicate rows along
+    the way (harmless insurance; the crash-window replay itself never
+    double-appends, see the ingest module doc).
+
+    Crash-safe like ann_index_compact: the compacted copy is fully
+    written BESIDE the live directory, then swapped in with renames
+    (live -> ``_precompact`` backup -> delete); a failure at any step
+    leaves a recoverable directory — the next compact restores a
+    missing live dir from the backup at entry. A LOST ledger re-admits
+    the whole corpus on replay, so there is deliberately no window
+    where the only copy is already deleted. Runs under the writer
+    fence: a concurrent ingest append would race the swap.
+
+    Returns ``{rows, files_before, files_after}``."""
+    from baker_spark.datapipe.artifacts import writer_fence
+
+    live_dir = path or _table_location(spark, table)
+    jvm = spark._jvm
+
+    def hp(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    live, backup = hp(live_dir), hp(f"{live_dir.rstrip('/')}_precompact")
+    tmp_dir = f"{live_dir.rstrip('/')}_compacting"
+    fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp_table = f"{table}__compacting"
+
+    def _n_files(p) -> int:
+        if not fs.exists(p):
+            return 0
+        it, n = fs.listFiles(p, True), 0
+        while it.hasNext():
+            f = it.next()
+            if not f.getPath().getName().startswith(("_", ".")):
+                n += 1
+        return n
+
+    with writer_fence(spark, live_dir, f"compact_seen_ledger({table})"):
+        # recovery: a previous compact that died between its renames
+        # left live missing + backup present — restore before anything
+        if not fs.exists(live) and fs.exists(backup):
+            if not fs.rename(backup, live):
+                raise RuntimeError(f"could not restore {live_dir} from backup")
+            spark.sql(f"REFRESH TABLE {table}")
+        files_before = _n_files(live)
+        rows = spark.table(table).dropDuplicates(["fp", *extra_cols])
+        # the full rewrite lands in a SIBLING table/dir first — the
+        # inner write takes its own fence on tmp_dir, disjoint from
+        # the live fence held here
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        fs.delete(hp(tmp_dir), True)
+        write_seen_ledger(
+            rows, tmp_table, tmp_dir, n_buckets=n_buckets,
+            mode="overwrite", extra_cols=extra_cols,
+        )
+        n_rows = spark.table(tmp_table).count()
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # registration only
+        fs.delete(backup, True)  # stale backup from a crashed-late run
+        if not fs.rename(live, backup):
+            raise RuntimeError(f"compaction could not move {live_dir} aside")
+        if not fs.rename(hp(tmp_dir), live):
+            fs.rename(backup, live)  # restore — tmp remains for inspection
+            raise RuntimeError(f"compaction rename failed for {live_dir} (restored)")
+        fs.delete(backup, True)
+        spark.sql(f"REFRESH TABLE {table}")
+        files_after = _n_files(live)
+    return {"rows": n_rows, "files_before": files_before, "files_after": files_after}
+
+
 def incremental_dedup_against_ledger(
     new_docs: DataFrame, spark, table: str, key, id_col: str = "doc_id"
 ) -> DataFrame:

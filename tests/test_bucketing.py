@@ -295,3 +295,105 @@ def test_phash_ingest_verifies_band_collisions(spark):
         for r in dedup.incremental_neardup_phash(batch, seen).collect()
     )
     assert kept == [1], f"collider must survive, hamming-1 neighbor must drop: {kept}"
+
+
+def test_compact_seen_ledger_one_file_per_bucket_same_decisions(spark, tmp_path):
+    """The ingest-age decay fix (round 12): N append batches leave N
+    files per bucket; compaction rewrites to ONE file per bucket while
+    the anti-join's decisions, the exchange-free bucketed-scan shape,
+    and the row set stay identical. Also pins crash recovery: a compact
+    that died between its two renames (live missing, backup present)
+    restores the live dir at the next entry."""
+    import re
+
+    from baker_spark.datapipe import dedup, text
+
+    docs = load_table(spark, SF_DIR, "documents")
+    key = text.fingerprint("text")
+    table = "compact_ledger_test"
+    path = str(tmp_path / "ledger")
+    # 4 appends: initial write + 3 -> 4 files per bucket
+    dedup.write_seen_ledger(
+        docs.filter(F.col("doc_id") < 100).select(key.alias("fp")),
+        table, path=path, n_buckets=4,
+    )
+    for lo in (100, 200, 300):
+        dedup.write_seen_ledger(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100))
+            .select(key.alias("fp")),
+            table, path=path, n_buckets=4, mode="append",
+        )
+    new_docs = docs.filter(F.col("doc_id") >= 350)
+    before_rows = sorted(
+        tuple(r)
+        for r in dedup.incremental_dedup_against_ledger(
+            new_docs, spark, table, key
+        ).collect()
+    )
+    n_ledger = spark.table(table).count()
+
+    out = dedup.compact_seen_ledger(spark, table, path=path, n_buckets=4)
+    assert out["files_before"] >= 16  # 4 appends x 4 buckets
+    assert out["files_after"] == 4    # one per bucket
+    assert out["rows"] == spark.table(table).count() <= n_ledger
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = dedup.incremental_dedup_against_ledger(new_docs, spark, table, key)
+        plan = _plan(got)
+        # still the bucketed exchange-free shape after the swap
+        assert "Bucketed: true" in plan
+        assert len(set(re.findall(r"^\((\d+)\) Exchange", plan, re.M))) == 1
+        assert sorted(tuple(r) for r in got.collect()) == before_rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # appends keep working against the compacted table
+    dedup.write_seen_ledger(
+        new_docs.select(key.alias("fp")), table, path=path,
+        n_buckets=4, mode="append",
+    )
+    assert (
+        dedup.incremental_dedup_against_ledger(new_docs, spark, table, key).count()
+        == 0
+    )
+
+    # crash recovery: simulate death between the renames
+    import os
+    import shutil
+
+    shutil.move(path, f"{path}_precompact")
+    assert not os.path.exists(path)
+    out2 = dedup.compact_seen_ledger(spark, table, path=path, n_buckets=4)
+    assert out2["files_after"] == 4 and os.path.exists(path)
+    assert spark.table(table).count() == out2["rows"] > 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_seen_ledger_preserves_extra_cols(spark, tmp_path):
+    """The image band ledger stores the full phash beside each band key
+    (extra_cols): compaction must carry the extra column and keep the
+    verified-probe rows intact."""
+    from baker_spark.datapipe import dedup
+
+    table = "compact_media_ledger_test"
+    path = str(tmp_path / "mledger")
+    rows = spark.createDataFrame(
+        [(f"b{i % 4}:{i}", i * 1000 + 7) for i in range(40)], "fp string, phash long"
+    )
+    dedup.write_seen_ledger(rows, table, path=path, n_buckets=4, extra_cols=("phash",))
+    dedup.write_seen_ledger(
+        rows.withColumn("phash", F.col("phash") + 1).withColumn(
+            "fp", F.concat(F.col("fp"), F.lit("x"))
+        ),
+        table, path=path, n_buckets=4, mode="append", extra_cols=("phash",),
+    )
+    before = sorted(tuple(r) for r in spark.table(table).collect())
+    out = dedup.compact_seen_ledger(
+        spark, table, path=path, n_buckets=4, extra_cols=("phash",)
+    )
+    assert out["files_after"] == 4
+    assert sorted(tuple(r) for r in spark.table(table).collect()) == before
+    assert spark.table(table).columns == ["fp", "phash"]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
