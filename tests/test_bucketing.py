@@ -397,3 +397,33 @@ def test_compact_seen_ledger_preserves_extra_cols(spark, tmp_path):
     assert sorted(tuple(r) for r in spark.table(table).collect()) == before
     assert spark.table(table).columns == ["fp", "phash"]
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ledger_append_fails_fast_during_compaction(spark, tmp_path):
+    """The compaction window is writer-fenced: an ingest append landing
+    mid-compact must raise ConcurrentWriterError naming the compactor
+    instead of racing the directory swap (an append into the old live
+    dir after the swap would be silently lost)."""
+    import pytest
+
+    from baker_spark.datapipe import artifacts, dedup
+
+    table = "compact_fence_test"
+    path = str(tmp_path / "ledger")
+    rows = spark.createDataFrame([(f"k{i}",) for i in range(20)], "fp string")
+    dedup.write_seen_ledger(rows, table, path=path, n_buckets=2)
+    # hold the compaction fence by hand (the compact entry point takes
+    # exactly this fence on the live dir)
+    fence = artifacts.writer_fence(spark, path, "compact_seen_ledger(test)")
+    fence.__enter__()
+    try:
+        with pytest.raises(artifacts.ConcurrentWriterError, match="compact_seen_ledger"):
+            dedup.write_seen_ledger(
+                rows, table, path=path, n_buckets=2, mode="append"
+            )
+    finally:
+        fence.__exit__(None, None, None)
+    # released: appends flow again
+    dedup.write_seen_ledger(rows, table, path=path, n_buckets=2, mode="append")
+    assert spark.table(table).count() == 40
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
