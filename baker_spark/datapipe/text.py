@@ -1114,3 +1114,88 @@ def duck_gopher_repetition_sql(expr: str) -> dict[str, str]:
         + ")"
     )
     return out
+
+
+# ------------------------------------------------------ URL canonicalize ----
+
+#: query parameters stripped by url_normalize: the tracking keys every
+#: web-corpus pipeline drops before URL-level dedup (utm_* campaign
+#: tags, Google/Facebook click ids). RE2-safe pattern (no lookaround —
+#: the DuckDB twin runs RE2 while Spark runs java.util.regex).
+URL_TRACKING_PARAM_RX = r"^(utm_[^=]*|fbclid|gclid)(=.*)?$"
+
+
+def url_normalize(col: Column | str) -> Column:
+    """Canonical URL for URL-level dedup (the tier web corpora apply
+    BEFORE content dedup — Common-Crawl-style pipelines key their seen
+    lists on this). Pinned rules, mirrored exactly in
+    :func:`duck_url_normalize`:
+
+    1. fragment stripped (``#...``);
+    2. scheme and authority lowercased (path/query case preserved —
+       paths are case-sensitive per RFC 3986);
+    3. default ports dropped (``http://...:80``, ``https://...:443``);
+    4. tracking params removed (:data:`URL_TRACKING_PARAM_RX`), the
+       rest SORTED (byte order) — canonical param order;
+    5. single trailing slash dropped from non-root paths; an empty
+       path becomes ``/``;
+    6. NULL passes through NULL; a string with no ``scheme://`` is
+       returned with rules 1/4/5 applied to its path-like tail and no
+       authority casefold (best effort, never an error — baker's
+       error->null column discipline doesn't fit a normalizer whose
+       output keys a dedup ledger).
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    u1 = F.regexp_replace(u, "#.*", "")
+    prefix = F.regexp_extract(u1, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    rest = F.substring(u1, F.length(prefix) + 1, F.lit(2_000_000_000))
+    p = F.lower(prefix)
+    p = F.regexp_replace(p, r"^(http://[^/?]*):80$", "$1")
+    p = F.regexp_replace(p, r"^(https://[^/?]*):443$", "$1")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    qs = F.when(
+        F.length(rest) > F.length(path),
+        F.substring(rest, F.length(path) + 2, F.lit(2_000_000_000)),
+    ).otherwise(F.lit(""))
+    path = F.when(
+        (path == "") & (p != ""), F.lit("/")
+    ).otherwise(F.regexp_replace(path, r"^(.+?)/$", "$1"))
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&", -1),
+            lambda x: (x != "") & ~x.rlike(URL_TRACKING_PARAM_RX),
+        )
+    )
+    q2 = F.array_join(params, "&")
+    return F.concat(p, path, F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)))
+
+
+def duck_url_normalize(expr: str) -> str:
+    """DuckDB twin of :func:`url_normalize` — same regexes (RE2-safe),
+    same pinned rules, byte-identical output."""
+    u1 = f"regexp_replace({expr}, '#.*', '')"
+    prefix = f"regexp_extract({u1}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)"
+    rest = f"substr({u1}, length({prefix}) + 1)"
+    p = f"lower({prefix})"
+    p = f"regexp_replace({p}, '^(http://[^/?]*):80$', '\\1')"
+    p = f"regexp_replace({p}, '^(https://[^/?]*):443$', '\\1')"
+    path = f"regexp_extract({rest}, '^([^?]*)', 1)"
+    qs = (
+        f"CASE WHEN length({rest}) > length({path}) "
+        f"THEN substr({rest}, length({path}) + 2) ELSE '' END"
+    )
+    path = (
+        f"CASE WHEN {path} = '' AND {p} <> '' THEN '/' "
+        f"ELSE regexp_replace({path}, '^(.+?)/$', '\\1') END"
+    )
+    params = (
+        f"list_sort(list_filter(string_split({qs}, '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, '{URL_TRACKING_PARAM_RX}')))"
+    )
+    # coalesce: DuckDB's array_to_string of an EMPTY list is NULL (the
+    # same engine quirk duck_exact_substring_dedup pins) and would null
+    # out the whole concatenation for any query-free URL
+    q2 = f"coalesce(array_to_string({params}, '&'), '')"
+    return (
+        f"({p} || {path} || CASE WHEN {q2} = '' THEN '' ELSE '?' || {q2} END)"
+    )

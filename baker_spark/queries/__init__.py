@@ -86,9 +86,13 @@ GATE_ORDER = [
     # q3_shipping_priority and the CI four-SF sweep);
     # dp_token_frequency (new: corpus vocabulary tf/df top-200) enters
     # over q_cube_rollup (green r09-r11; grouping-set machinery now
-    # gated via the rotated-in q_grouping_sets).
+    # gated via the rotated-in q_grouping_sets); dp_url_dedup (new:
+    # canonical-URL dedup tier) enters over q_stats_timestamps (green
+    # r09-r11; the Stats time facet's machinery stays gated via
+    # q_stats_sizes/quantiles/report).
     "dp_exact_substring_dedup",
     "dp_token_frequency",
+    "dp_url_dedup",
     # §2.2 filters with reference-quirk semantics — kept gated
     "op_clausefilter",
     "op_crypt",
@@ -111,7 +115,6 @@ GATE_ORDER = [
     "q_stats_sizes",
     "q_stats_quantiles",
     "q_stats_report",
-    "q_stats_timestamps",
     "q_field_frequency",
     # dp tail, newest rows r07
     "dp_dedup_clusters",

@@ -489,6 +489,54 @@ def dp_gopher_quality(spark, sf_dir):
     return df.select("doc_id", *[c.alias(n) for n, c in rules.items()])
 
 
+_URL_SYNTH_SQL = """CASE CAST(doc_id % 5 AS INTEGER)
+  WHEN 0 THEN 'HTTP://Example.COM:80/docs/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=x&b=2&a=1#f'
+  WHEN 1 THEN 'http://example.com/docs/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2'
+  WHEN 2 THEN 'https://Example.com:443/d/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+  WHEN 3 THEN 'https://example.com/d/' || CAST(doc_id % 50 AS VARCHAR)
+  ELSE 'http://other.org/' || CAST(doc_id % 50 AS VARCHAR) || '/?gclid=abc'
+END"""
+
+
+@query(
+    "dp_url_dedup",
+    f"""
+WITH raw AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+norm AS (SELECT doc_id, {text.duck_url_normalize("url")} AS url FROM raw)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, url,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM norm GROUP BY url
+""",
+)
+def dp_url_dedup(spark, sf_dir):
+    """URL-level dedup — the tier web corpora apply BEFORE content
+    dedup (Common-Crawl-style pipelines key their seen ledgers on the
+    canonical URL). Deterministic messy URLs are synthesized from doc
+    ids (host case, default ports, fragments, utm/gclid tracking
+    params, trailing slashes — the same
+    regenerate-in-both-engines pattern as the media fixtures), then
+    text.url_normalize canonicalizes and the group keeps the smallest
+    id. The hash covers the NORMALIZED url, so the oracle proves the
+    canonicalizer byte-exact on every rule. Scale shape: pure per-row
+    string ops + one exchange on the canonical URL (at 100 TB this key
+    feeds the same bucketed seen-ledger machinery as content dedup)."""
+    df = load_table(spark, sf_dir, "documents")
+    uid = (F.col("doc_id") % 50).cast("string")
+    v = (F.col("doc_id") % 5).cast("int")
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTP://Example.COM:80/docs/"), uid, F.lit("?utm_source=x&b=2&a=1#f")))
+        .when(v == 1, F.concat(F.lit("http://example.com/docs/"), uid, F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(F.lit("https://Example.com:443/d/"), uid, F.lit("/")))
+        .when(v == 3, F.concat(F.lit("https://example.com/d/"), uid))
+        .otherwise(F.concat(F.lit("http://other.org/"), uid, F.lit("/?gclid=abc")))
+    )
+    norm = df.select("doc_id", text.url_normalize(url).alias("url"))
+    return norm.groupBy("url").agg(
+        F.min("doc_id").cast("long").alias("doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+    ).select("doc_id", "url", "n_dups")
+
+
 @query("dp_exact_substring_dedup", dedup.duck_exact_substring_dedup(k=12))
 def dp_exact_substring_dedup(spark, sf_dir):
     """ExactSubstr dedup (Lee et al. 2022): remove every token covered
