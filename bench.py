@@ -25,8 +25,10 @@ K fresh JVMs (exactly the fresh-JVM shape the per-round driver measures
 and tools/bench_variance.py already used), stamps the CPU canary BEFORE
 AND AFTER every suite pass (a spike that starts mid-suite can no longer
 hide behind a clean pre-canary), classifies each pass clean/contended on
-the absolute 32-wide canary wall, retries the WHOLE SUITE while clean
-passes are short of quota, and reports the MEDIAN clean pass — with
+a SELF-CALIBRATING gate (relative to the run's own canary floor, capped
+by an absolute chronic ceiling — round 13; see CANARY_RELATIVE_FACTOR),
+retries the WHOLE SUITE while clean passes are short of quota, and
+reports the MEDIAN clean pass — with
 every pass's canaries and totals kept in the artifact so a reader can
 re-derive the verdict. `python bench.py --single` runs one in-process
 pass (local iteration; also the worker the orchestrator spawns).
@@ -146,29 +148,60 @@ def cpu_canary() -> dict[str, float]:
     return {"canary_1p_s": single, "canary_32p_s": round(time.perf_counter() - t0, 3)}
 
 
-#: contention gate on the ABSOLUTE 32-wide canary wall. Calibration
-#: (round 10, this container): a fully idle host measures canary_32p_s
-#: ~0.31-0.34 with the 32p/1p ratio ~2.3 — the ratio carries a constant
-#: (process spawn + SMT/frequency effects), and worse, frequency
-#: throttling stretches BOTH canaries so a hot capture can show a
-#: NORMAL ratio (round 9's contended artifact: 1p 0.263 / 32p 0.553,
-#: ratio 2.1 — under the idle-ratio baseline!). The absolute 32p wall
-#: separates them cleanly: 0.31 idle vs 0.55 hot.
-#: Round 12: the gate now classifies WHOLE SUITE PASSES (max of the
-#: before/after stamps), not just the in-pass chain retry, and it is
-#: TIGHTENED from 0.45 to 0.40 (~1.2x idle): round 11's contended
-#: artifact stamped canary_32p 0.418 — under the old gate, so nothing
-#: fired while the suite read 40% slow. At 0.40 that capture is
-#: CONTENDED and the orchestrator runs another pass; a moderately busy
-#: host that never clears the gate now yields an artifact carrying
-#: `"contended": true` instead of a silently slow headline.
-CANARY_GATE_32P_S = 0.40
+#: SELF-CALIBRATING contention gate (round 13). History: round 10
+#: calibrated an absolute gate from "idle = 0.31-0.34" and round 12
+#: tightened it to 0.40 — then this container's idle floor drifted to
+#: ~0.40-0.43 (kernel / co-tenant baseline shift), so BENCH_r12.json
+#: carried `n_clean: 0` on passes that two independent idle re-runs
+#: confirmed were the best ever measured: an absolute constant goes
+#: stale, and a gate that is always red is no gate. The round-13 gate is
+#: RELATIVE to the run's own measured floor: the minimum canary_32p
+#: stamp across every pass of THIS orchestrate run estimates the host's
+#: current idle wall, and a pass is clean iff its worst stamp is within
+#: CANARY_RELATIVE_FACTOR of that floor. Two properties survive from
+#: the absolute design:
+#: - a hard CHRONIC ceiling (round 9's measured hot capture stamped
+#:   0.553; anything at/above 0.55 can NEVER read clean even if the
+#:   whole run is equally hot) keeps a steadily-loaded host from
+#:   self-calibrating its load away entirely;
+#: - every absolute stamp is still recorded per pass, so cross-round
+#:   artifact comparisons (and a future recalibration) stay possible.
+#: Residual blind window, stated honestly: steady load that lifts the
+#: floor above true-idle but below the chronic ceiling reads clean —
+#: indistinguishable from a host whose idle baseline drifted, which is
+#: exactly the r12 failure this fixes. Bursty contention (the case that
+#: actually corrupted r9/r11 artifacts) is caught relative to the
+#: quiet passes around it.
+CANARY_RELATIVE_FACTOR = 1.25
+CANARY_CHRONIC_32P_S = 0.55
 
 
-def pass_is_clean(doc: dict, gate: float = CANARY_GATE_32P_S) -> bool:
+def run_floor_32p(passes: list[dict]) -> float | None:
+    """The run's own idle estimate: min canary_32p across every before/
+    after stamp of every pass so far (None until a stamped pass lands)."""
+    stamps = [
+        d.get(side, {}).get("canary_32p_s")
+        for d in passes
+        for side in ("canary_before", "canary_after")
+    ]
+    stamps = [s for s in stamps if s is not None]
+    return min(stamps) if stamps else None
+
+
+def effective_gate(passes: list[dict],
+                   relative_factor: float = CANARY_RELATIVE_FACTOR,
+                   chronic: float = CANARY_CHRONIC_32P_S) -> float:
+    """Gate for THIS run: floor * factor, capped at the chronic ceiling."""
+    floor = run_floor_32p(passes)
+    if floor is None:
+        return chronic
+    return min(round(floor * relative_factor, 4), chronic)
+
+
+def pass_is_clean(doc: dict, gate: float) -> bool:
     """A suite pass is uncontended iff BOTH canary stamps (before and
-    after the Spark work) are under the absolute 32p gate — a co-tenant
-    burst starting mid-suite trips the after-stamp."""
+    after the Spark work) are under the gate — a co-tenant burst
+    starting mid-suite trips the after-stamp."""
     before = doc.get("canary_before", {}).get("canary_32p_s")
     after = doc.get("canary_after", {}).get("canary_32p_s")
     if before is None or after is None:
@@ -177,7 +210,7 @@ def pass_is_clean(doc: dict, gate: float = CANARY_GATE_32P_S) -> bool:
 
 
 def orchestrate(run_pass, n_jvms: int = N_JVMS, min_clean: int = MIN_CLEAN,
-                max_jvms: int = MAX_JVMS, gate: float = CANARY_GATE_32P_S) -> dict:
+                max_jvms: int = MAX_JVMS, gate: float | None = None) -> dict:
     """Contention-proof envelope over ``run_pass() -> suite doc``.
 
     Runs ``n_jvms`` passes, classifies each clean/contended on its
@@ -189,12 +222,21 @@ def orchestrate(run_pass, n_jvms: int = N_JVMS, min_clean: int = MIN_CLEAN,
     headlines and the artifact carries ``"contended": true`` — the
     artifact can be captured hot, but never silently.
 
+    ``gate=None`` (the default) self-calibrates: after every pass the
+    gate is re-derived from the run's own canary floor (see
+    ``effective_gate``), and EVERY pass is re-classified under the
+    final gate — an early pass stamped before a quieter floor was
+    observed gets honestly re-flagged. Pass a number to pin an absolute
+    gate (tests; forensic re-reads of old artifacts).
+
     Pure orchestration (no Spark, no clock beyond what run_pass does) so
     tests can drive it with synthetic passes — including the pinned
     busy-loop contention-spike test."""
+    fixed_gate = gate
     passes: list[dict] = []
     while len(passes) < max_jvms:
         passes.append(run_pass())
+        gate = fixed_gate if fixed_gate is not None else effective_gate(passes)
         clean = [d for d in passes if pass_is_clean(d, gate)]
         if len(passes) >= n_jvms and len(clean) >= min_clean:
             break
@@ -207,6 +249,7 @@ def orchestrate(run_pass, n_jvms: int = N_JVMS, min_clean: int = MIN_CLEAN,
         # retries to max_jvms chasing the min_clean quota.
         if len(passes) >= n_jvms + 1 and not clean:
             break
+    gate = fixed_gate if fixed_gate is not None else effective_gate(passes)
     clean = [d for d in passes if pass_is_clean(d, gate)]
     contended = not clean
     if clean:
@@ -250,6 +293,10 @@ def orchestrate(run_pass, n_jvms: int = N_JVMS, min_clean: int = MIN_CLEAN,
             "suite_retried": len(passes) > n_jvms,
             "contended": contended,
             "canary_gate_32p_s": gate,
+            "canary_gate_mode": "fixed" if fixed_gate is not None else "self-calibrated",
+            "canary_floor_32p_s": run_floor_32p(passes),
+            "canary_relative_factor": CANARY_RELATIVE_FACTOR,
+            "canary_chronic_32p_s": CANARY_CHRONIC_32P_S,
         }
     )
     return out
@@ -317,11 +364,13 @@ def run_suite() -> dict:
     n_lineitem = load_table(spark, sf_dir, "lineitem").count()
     runs = _chain_runs(spark, sf_dir)
     chain_retried = False
-    if canary_before["canary_32p_s"] > CANARY_GATE_32P_S:
-        # hot capture: give the host one chance to quiet down, keep the
-        # honest union of both passes (min() picks the best either way).
-        # First-line defense only — the orchestrator's whole-pass retry
-        # is the real gate; this just salvages a transiently-hot pass.
+    if canary_before["canary_32p_s"] > CANARY_CHRONIC_32P_S:
+        # clearly-hot capture: give the host one chance to quiet down,
+        # keep the honest union of both passes (min() picks the best
+        # either way). First-line defense only — the orchestrator's
+        # whole-pass relative gate is the real one; this triggers on the
+        # absolute chronic ceiling (a per-pass trigger can't know the
+        # run floor yet) and just salvages a transiently-hot pass.
         chain_retried = True
         canary_before = cpu_canary()
         runs = runs + _chain_runs(spark, sf_dir)
@@ -376,8 +425,7 @@ def _spawn_pass() -> dict:
     sys.stderr.write(
         f"bench pass: total={doc['value']}s rec/s={doc['records_per_sec']}"
         f" canary32p={doc['canary_before']['canary_32p_s']}"
-        f"->{doc['canary_after']['canary_32p_s']}"
-        f" clean={pass_is_clean(doc)}\n"
+        f"->{doc['canary_after']['canary_32p_s']}\n"
     )
     return doc
 
@@ -386,11 +434,7 @@ def main() -> None:
     if "--single" in sys.argv[1:]:
         print(json.dumps(run_suite()))
         return
-    out = orchestrate(_spawn_pass)
-    # per-query run lists of non-headline passes are bulky and fully
-    # re-derivable from a --single re-run; keep the headline pass's
-    out.pop("runs_all", None)
-    print(json.dumps(out))
+    print(json.dumps(orchestrate(_spawn_pass)))
 
 
 if __name__ == "__main__":

@@ -41,6 +41,74 @@ def test_all_clean_headlines_median_no_retry():
     assert out["envelope"] == {"min": 9.0, "median": 9.3, "max": 9.6, "n": 3}
     # headline pass is reported verbatim: value == sum(queries)
     assert sum(out["queries"].values()) == out["value"]
+    # round-13 gate provenance keys
+    assert out["canary_gate_mode"] == "self-calibrated"
+    assert out["canary_floor_32p_s"] == CLEAN
+    assert out["canary_gate_32p_s"] == round(CLEAN * bench.CANARY_RELATIVE_FACTOR, 4)
+
+
+def test_drifted_idle_floor_reads_clean():
+    """The r12 failure mode this round fixes: the container's idle floor
+    drifted to ~0.40-0.43, above the hard-coded 0.40 gate, so an idle
+    host's best-ever passes carried n_clean=0 and the median-of-clean
+    headline never engaged. Under the relative gate the run's own floor
+    calibrates it: stamps clustered within 1.25x of their min are
+    clean."""
+    seq = iter(
+        [_pass(9.5, 0.401, 0.431), _pass(9.6, 0.413, 0.429), _pass(9.5, 0.412, 0.432)]
+    )
+    out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=2, max_jvms=6)
+    assert out["n_clean"] == 3 and not out["contended"] and not out["suite_retried"]
+    assert out["canary_floor_32p_s"] == 0.401
+    assert out["canary_gate_32p_s"] == round(0.401 * bench.CANARY_RELATIVE_FACTOR, 4)
+    # and the OLD absolute gate, pinned explicitly, reproduces the r12
+    # artifact's n_clean=0 — the fixed-gate mode stays available for
+    # forensic re-reads of old artifacts
+    seq = iter(
+        [_pass(9.5, 0.401, 0.431), _pass(9.6, 0.413, 0.429), _pass(9.5, 0.412, 0.432),
+         _pass(9.6, 0.41, 0.42)]
+    )
+    old = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=2, max_jvms=6, gate=0.40)
+    assert old["n_clean"] == 0 and old["contended"]
+    assert old["canary_gate_mode"] == "fixed" and old["canary_gate_32p_s"] == 0.40
+
+
+def test_spike_relative_to_drifted_floor_is_caught():
+    # a burst that would have hidden UNDER the old chronic ceiling
+    # (0.53 < 0.55) is contended relative to the run's 0.41 floor
+    # (gate = 0.41 * 1.25 = 0.5125)
+    seq = iter(
+        [_pass(12.0, 0.41, 0.53), _pass(9.4, 0.41, 0.42), _pass(9.5, 0.42, 0.43),
+         _pass(9.45, 0.41, 0.42)]
+    )
+    out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=3, max_jvms=6)
+    assert not out["suite_passes"][0]["clean"]
+    assert out["suite_retried"] and out["n_clean"] == 3 and not out["contended"]
+    assert out["value"] in (9.4, 9.45, 9.5)
+
+
+def test_chronic_ceiling_cannot_self_calibrate_away():
+    # a host that is EQUALLY hot on every pass lifts its own floor, but
+    # the absolute chronic ceiling (round-9's measured hot capture)
+    # still reads it contended — steady heavy load must not launder
+    # itself into a clean artifact
+    seq = iter([_pass(12.0 + i / 10, 0.58, 0.60) for i in range(6)])
+    out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=2, max_jvms=6)
+    assert out["contended"] and out["n_clean"] == 0
+    assert out["canary_gate_32p_s"] == bench.CANARY_CHRONIC_32P_S
+
+
+def test_early_pass_reclassified_under_final_floor():
+    # pass 1 lands at 0.52 before any quieter pass exists (momentary
+    # gate = chronic 0.55 -> reads clean); once 0.40 passes establish
+    # the real floor, the final classification re-flags it contended
+    seq = iter(
+        [_pass(11.0, 0.52, 0.52), _pass(9.2, 0.40, 0.40), _pass(9.0, 0.40, 0.41)]
+    )
+    out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=2, max_jvms=6)
+    flags = [p["clean"] for p in out["suite_passes"]]
+    assert flags == [False, True, True]
+    assert out["value"] in (9.0, 9.2) and not out["contended"]
 
 
 def test_contended_passes_trigger_whole_suite_retry():
@@ -74,10 +142,11 @@ def test_mid_suite_spike_caught_by_after_stamp():
 
 
 def test_chronic_load_short_circuits_flags_contended_least_hot_headlines():
-    # steady contention: zero clean passes after the quota count + one
-    # probe pass -> stop (retries can't find a window that isn't there),
-    # flag contended, headline the least-hot pass
-    seq = iter([_pass(12.0 + i / 10, 0.5 + i / 100, 0.5) for i in range(6)])
+    # steady contention ABOVE the chronic ceiling: zero clean passes
+    # after the quota count + one probe pass -> stop (retries can't find
+    # a window that isn't there), flag contended, headline the least-hot
+    # pass
+    seq = iter([_pass(12.0 + i / 10, 0.56 + i / 100, 0.56) for i in range(6)])
     out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=2, max_jvms=6)
     assert out["contended"] and out["n_clean"] == 0 and out["n_passes"] == 4
     assert out["value"] == 12.0  # least-contended pass (smallest worst canary)
@@ -102,15 +171,16 @@ def test_bursty_load_still_retries_to_quota():
 
 def test_legacy_single_stamp_doc_is_never_clean():
     # rounds 7-11 artifacts carry one pre-run canary only; they must not
-    # pass the clean classifier even with a low stamp
-    assert not bench.pass_is_clean({"value": 9.0, "canary_32p_s": 0.30})
+    # pass the clean classifier even with a low stamp and a lax gate
+    assert not bench.pass_is_clean({"value": 9.0, "canary_32p_s": 0.30}, gate=1.0)
 
 
 def test_busy_loop_contention_spike_trips_gate_and_retry():
     """The physical leg: a synthetic contention spike (busy-loop
     co-processes oversubscribing all cores) must stretch the REAL
-    cpu_canary past the absolute gate, and a suite pass stamped under
-    the spike must trigger the orchestrator's retry path."""
+    cpu_canary past even the absolute CHRONIC ceiling (the laxest gate
+    the relative classifier can ever apply), and a suite pass stamped
+    under the spike must trigger the orchestrator's retry path."""
     code = "while True:\n pass"
     spin = [
         subprocess.Popen([sys.executable, "-c", code])
@@ -123,7 +193,7 @@ def test_busy_loop_contention_spike_trips_gate_and_retry():
             p.kill()
         for p in spin:
             p.wait()
-    assert hot["canary_32p_s"] > bench.CANARY_GATE_32P_S, hot
+    assert hot["canary_32p_s"] > bench.CANARY_CHRONIC_32P_S, hot
     # a pass stamped with the measured hot canary is contended and the
     # orchestrator runs a replacement pass beyond the n_jvms quota
     seq = iter(
