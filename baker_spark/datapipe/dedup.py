@@ -181,12 +181,26 @@ def write_seen_ledger(
         w.format("parquet").saveAsTable(table)
 
 
+def ledger_spec(spark, table: str) -> tuple[int | None, tuple[str, ...]]:
+    """The live ledger's physical spec from the catalog: (bucket count
+    from DESCRIBE FORMATTED's "Num Buckets" row — None when the table
+    is unbucketed — and the non-``fp`` columns in table order)."""
+    cols = spark.table(table).columns
+    if "fp" not in cols:
+        raise ValueError(f"{table} is not a seen-ledger: no `fp` column in {cols}")
+    n_buckets = None
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (row.col_name or "").strip() == "Num Buckets":
+            n_buckets = int(str(row.data_type).strip())
+    return n_buckets, tuple(c for c in cols if c != "fp")
+
+
 def compact_seen_ledger(
     spark,
     table: str,
     path: str | None = None,
-    n_buckets: int = LEDGER_BUCKETS,
-    extra_cols: tuple[str, ...] = (),
+    n_buckets: int | None = None,
+    extra_cols: tuple[str, ...] | None = None,
 ) -> dict:
     """Maintenance pass for an append-heavy seen-ledger: every
     ``write_seen_ledger(mode="append")`` lands ONE file per bucket, so
@@ -207,7 +221,17 @@ def compact_seen_ledger(
     where the only copy is already deleted. Runs under the writer
     fence: a concurrent ingest append would race the swap.
 
-    Returns ``{rows, files_before, files_after}``."""
+    The rewrite spec is DERIVED FROM THE LIVE TABLE (bucket count via
+    DESCRIBE FORMATTED, column set via the catalog schema): compacting
+    a 16-bucket fp+phash MediaIngest ledger with hard-coded defaults
+    would silently rewrite it 64-bucketed and phash-less while the
+    table DDL still said otherwise — the shuffle-free bucketed
+    anti-join then reads misplaced rows and re-admits duplicates.
+    Passing ``n_buckets``/``extra_cols`` explicitly is allowed only as
+    an assertion: a value that disagrees with the live spec raises
+    instead of rewriting.
+
+    Returns ``{rows, files_before, files_after, n_buckets}``."""
     from baker_spark.datapipe.artifacts import writer_fence
 
     live_dir = path or _table_location(spark, table)
@@ -238,6 +262,24 @@ def compact_seen_ledger(
             if not fs.rename(backup, live):
                 raise RuntimeError(f"could not restore {live_dir} from backup")
             spark.sql(f"REFRESH TABLE {table}")
+        # the rewrite must preserve the LIVE physical spec, not a
+        # caller default — a 16-bucket fp+phash ledger compacted
+        # 64-bucket/phash-less silently breaks the bucketed anti-join
+        live_n_buckets, live_extra = ledger_spec(spark, table)
+        if n_buckets is None:
+            n_buckets = live_n_buckets if live_n_buckets is not None else LEDGER_BUCKETS
+        elif live_n_buckets is not None and n_buckets != live_n_buckets:
+            raise ValueError(
+                f"compact_seen_ledger({table}): n_buckets={n_buckets} disagrees "
+                f"with the live table's Num Buckets={live_n_buckets}"
+            )
+        if extra_cols is None:
+            extra_cols = live_extra
+        elif tuple(extra_cols) != live_extra:
+            raise ValueError(
+                f"compact_seen_ledger({table}): extra_cols={tuple(extra_cols)} "
+                f"disagrees with the live table's columns fp+{live_extra}"
+            )
         files_before = _n_files(live)
         rows = spark.table(table).dropDuplicates(["fp", *extra_cols])
         # the full rewrite lands in a SIBLING table/dir first — the
@@ -260,7 +302,12 @@ def compact_seen_ledger(
         fs.delete(backup, True)
         spark.sql(f"REFRESH TABLE {table}")
         files_after = _n_files(live)
-    return {"rows": n_rows, "files_before": files_before, "files_after": files_after}
+    return {
+        "rows": n_rows,
+        "files_before": files_before,
+        "files_after": files_after,
+        "n_buckets": n_buckets,
+    }
 
 
 def incremental_dedup_against_ledger(

@@ -39,16 +39,22 @@ _IDENT_RX = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 def _ledger_ddl_parts(table: str, location: str) -> tuple[str, str]:
     """Validate/escape the two values the ledger DDL interpolates:
-    ``table`` must be a bare identifier (anything else — dots, quotes,
-    hyphens — would re-scope or break the statement), and single quotes
-    in ``location`` are doubled per SQL string-literal rules (tempfile
-    paths with quotes are legal on POSIX and must not silently re-scope
-    the LOCATION clause)."""
-    if not _IDENT_RX.match(table):
+    ``table`` may be a dot-qualified name (``db.ledger`` is a legal
+    Spark table name that _table_location canonicalizes) but EVERY
+    segment must be a bare identifier — quotes, hyphens, or empty
+    segments would re-scope or break the statement; segments are
+    backtick-quoted in the emitted DDL so reserved words stay inert.
+    Single quotes in ``location`` are doubled per SQL string-literal
+    rules (tempfile paths with quotes are legal on POSIX and must not
+    silently re-scope the LOCATION clause)."""
+    segments = table.split(".")
+    if not all(_IDENT_RX.match(s) for s in segments):
         raise ValueError(
-            f"ledger_table must be a bare SQL identifier, got {table!r}"
+            "ledger_table segments must be bare SQL identifiers, "
+            f"got {table!r}"
         )
-    return table, location.replace("'", "''")
+    quoted = ".".join(f"`{s}`" for s in segments)
+    return quoted, location.replace("'", "''")
 
 
 @dataclass
@@ -240,6 +246,50 @@ class MediaIngest:
             f"INTO {int(self.ledger_buckets)} BUCKETS "
             f"LOCATION '{loc}'"
         )
+        self._check_decoder_stamp(spark)
+
+    def _check_decoder_stamp(self, spark) -> None:
+        """Stamp the EFFECTIVE pixel backend beside the ledger
+        (``<ledger_dir>/_DECODER``; the underscore keeps parquet readers
+        off it) and WARN when a later run resolves a different one: GIF
+        palette handling and JPEG IDCT rounding are per-backend, so a
+        ledger of 'pure' phashes probed with 'pil' hashes silently stops
+        matching near-dups — the mismatch must be loud. Hadoop FS (not
+        os.path) so s3a/hdfs ledgers stamp the same way."""
+        from baker_spark.datapipe.multimodal import resolved_image_decoder_name
+
+        name = resolved_image_decoder_name(self.decoder)
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            self.ledger_dir.rstrip("/") + "/_DECODER"
+        )
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            stream = fs.open(p)
+            try:
+                existing = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                ).strip()
+            finally:
+                stream.close()
+            if existing and existing != name:
+                import warnings
+
+                warnings.warn(
+                    f"MediaIngest ledger {self.ledger_dir} was built with "
+                    f"image decoder {existing!r} but this run resolves "
+                    f"{name!r}; per-backend pixel differences (GIF palette, "
+                    "JPEG IDCT) can stop ledger hashes from matching — "
+                    "rebuild the ledger or pin the original backend",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+            return
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(name.encode("utf-8")))
+        finally:
+            out.close()
 
     def write(self, batch_df: DataFrame) -> int:
         """One batch through the loop; returns images admitted."""

@@ -872,12 +872,17 @@ def _pure_pixel_decode(payload: bytes):
 def _pil_pixel_decode(payload: bytes):
     """Pillow backend, import-deferred to first batch on the executor.
     Output mapped onto the pure contract: per-channel integer samples,
-    palette images converted to L (our gray-GIF fixtures use an
-    (i,i,i) palette, so values are identical). Parity caveat: PNG/GIF
-    are lossless — bit-identical to the pure codecs; JPEG IDCT rounding
-    is implementation-defined, so a borderline phash bit MAY differ —
-    the parity test runs on the envelope fixtures and pins where the
-    backends agree."""
+    palette images converted to L. Parity caveats, stated precisely:
+    PNG is lossless and bit-identical to the pure codec. GIF is
+    bit-identical ONLY for identity (i,i,i) palettes (our gray
+    fixtures): the pure decoder maps palette indices through the
+    palette's RED channel while PIL's P->L conversion takes luminance,
+    so a colored palette yields different pixels — and a different
+    phash. JPEG IDCT rounding is implementation-defined, so a
+    borderline phash bit MAY differ. The parity test runs on the
+    envelope fixtures and pins where the backends agree; MediaIngest
+    stamps the decoder name beside its ledger so a backend swap WARNS
+    instead of silently un-matching the ledger's hashes."""
     from io import BytesIO
 
     from PIL import Image
@@ -940,6 +945,19 @@ def resolve_image_decoder(decoder: str | None):
             )
             return _pure_pixel_decode
     return fn
+
+
+def resolved_image_decoder_name(decoder: str | None = None) -> str:
+    """The EFFECTIVE backend name after env resolution and the
+    pil->pure fallback — what MediaIngest stamps beside its ledger so a
+    later run under a different backend warns instead of silently
+    producing phashes the ledger's hashes no longer match (GIF palette
+    and JPEG IDCT differences are per-backend; see _pil_pixel_decode)."""
+    fn = resolve_image_decoder(decoder)
+    for name, f in IMAGE_DECODERS.items():
+        if f is fn:
+            return name
+    return "custom"
 
 
 FEATURES_SCHEMA = (

@@ -399,6 +399,48 @@ def test_compact_seen_ledger_preserves_extra_cols(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_compact_seen_ledger_derives_spec_from_catalog(spark, tmp_path):
+    """ADVICE r12 (medium): compaction must rewrite with the LIVE
+    table's bucket count and column set, not caller defaults — a
+    16-bucket fp+phash MediaIngest ledger compacted with bare defaults
+    would come back 64-bucketed and phash-less while the DDL still said
+    otherwise, silently re-admitting duplicates through the bucketed
+    anti-join. Default-args compaction now derives the spec; explicit
+    values that disagree with the live spec raise instead of rewriting."""
+    import pytest
+
+    from baker_spark.datapipe import dedup
+
+    table = "compact_spec_ledger_test"
+    path = str(tmp_path / "specledger")
+    rows = spark.createDataFrame(
+        [(f"k{i}", i * 11) for i in range(64)], "fp string, phash long"
+    )
+    dedup.write_seen_ledger(rows, table, path=path, n_buckets=16, extra_cols=("phash",))
+    dedup.write_seen_ledger(
+        rows.withColumn("fp", F.concat(F.col("fp"), F.lit("b"))),
+        table, path=path, n_buckets=16, mode="append", extra_cols=("phash",),
+    )
+    assert dedup.ledger_spec(spark, table) == (16, ("phash",))
+    before = sorted(tuple(r) for r in spark.table(table).collect())
+
+    # the exact ADVICE scenario: no spec passed at all
+    out = dedup.compact_seen_ledger(spark, table, path=path)
+    assert out["n_buckets"] == 16 and out["files_after"] == 16
+    assert dedup.ledger_spec(spark, table) == (16, ("phash",))
+    assert spark.table(table).columns == ["fp", "phash"]
+    assert sorted(tuple(r) for r in spark.table(table).collect()) == before
+
+    # explicit values that contradict the live spec must refuse loudly
+    with pytest.raises(ValueError, match="Num Buckets=16"):
+        dedup.compact_seen_ledger(spark, table, path=path, n_buckets=64)
+    with pytest.raises(ValueError, match="extra_cols"):
+        dedup.compact_seen_ledger(spark, table, path=path, extra_cols=())
+    # and the refused compacts left the ledger untouched
+    assert sorted(tuple(r) for r in spark.table(table).collect()) == before
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_ledger_append_fails_fast_during_compaction(spark, tmp_path):
     """The compaction window is writer-fenced: an ingest append landing
     mid-compact must raise ConcurrentWriterError naming the compactor

@@ -5,6 +5,8 @@ bounded-memory replacement for the reference's grow-forever dedup set
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from baker_spark.datapipe.ingest import CorpusIngest
@@ -417,3 +419,84 @@ def test_media_ingest_releases_every_cache_per_batch(spark, tmp_path):
             assert not cached, f"batch {n} leaked cached RDDs: {cached}"
     finally:
         spark.sql("DROP TABLE IF EXISTS media_ledger_t4")
+
+
+def test_qualified_ledger_table_name_accepted(spark, tmp_path):
+    """ADVICE r12: ``db.ledger`` is a legal Spark table name that
+    _table_location canonicalizes — a namespaced deployment must not
+    fail at the first bucketed write. Segments are validated
+    individually; injection shapes still raise."""
+    import pytest
+
+    from baker_spark.datapipe.ingest import _ledger_ddl_parts
+
+    assert _ledger_ddl_parts("db1.ledger", "/x")[0] == "`db1`.`ledger`"
+    for bad in ("a-b", "a.b-c", "a..b", "x'y", "a.b.c.d'"):
+        with pytest.raises(ValueError):
+            _ledger_ddl_parts(bad, "/x")
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ingest_ns_test")
+    sink = CorpusIngest(
+        corpus_dir=str(tmp_path / "corpus"),
+        ledger_dir=str(tmp_path / "ledger"),
+        key=F.md5(F.col("text")),
+        ledger_buckets=4,
+        ledger_table="ingest_ns_test.corpus_ledger",
+    )
+    try:
+        b1 = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+        assert sink.write(b1) == 2
+        b2 = spark.createDataFrame([(3, "beta"), (4, "gamma")], ["doc_id", "text"])
+        assert sink.write(b2) == 1
+        assert spark.table("ingest_ns_test.corpus_ledger").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ingest_ns_test.corpus_ledger")
+        spark.sql("DROP DATABASE IF EXISTS ingest_ns_test")
+
+
+def test_media_ingest_decoder_stamp_warns_on_backend_swap(spark, tmp_path):
+    """ADVICE r12: a band ledger built under one pixel backend silently
+    stops matching near-dups after a backend swap (GIF palette / JPEG
+    IDCT differ per backend). MediaIngest stamps the EFFECTIVE decoder
+    name beside the ledger on first write; a later instance resolving a
+    different backend warns loudly, same backend stays silent."""
+    import warnings
+
+    from baker_spark.datapipe import multimodal as M
+    from baker_spark.datapipe.ingest import MediaIngest
+
+    def _swap_decode(payload):  # distinct callable (same behavior)
+        return M._pure_pixel_decode(payload)
+
+    M.register_image_decoder("stampswap_test", _swap_decode)
+    kw = dict(
+        corpus_dir=str(tmp_path / "mcorpus"),
+        ledger_dir=str(tmp_path / "mledger"),
+        ledger_table="media_ledger_stamp",
+        ledger_buckets=4,
+    )
+    try:
+        sink = MediaIngest(**kw)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # first write must not warn
+            sink.write(
+                spark.createDataFrame([(1, _png("A"))], "doc_id long, payload binary")
+            )
+        assert (tmp_path / "mledger" / "_DECODER").read_text() == "pure"
+        # restart under the same backend: silent
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            MediaIngest(**kw).write(
+                spark.createDataFrame([(2, _png("B"))], "doc_id long, payload binary")
+            )
+        # restart under a DIFFERENT backend: loud
+        swapped = MediaIngest(decoder="stampswap_test", **kw)
+        with pytest.warns(RuntimeWarning, match="built with image decoder 'pure'"):
+            swapped.write(
+                spark.createDataFrame([(3, _png("C"))], "doc_id long, payload binary")
+            )
+        # the stamp records the ORIGINAL backend, not the intruder
+        assert (tmp_path / "mledger" / "_DECODER").read_text() == "pure"
+    finally:
+        M.IMAGE_DECODERS.pop("stampswap_test", None)
+        spark.sql("DROP TABLE IF EXISTS media_ledger_stamp")
