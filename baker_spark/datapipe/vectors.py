@@ -1534,8 +1534,14 @@ def ann_search(
         )
     else:
         raise ValueError(f"unknown ann method {method!r}; one of {ANN_METHODS} or 'auto'")
-    # the window runs over the ALREADY top-k-limited frame (<= k rows,
-    # one partition after the limit) — not the corpus
+    # rank assignment: a global window over the ALREADY top-k-limited
+    # frame (<= k rows after every method's orderBy().limit(k)) — not
+    # the corpus. Rank needs cross-row position, so SOME cross-row
+    # operator is irreducible here; a k-row single-partition window is
+    # the minimal one (a self-join doubles the search subtree, a driver
+    # collect breaks laziness). tools/plan_audit.py certifies this
+    # structurally (WINDOW1P flags global windows NOT bounded by a
+    # limit below them; this one is).
     from pyspark.sql import Window
 
     order = [F.col(score_col).asc() if asc else F.col(score_col).desc(), F.col(id_col).asc()]

@@ -360,14 +360,20 @@ SELECT value, n, CAST(n * 1000000 // (SELECT sum(n) FROM f) AS BIGINT) AS share_
 """,
 )
 def q_field_frequency(spark, sf_dir):
-    """Stats sink per-field frequency distribution + share of total
-    (window aggregate without partition)."""
+    """Stats sink per-field frequency distribution + share of total.
+
+    The total is a broadcast 1-row scalar, NOT a global window over the
+    frequency table: the Stats frequency facet's cardinality is the
+    field's distinct-value count, which a high-card field makes
+    corpus-sized — an unpartitioned window would move ALL of it to one
+    partition (the WINDOW1P anti-pattern plan_audit flags). The two
+    references to ``freq`` share one shuffle via ReusedExchange."""
     ev = load_table(spark, sf_dir, "events")
     freq = ev.groupBy(F.col("event_type").alias("value")).agg(F.count("*").alias("n"))
-    total = Window.partitionBy()
-    return freq.select(
-        "value", "n", F.expr("n * 1000000").cast("long").alias("_num"), F.sum("n").over(total).alias("_den")
-    ).select("value", "n", F.expr("_num div _den").alias("share_c6"))
+    total = freq.agg(F.sum("n").alias("_den"))
+    return freq.crossJoin(F.broadcast(total)).select(
+        "value", "n", F.expr("n * 1000000 div _den").alias("share_c6")
+    )
 
 
 @query(

@@ -290,13 +290,14 @@ def dp_ivf_topk(spark, sf_dir):
         .select("vec_id", "cid")
     )
 
-    wq = Window.partitionBy().orderBy(
-        F.desc(cosine_c4(F.col("cv"), F.col("qv"))), F.col("cid")
-    )
+    # top-nprobe cells via orderBy().limit() — TakeOrderedAndProject
+    # (parallel partial top-k), not a single-partition Window ranking
+    # the same rows (VERDICT r12 #6); identical pinned order (exact
+    # centroid-query similarity desc, cid asc)
     probes = (
         c.crossJoin(F.broadcast(q))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= _IVF_NPROBE)
+        .orderBy(F.desc(cosine_c4(F.col("cv"), F.col("qv"))), F.col("cid"))
+        .limit(_IVF_NPROBE)
         .select("cid")
     )
 

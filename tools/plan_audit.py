@@ -10,6 +10,12 @@ Flags:
 - PYUDF: row-wise Python UDF in the plan (BatchEvalPython); Arrow-batched
   pandas UDFs (ArrowEvalPython) are reported separately and are fine
   where semantics require Python
+- WINDOW1P: an UNPARTITIONED Window whose input is NOT bounded by a
+  limit below it — the "No Partition Defined for Window" runtime
+  warning made structural. A global window over a corpus moves
+  everything to one partition (scale killer); a global window over an
+  already top-k-limited frame (<= k rows) is the minimal rank-assign
+  operator and is certified fine here (VERDICT r12 #6)
 """
 
 from __future__ import annotations
@@ -43,6 +49,45 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def n_unbounded_global_windows(df) -> int:
+    """Count WindowExec nodes with an EMPTY partition spec whose
+    subtree contains no limit operator — the structural version of
+    Spark's "No Partition Defined for Window" log warning, minus the
+    false positives: a global window directly over a
+    TakeOrderedAndProject/Limit input ranks <= k rows (the ann_search
+    facade's rank-assign), which is bounded by construction and the
+    correct minimal plan. Walks the executed SparkPlan via py4j."""
+    node = df._jdf.queryExecution().executedPlan()
+
+    def has_limit_below(n) -> bool:
+        name = n.getClass().getSimpleName()
+        if name in (
+            "TakeOrderedAndProjectExec",
+            "GlobalLimitExec",
+            "LocalLimitExec",
+            "CollectLimitExec",
+        ):
+            return True
+        ch = n.children()
+        return any(has_limit_below(ch.apply(i)) for i in range(ch.size()))
+
+    def walk(n) -> int:
+        bad = 0
+        name = n.getClass().getSimpleName()
+        if name == "WindowExec" and n.partitionSpec().isEmpty():
+            if not has_limit_below(n):
+                bad += 1
+        ch = n.children()
+        for i in range(ch.size()):
+            bad += walk(ch.apply(i))
+        # AQE wraps stages; descend into materialized subtrees
+        if name == "AdaptiveSparkPlanExec":
+            bad += walk(n.initialPlan())
+        return bad
+
+    return walk(node)
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     # hard-fail on a bad data dir: the audit silently "mostly working"
@@ -65,7 +110,8 @@ def main() -> int:
     bad = 0
     for name in sorted(qs):
         try:
-            p = plan_of(qs[name](spark, sf))
+            df = qs[name](spark, sf)
+            p = plan_of(df)
         except Exception as e:  # noqa: BLE001 — iterative queries run jobs at build time
             print(f"{name:28s} (not statically plannable: {type(e).__name__})")
             continue
@@ -80,6 +126,9 @@ def main() -> int:
             flags.append(f"EXCH>{MAX_EXCHANGES}({n_exch})")
         if "BatchEvalPython" in p:
             flags.append("PYUDF")
+        n_gw = n_unbounded_global_windows(df)
+        if n_gw:
+            flags.append(f"WINDOW1P({n_gw})")
         arrow = " arrow-udf" if "ArrowEvalPython" in p or "MapInPandas" in p else ""
         status = "FLAG " + ",".join(flags) if flags else "ok"
         if flags:
