@@ -50,6 +50,9 @@ from baker_spark.operators.topology import (  # noqa: F401
 from baker_spark.operators.datapipe_filters import (  # noqa: F401
     C4Clean,
     C4Filter,
+    ExactSubstrClean,
     GopherQuality,
+    GopherRepetition,
     NearDupDrop,
+    UrlDedup,
 )

@@ -174,3 +174,130 @@ class NearDupDrop(Operator):
         # the min-id representative never appears as doc_b
         losers = pairs.select(F.col("doc_b").alias(self.id_field)).distinct()
         return df.join(losers, self.id_field, "left_anti")
+
+
+@register
+class GopherRepetition(Operator):
+    """Keep rows passing the FULL Gopher A1.2 repetition battery (Rae
+    et al. 2021 Table A1: dup line/para fractions by count and char
+    mass, top-{2,3,4}-gram char fractions, dup-{5..10}-gram char
+    fractions — thirteen signals, all at-or-under their pinned
+    thresholds) over ``field`` — the repetition complement of
+    :class:`GopherQuality`'s A1.1 rules. ``invert`` keeps the REJECTS
+    (quarantine-audit topologies).
+
+    Cost note: as a hoistable predicate the thirteen signals inline
+    their shared ``split(text)`` per signal (Catalyst's subexpression
+    elimination does not reach through HOF lambdas — measured 4.5x at
+    sf0.1, PERFORMANCE.md). Correct at any scale, but a corpus-wide
+    cleaning job should prefer the datapipe API with a materialized
+    words column (text.gopher_repetition(words_col=...)) as
+    dp_gopher_repetition does; a topology filter chain pays the
+    inline cost for one pass, which is the topology trade."""
+
+    name = "GopherRepetition"
+    writes: list[str] = []
+    expensive_predicate = True  # 13 HOF-scan signals per row
+
+    def __init__(self, field: str = "text", invert: bool = False):
+        self.field = field
+        self.invert = invert
+        self.reads = [field]
+
+    def keep_predicate(self) -> Column:
+        from baker_spark.datapipe.text import gopher_repetition
+
+        ok = gopher_repetition(self.field)["repetition_ok"]
+        # NULL verdict (NULL/empty doc) = failing doc; under invert it
+        # must be KEPT like any other reject — coalesce before negating
+        ok = F.coalesce(ok, F.lit(False))
+        return ~ok if self.invert else ok
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.filter(self.keep_predicate())
+
+
+@register
+class ExactSubstrClean(Operator):
+    """ExactSubstr WITHIN-document dedup (Lee et al. 2022) as a
+    topology tier: rewrite ``field`` with every token covered by a
+    ``k``-token span occurring >= 2 times ANYWHERE in the batch
+    removed, surroundings kept — the C4Clean analog for repeated-span
+    surgery (boilerplate headers, license blocks, quoted chunks) that
+    whole-document and near-dup tiers can't express. Rows are never
+    dropped; under-k-token and NULL docs pass through untouched.
+
+    Scale shape (dedup.exact_substring_dedup's honest cost, stated
+    there in full): one row per TOKEN through an exchange on the 60-bit
+    gram hash, sparse duplicated positions through an id exchange, one
+    id-join back to the batch (~24 B/token on the wire). A WIDE
+    operator and cross-row by definition (a span is duplicated only
+    relative to the whole batch), hence writes=None: a topology
+    BARRIER — downstream predicates must not hoist above the rewrite,
+    and the spans it finds are per-topology-batch, matching the
+    in-batch contract of :class:`NearDupDrop` (for continuous
+    cross-batch dedup use the datapipe ingest tiers)."""
+
+    name = "ExactSubstrClean"
+    writes = None  # wide op — hoisting barrier
+
+    def __init__(self, field: str = "text", id_field: str = "doc_id", k: int = 50):
+        self.field = field
+        self.id_field = id_field
+        self.k = int(k)
+        if self.k < 2:
+            raise ValueError(f"ExactSubstrClean k must be >= 2, got {k}")
+        self.reads = [field, id_field]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from baker_spark.datapipe.dedup import exact_substring_dedup
+
+        clean = exact_substring_dedup(
+            df.select(self.id_field, self.field),
+            text_col=self.field,
+            id_col=self.id_field,
+            k=self.k,
+        ).select(self.id_field, F.col("clean_text").alias("_clean"))
+        return (
+            df.join(clean, self.id_field)
+            .withColumn(self.field, F.col("_clean"))
+            .drop("_clean")
+        )
+
+
+@register
+class UrlDedup(Operator):
+    """Canonical-URL dedup: normalize ``url_field`` with the pinned
+    rules of :func:`baker_spark.datapipe.text.url_normalize` (host
+    lowercasing, default-port and fragment strip, tracking-param strip,
+    sorted query params, trailing-slash fold) and keep ONE row per
+    canonical URL — the row with the smallest ``id_field`` (the
+    dp_url_dedup contract). The tier web corpora run BEFORE content
+    dedup: Common-Crawl-style pipelines key their seen-ledgers on the
+    canonical URL.
+
+    Scale shape: pure per-row string ops + one exchange on the
+    canonical URL (min-id per group, then a semi-join that reuses the
+    same key). In-batch semantics like NearDupDrop; the continuous
+    form keys a CorpusIngest ledger on url_normalize(url) instead.
+    A WIDE operator (writes=None, hoisting barrier)."""
+
+    name = "UrlDedup"
+    writes = None  # wide op — hoisting barrier
+
+    def __init__(self, url_field: str = "url", id_field: str = "doc_id"):
+        self.url_field = url_field
+        self.id_field = id_field
+        self.reads = [url_field, id_field]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from baker_spark.datapipe.text import url_normalize
+
+        norm = F.coalesce(
+            url_normalize(_text(self.url_field)), F.lit("")
+        ).alias("_canon")
+        keyed = df.select(F.col(self.id_field).alias("_kid"), norm)
+        winners = keyed.groupBy("_canon").agg(F.min("_kid").alias(self.id_field))
+        return df.join(
+            winners.select(self.id_field), self.id_field, "left_semi"
+        )

@@ -997,6 +997,65 @@ name="Recorder"
     assert by_id[1] == good and by_id[3] == other
 
 
+def test_r12_tier_filters_from_toml(spark, tmp_path):
+    """VERDICT r12 next-round #4: the round-12 tiers driven end-to-end
+    from config — UrlDedup (canonical-URL winner) + GopherRepetition
+    (A1.2 battery verdict) + ExactSubstrClean (repeated-span surgery)
+    as [[filter]] blocks over a crafted corpus where each tier has a
+    known victim."""
+    from baker_spark.plans import compile_toml
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    uniq1 = " ".join(f"w{i}" for i in range(20))
+    uniq4 = " ".join(f"x{i}" for i in range(20))
+    rep_line = "same line again here"
+    rows = [
+        # survives; shares the 8-token span with doc 4 -> span excised
+        (1, "HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#f", f"{uniq1} {span}"),
+        # same canonical URL as doc 1 -> UrlDedup loser (min-id wins)
+        (2, "http://example.com/a?a=1&b=2", "whatever text"),
+        # unique URL but 4 identical lines -> GopherRepetition drop
+        (3, "http://example.com/b", "\n".join([rep_line] * 4)),
+        # survives; the other carrier of the span
+        (4, "http://example.com/c", f"{uniq4} {span}"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, url string, text string").write.parquet(src)
+
+    toml_text = f"""
+[input]
+name="Parquet"
+[input.config]
+files=["{src}"]
+
+[[filter]]
+name="UrlDedup"
+[filter.config]
+UrlField="url"
+IdField="doc_id"
+
+[[filter]]
+name="GopherRepetition"
+[filter.config]
+Field="text"
+
+[[filter]]
+name="ExactSubstrClean"
+[filter.config]
+Field="text"
+IdField="doc_id"
+K=8
+
+[output]
+name="Recorder"
+"""
+    records = compile_toml(toml_text).run(spark)
+    by_id = {int(r["doc_id"]): r["text"] for r in records}
+    assert sorted(by_id) == [1, 4]
+    # ExactSubstrClean really excised the shared span, kept surroundings
+    assert by_id[1] == uniq1 and by_id[4] == uniq4
+
+
 def test_gopher_quality_invert_routes_rejects(spark):
     """invert=true is the audit topology: keep exactly the docs the
     quality gate rejects (keep + reject partitions the corpus)."""
