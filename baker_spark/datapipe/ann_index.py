@@ -1211,14 +1211,51 @@ class AnnIndexIngest:
     distance doubles) and are repaired by
     ``ann_index_compact(..., dedup=True)`` in the next maintenance
     window. The ledger ships only ids (one long per ever-ingested
-    vector) across the anti-join."""
+    vector) across the anti-join.
 
-    def __init__(self, path: str, ledger_dir: str | None = None) -> None:
+    **Probe cadence** (``probe_every_n_batches``): every Nth batch, the
+    loop itself runs :func:`ann_index_recall_probe` with the BATCH's
+    vectors as queries — recent arrivals are exactly where rotational
+    drift lives (the probe docstring's prescription), so the signal the
+    in-band observables provably miss is measured where it first
+    appears, without any operator remembering to schedule it. The
+    reading feeds :func:`ann_index_stats`, and ``needs_retrain`` /
+    ``last_stats`` surface in :meth:`report`. Cost is the probe's
+    (one brute sample scan + one search_batch) plus stats' (groupBy on
+    the partition column; plus the full-codes qerr scan for ivf), paid
+    once per N batches — size N to the maintenance budget. pq/ivfpq
+    codes don't retain vectors, so cadence on those methods requires
+    ``probe_corpus`` (a DataFrame or a ``spark -> DataFrame`` callable
+    yielding the indexed (id, vector) corpus); checked at the FIRST
+    write, not the Nth."""
+
+    def __init__(
+        self,
+        path: str,
+        ledger_dir: str | None = None,
+        *,
+        probe_every_n_batches: int = 0,
+        probe_corpus=None,
+        probe_n_q: int = 20,
+        probe_k: int = 10,
+        probe_nprobe: int = 2,
+        probe_sample_frac: float = 1.0,
+    ) -> None:
         self.path = path
         self.ledger_dir = ledger_dir or f"{path}/ingest_ledger"
         self.ingested = 0
         self.dropped = 0
         self.batches = 0
+        self.probe_every_n_batches = int(probe_every_n_batches)
+        self.probe_corpus = probe_corpus
+        self.probe_n_q = probe_n_q
+        self.probe_k = probe_k
+        self.probe_nprobe = probe_nprobe
+        self.probe_sample_frac = probe_sample_frac
+        self.probes = 0
+        self.last_probe: dict | None = None
+        self.last_stats: dict | None = None
+        self.needs_retrain = False
         #: index handle opened ONCE for the loop's lifetime — the
         #: quantizers are frozen by contract (only a build rewrites
         #: them, and a rebuild clears the default ledger, after which
@@ -1242,6 +1279,17 @@ class AnnIndexIngest:
 
         spark = batch_df.sparkSession
         idx = self._index(spark)
+        if (
+            self.probe_every_n_batches > 0
+            and self.probe_corpus is None
+            and idx.method in ("pq", "ivfpq")
+        ):
+            raise ValueError(
+                f"{idx.method} codes do not retain raw vectors: "
+                "probe_every_n_batches on this index needs probe_corpus "
+                "(the indexed (id, vector) frame, or a spark -> DataFrame "
+                "callable)"
+            )
         id_col = idx.meta["id_col"]
         # batch size rides the dedup scan as an observation — a separate
         # batch_df.count() would re-execute the whole batch lineage
@@ -1283,4 +1331,59 @@ class AnnIndexIngest:
         self.ingested += n_new
         self.dropped += n_batch - n_new
         self.batches += 1
+        # probe AFTER the fence (reads only — keep the fenced window to
+        # the two appends) and after the counters, so "every Nth batch"
+        # means the Nth write of this loop's lifetime, empty or not;
+        # an empty batch carries no arrival vectors to probe with, so
+        # it can't produce a reading and is skipped.
+        if (
+            self.probe_every_n_batches > 0
+            and self.batches % self.probe_every_n_batches == 0
+            and n_batch > 0
+        ):
+            self._run_probe(spark, batch_df)
         return n_new
+
+    def _run_probe(self, spark: SparkSession, batch_df: DataFrame) -> None:
+        """The scheduled maintenance probe: recall measured on THIS
+        batch's vectors (recent arrivals — the drifted region, if any),
+        folded into :func:`ann_index_stats` for the full three-mode
+        retrain disjunction (skew, qerr, recall)."""
+        idx = self._index(spark)
+        corpus = self.probe_corpus
+        if callable(corpus):
+            corpus = corpus(spark)
+        queries = batch_df.select(idx.meta["id_col"], idx.meta["vec_col"]).limit(
+            self.probe_n_q
+        )
+        self.last_probe = ann_index_recall_probe(
+            spark,
+            self.path,
+            corpus=corpus,
+            queries=queries,
+            n_q=self.probe_n_q,
+            k=self.probe_k,
+            sample_frac=self.probe_sample_frac,
+            nprobe=self.probe_nprobe,
+        )
+        self.last_stats = ann_index_stats(
+            spark, self.path, recall=self.last_probe["recall"]
+        )
+        self.needs_retrain = bool(self.last_stats["needs_retrain"])
+        self.probes += 1
+
+    def report(self) -> dict:
+        """Ingest-loop health report: the counters plus the latest
+        scheduled probe's verdict. ``needs_retrain`` is False until a
+        probe has run (cadence 0 never probes — in-band-only loops
+        should read :func:`ann_index_stats` directly)."""
+        return {
+            "ingested": self.ingested,
+            "dropped": self.dropped,
+            "batches": self.batches,
+            "probes": self.probes,
+            "probe_every_n_batches": self.probe_every_n_batches,
+            "recall": None if self.last_probe is None else self.last_probe["recall"],
+            "needs_retrain": self.needs_retrain,
+            "stats": self.last_stats,
+        }

@@ -792,3 +792,85 @@ def test_recall_probe_pq_requires_corpus(spark, emb, tmp_path):
         ann_index.ann_index_recall_probe(spark, path)
     probe = ann_index.ann_index_recall_probe(spark, path, corpus=emb, n_q=8, k=5)
     assert 0.0 <= probe["recall"] <= 1.0 and probe["method"] == "pq"
+
+
+# ---- probe cadence: the ingest loop schedules its own recall probe ----
+# (VERDICT r12 next-round #7: drifted appends must flip needs_retrain
+# THROUGH the loop, with no manual ann_index_recall_probe call)
+
+
+def test_probe_cadence_flags_drift_through_ingest_loop(spark, tmp_path):
+    """Pinned: an AnnIndexIngest with probe_every_n_batches=2 ingests a
+    healthy batch (cadence not due — no probe jobs spent), then the
+    drifted arrivals; the SECOND write probes with its own batch as
+    queries and the rotational-drift reading flips needs_retrain in the
+    loop's report. The healthy split is by id modulo so the held-out
+    rows cover every build-time cluster (holding out a whole cluster
+    would itself be drift)."""
+    a, drifted_b = _clustered_corpus(spark)
+    path = str(tmp_path / "cadence")
+    ann_index.ann_index_build(
+        a.filter("vec_id % 8 != 0"), path, method="ivf", kc=KC, iters=4
+    )
+    ing = ann_index.AnnIndexIngest(
+        path, probe_every_n_batches=2, probe_n_q=12, probe_k=K, probe_nprobe=1
+    )
+    assert ing.write(a.filter("vec_id % 8 = 0")) == 40
+    assert ing.probes == 0 and not ing.needs_retrain
+
+    ing.write(drifted_b)
+    assert ing.probes == 1
+    assert ing.last_probe["recall"] < ann_index.RECALL_RETRAIN_FLOOR
+    assert ing.needs_retrain
+    rep = ing.report()
+    assert rep["needs_retrain"] and rep["recall"] == ing.last_probe["recall"]
+    assert rep["stats"]["vectors"] == 440 and rep["probes"] == 1
+
+
+def test_probe_cadence_healthy_batch_stays_quiet(spark, tmp_path):
+    """Control for the pinned drift test: a cadence probe on a healthy
+    in-distribution batch reads above the floor and leaves
+    needs_retrain False — the scheduled probe must not alarm on a
+    well-fit index."""
+    a, _ = _clustered_corpus(spark)
+    path = str(tmp_path / "cadence_ok")
+    ann_index.ann_index_build(
+        a.filter("vec_id % 8 != 0"), path, method="ivf", kc=KC, iters=4
+    )
+    ing = ann_index.AnnIndexIngest(
+        path, probe_every_n_batches=1, probe_n_q=12, probe_k=K, probe_nprobe=1
+    )
+    assert ing.write(a.filter("vec_id % 8 = 0")) == 40
+    assert ing.probes == 1
+    assert ing.last_probe["recall"] >= ann_index.RECALL_RETRAIN_FLOOR
+    assert not ing.needs_retrain and not ing.report()["needs_retrain"]
+
+
+def test_probe_cadence_pq_requires_corpus_fails_fast(spark, emb, tmp_path):
+    """pq/ivfpq codes don't retain vectors, so cadence without a
+    probe_corpus must fail at the FIRST write — not silently at the Nth
+    batch days into the daemon's life."""
+    path = str(tmp_path / "pqcad")
+    ann_index.ann_index_build(emb.filter(emb.vec_id < 100), path, method="pq", iters=1)
+    ing = ann_index.AnnIndexIngest(path, probe_every_n_batches=5)
+    with pytest.raises(ValueError, match="probe_corpus"):
+        ing.write(emb.filter((emb.vec_id >= 100) & (emb.vec_id < 110)))
+
+
+def test_probe_cadence_pq_with_corpus_callable(spark, emb, tmp_path):
+    """The corpus provider unblocks cadence on code-only methods: a
+    spark -> DataFrame callable is resolved at probe time (so it can
+    read the LIVE corpus table, not a snapshot taken at construction)."""
+    path = str(tmp_path / "pqcad2")
+    ann_index.ann_index_build(emb.filter(emb.vec_id < 100), path, method="pq", iters=1)
+    ing = ann_index.AnnIndexIngest(
+        path,
+        probe_every_n_batches=1,
+        probe_corpus=lambda s: emb.filter(emb.vec_id < 110),
+        probe_n_q=8,
+        probe_k=5,
+    )
+    assert ing.write(emb.filter((emb.vec_id >= 100) & (emb.vec_id < 110))) == 10
+    assert ing.probes == 1
+    assert 0.0 <= ing.last_probe["recall"] <= 1.0
+    assert ing.report()["stats"]["method"] == "pq"
