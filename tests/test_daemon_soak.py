@@ -179,6 +179,33 @@ def test_failure_matrix_with_bucketed_ledger(spark, tmp_path):
     assert out["dup_redelivery_admitted"] == 0
 
 
+def test_failure_matrix_with_midstream_compaction(spark, tmp_path):
+    """VERDICT r12 #5 pinned: compact_seen_ledger lands MID-STREAM —
+    the restarted queries are live, between micro-batches — and the
+    rest of the matrix (reshard appends, the remaining sqs files, the
+    duplicate redelivery of a PRE-compaction batch) runs against the
+    compacted ledgers. Row accounting must be identical to the
+    no-compaction bucketed run above: no loss, duplicates exactly the
+    crash replay, zero re-admits on redelivery."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from soak_matrix import run_soak
+
+    out = run_soak(
+        spark, str(tmp_path), n_kin=8_000, n_sqs=3_000, sqs_files=6,
+        ledger_buckets=4, compact_midstream=True, log=lambda *a: None,
+    )
+    assert out["kinesis"]["lost"] == 0 and out["kinesis"]["duplicate_rows"] == 0
+    assert out["sqs"]["lost"] == 0
+    assert out["sqs"]["duplicate_rows"] == out["crash_batch_rows_readmitted"]
+    assert out["dup_redelivery_admitted"] == 0
+    comp = out["compaction"]
+    assert comp and set(comp) == {"kinesis", "sqs"}
+    for side in comp:
+        assert comp[side]["files_after"] <= comp[side]["n_buckets"] == 4
+
+
 def test_failure_matrix_media_ingest(spark, tmp_path):
     """MediaIngest rows in the failure matrix (VERDICT r11 #8): in-batch
     near-dup collapse, same-id redelivery collapse, injected crash in
@@ -192,6 +219,11 @@ def test_failure_matrix_media_ingest(spark, tmp_path):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from soak_matrix import run_media_soak
 
-    out = run_media_soak(spark, str(tmp_path), log=lambda *a: None)
+    out = run_media_soak(
+        spark, str(tmp_path), compact_midstream=True, log=lambda *a: None
+    )
     assert out["crash_batch_readmitted"] > 0  # the window was really hit
     assert out["ledger_rows"] == 4 * out["classes"]
+    # the fp+phash band ledger was compacted mid-matrix (catalog spec
+    # preserved) and the committed-redelivery probe ran against it
+    assert out["compaction"] and out["compaction"]["n_buckets"] == 4

@@ -169,13 +169,24 @@ def _account(spark, corpus_dir: str, expected: set[str]) -> dict:
 def run_soak(spark, workdir: str, n_kin: int = 40_000, n_sqs: int = 10_000,
              kin_shards: int = 4, reshard_shards: int = 2,
              sqs_files: int = 10, ledger_buckets: int | None = None,
-             log=print) -> dict:
+             compact_midstream: bool = False, log=print) -> dict:
     """Run the full matrix; returns accounting + recovery timings.
 
     ``ledger_buckets`` routes both ingests through the BUCKETED catalog
     ledger (the 100 TB path: per-batch anti-join with no ledger
     shuffle) so the failure matrix also covers crash/replay against a
-    saveAsTable-append ledger, not just plain parquet."""
+    saveAsTable-append ledger, not just plain parquet.
+
+    ``compact_midstream`` (VERDICT r12 #5; needs ``ledger_buckets``)
+    runs compact_seen_ledger on BOTH live ledgers while the restarted
+    streaming queries are still active — in the idle window between
+    micro-batches, which is exactly when a real maintenance job lands —
+    then lets the rest of the matrix (reshard appends, the remaining
+    sqs files, and crucially the DUPLICATE REDELIVERY of a
+    pre-compaction batch) run against the compacted files. A compaction
+    that misplaced or dropped rows would show up as re-admitted
+    duplicates or lost ledger rows in the same end-of-run accounting
+    the no-compaction run passes."""
     w = lambda *p: os.path.join(workdir, *p)  # noqa: E731
     timings: dict[str, float] = {}
     lb = {"ledger_buckets": ledger_buckets} if ledger_buckets else {}
@@ -264,6 +275,34 @@ def run_soak(spark, workdir: str, n_kin: int = 40_000, n_sqs: int = 10_000,
     timings["restart_catchup_s"] = time.perf_counter() - t1
     log(f"[soak] restart caught up in {timings['restart_catchup_s']:.2f}s")
 
+    # ---- maintenance window: compact the LIVE ledgers mid-stream -----
+    # (queries active, between micro-batches; every later append,
+    # anti-join, and the pre-compaction batch's redelivery below must
+    # behave exactly as in the no-compaction run)
+    compaction = None
+    if compact_midstream:
+        if not ledger_buckets:
+            raise ValueError("compact_midstream needs ledger_buckets (catalog ledger)")
+        from baker_spark.datapipe.dedup import compact_seen_ledger
+
+        tc = time.perf_counter()
+        compaction = {}
+        for side, ldir in (("kinesis", "kin_ledger"), ("sqs", "sqs_ledger")):
+            tag = "kin" if side == "kinesis" else "sqs"
+            pre = spark.read.parquet(w(ldir)).count()
+            out = compact_seen_ledger(spark, f"soak_{tag}_{run_tag}")
+            assert out["rows"] == pre, (
+                f"{side} compaction changed ledger rows: {out['rows']} != {pre}"
+            )
+            assert out["files_after"] <= out["n_buckets"] <= out["files_before"], (
+                f"{side} compaction left more files than buckets: {out}"
+            )
+            compaction[side] = out
+        timings["compact_midstream_s"] = time.perf_counter() - tc
+        log(f"[soak] mid-stream compaction: "
+            + ", ".join(f"{s} {c['files_before']}->{c['files_after']} files"
+                        for s, c in compaction.items()))
+
     # ---- reshard: new shards carry every kinesis record not yet sent --
     remaining = kin_expected[next_kin:]
     t2 = time.perf_counter()
@@ -325,6 +364,7 @@ def run_soak(spark, workdir: str, n_kin: int = 40_000, n_sqs: int = 10_000,
         "crash_batch_rows_readmitted": sqs["duplicate_rows"],
         "dup_redelivery_admitted": dup_admitted,
         "exact_dedup_restores": restored,
+        "compaction": compaction,
         "timings": {k: round(v, 2) for k, v in timings.items()},
     }
 
@@ -334,6 +374,7 @@ def run_media_soak(
     workdir: str,
     n_classes: int = 24,
     dup: int = 3,
+    compact_midstream: bool = False,
     log=print,
 ) -> dict:
     """MediaIngest through the same failure matrix (VERDICT r11 #8):
@@ -448,6 +489,22 @@ def run_media_soak(
     )
     assert n_imgs == n_classes
 
+    # ---- maintenance window: compact the fp+phash band ledger ----------
+    # (the catalog-derived spec must preserve the 4-bucket fp+phash
+    # layout; the committed-redelivery probe below then runs against
+    # the compacted files — a misplace/drop would re-admit rows)
+    compaction = None
+    if compact_midstream:
+        from baker_spark.datapipe.dedup import compact_seen_ledger
+
+        compaction = compact_seen_ledger(spark, table)
+        assert compaction["rows"] == n_rows, (
+            f"media compaction changed ledger rows: {compaction['rows']} != {n_rows}"
+        )
+        assert compaction["n_buckets"] == 4 and compaction["files_after"] <= 4, (
+            f"media compaction lost the live 4-bucket spec: {compaction}"
+        )
+
     # ---- duplicate redelivery of the now-COMMITTED batch ---------------
     assert ing2.write(batch(b2)) == 0, "committed redelivery re-admitted rows"
 
@@ -474,12 +531,21 @@ def run_media_soak(
         f"corpus duplicates {total - distinct_ids} != crash replay {readmitted}"
     )
 
+    if compaction is not None:
+        # post-compaction appends (b3's one new class) landed in the
+        # compacted table with no loss and no bloat
+        final_ledger = spark.read.parquet(w("media_ledger")).count()
+        assert final_ledger == 4 * (n_classes + 1), (
+            f"ledger after compaction+append: {final_ledger} != {4 * (n_classes + 1)}"
+        )
+
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     return {
         "classes": n_classes,
         "admitted": admitted1 + readmitted + 1,
         "crash_batch_readmitted": readmitted,
         "ledger_rows": n_rows,
+        "compaction": compaction,
         "timings": {
             "total_s": round(time.perf_counter() - t0, 2),
             "replay_s": round(replay_s, 2),
