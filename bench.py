@@ -60,7 +60,18 @@ BENCH_QUERIES = [
     "dp_token_counts",
     "dp_scrub",
     "dp_corpus_pipeline",
+    "dp_exact_substring_dedup",
 ]
+
+#: round-13 catalog-freshness row (VERDICT r12 #8): the heaviest
+#: round-12 kernel gets round-over-round tracking, but at 3 runs
+#: instead of N_RUNS — measured descent at sf0.1/local[32] is
+#: 12.5s (plan compile + codegen of the interval-fold chain), 4.4s,
+#: 3.4s, 3.5s: run 3 IS steady state (run 3 vs 4 within 3%), while
+#: best-of-2 would over-read by ~28%. Run 4 would buy nothing for
+#: +3.5s per pass. Budget: the row adds ~20s per pass / ~1 min across
+#: the 3-pass orchestrate, keeping the orchestrated wall under ~4 min.
+BENCH_RUN_OVERRIDES = {"dp_exact_substring_dedup": 3}
 
 #: best-of-N: run 1 pays plan compilation + whole-stage codegen, run 2
 #: still JITs; run 3+ is steady state — the number a 100 TB projection
@@ -380,7 +391,7 @@ def run_suite() -> dict:
 
     for name in BENCH_QUERIES:
         runs = []
-        for _ in range(N_RUNS):
+        for _ in range(BENCH_RUN_OVERRIDES.get(name, N_RUNS)):
             t0 = time.perf_counter()
             force(queries[name](spark, sf_dir))
             runs.append(round(time.perf_counter() - t0, 3))
