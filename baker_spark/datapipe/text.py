@@ -758,6 +758,138 @@ FROM j GROUP BY {id_col}
 """
 
 
+def kn_bigram_surprisal(df, target: Column, text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet-style cross-slice perplexity filter (Wenzek et al. 2020):
+    train a bigram LM on a TARGET slice of the corpus (the role
+    Wikipedia plays for KenLM in CCNet), score EVERY document against
+    it, with a Kneser-Ney-flavored smoothed probability so bigrams the
+    target never saw get a principled continuation-based score instead
+    of a blowup. This is the missing third member of the LM-quality
+    family: unigram_logprob and bigram_surprisal are corpus-SELF MLE
+    scores (every observed bigram has nonzero corpus count by
+    construction), so neither can rank documents against a REFERENCE
+    distribution — the actual CCNet pipeline shape.
+
+    The pinned integer-exact analog of interpolated KN with absolute
+    discount d = 3/4. Over target bigrams: c12 = count(w1 w2),
+    c1 = count(w1 ·), T1(w1) = distinct continuations of w1,
+    T2(w2) = distinct predecessors of w2, T = distinct bigram types.
+    True KN: P(w2|w1) = (c12 - d)/c1 + d*(T1/c1)*(T2/T). Multiplying
+    by 4*c1 and flooring the continuation term keeps every quantity a
+    BIGINT (no c1*T product, so nothing near 64-bit overflow even at
+    1e12-token targets):
+
+        seen w1:   M = 4*c12 - 3 + (3*T1*T2) div T     (c12 > 0)
+                   M = greatest((3*T1*T2) div T, 1)    (c12 = 0)
+                   surp = log2_floor(4*c1) - log2_floor(M)   >= 0
+        unseen w1: surp = log2_floor(2*(T+1)) - log2_floor(T2+1)
+
+    High mean = far from the target distribution (the removal/bucketing
+    signal CCNet thresholds into head/middle/tail); target-like text
+    scores low. No floats anywhere — log2_floor is binary digit count,
+    div is integral division — so the score hash-matches the DuckDB
+    twin exactly in both engines.
+
+    Scale shape (the bigram_surprisal class plus one join): one
+    persisted bigram explode carrying the target flag, count/type
+    aggregates over the TARGET slice only (map-side combined, keyed by
+    vocabulary — never broadcast, vocabulary**2 is unbounded), the type
+    total T as a broadcast 1-row frame, then the probe side left-joins
+    the three count tables and re-aggregates per document. Head-bigram
+    skew is probe-side skew against unique build keys — the AQE
+    skew-join shape. Shuffles carry (token, token, count), never
+    documents."""
+    from baker_spark.session import fan_out, managed_persist
+
+    pairs = F.expr(
+        "transform(slice(_ws, 1, greatest(size(_ws) - 1, 0)), "
+        "(x, i) -> struct(x AS w1, element_at(_ws, i + 2) AS w2))"
+    )
+    bg = managed_persist(
+        fan_out(df, by=id_col)
+        .select(id_col, target.alias("_tgt"), words(text_col).alias("_ws"))
+        .select(id_col, "_tgt", F.explode(pairs).alias("_bg"))
+        .select(id_col, "_tgt", F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2"))
+    )
+    c12 = bg.filter("_tgt").groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
+    w1s = c12.groupBy("_w1").agg(
+        F.sum("_c12").cast("long").alias("_c1"), F.count("*").alias("_t1")
+    )
+    t2s = c12.groupBy("_w2").agg(F.count("*").alias("_t2"))
+    tt = c12.agg(F.count("*").alias("_T"))
+
+    scored = (
+        bg.join(c12, ["_w1", "_w2"], "left")
+        .join(w1s, ["_w1"], "left")
+        .join(t2s, ["_w2"], "left")
+        .crossJoin(F.broadcast(tt))
+    )
+    t2z = F.coalesce(F.col("_t2"), F.lit(0))
+    cont = F.expr("(3 * _t1 * coalesce(_t2, 0)) div _T")
+    m = F.when(F.col("_c12").isNotNull(), F.col("_c12") * 4 - 3 + cont).otherwise(
+        F.greatest(cont, F.lit(1))
+    )
+    surp = F.when(
+        F.col("_c1").isNotNull(), log2_floor(F.col("_c1") * 4) - log2_floor(m)
+    ).otherwise(log2_floor((F.col("_T") + 1) * 2) - log2_floor(t2z + 1))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(surp).cast("long").alias("sum_kn_surprisal"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "sum_kn_surprisal",
+        F.floor(F.col("sum_kn_surprisal") * 100 / F.col("n_bigrams"))
+        .cast("long")
+        .alias("mean_kn_surprisal_c2"),
+    )
+
+
+def duck_kn_bigram_surprisal(
+    target_sql: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    cont = "(3 * w1s.t1 * coalesce(t2s.t2, 0)) // tt.T"
+    m = (
+        f"CASE WHEN c12.c12 IS NOT NULL THEN 4 * c12.c12 - 3 + {cont} "
+        f"ELSE greatest({cont}, 1) END"
+    )
+    surp = (
+        f"CASE WHEN w1s.c1 IS NULL THEN "
+        f"({duck_log2_floor('2 * (tt.T + 1)')}) - ({duck_log2_floor('coalesce(t2s.t2, 0) + 1')}) "
+        f"ELSE ({duck_log2_floor('4 * w1s.c1')}) - ({duck_log2_floor(m)}) END"
+    )
+    return f"""
+WITH t AS (
+  SELECT {id_col}, ({target_sql}) AS tgt, string_split({text_col}, ' ') AS ws FROM {table}
+),
+pos AS (
+  SELECT {id_col}, tgt, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+  FROM t WHERE len(ws) > 1
+),
+bg AS (SELECT {id_col}, tgt, ws[i] AS w1, ws[i + 1] AS w2 FROM pos),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE tgt GROUP BY w1, w2),
+w1s AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS t1 FROM c12 GROUP BY w1),
+t2s AS (SELECT w2, count(*) AS t2 FROM c12 GROUP BY w2),
+tt AS (SELECT count(*) AS T FROM c12),
+j AS (
+  SELECT b.{id_col}, {surp} AS surp
+  FROM bg b
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN w1s USING (w1)
+  LEFT JOIN t2s USING (w2)
+  CROSS JOIN tt
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(surp) AS BIGINT) AS sum_kn_surprisal,
+       CAST(floor(sum(surp) * 100 / count(*)) AS BIGINT) AS mean_kn_surprisal_c2
+FROM j GROUP BY {id_col}
+"""
+
+
 def dsir_weights(
     df,
     target: Column,

@@ -106,6 +106,15 @@ GATE_ORDER = [
     "dp_exact_substring_dedup",
     "dp_token_frequency",
     "dp_url_dedup",
+    # ROUND-13 ADDITION (contract rule 1): dp_kn_perplexity — the
+    # CCNet-style cross-slice KN-smoothed bigram perplexity filter
+    # (train on lang='en', score all; the reference-distribution tier
+    # the corpus-self MLE rows can't express) — enters over
+    # q_stats_quantiles (green r09-r12, 4-round streak; the identical
+    # exact-percentile machinery stays driver-gated inside
+    # q_stats_report's combined report, and the facet is swept four-SF
+    # by test_oracle_parity every CI run).
+    "dp_kn_perplexity",
     # §2.2 filters with reference-quirk semantics — kept gated
     "op_clausefilter",
     "op_crypt",
@@ -126,7 +135,6 @@ GATE_ORDER = [
     "q_topk_per_group",
     "q_session_windows",
     "q_stats_sizes",
-    "q_stats_quantiles",
     "q_stats_report",
     "q_field_frequency",
     # dp tail, newest rows r07

@@ -679,6 +679,23 @@ def dp_bigram_surprisal(spark, sf_dir):
     return text.bigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+@query("dp_kn_perplexity", text.duck_kn_bigram_surprisal("lang = 'en'"))
+def dp_kn_perplexity(spark, sf_dir):
+    """CCNet-style cross-slice perplexity score (Wenzek et al. 2020):
+    a Kneser-Ney-flavored bigram LM trained on the lang='en' slice
+    scores EVERY document — the reference-distribution filter the
+    corpus-self MLE rows (dp_unigram_logprob / dp_bigram_surprisal)
+    cannot express, since a self-trained LM never sees a zero-count
+    bigram. High mean = far from the target slice (CCNet's tail
+    bucket). Integer-exact throughout (discount 3/4 via the pinned
+    4*c1 rescale, binary-digit-count log2, integral div); see
+    text.kn_bigram_surprisal for the smoothing algebra, the overflow
+    bound, and the no-broadcast vocabulary rationale."""
+    return text.kn_bigram_surprisal(
+        load_table(spark, sf_dir, "documents"), target=F.col("lang") == "en"
+    )
+
+
 @query("dp_dsir_weights", text.duck_dsir_weights("lang = 'en'"))
 def dp_dsir_weights(spark, sf_dir):
     """DSIR importance weights: rank every document by hashed-unigram

@@ -196,6 +196,60 @@ def test_bigram_surprisal_sees_word_order(spark):
     assert out[0]["mean_surprisal_c2"] == out[0]["sum_surprisal"] * 100 // 5
 
 
+def test_kn_perplexity_smoothing_branches(spark):
+    """Pin every Kneser-Ney branch with hand-computed values. Target
+    slice (lang='en'): "a b a b a b" + "a c" -> c12 {(a,b):3, (b,a):2,
+    (a,c):1}, T=3 types, c1 {a:4, b:2}, T1 {a:2, b:1}, T2 {b:1, a:1,
+    c:1}. The synthetic driver corpus (30-word shared vocab, 41% en)
+    almost never produces unseen-w1 bigrams, so the backoff branches
+    MUST be pinned here — and pinned cross-engine, since branch parity
+    is exactly what the four-SF sweep cannot reach."""
+    from baker_spark.datapipe.text import duck_kn_bigram_surprisal, kn_bigram_surprisal
+
+    rows = [(0, "a b a b a b", "en"), (1, "a c", "en")]
+    rows += [
+        (100, "a b", "xx"),   # seen bigram: M = 4*3-3+((3*2*1) div 3) = 11, surp = lg(16)-lg(11) = 1
+        (101, "b c", "xx"),   # seen w1, unseen bigram: M = max((3*1*1) div 3, 1) = 1, surp = lg(8)-lg(1) = 3
+        (102, "z a", "xx"),   # unseen w1, seen continuation: surp = lg(2*(3+1)) - lg(1+1) = 3-1 = 2
+        (103, "z q", "xx"),   # unseen w1, unseen continuation: surp = lg(8) - lg(0+1) = 3
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in kn_bigram_surprisal(
+            docs_df(spark, rows), target=F.col("lang") == "en"
+        ).collect()
+    }
+    assert (out[100]["sum_kn_surprisal"], out[100]["n_bigrams"]) == (1, 1)
+    assert (out[101]["sum_kn_surprisal"], out[101]["n_bigrams"]) == (3, 1)
+    assert (out[102]["sum_kn_surprisal"], out[102]["n_bigrams"]) == (2, 1)
+    assert (out[103]["sum_kn_surprisal"], out[103]["n_bigrams"]) == (3, 1)
+    # target docs are scored too: doc 0's five transitions all surp 1
+    assert (out[0]["sum_kn_surprisal"], out[0]["n_bigrams"]) == (5, 5)
+    assert out[0]["mean_kn_surprisal_c2"] == 100
+    assert (out[1]["sum_kn_surprisal"], out[1]["n_bigrams"]) == (3, 1)
+    # target-like text scores LOW, far-from-target scores HIGH — the
+    # CCNet bucketing direction
+    assert out[0]["mean_kn_surprisal_c2"] < out[103]["mean_kn_surprisal_c2"]
+
+    # cross-engine branch parity on the SAME fixture: the DuckDB twin
+    # must hash-match the Spark result including the backoff rows
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_harness import compare
+
+    con = duckdb.connect()
+    fixture = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    con.register("_fixture", fixture)
+    con.execute("CREATE VIEW documents AS SELECT * FROM _fixture")
+    ok, msg = compare(
+        kn_bigram_surprisal(docs_df(spark, rows), target=F.col("lang") == "en"),
+        con,
+        duck_kn_bigram_surprisal("lang = 'en'"),
+    )
+    assert ok, msg
+
+
 @pytest.mark.parametrize(
     "name, forbidden",
     [
@@ -205,6 +259,10 @@ def test_bigram_surprisal_sees_word_order(spark):
         # bigram join may hash- or broadcast-join at tiny SF (AQE's
         # call); it must never cartesian or sort a window
         ("dp_bigram_surprisal", ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
+        # the 1-row type-total frame crossJoins as a broadcast NL join
+        # (constant-size build side — the sanctioned scalar pattern), so
+        # only cartesian and window stages are forbidden
+        ("dp_kn_perplexity", ["CartesianProduct", "Window"]),
     ],
 )
 def test_cluster_query_plan_shapes(spark, name, forbidden):

@@ -58,6 +58,7 @@ REPORT_QUERIES = [
     "dp_quality_filter",
     "dp_unigram_logprob",
     "dp_bigram_surprisal",
+    "dp_kn_perplexity",
     "dp_tfidf_topk",
     "dp_train_split",
     "dp_source_quota",
