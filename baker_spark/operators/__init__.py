@@ -53,6 +53,7 @@ from baker_spark.operators.datapipe_filters import (  # noqa: F401
     ExactSubstrClean,
     GopherQuality,
     GopherRepetition,
+    KnPerplexityDrop,
     NearDupDrop,
     UrlDedup,
 )

@@ -266,6 +266,75 @@ class ExactSubstrClean(Operator):
 
 
 @register
+class KnPerplexityDrop(Operator):
+    """CCNet-style perplexity gate (Wenzek et al. 2020) as a topology
+    tier: train the integer-exact Kneser-Ney bigram LM of
+    :func:`baker_spark.datapipe.text.kn_bigram_surprisal` on the
+    batch's TARGET slice (rows where ``target_field`` equals
+    ``target_value`` — the role Wikipedia plays for KenLM in CCNet),
+    score every row, and keep those with mean surprisal at or under
+    ``max_mean_c2`` (fixed-point: 100 = 1 bit/bigram). ``invert``
+    keeps the far-from-target tail instead (audit/quarantine
+    topologies, or deliberately mining out-of-distribution text).
+
+    Rows the LM cannot score (NULL/empty/single-token ``field`` — no
+    bigrams) DROP under either polarity: a document too short to judge
+    is not evidence of target-likeness, and CCNet's buckets only ever
+    admit scored text. The threshold is corpus-dependent by nature
+    (CCNet derives its head/middle/tail cuts per language from score
+    quantiles); the default 400 (4 bits/bigram) is a loose gate meant
+    to be overridden from the TOML.
+
+    Scale shape: the kn_bigram_surprisal plan (one persisted bigram
+    explode, vocabulary-keyed count tables — never broadcast — three
+    probe joins) plus one id semi-join back to the batch. A WIDE
+    operator and cross-row by definition (the LM is trained on the
+    batch itself), hence writes=None: a topology barrier, in-batch
+    semantics like NearDupDrop."""
+
+    name = "KnPerplexityDrop"
+    writes = None  # wide op — hoisting barrier
+
+    def __init__(
+        self,
+        field: str = "text",
+        id_field: str = "doc_id",
+        target_field: str = "lang",
+        target_value: str = "en",
+        max_mean_c2: int = 400,
+        invert: bool = False,
+    ):
+        self.field = field
+        self.id_field = id_field
+        self.target_field = target_field
+        self.target_value = target_value
+        self.max_mean_c2 = int(max_mean_c2)
+        self.invert = invert
+        self.reads = [field, id_field, target_field]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from baker_spark.datapipe.text import kn_bigram_surprisal
+
+        scores = kn_bigram_surprisal(
+            df.select(
+                F.col(self.id_field).alias("doc_id"),
+                _text(self.field).alias("text"),
+                F.col(self.target_field).alias("_tf"),
+            ),
+            target=_text("_tf") == self.target_value,
+            text_col="text",
+            id_col="doc_id",
+        )
+        keep = F.col("mean_kn_surprisal_c2") <= self.max_mean_c2
+        if self.invert:
+            keep = ~keep
+        survivors = scores.filter(keep).select(
+            F.col("doc_id").alias(self.id_field)
+        )
+        return df.join(survivors, self.id_field, "left_semi")
+
+
+@register
 class UrlDedup(Operator):
     """Canonical-URL dedup: normalize ``url_field`` with the pinned
     rules of :func:`baker_spark.datapipe.text.url_normalize` (host

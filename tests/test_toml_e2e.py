@@ -1056,6 +1056,42 @@ name="Recorder"
     assert by_id[1] == uniq1 and by_id[4] == uniq4
 
 
+def test_kn_perplexity_drop_from_toml(spark, tmp_path):
+    """KnPerplexityDrop end-to-end from config: the batch's lang='en'
+    slice trains the LM, a non-target doc FOLLOWING the target's
+    transition pattern survives the gate, a gibberish doc and an
+    unscorable single-token doc drop. Hand-computed on the pinned
+    smoothing algebra: target docs mean_c2 = 40, the lookalike = 33,
+    the gibberish (every w1 unseen) = 200 against MaxMeanC2 = 100."""
+    from baker_spark.plans import compile_toml
+
+    rows = [(i, "a b a b a b", "en") for i in range(1, 9)]
+    rows += [(100, "a b a b", "xx"), (101, "q r q r", "xx"), (102, "a", "xx")]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+
+    toml_text = f"""
+[input]
+name="Parquet"
+[input.config]
+files=["{src}"]
+
+[[filter]]
+name="KnPerplexityDrop"
+[filter.config]
+Field="text"
+IdField="doc_id"
+TargetField="lang"
+TargetValue="en"
+MaxMeanC2=100
+
+[output]
+name="Recorder"
+"""
+    records = compile_toml(toml_text).run(spark)
+    assert sorted(int(r["doc_id"]) for r in records) == list(range(1, 9)) + [100]
+
+
 def test_gopher_quality_invert_routes_rejects(spark):
     """invert=true is the audit topology: keep exactly the docs the
     quality gate rejects (keep + reject partitions the corpus)."""
