@@ -671,3 +671,41 @@ def test_incremental_neardup_matches_model(spark, docs, split):
         r["doc_id"] for r in dedup.incremental_neardup(new_df, seen_df).collect()
     )
     assert got == want, f"docs={docs} split={cut}"
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["a", "b", "c", "z"]), min_size=0, max_size=6).map(" ".join),
+            st.booleans(),  # in the target slice?
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(**SETTINGS)
+def test_kn_perplexity_cross_engine(spark, docs):
+    """kn_bigram_surprisal (Spark) == duck_kn_bigram_surprisal (DuckDB)
+    on random corpora with random target slices — fuzzes smoothing
+    branch COMBINATIONS (empty target, unseen w1, unseen continuation,
+    single-type targets near the M <= 4*c1 boundary) that no pinned
+    fixture anticipates."""
+    import duckdb
+    import pandas as pd
+
+    from baker_spark.datapipe.text import duck_kn_bigram_surprisal, kn_bigram_surprisal
+    from pyspark.sql import functions as F
+    from tests.oracle_harness import compare
+
+    rows = [(i, text, "en" if tgt else "xx") for i, (text, tgt) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    con = duckdb.connect()
+    con.register("_fixture", pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM _fixture")
+    ok, msg = compare(
+        kn_bigram_surprisal(df, target=F.col("lang") == "en"),
+        con,
+        duck_kn_bigram_surprisal("lang = 'en'"),
+    )
+    con.close()
+    assert ok, f"{msg} docs={docs}"
