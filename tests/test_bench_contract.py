@@ -11,6 +11,15 @@ def test_bench_emits_contract_json():
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
+        # pin the orchestrator to EXACTLY one fresh-JVM pass: the
+        # contract under test is the emitted JSON shape, and the
+        # retry/median machinery is pinned separately with synthetic
+        # passes (test_bench_contention.py). Unpinned, a loaded CI host
+        # reads every canary hot and the quota chase runs to MAX_JVMS —
+        # 6 suite passes that time this test out without testing more.
+        SPARK_GRAFT_BENCH_JVMS="1",
+        SPARK_GRAFT_BENCH_MIN_CLEAN="1",
+        SPARK_GRAFT_BENCH_MAX_JVMS="1",
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
