@@ -758,7 +758,13 @@ FROM j GROUP BY {id_col}
 """
 
 
-def kn_bigram_surprisal(df, target: Column, text_col: str = "text", id_col: str = "doc_id"):
+def kn_bigram_surprisal(
+    df,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_cap: int | None = None,
+):
     """CCNet-style cross-slice perplexity filter (Wenzek et al. 2020):
     train a bigram LM on a TARGET slice of the corpus (the role
     Wikipedia plays for KenLM in CCNet), score EVERY document against
@@ -793,12 +799,26 @@ def kn_bigram_surprisal(df, target: Column, text_col: str = "text", id_col: str 
     Scale shape (the bigram_surprisal class plus one join): one
     persisted bigram explode carrying the target flag, count/type
     aggregates over the TARGET slice only (map-side combined, keyed by
-    vocabulary — never broadcast, vocabulary**2 is unbounded), the type
-    total T as a broadcast 1-row frame, then the probe side left-joins
-    the three count tables and re-aggregates per document. Head-bigram
-    skew is probe-side skew against unique build keys — the AQE
-    skew-join shape. Shuffles carry (token, token, count), never
-    documents."""
+    vocabulary — never broadcast by default, vocabulary**2 is
+    unbounded), the type total T as a broadcast 1-row frame, then the
+    probe side left-joins the three count tables and re-aggregates per
+    document. Head-bigram skew is probe-side skew against unique build
+    keys — the AQE skew-join shape. Shuffles carry (token, token,
+    count), never documents.
+
+    ``model_cap`` is the at-scale knob, and it is what CCNet itself
+    does — the KenLM it scores with is PRUNED, not the raw corpus
+    model: keep only the top ``model_cap`` bigram types by target
+    count (ties broken on (w1, w2) so the model is deterministic);
+    everything outside the kept model scores through the same backoff
+    branches as genuinely-unseen text. The capped count tables are
+    bounded, so they are explicitly broadcast and the token-scale probe
+    side crosses ZERO exchanges before the per-doc re-aggregate —
+    measured at sf100 (5M docs, 275M bigram occurrences) the exact
+    default pays three vocabulary-keyed sort-merge probes (171.1s)
+    while the capped model scores map-side (SCALING.md round-13
+    addendum). Exact result when model_cap >= the true bigram type
+    count."""
     from baker_spark.session import fan_out, managed_persist
 
     pairs = F.expr(
@@ -812,12 +832,21 @@ def kn_bigram_surprisal(df, target: Column, text_col: str = "text", id_col: str 
         .select(id_col, "_tgt", F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2"))
     )
     c12 = bg.filter("_tgt").groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
+    if model_cap is not None:
+        # LM pruning (the CCNet/KenLM regime): keep the top model_cap
+        # bigram types by count, deterministic tie-break — a
+        # TakeOrderedAndProject, never a global window
+        c12 = c12.orderBy(F.desc("_c12"), "_w1", "_w2").limit(int(model_cap))
     w1s = c12.groupBy("_w1").agg(
         F.sum("_c12").cast("long").alias("_c1"), F.count("*").alias("_t1")
     )
     t2s = c12.groupBy("_w2").agg(F.count("*").alias("_t2"))
     tt = c12.agg(F.count("*").alias("_T"))
 
+    if model_cap is not None:
+        # the pruned model is <= model_cap rows per table: broadcast
+        # all three so the token-scale probe side crosses no exchange
+        c12, w1s, t2s = F.broadcast(c12), F.broadcast(w1s), F.broadcast(t2s)
     scored = (
         bg.join(c12, ["_w1", "_w2"], "left")
         .join(w1s, ["_w1"], "left")
@@ -851,6 +880,7 @@ def duck_kn_bigram_surprisal(
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
+    model_cap: int | None = None,
 ) -> str:
     cont = "(3 * w1s.t1 * coalesce(t2s.t2, 0)) // tt.T"
     m = (
@@ -871,7 +901,8 @@ pos AS (
   FROM t WHERE len(ws) > 1
 ),
 bg AS (SELECT {id_col}, tgt, ws[i] AS w1, ws[i + 1] AS w2 FROM pos),
-c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE tgt GROUP BY w1, w2),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE tgt GROUP BY w1, w2
+        {f"ORDER BY c12 DESC, w1, w2 LIMIT {int(model_cap)}" if model_cap is not None else ""}),
 w1s AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS t1 FROM c12 GROUP BY w1),
 t2s AS (SELECT w2, count(*) AS t2 FROM c12 GROUP BY w2),
 tt AS (SELECT count(*) AS T FROM c12),

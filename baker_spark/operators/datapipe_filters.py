@@ -303,6 +303,7 @@ class KnPerplexityDrop(Operator):
         target_value: str = "en",
         max_mean_c2: int = 400,
         invert: bool = False,
+        model_cap: int | None = None,
     ):
         self.field = field
         self.id_field = id_field
@@ -310,6 +311,11 @@ class KnPerplexityDrop(Operator):
         self.target_value = target_value
         self.max_mean_c2 = int(max_mean_c2)
         self.invert = invert
+        # LM pruning (the CCNet/KenLM regime): bound the model at the
+        # top ModelCap bigram types so the score tables broadcast and
+        # the token-scale probe side crosses zero exchanges — the
+        # 100 TB setting (measured 3.2x at sf100, SCALING.md r13)
+        self.model_cap = None if model_cap is None else int(model_cap)
         self.reads = [field, id_field, target_field]
 
     def apply(self, df: DataFrame) -> DataFrame:
@@ -324,6 +330,7 @@ class KnPerplexityDrop(Operator):
             target=_text("_tf") == self.target_value,
             text_col="text",
             id_col="doc_id",
+            model_cap=self.model_cap,
         )
         keep = F.col("mean_kn_surprisal_c2") <= self.max_mean_c2
         if self.invert:

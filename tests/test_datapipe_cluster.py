@@ -249,6 +249,27 @@ def test_kn_perplexity_smoothing_branches(spark):
     )
     assert ok, msg
 
+    # model_cap = 2 prunes (a,c) out of the 3-type model (top-2 by
+    # count): "a b" now scores against c1(a)=3 -> M=10 vs 4*c1=12 ->
+    # surp 0 (vs 1 unpruned), and "a c" takes the unseen-bigram branch
+    # with T2(c)=0. The pruned model must also hash-match ITS twin.
+    capped = {
+        r["doc_id"]: r
+        for r in kn_bigram_surprisal(
+            docs_df(spark, rows), target=F.col("lang") == "en", model_cap=2
+        ).collect()
+    }
+    assert (capped[100]["sum_kn_surprisal"], capped[100]["n_bigrams"]) == (0, 1)
+    assert (capped[1]["sum_kn_surprisal"], capped[1]["n_bigrams"]) == (3, 1)
+    ok, msg = compare(
+        kn_bigram_surprisal(
+            docs_df(spark, rows), target=F.col("lang") == "en", model_cap=2
+        ),
+        con,
+        duck_kn_bigram_surprisal("lang = 'en'", model_cap=2),
+    )
+    assert ok, msg
+
 
 @pytest.mark.parametrize(
     "name, forbidden",

@@ -682,9 +682,10 @@ def test_incremental_neardup_matches_model(spark, docs, split):
         min_size=1,
         max_size=5,
     ),
+    model_cap=st.sampled_from([None, 1, 2, 100]),
 )
 @settings(**SETTINGS)
-def test_kn_perplexity_cross_engine(spark, docs):
+def test_kn_perplexity_cross_engine(spark, docs, model_cap):
     """kn_bigram_surprisal (Spark) == duck_kn_bigram_surprisal (DuckDB)
     on random corpora with random target slices — fuzzes smoothing
     branch COMBINATIONS (empty target, unseen w1, unseen continuation,
@@ -703,9 +704,9 @@ def test_kn_perplexity_cross_engine(spark, docs):
     con.register("_fixture", pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
     con.execute("CREATE VIEW documents AS SELECT * FROM _fixture")
     ok, msg = compare(
-        kn_bigram_surprisal(df, target=F.col("lang") == "en"),
+        kn_bigram_surprisal(df, target=F.col("lang") == "en", model_cap=model_cap),
         con,
-        duck_kn_bigram_surprisal("lang = 'en'"),
+        duck_kn_bigram_surprisal("lang = 'en'", model_cap=model_cap),
     )
     con.close()
-    assert ok, f"{msg} docs={docs}"
+    assert ok, f"{msg} docs={docs} cap={model_cap}"
