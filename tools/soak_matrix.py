@@ -559,8 +559,13 @@ def main() -> int:
 
     from baker_spark import get_spark
 
-    n_kin = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-    n_sqs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_kin = int(args[0]) if args else 4_000_000
+    n_sqs = int(args[1]) if len(args) > 1 else 2_000_000
+    # --compact: the maintenance-under-fire variant — bucketed catalog
+    # ledgers, compact_seen_ledger landing mid-stream between
+    # micro-batches (VERDICT r12 #5 at volume)
+    compact = "--compact" in sys.argv
     # executor python workers unpickle the data sources and must be able
     # to import baker_spark regardless of the launch cwd
     os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
@@ -568,7 +573,9 @@ def main() -> int:
     workdir = tempfile.mkdtemp(prefix="baker_soak_")
     try:
         out = run_soak(spark, workdir, n_kin=n_kin, n_sqs=n_sqs,
-                       sqs_files=max(10, n_sqs // 100_000))
+                       sqs_files=max(10, n_sqs // 100_000),
+                       ledger_buckets=16 if compact else None,
+                       compact_midstream=compact)
         print(json.dumps(out))
         return 0
     finally:
