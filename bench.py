@@ -136,12 +136,22 @@ def force(df):
 
 def cpu_canary() -> dict[str, float]:
     """Machine-state stamp for cross-run comparability: the same fixed
-    md5 loop single-process and 32-processes-wide. On an idle 32-core
-    box the wide wall ~= the single wall; under host-level contention
-    it stretches proportionally — so a slow suite with a stretched
-    canary is machine drift, not an engine regression (and vice
-    versa). ~0.7s total."""
+    md5 loop single-process and 32-processes-wide, plus a MEMORY
+    BANDWIDTH sweep. On an idle 32-core box the wide wall ~= the
+    single wall; under host-level contention it stretches
+    proportionally — so a slow suite with a stretched canary is
+    machine drift, not an engine regression (and vice versa).
+
+    The bandwidth stamp (round 13) closes the md5 canaries' observed
+    blind spot: a co-tenant saturating the socket's memory bus lifted
+    Spark walls 30-40% while the pure-register md5 loop moved ~4%
+    (PERFORMANCE.md round-13 closing envelope). Sixteen single-thread
+    sums over a 256 MB buffer — far past any LLC, so every pass
+    streams from DRAM and the wall is 1/(this process's bandwidth
+    share). ~1s total for all three stamps."""
     import hashlib
+
+    import numpy as np
 
     def one() -> float:
         t0 = time.perf_counter()
@@ -156,7 +166,14 @@ def cpu_canary() -> dict[str, float]:
     procs = [subprocess.Popen([sys.executable, "-c", code]) for _ in range(32)]
     for p in procs:
         p.wait()
-    return {"canary_1p_s": single, "canary_32p_s": round(time.perf_counter() - t0, 3)}
+    wide = round(time.perf_counter() - t0, 3)
+    arr = np.zeros(32 * 1024 * 1024)  # 256 MB of float64
+    arr.sum()  # fault the pages in; allocation cost is not bandwidth
+    t0 = time.perf_counter()
+    for _ in range(16):
+        arr.sum()
+    bw = round(time.perf_counter() - t0, 3)
+    return {"canary_1p_s": single, "canary_32p_s": wide, "canary_bw_s": bw}
 
 
 #: SELF-CALIBRATING contention gate (round 13). History: round 10
@@ -185,18 +202,41 @@ def cpu_canary() -> dict[str, float]:
 #: quiet passes around it.
 CANARY_RELATIVE_FACTOR = 1.25
 CANARY_CHRONIC_32P_S = 0.55
+#: bandwidth stamps gate the same way — relative to the run's own
+#: floor — but looser: single-thread DRAM-sweep walls are noisier than
+#: the md5 loop (page placement, prefetcher state), and there is no
+#: absolute-history calibration yet (first round carrying the stamp).
+#: No chronic ceiling either, for the same no-history reason; the
+#: stamps accumulate in artifacts so a future round can add one.
+CANARY_BW_RELATIVE_FACTOR = 1.35
 
 
-def run_floor_32p(passes: list[dict]) -> float | None:
-    """The run's own idle estimate: min canary_32p across every before/
-    after stamp of every pass so far (None until a stamped pass lands)."""
+def _run_floor(passes: list[dict], key: str) -> float | None:
     stamps = [
-        d.get(side, {}).get("canary_32p_s")
+        d.get(side, {}).get(key)
         for d in passes
         for side in ("canary_before", "canary_after")
     ]
     stamps = [s for s in stamps if s is not None]
     return min(stamps) if stamps else None
+
+
+def run_floor_32p(passes: list[dict]) -> float | None:
+    """The run's own idle estimate: min canary_32p across every before/
+    after stamp of every pass so far (None until a stamped pass lands)."""
+    return _run_floor(passes, "canary_32p_s")
+
+
+def run_floor_bw(passes: list[dict]) -> float | None:
+    return _run_floor(passes, "canary_bw_s")
+
+
+def effective_bw_gate(passes: list[dict],
+                      relative_factor: float = CANARY_BW_RELATIVE_FACTOR) -> float | None:
+    """Bandwidth gate for THIS run: floor * factor; None when no pass
+    carries bandwidth stamps (legacy artifacts, synthetic test docs)."""
+    floor = run_floor_bw(passes)
+    return None if floor is None else round(floor * relative_factor, 4)
 
 
 def effective_gate(passes: list[dict],
@@ -209,15 +249,28 @@ def effective_gate(passes: list[dict],
     return min(round(floor * relative_factor, 4), chronic)
 
 
-def pass_is_clean(doc: dict, gate: float) -> bool:
+def pass_is_clean(doc: dict, gate: float, bw_gate: float | None = None) -> bool:
     """A suite pass is uncontended iff BOTH canary stamps (before and
     after the Spark work) are under the gate — a co-tenant burst
-    starting mid-suite trips the after-stamp."""
+    starting mid-suite trips the after-stamp. When a bandwidth gate is
+    in force and the pass carries bandwidth stamps, BOTH of those must
+    clear it too (the memory-bus contention the md5 loop under-detects
+    by ~10x — measured, PERFORMANCE.md round 13). Passes without
+    bandwidth stamps (legacy artifacts) are judged on the CPU stamps
+    alone rather than failed outright — the cross-round forensic
+    re-reads must keep working."""
     before = doc.get("canary_before", {}).get("canary_32p_s")
     after = doc.get("canary_after", {}).get("canary_32p_s")
     if before is None or after is None:
         return False
-    return max(before, after) <= gate
+    if max(before, after) > gate:
+        return False
+    if bw_gate is not None:
+        bw_b = doc.get("canary_before", {}).get("canary_bw_s")
+        bw_a = doc.get("canary_after", {}).get("canary_bw_s")
+        if bw_b is not None and bw_a is not None and max(bw_b, bw_a) > bw_gate:
+            return False
+    return True
 
 
 def orchestrate(run_pass, n_jvms: int = N_JVMS, min_clean: int = MIN_CLEAN,
@@ -248,7 +301,8 @@ def orchestrate(run_pass, n_jvms: int = N_JVMS, min_clean: int = MIN_CLEAN,
     while len(passes) < max_jvms:
         passes.append(run_pass())
         gate = fixed_gate if fixed_gate is not None else effective_gate(passes)
-        clean = [d for d in passes if pass_is_clean(d, gate)]
+        bw_gate = effective_bw_gate(passes)
+        clean = [d for d in passes if pass_is_clean(d, gate, bw_gate)]
         if len(passes) >= n_jvms and len(clean) >= min_clean:
             break
         # chronic-load short-circuit: when the quota pass count is done
@@ -261,7 +315,8 @@ def orchestrate(run_pass, n_jvms: int = N_JVMS, min_clean: int = MIN_CLEAN,
         if len(passes) >= n_jvms + 1 and not clean:
             break
     gate = fixed_gate if fixed_gate is not None else effective_gate(passes)
-    clean = [d for d in passes if pass_is_clean(d, gate)]
+    bw_gate = effective_bw_gate(passes)
+    clean = [d for d in passes if pass_is_clean(d, gate, bw_gate)]
     contended = not clean
     if clean:
         ranked = sorted(clean, key=lambda d: d["value"])
@@ -289,7 +344,7 @@ def orchestrate(run_pass, n_jvms: int = N_JVMS, min_clean: int = MIN_CLEAN,
                     "records_per_sec": d.get("records_per_sec"),
                     "canary_before": d.get("canary_before"),
                     "canary_after": d.get("canary_after"),
-                    "clean": pass_is_clean(d, gate),
+                    "clean": pass_is_clean(d, gate, bw_gate),
                 }
                 for d in passes
             ],
@@ -308,6 +363,9 @@ def orchestrate(run_pass, n_jvms: int = N_JVMS, min_clean: int = MIN_CLEAN,
             "canary_floor_32p_s": run_floor_32p(passes),
             "canary_relative_factor": CANARY_RELATIVE_FACTOR,
             "canary_chronic_32p_s": CANARY_CHRONIC_32P_S,
+            "canary_bw_gate_s": bw_gate,
+            "canary_bw_floor_s": run_floor_bw(passes),
+            "canary_bw_relative_factor": CANARY_BW_RELATIVE_FACTOR,
         }
     )
     return out

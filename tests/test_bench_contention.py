@@ -206,3 +206,55 @@ def test_busy_loop_contention_spike_trips_gate_and_retry():
     out = bench.orchestrate(lambda: next(seq), n_jvms=2, min_clean=2, max_jvms=6)
     assert out["suite_retried"] and not out["suite_passes"][0]["clean"]
     assert out["n_passes"] == 3 and out["value"] in (9.1, 9.2)
+
+
+def _bw_pass(total: float, c: float, bw_before: float, bw_after: float) -> dict:
+    doc = _pass(total, c, c)
+    doc["canary_before"]["canary_bw_s"] = bw_before
+    doc["canary_after"]["canary_bw_s"] = bw_after
+    return doc
+
+
+def test_bandwidth_spike_with_clean_cpu_stamps_is_caught():
+    """The round-13 observed blind spot: memory-bus contention lifted
+    Spark walls 30-40% while the pure-register md5 canary moved ~4%.
+    A pass whose CPU stamps read clean but whose bandwidth stamp
+    spikes past 1.35x of the run's bandwidth floor must read
+    contended and trigger the retry."""
+    seq = iter(
+        [_bw_pass(14.0, CLEAN, 0.20, 0.31),  # bw after-stamp spikes (gate 0.20*1.35=0.27)
+         _bw_pass(9.4, CLEAN, 0.20, 0.21),
+         _bw_pass(9.5, CLEAN, 0.21, 0.20),
+         _bw_pass(9.45, CLEAN, 0.20, 0.20)]
+    )
+    out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=3, max_jvms=6)
+    assert not out["suite_passes"][0]["clean"]
+    assert out["suite_retried"] and out["n_clean"] == 3 and not out["contended"]
+    assert out["value"] in (9.4, 9.45, 9.5)
+    assert out["canary_bw_floor_s"] == 0.20
+    assert out["canary_bw_gate_s"] == round(0.20 * bench.CANARY_BW_RELATIVE_FACTOR, 4)
+
+
+def test_steady_bandwidth_load_lifts_bw_floor_and_reads_clean():
+    """Same residual blind window as the CPU gate, stated honestly:
+    bandwidth load that is EQUALLY heavy on every stamp lifts the
+    run's own bandwidth floor and self-calibrates clean. No absolute
+    bandwidth ceiling exists yet (first round carrying the stamp);
+    the absolute values are retained per pass for the cross-round
+    comparison that catches this, and for a future calibrated
+    ceiling."""
+    seq = iter([_bw_pass(12.0 + i / 10, CLEAN, 0.55, 0.56) for i in range(3)])
+    out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=2, max_jvms=6)
+    assert not out["contended"] and out["n_clean"] == 3
+    assert out["canary_bw_floor_s"] == 0.55
+
+
+def test_passes_without_bw_stamps_judged_on_cpu_alone():
+    """Legacy/synthetic docs carry no bandwidth stamp: the bw criterion
+    must not fail them (forensic re-reads of r07-r12 artifacts), and a
+    mixed run takes its bw floor from the stamped passes only."""
+    seq = iter([_pass(9.3, CLEAN, CLEAN), _bw_pass(9.0, CLEAN, 0.2, 0.2),
+                _pass(9.6, CLEAN, CLEAN)])
+    out = bench.orchestrate(lambda: next(seq), n_jvms=3, min_clean=2, max_jvms=6)
+    assert out["n_clean"] == 3 and not out["contended"]
+    assert out["canary_bw_floor_s"] == 0.2
