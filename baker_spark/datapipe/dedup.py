@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from baker_spark.datapipe.text import duck_word_shingles, word_shingles, words
 from baker_spark.functions.hashing import (
-    affine_hash,
+    MINHASH_P,
     duck_affine_hash,
     duck_md5_long,
     md5_long,
@@ -770,9 +770,12 @@ def minhash_signature(
         F.explode(word_shingles(F.col("_w"), shingle_n, split=False)).alias("_s"),
     )
     h = sh.select(F.col(id_col), md5_long("_s", nchars=8).alias("_h"))
+    # SQL expr strings, not Column chains (round 13): same expression,
+    # one py4j call per min column instead of ~6 — see simhash() for the
+    # measured driver-side build cost this removes
     return h.groupBy(id_col).agg(
         *[
-            F.min(affine_hash(F.col("_h"), a, b)).alias(f"m{i}")
+            F.expr(f"min(({a}L * _h + {b}L) % {MINHASH_P}L)").alias(f"m{i}")
             for i, (a, b) in enumerate(minhash_params(k))
         ]
     )
@@ -1412,6 +1415,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     so the codegen explode stays; PERFORMANCE.md round 11 has the
     full profile, including the 0.487s-per-exchange local floor that
     made the fold look good at bench scale."""
+    # The lane sums and the 60-term bit assembly are built as SQL expr
+    # STRINGS, not nested Column objects (round 13): each F.<op> call is
+    # a py4j round trip, and the old per-bit Python loop (~600 calls)
+    # cost 1.15-1.4s of DRIVER time per build — more than the whole
+    # executed job at sf0.1 (jvm planning itself is ~0.06s). One
+    # F.expr() per aggregate/projection hands the JVM the identical
+    # expression tree in a single call (bit-identical output, asserted
+    # at sf0.1 and by the oracle parity sweep).
     wh = fan_out(df, by=id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(words(text_col))).alias("_word"),
@@ -1419,29 +1430,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     lane_sums = wh.groupBy(id_col).agg(
         F.count("*").alias("_n"),
         *[
-            F.sum(F.shiftright("_h", k).bitwiseAND(F.lit(SIMHASH_LANE_MASK))).alias(f"_a{k}")
+            F.expr(f"sum(shiftright(_h, {k}) & {SIMHASH_LANE_MASK}L)").alias(f"_a{k}")
             for k in range(16)
         ],
     )
-    acc = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        k, lane = j % 16, j // 16
-        c_j = F.shiftright(F.col(f"_a{k}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
-        acc = acc + F.when(2 * c_j > F.col("_n"), F.lit(1 << j)).otherwise(F.lit(0))
+    acc = " + ".join(
+        f"(CASE WHEN 2 * (shiftright(_a{j % 16}, {16 * (j // 16)}) & 65535) > _n"
+        f" THEN {1 << j}L ELSE 0L END)"
+        for j in range(SIMHASH_BITS)
+    )
     # loud, not silent: past 2^16 distinct words a lane carry would
     # corrupt the signature IDENTICALLY in both engines, so the oracle
     # harness could never catch it — fail the job with the cause instead
-    acc = F.when(
-        F.col("_n") < F.lit(1 << 16), acc
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "simhash: a document has >= 2^16 distinct words; the SWAR "
-                "counter lanes would overflow — split such documents first"
-            )
-        ).cast("long")
+    guarded = (
+        f"CASE WHEN _n < {1 << 16} THEN CAST({acc} AS BIGINT) "
+        "ELSE CAST(raise_error('simhash: a document has >= 2^16 distinct words; "
+        "the SWAR counter lanes would overflow — split such documents first') "
+        "AS BIGINT) END"
     )
-    return lane_sums.select(F.col(id_col), acc.alias("simhash"))
+    return lane_sums.select(F.col(id_col), F.expr(guarded).alias("simhash"))
 
 
 def duck_simhash(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
@@ -1873,7 +1880,7 @@ def exact_substring_dedup(
     Scale shape (the honest cost of exact substring dedup — the
     suffix-array formulation needs a dedicated single-box build at
     100 TB, this is the distributed shuffle formulation): one row per
-    TOKEN flows into one exchange on the 60-bit gram hash (the window
+    TOKEN flows into one exchange on the 64-bit gram hash (the window
     count), duplicated positions (normally a tiny fraction) flow into
     one exchange on id, and one id-join resolves spans back to the
     corpus — AQE broadcasts the span side when it fits (the usual
@@ -1881,12 +1888,26 @@ def exact_substring_dedup(
     id exchange. Interval union is a per-row linear fold over each
     doc's sorted duplicate positions — no further shuffle. ~24 B/token
     through the hash exchange, same order as dp_global_shuffle.
-    Measured walls (local[16]): 4.0s sf0.1, 22.5s sf1, 49.2s sf10."""
+
+    The gram hash is xxhash64, NOT md5_long (round 13): the hash never
+    leaves the plan — the result depends only on gram EQUALITY, so any
+    injective-enough hash computes the identical output (the DuckDB
+    oracle twin keeps md5; both engines' collision odds at 64/60 bits
+    are ~n^2/2^64 — nil at any corpus this runs on, and a differential
+    collision would fail the value-exact parity sweep loudly). xxhash64
+    skips md5's digest + hex + conv chain per gram — together with the
+    fan_out below, measured 1.95x end-to-end at sf0.1 (interleaved A/B,
+    min 2.802s -> 1.439s; OPTIMIZATION_r13.md).
+    fan_out parallelizes the gram-hash pass AND (via the reused
+    exchange) the rewrite projection: a single-row-group local scan
+    otherwise evaluates every gram hash and the per-token covered()
+    rewrite in ONE task; on real multi-split input it is a no-op."""
+    df = fan_out(df, by=id_col)
     w = F.split(F.col(text_col), " ", -1)
     m = F.size(w) - (k - 1)
     grams = F.transform(
         F.sequence(F.lit(1), m),
-        lambda i: md5_long(F.concat_ws(" ", F.slice(w, i, k))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, k))),
     )
     hashed = (
         df.filter(m >= 1)
@@ -1927,6 +1948,11 @@ def exact_substring_dedup(
     covered = lambda j: F.coalesce(  # noqa: E731  (j is 0-based)
         F.exists(iv, lambda x: (x["s"] <= j + 1) & (j + 1 <= x["e"])), F.lit(False)
     )
+    # span-free docs (the vast majority; _iv is NULL for them) keep their
+    # text verbatim — split/join round-trips space-split exactly, so the
+    # shortcut is value-identical while skipping the per-token interpreted
+    # covered() lambda for every clean doc (the oracle twin has the same
+    # CASE WHEN iv IS NULL branch)
     kept = F.filter(w, lambda x, j: ~covered(j))
     n_tokens = F.nullif(F.size(w), F.lit(-1)).cast("long")
     n_removed = F.coalesce(
@@ -1946,7 +1972,9 @@ def exact_substring_dedup(
         n_tokens.alias("n_tokens"),
         n_removed.alias("n_removed_tokens"),
         frac.alias("removed_frac_c6"),
-        F.array_join(kept, " ").alias("clean_text"),
+        F.when(iv.isNull(), F.col(text_col))
+        .otherwise(F.array_join(kept, " "))
+        .alias("clean_text"),
     )
 
 

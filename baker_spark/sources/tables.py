@@ -36,6 +36,18 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: parquet SCHEMA cache (metadata only — StructType per (sf_dir, table)).
+#: `spark.read.parquet` runs a 1-task footer-inference job on EVERY call
+#: (measured 0.18-0.24s per table at sf0.1); with the schema passed
+#: explicitly the reader skips it (0.04-0.10s). A catalog query builds
+#: its tables on every invocation, so a 6-table join (q5) paid ~1s of
+#: repeated footer reads per run. This is the standard at-scale shape
+#: too: production tables carry their schema in a catalog (metastore /
+#: Iceberg manifest) precisely so readers never infer per query. No row
+#: data is cached — only the column list the footer declares.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     # every registered query loads its tables before building: releasing
@@ -46,7 +58,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # release the builder's own fresh cache (every catalog query follows
     # this: load_table calls come first, persists after)
     release_caches()
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     for col in _NANOS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
             # integer-divide nanos->micros (DuckDB truncates identically);
