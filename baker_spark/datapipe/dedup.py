@@ -431,24 +431,17 @@ def _explode_hash_bands(
     :func:`phash_bands` (key column ``h``, the band-ledger convention)
     so the pair-search and ingest paths can never drift in their
     banding arithmetic."""
-    c = F.col(hash_col)
-    return sig.select(
-        F.col(id_col),
-        c,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(c, b * SIMHASH_BAND_BITS)
-                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
-                        .alias(key_name),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, hash_col, "bk.band", f"bk.{key_name}")
+    structs = ", ".join(
+        f"named_struct('band', {b}, '{key_name}', "
+        f"shiftright(`{hash_col}`, {b * SIMHASH_BAND_BITS}) & {SIMHASH_BAND_MASK}L)"
+        for b in range(4)
+    )
+    return sig.selectExpr(
+        f"`{id_col}`", f"`{hash_col}`", f"explode(array({structs})) AS bk"
+    ).selectExpr(
+        f"`{id_col}`", f"`{hash_col}`", "bk.band AS band",
+        f"bk.{key_name} AS {key_name}",
+    )
 
 
 def phash_bands(sig: DataFrame, hash_col: str = "phash", id_col: str = "doc_id") -> DataFrame:
@@ -764,15 +757,23 @@ def minhash_signature(
     re-hashing, and the maps are pairwise independent so the LSH
     (1/b)^(1/r) threshold analysis holds (correlated families like
     h1+i*h2 double hashing inflate band collisions)."""
-    base = fan_out(df, by=id_col).select(F.col(id_col), words(text_col).alias("_w"))
-    sh = base.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col("_w"), shingle_n, split=False)).alias("_s"),
+    # SQL expr strings end to end, not Column chains (round 13): the
+    # identical expression tree handed to the JVM in a few py4j calls
+    # instead of a few hundred — see simhash() for the measured
+    # driver-side build cost this removes (bit-identical, asserted)
+    n = int(shingle_n)
+    base = fan_out(df, by=id_col).selectExpr(
+        f"`{id_col}`", f"split(`{text_col}`, ' ', -1) AS _w"
     )
-    h = sh.select(F.col(id_col), md5_long("_s", nchars=8).alias("_h"))
-    # SQL expr strings, not Column chains (round 13): same expression,
-    # one py4j call per min column instead of ~6 — see simhash() for the
-    # measured driver-side build cost this removes
+    shingles = (
+        f"CASE WHEN size(_w) - {n - 1} >= 1 THEN "
+        f"transform(sequence(1, size(_w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_w, i, {n}))) "
+        "ELSE cast(array() as array<string>) END"
+    )
+    h = base.selectExpr(f"`{id_col}`", f"explode({shingles}) AS _s").selectExpr(
+        f"`{id_col}`", "cast(conv(substring(md5(_s), 1, 8), 16, 10) as bigint) AS _h"
+    )
     return h.groupBy(id_col).agg(
         *[
             F.expr(f"min(({a}L * _h + {b}L) % {MINHASH_P}L)").alias(f"m{i}")
@@ -803,15 +804,17 @@ def lsh_bands(
     if sig is None:
         sig = minhash_signature(df, text_col, id_col, k, shingle_n)
     r = k // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"m{b * r + j}").cast("string") for j in range(r)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("h"))
-        )
-    return sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bh")
-    ).select(id_col, "bh.band", "bh.h")
+    # one selectExpr instead of a per-band Column loop (round 13): the
+    # band structs cost ~30 py4j round trips per build the old way
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'h', md5(concat_ws(',', "
+        + ", ".join(f"cast(m{b * r + j} as string)" for j in range(r))
+        + ")))"
+        for b in range(bands)
+    )
+    return sig.selectExpr(
+        f"`{id_col}`", f"explode(array({band_structs})) AS bh"
+    ).selectExpr(f"`{id_col}`", "bh.band AS band", "bh.h AS h")
 
 
 def lsh_pairs(
@@ -863,7 +866,7 @@ def lsh_pairs(
             bands_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= bucket_cap + 1)
             .groupBy("band", "h")
-            .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+            .agg(F.expr(f"sort_array(collect_list(`{id_col}`))").alias("_ids"))
             .filter(F.size("_ids") <= bucket_cap)
         )
         return (
@@ -1423,10 +1426,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     # F.expr() per aggregate/projection hands the JVM the identical
     # expression tree in a single call (bit-identical output, asserted
     # at sf0.1 and by the oracle parity sweep).
-    wh = fan_out(df, by=id_col).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(words(text_col))).alias("_word"),
-    ).select(F.col(id_col), md5_long("_word", nchars=15).alias("_h"))
+    wh = fan_out(df, by=id_col).selectExpr(
+        f"`{id_col}`",
+        f"explode(array_distinct(split(`{text_col}`, ' ', -1))) AS _word",
+    ).selectExpr(
+        f"`{id_col}`",
+        "cast(conv(substring(md5(_word), 1, 15), 16, 10) as bigint) AS _h",
+    )
     lane_sums = wh.groupBy(id_col).agg(
         F.count("*").alias("_n"),
         *[
@@ -1556,10 +1562,9 @@ def banded_hamming_pairs(
             .filter(F.col("_rn") <= band_cap + 1)
             .groupBy("band", "key")
             .agg(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(F.col(id_col).alias("i"), F.col(hash_col).alias("s"))
-                    )
+                F.expr(
+                    "sort_array(collect_list("
+                    f"named_struct('i', `{id_col}`, 's', `{hash_col}`)))"
                 ).alias("_m")
             )
             .filter(F.size("_m") <= band_cap)
@@ -1902,17 +1907,21 @@ def exact_substring_dedup(
     exchange) the rewrite projection: a single-row-group local scan
     otherwise evaluates every gram hash and the per-token covered()
     rewrite in ONE task; on real multi-split input it is a no-op."""
+    # SQL expr strings end to end (round 13): the old Column/lambda
+    # construction of the gram transform, the interval fold and the
+    # rewrite projection cost ~0.3s of driver time per build in py4j
+    # round trips; these strings hand the JVM the identical trees in a
+    # handful of calls (value-exact parity re-swept at 3 SFs)
     df = fan_out(df, by=id_col)
-    w = F.split(F.col(text_col), " ", -1)
-    m = F.size(w) - (k - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, k))),
-    )
+    w_sql = f"split(`{text_col}`, ' ', -1)"
     hashed = (
-        df.filter(m >= 1)
-        .select(F.col(id_col), F.posexplode(grams).alias("_p0", "h"))
-        .select(id_col, (F.col("_p0") + 1).cast("long").alias("pos"), "h")
+        df.where(f"size({w_sql}) - {k - 1} >= 1")
+        .selectExpr(
+            f"`{id_col}`",
+            f"posexplode(transform(sequence(1, size({w_sql}) - {k - 1}), "
+            f"i -> xxhash64(concat_ws(' ', slice({w_sql}, i, {k}))))) AS (_p0, h)",
+        )
+        .selectExpr(f"`{id_col}`", "cast(_p0 + 1 as bigint) AS pos", "h")
     )
     dup = hashed.withColumn(
         "_c", F.count(F.lit(1)).over(Window.partitionBy("h"))
@@ -1920,61 +1929,44 @@ def exact_substring_dedup(
     # merged intervals per doc: linear fold over the sorted duplicate
     # positions (fixed span length k keeps the running end monotone,
     # so appending/extending the LAST interval is exhaustive)
-    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
-
-    def _merge(acc, p):
-        last = F.element_at(acc, -1)
-        newe = (p + F.lit(k - 1)).cast("long")
-        return F.when(
-            (F.size(acc) > 0) & (p <= last["e"] + 1),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        last["s"].alias("s"),
-                        F.greatest(last["e"], newe).alias("e"),
-                    )
-                ),
-            ),
-        ).otherwise(
-            F.concat(acc, F.array(F.struct(p.cast("long").alias("s"), newe.alias("e"))))
-        )
-
-    spans = dup.groupBy(id_col).agg(
-        F.aggregate(F.sort_array(F.collect_list("pos")), empty, _merge).alias("_iv")
+    merge_sql = (
+        "aggregate(sort_array(collect_list(pos)), "
+        "cast(array() as array<struct<s:bigint,e:bigint>>), "
+        "(acc, p) -> CASE WHEN size(acc) > 0 AND p <= element_at(acc, -1).e + 1 "
+        "THEN concat(slice(acc, 1, size(acc) - 1), "
+        "array(named_struct('s', element_at(acc, -1).s, "
+        f"'e', greatest(element_at(acc, -1).e, cast(p + {k - 1} as bigint))))) "
+        "ELSE concat(acc, array(named_struct('s', cast(p as bigint), "
+        f"'e', cast(p + {k - 1} as bigint)))) END)"
     )
+    spans = dup.groupBy(id_col).agg(F.expr(merge_sql).alias("_iv"))
     out = df.join(spans, id_col, "left")
-    iv = F.col("_iv")
-    covered = lambda j: F.coalesce(  # noqa: E731  (j is 0-based)
-        F.exists(iv, lambda x: (x["s"] <= j + 1) & (j + 1 <= x["e"])), F.lit(False)
+    n_tokens_sql = f"cast(nullif(size({w_sql}), -1) as bigint)"
+    n_removed_sql = (
+        "coalesce(aggregate(_iv, cast(0 as bigint), "
+        "(acc, x) -> acc + (x.e - x.s + 1)), cast(0 as bigint))"
+    )
+    frac_sql = (
+        f"cast(coalesce(CASE WHEN {n_tokens_sql} > 0 "
+        f"THEN floor({n_removed_sql} * 1000000 / {n_tokens_sql}) "
+        "ELSE 0 END, 0) as bigint)"
     )
     # span-free docs (the vast majority; _iv is NULL for them) keep their
     # text verbatim — split/join round-trips space-split exactly, so the
-    # shortcut is value-identical while skipping the per-token interpreted
-    # covered() lambda for every clean doc (the oracle twin has the same
+    # shortcut is value-identical while skipping the per-token covered()
+    # scan for every clean doc (the oracle twin has the same
     # CASE WHEN iv IS NULL branch)
-    kept = F.filter(w, lambda x, j: ~covered(j))
-    n_tokens = F.nullif(F.size(w), F.lit(-1)).cast("long")
-    n_removed = F.coalesce(
-        F.aggregate(
-            iv, F.lit(0).cast("long"), lambda acc, x: acc + (x["e"] - x["s"] + 1)
-        ),
-        F.lit(0).cast("long"),
+    clean_sql = (
+        f"CASE WHEN _iv IS NULL THEN `{text_col}` ELSE array_join("
+        f"filter({w_sql}, (x, j) -> NOT coalesce("
+        "exists(_iv, iv -> iv.s <= j + 1 AND j + 1 <= iv.e), false)), ' ') END"
     )
-    frac = F.coalesce(
-        F.when(n_tokens > 0, F.floor(n_removed * 1_000_000 / n_tokens)).otherwise(
-            F.lit(0)
-        ),
-        F.lit(0),
-    ).cast("long")
-    return out.select(
-        id_col,
-        n_tokens.alias("n_tokens"),
-        n_removed.alias("n_removed_tokens"),
-        frac.alias("removed_frac_c6"),
-        F.when(iv.isNull(), F.col(text_col))
-        .otherwise(F.array_join(kept, " "))
-        .alias("clean_text"),
+    return out.selectExpr(
+        f"`{id_col}`",
+        f"{n_tokens_sql} AS n_tokens",
+        f"{n_removed_sql} AS n_removed_tokens",
+        f"{frac_sql} AS removed_frac_c6",
+        f"{clean_sql} AS clean_text",
     )
 
 

@@ -73,6 +73,27 @@ def duck_cosine(a: str, b: str) -> str:
     return f"({duck_dot(a, b)} / (sqrt({duck_dot(a, a)}) * sqrt({duck_dot(b, b)})))"
 
 
+def spark_dot_sql(a: str, b: str) -> str:
+    """Spark-SQL string twin of :func:`dot` (round 13): hot query
+    builders hand the identical fold to the JVM as one expr string —
+    the Column/lambda construction cost ~15 py4j round trips per dot,
+    and cosine_c4 evaluates five of them."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def spark_cosine_c4_sql(a: str, b: str) -> str:
+    """Spark-SQL string twin of :func:`cosine_c4` — same zero-norm pin,
+    same floor(cosine * 1e4) BIGINT."""
+    daa, dbb, dab = spark_dot_sql(a, a), spark_dot_sql(b, b), spark_dot_sql(a, b)
+    return (
+        f"cast(CASE WHEN {daa} = 0 OR {dbb} = 0 THEN 0 "
+        f"ELSE floor(({dab} / (sqrt({daa}) * sqrt({dbb}))) * 10000) END as bigint)"
+    )
+
+
 def cosine_c4(a: Column, b: Column) -> Column:
     """floor(cosine * 1e4) as long, with the zero-norm pin: an all-zero
     vector's cosine is undefined, and the engines disagree on what the
@@ -271,9 +292,10 @@ def ann_topk(
     q = df.filter(F.col(id_col) == query_id).select(as_double(vec_col).alias("qv"))
     if max_rows is not None:
         q = row_guard(q, max_rows, "ann_topk_bucketed", count_of=df)
-    scored = fan_out(df, by=id_col).crossJoin(F.broadcast(q)).select(
-        F.col(id_col),
-        cosine_c4(as_double(vec_col), F.col("qv")).alias("cosine_c4"),
+    scored = fan_out(df, by=id_col).crossJoin(F.broadcast(q)).selectExpr(
+        f"`{id_col}`",
+        spark_cosine_c4_sql(f"cast(`{vec_col}` as array<double>)", "qv")
+        + " AS cosine_c4",
     )
     return scored.orderBy(F.desc("cosine_c4"), F.col(id_col)).limit(k)
 

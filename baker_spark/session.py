@@ -107,7 +107,15 @@ def _ship_package(spark: SparkSession) -> None:
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (e.g. one the
-    correctness driver created). Never raises on read-only confs."""
+    correctness driver created). Never raises on read-only confs.
+
+    Idempotent per session OBJECT, and guarded as such (round 13): every
+    load_table calls through here, so an unguarded configure re-issued 9
+    conf.set py4j round trips per table load (~25ms; a 6-table join paid
+    ~0.15s per build). The confs are only ever set to the same pinned
+    values, so first-application semantics are identical."""
+    if getattr(spark, "_baker_configured", False):
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -115,6 +123,7 @@ def configure(spark: SparkSession) -> SparkSession:
             pass
     _ship_package(spark)
     _register_python_sources(spark)
+    spark._baker_configured = True
     return spark
 
 
@@ -195,7 +204,22 @@ def fan_out(df, multiple: int = 1, by: str | None = None):
     that know their id column should always pass it."""
     try:
         target = df.sparkSession.sparkContext.defaultParallelism * multiple
-        current = df.rdd.getNumPartitions()
+        # df.rdd plans the subtree and builds the Python RDD wrapper —
+        # ~60-80ms of driver time PER CALL (measured round 13), paid on
+        # every catalog build. A bare table scan's split count is a pure
+        # function of (session, path), so load_table stamps its exact
+        # return object with a cache key and fan_out reuses the count on
+        # repeat builds. ONLY the stamped object uses the cache — a
+        # derived frame (select/filter/join) loses the attribute and
+        # pays df.rdd as before, so a post-shuffle frame can never read
+        # a stale scan count.
+        key = getattr(df, "_baker_split_key", None)
+        if key is not None and key in _SPLIT_COUNTS:
+            current = _SPLIT_COUNTS[key]
+        else:
+            current = df.rdd.getNumPartitions()
+            if key is not None:
+                _SPLIT_COUNTS[key] = current
     except Exception:
         # Spark Connect sessions expose neither sparkContext nor df.rdd;
         # configure()'s contract is graceful degradation there (see
@@ -209,6 +233,11 @@ def fan_out(df, multiple: int = 1, by: str | None = None):
             return df.repartition(target, F.col(by))
         return df.repartition(target)
     return df
+
+
+#: split counts of stamped table scans, keyed by (applicationId, path)
+#: — see fan_out; populated on first introspection per session+path.
+_SPLIT_COUNTS: dict = {}
 
 
 #: compiled Hadoop codec bridging zstd-jni (tools/build_zstd_codec.sh):

@@ -76,6 +76,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     "timestamp_ntz"
                 ),
             )
+    try:
+        # stamp for fan_out's split-count cache (see session.fan_out):
+        # the key identifies "this exact scan in this session" (the
+        # nanos projection above does not change scan splits); derived
+        # frames drop the attribute and introspect as before
+        df._baker_split_key = (spark.sparkContext.applicationId, path)
+    except Exception:
+        pass
     return df
 
 

@@ -126,7 +126,10 @@ def baker_chain(spark, sf_dir):
     for p in preds:
         li = li.filter(p)  # predicates run at the (native) scan
     li = fan_out(li, by="l_orderkey")  # ≈ [filterchain] procs — shuffles only survivors
-    df = li.select(*[F.col(c).cast("string").alias(c) for c in li.columns])
+    # one selectExpr call for the 16-column string cast: the Column
+    # listcomp cost ~80 py4j round trips per build, paid on every one of
+    # the 6 timed chain runs (round 13; same projection either way)
+    df = li.selectExpr(*[f"cast(`{c}` as string) AS `{c}`" for c in li.columns])
     return ops.chain(df, rest)
 
 
