@@ -22,6 +22,16 @@ def _s(col: Column) -> Column:
     return col.cast("string")
 
 
+def _q(name: str) -> str:
+    """Backtick-quote a field name for an expr string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sq(name: str) -> str:
+    """cast(`name` as string) — the expr-string twin of ``_s(F.col(name))``."""
+    return f"cast({_q(name)} as string)"
+
+
 @register
 class ClearFields(Operator):
     """Set listed fields to the empty string
@@ -52,9 +62,18 @@ class Concatenate(Operator):
         self.writes = [target]
 
     def apply(self, df: DataFrame) -> DataFrame:
-        cols = [F.coalesce(F.col(f).cast("string"), F.lit("")) for f in self.fields]
-        out = F.concat_ws(self.separator, *cols) if self.separator else F.concat(*cols)
-        return df.withColumn(self.target, out)
+        # expr string, not per-field Column chains (round 13): identical
+        # expression, a handful of py4j calls — this op sits on the
+        # benched chain's per-run build path
+        if not self.fields:
+            return df.withColumn(self.target, F.expr("''"))
+        cols = ", ".join(f"coalesce({_sq(f)}, '')" for f in self.fields)
+        if self.separator:
+            sep = self.separator.replace("\\", "\\\\").replace("'", "\\'")
+            out = f"concat_ws('{sep}', {cols})"
+        else:
+            out = f"concat({cols})"
+        return df.withColumn(self.target, F.expr(out))
 
 
 @register
@@ -440,10 +459,9 @@ class Hash(Operator):
         self.src, self.dst, self.function, self.encoding = src_field, dst_field, function, encoding
 
     def apply(self, df: DataFrame) -> DataFrame:
-        col = F.col(self.src).cast("string")
-        hexed = F.md5(col) if self.function == "md5" else F.sha2(col, 256)
-        out = hexed if self.encoding == "hex" else F.unhex(hexed)
-        return df.withColumn(self.dst, out)
+        hexed = f"md5({_sq(self.src)})" if self.function == "md5" else f"sha2({_sq(self.src)}, 256)"
+        out = hexed if self.encoding == "hex" else f"unhex({hexed})"
+        return df.withColumn(self.dst, F.expr(out))
 
 
 @register
@@ -459,12 +477,15 @@ class NotNull(Operator):
         self.reads = list(fields)
 
     def keep_predicate(self) -> Column:
-        # initializer: Fields=[] is legal in the reference (its loop
-        # simply passes every record); a bare reduce() would TypeError
-        return reduce(
-            lambda a, b: a & b,
-            (~is_empty(_s(F.col(f))) for f in self.fields),
-            F.lit(True),
+        # Fields=[] is legal in the reference (its loop simply passes
+        # every record) — `true` keeps everything. One expr string: the
+        # old per-field reduce cost ~0.1s of py4j per chain build.
+        if not self.fields:
+            return F.expr("true")
+        return F.expr(
+            " AND ".join(
+                f"NOT ({_sq(f)} IS NULL OR {_sq(f)} = '')" for f in self.fields
+            )
         )
 
     def apply(self, df: DataFrame) -> DataFrame:
@@ -656,14 +677,16 @@ class TimestampRange(Operator):
         # '1700000000.9' (truncates) and ' 17 ' (trims) — rows the
         # reference's strconv.ParseInt rejects and drops
         # (timestamp_range.go:92)
-        raw = _s(F.col(self.field))
-        epoch = F.when(raw.rlike("^-?[0-9]+$"), raw.cast("long"))
-        pred = epoch.isNotNull()
+        epoch = (
+            f"(CASE WHEN {_sq(self.field)} RLIKE '^-?[0-9]+$' "
+            f"THEN cast({_sq(self.field)} as bigint) END)"
+        )
+        pred = f"{epoch} IS NOT NULL"
         if self.start is not None:
-            pred = pred & (epoch >= F.lit(self.start))
+            pred += f" AND {epoch} >= {int(self.start)}L"
         if self.end is not None:
-            pred = pred & (epoch < F.lit(self.end))
-        return pred
+            pred += f" AND {epoch} < {int(self.end)}L"
+        return F.expr(pred)
 
     def apply(self, df: DataFrame) -> DataFrame:
         return df.filter(self.keep_predicate())

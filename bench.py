@@ -122,9 +122,13 @@ def baker_chain(spark, sf_dir):
         ),  # parse-to-long predicate
     ]
     li = load_table(spark, sf_dir, "lineitem")
+    split_key = getattr(li, "_baker_split_key", None)
     preds, rest = ops.split_chain(chain)
     for p in preds:
         li = li.filter(p)  # predicates run at the (native) scan
+    # filters don't change scan splits — carry the split-count stamp
+    # through so fan_out's cache applies (see session.fan_out)
+    li._baker_split_key = split_key
     li = fan_out(li, by="l_orderkey")  # ≈ [filterchain] procs — shuffles only survivors
     # one selectExpr call for the 16-column string cast: the Column
     # listcomp cost ~80 py4j round trips per build, paid on every one of
