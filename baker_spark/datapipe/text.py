@@ -19,6 +19,13 @@ from pyspark.sql import Column, functions as F
 EN_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for", "on", "that"]
 
 
+def sql_str(s: str) -> str:
+    """A Spark-SQL single-quoted string literal for ``s``: backslashes
+    and quotes escaped so regex patterns survive the SQL parser's
+    unescaping byte-identical."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def words(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.split(c, " ", -1)
@@ -114,10 +121,15 @@ def langid(col_name: str, stopwords: list[str] | None = None, threshold_pct: int
     # threshold-boundary doc would then langid differently per engine
     rx = "(?<=^| )(" + "|".join(_re.escape(s) for s in sw) + r")(?= |\z)"
     # long casts: same int32-wrap class as the other fixed-point sites
-    # (a ~100 MB doc of stopwords would wrap n_stop * 100)
-    n_stop = F.regexp_count(F.col(col_name), F.lit(rx)).cast("long")
-    nw = n_words(col_name).cast("long")
-    return F.when(n_stop * 100 > nw * threshold_pct, F.lit("en")).otherwise(F.lit("unk"))
+    # (a ~100 MB doc of stopwords would wrap n_stop * 100).
+    # One expr string (round 13): identical expression, ~4 py4j calls.
+    e = f"`{col_name}`"
+    n_stop = f"cast(regexp_count({e}, {sql_str(rx)}) as bigint)"
+    nw = f"cast(nullif(size(split({e}, ' ', -1)), -1) as bigint)"
+    return F.expr(
+        f"CASE WHEN {n_stop} * 100 > {nw} * {threshold_pct} "
+        "THEN 'en' ELSE 'unk' END"
+    )
 
 
 def duck_langid(expr: str, stopwords: list[str] | None = None, threshold_pct: int = 5) -> str:
@@ -135,21 +147,25 @@ def duck_langid(expr: str, stopwords: list[str] | None = None, threshold_pct: in
 def quality_flags(col_name: str) -> dict[str, Column]:
     """Quality-score components: word count, punctuation density, mean
     word length (fixed-point), all integers -> deterministic."""
-    c = F.col(col_name)
     # long casts up front: size/length/regexp_count are INT, and the
     # fixed-point multiplies below wrap at 2^31 under ansi=false for
     # mega-documents (>~21M chars) while the DuckDB oracle's BIGINT
-    # arithmetic stays exact
-    nw = n_words(c).cast("long")
-    n_punct = F.regexp_count(c, F.lit(r"[.!?,;:]")).cast("long")
-    n_chars = F.length(c).cast("long")
-    mean_word_len_c2 = F.floor((n_chars - (nw - 1)) * 100 / nw).cast("long")
-    ok = (nw >= 20) & (n_punct * 5 <= nw) & (mean_word_len_c2.between(150, 1200))
+    # arithmetic stays exact. Expr strings (round 13): identical
+    # expressions, a handful of py4j calls per build instead of ~50.
+    e = f"`{col_name}`"
+    nw = f"cast(nullif(size(split({e}, ' ', -1)), -1) as bigint)"
+    n_punct = f"cast(regexp_count({e}, '[.!?,;:]') as bigint)"
+    n_chars = f"cast(length({e}) as bigint)"
+    mean = f"cast(floor(({n_chars} - ({nw} - 1)) * 100 / {nw}) as bigint)"
+    ok = (
+        f"({nw} >= 20 AND {n_punct} * 5 <= {nw} "
+        f"AND {mean} BETWEEN 150 AND 1200)"
+    )
     return {
-        "n_words": nw,
-        "n_punct": n_punct,
-        "mean_word_len_c2": mean_word_len_c2,
-        "quality_ok": ok,
+        "n_words": F.expr(nw),
+        "n_punct": F.expr(n_punct),
+        "mean_word_len_c2": F.expr(mean),
+        "quality_ok": F.expr(ok),
     }
 
 
@@ -476,12 +492,14 @@ def scrub(col_name: str) -> dict[str, Column]:
     long digit runs with typed placeholder tokens, and count each kind
     (the counts feed quality filtering — a doc that is mostly URLs is
     boilerplate). Pure regexp_replace chain: JVM-side, no UDF."""
+    # expr strings (round 13): the chained replace inlines identically
+    # either way; this hands it to the JVM in 4 py4j calls instead of ~30
     out: dict[str, Column] = {}
-    c: Column = F.col(col_name)
+    e = f"`{col_name}`"
     for name, pat, repl in SCRUB_PATTERNS:
-        out[f"n_{name}"] = F.regexp_count(c, F.lit(pat)).cast("long")
-        c = F.regexp_replace(c, pat, repl)
-    out["clean_text"] = c
+        out[f"n_{name}"] = F.expr(f"cast(regexp_count({e}, {sql_str(pat)}) as bigint)")
+        e = f"regexp_replace({e}, {sql_str(pat)}, {sql_str(repl)})"
+    out["clean_text"] = F.expr(e)
     return out
 
 
@@ -1010,10 +1028,10 @@ def fingerprint(col_name: str) -> Column:
     # filtered), but Spark's StringSplit costs ~1/15th of RegExpReplace
     # (measured 23.5s -> 2.3s over sf10's 500k docs — RegExpReplace
     # rebuilds the string through a Matcher per row; split is one pass)
-    toks = F.filter(
-        F.split(F.lower(F.col(col_name)), "[^a-z0-9]+", -1), lambda x: x != ""
+    return F.expr(
+        f"md5(array_join(array_sort(array_distinct(filter("
+        f"split(lower(`{col_name}`), '[^a-z0-9]+', -1), x -> x != ''))), ' '))"
     )
-    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
 
 
 def duck_fingerprint(expr: str) -> str:
