@@ -1914,6 +1914,13 @@ def exact_substring_dedup(
     # handful of calls (value-exact parity re-swept at 3 SFs)
     df = fan_out(df, by=id_col)
     w_sql = f"split(`{text_col}`, ' ', -1)"
+    # the under-k filter sits BEFORE the gram explode on purpose:
+    # Catalyst pushes it below the fan_out repartition, so short docs
+    # never cross this branch's exchange at all. (A CASE-guarded empty
+    # gram array — the shape that would keep both fan_out branches'
+    # subtrees identical — was measured equivalent at sf0.1, 1.17s vs
+    # 1.20s interleaved min, because exchange reuse does not engage on
+    # these branches either way; the filter shape shuffles fewer rows.)
     hashed = (
         df.where(f"size({w_sql}) - {k - 1} >= 1")
         .selectExpr(
