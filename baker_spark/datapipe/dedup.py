@@ -1896,10 +1896,16 @@ def exact_substring_dedup(
 
     The gram hash is xxhash64, NOT md5_long (round 13): the hash never
     leaves the plan — the result depends only on gram EQUALITY, so any
-    injective-enough hash computes the identical output (the DuckDB
-    oracle twin keeps md5; both engines' collision odds at 64/60 bits
-    are ~n^2/2^64 — nil at any corpus this runs on, and a differential
-    collision would fail the value-exact parity sweep loudly). xxhash64
+    injective-enough hash computes the identical output. The DuckDB
+    oracle twin keeps md5, so the engines no longer share collision
+    behavior: a differential collision would fail the value-exact
+    parity sweep loudly — nil at any corpus the oracle can sweep
+    (n^2/2^65 ~ 1e-10 at sf1). At a true 100 TB corpus (~1e12 grams)
+    the expected collision count n^2/2^65 is ~2.7e4, each falsely
+    marking one <=2k-token span duplicated: a bounded loss of ~3e-6 of
+    corpus tokens, and strictly BETTER than the 60-bit md5 prefix this
+    replaced (16x fewer collisions) — not "nil", and worth stating
+    honestly at that scale (round 14, VERDICT r13 #9). xxhash64
     skips md5's digest + hex + conv chain per gram — together with the
     fan_out below, measured 1.95x end-to-end at sf0.1 (interleaved A/B,
     min 2.802s -> 1.439s; OPTIMIZATION_r13.md).

@@ -647,17 +647,19 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
     Shape (the TF-IDF shape): explode tokens -> frequency groupBy
     (map-side combine; exchange carries (token, count)) -> shuffle join
     tokens⋈freqs on token -> per-doc re-aggregate. The frequency table
-    is NOT broadcast: vocabulary is unbounded at corpus scale, so the
-    equi-join co-partitions both sides instead; AQE may still broadcast
-    when it measures small. No floats anywhere: bit-length stands in
-    for log2, so the score hash-matches the DuckDB oracle exactly."""
-    from baker_spark.session import fan_out, managed_persist
+    is NOT broadcast by hint: vocabulary is unbounded at corpus scale,
+    so the equi-join co-partitions both sides instead; AQE may still
+    broadcast when it measures small. The explode is NOT persisted
+    (round 14): a token-scale MEMORY_AND_DISK cache writes ~n× the
+    input bytes to executor storage — recomputing the scan + split for
+    the probe pass measured strictly cheaper and far more stable at
+    the sf100 decade (see bigram_surprisal; guide §5). No floats
+    anywhere: bit-length stands in for log2, so the score hash-matches
+    the DuckDB oracle exactly."""
+    from baker_spark.session import fan_out
 
-    # persisted: both the frequency aggregate and the join probe side
-    # read the exploded token table — without the boundary the full
-    # corpus scan + split + explode runs twice per job
-    toks = managed_persist(
-        fan_out(df, by=id_col).select(id_col, F.explode(words(text_col)).alias("_w"))
+    toks = fan_out(df, by=id_col).select(
+        id_col, F.explode(words(text_col)).alias("_w")
     )
     cf = toks.groupBy("_w").agg(F.count("*").alias("_cf"))
     per_doc = (
@@ -709,30 +711,41 @@ def bigram_surprisal(df, text_col: str = "text", id_col: str = "doc_id"):
     Unigram frequency can't see word ORDER: "the of and the of" scores
     as perfectly ordinary unigrams but as wildly surprising bigrams.
 
-    Scale shape: one pass builds adjacent pairs INSIDE the token array
-    (transform over a slice — no positional self-join, no second
-    explode), then two count aggregations and one equi-join on
-    (w1, w2), all on the same persisted exploded table. The bigram
-    table is never broadcast (vocabulary² is unbounded at corpus
-    scale); head-bigram skew ("of the") is probe-side skew against
-    UNIQUE build keys, exactly the shape AQE skew-join splitting
-    handles. Shuffles carry (token, token, count) — never documents.
-    No floats anywhere: bit-length log2 keeps the result
-    hash-identical to the DuckDB oracle."""
-    from baker_spark.session import fan_out, managed_persist
+    Scale shape (round 14 — the shape that fixed the sf100 decade):
+    one pass builds adjacent pairs INSIDE the token array (transform
+    over a slice — no positional self-join, no second explode), a
+    map-side-combined count aggregation folds the explode straight to
+    the (w1, w2) type table, c(w1 ·) is DERIVED from that table
+    (c1 = Σ_w2 c12 — a type-scale regroup, exact, one fewer corpus
+    pass than counting it from the explode), and the probe side
+    re-explodes and joins. The explode is intentionally NOT persisted:
+    a token-scale MEMORY_AND_DISK cache writes ~n× the input bytes to
+    executor storage and reads them back once per consumer — at sf100
+    (275M bigram occurrences) the cached shape measured 136-193 s
+    while recomputing the explode (a scan + split, cheap per row)
+    measured 59-92 s with far lower variance (guide §5: cache only
+    when recompute costs more than the memory pressure; a corpus-scale
+    explode never qualifies at 100 TB). The bigram table is never
+    broadcast by hint (vocabulary² is unbounded at corpus scale; AQE
+    still broadcasts when it measures small); head-bigram skew ("of
+    the") is probe-side skew against UNIQUE build keys, exactly the
+    shape AQE skew-join splitting handles. No floats anywhere:
+    bit-length log2 keeps the result hash-identical to the DuckDB
+    oracle."""
+    from baker_spark.session import fan_out
 
     pairs = F.expr(
         "transform(slice(_ws, 1, greatest(size(_ws) - 1, 0)), "
         "(x, i) -> struct(x AS w1, element_at(_ws, i + 2) AS w2))"
     )
-    bg = managed_persist(
+    bg = (
         fan_out(df, by=id_col)
         .select(id_col, words(text_col).alias("_ws"))
         .select(id_col, F.explode(pairs).alias("_bg"))
         .select(id_col, F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2"))
     )
     c12 = bg.groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
-    c1 = bg.groupBy("_w1").agg(F.count("*").alias("_c1"))
+    c1 = c12.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
     scored = bg.join(c12, ["_w1", "_w2"]).join(c1, ["_w1"])
     per_doc = scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_bigrams"),
@@ -814,15 +827,20 @@ def kn_bigram_surprisal(
     div is integral division — so the score hash-matches the DuckDB
     twin exactly in both engines.
 
-    Scale shape (the bigram_surprisal class plus one join): one
-    persisted bigram explode carrying the target flag, count/type
-    aggregates over the TARGET slice only (map-side combined, keyed by
-    vocabulary — never broadcast by default, vocabulary**2 is
-    unbounded), the type total T as a broadcast 1-row frame, then the
-    probe side left-joins the three count tables and re-aggregates per
-    document. Head-bigram skew is probe-side skew against unique build
-    keys — the AQE skew-join shape. Shuffles carry (token, token,
-    count), never documents.
+    Scale shape (the bigram_surprisal class plus one join): the model
+    pass explodes ONLY the target slice (the ``target`` predicate sits
+    under the explode, so a pushable predicate prunes the model scan at
+    the source) into the map-side-combined c12 count table; T1/T2/T and
+    the c1 totals are all type-scale regroups OF c12 — no second corpus
+    pass; the probe side re-explodes every document and left-joins the
+    three count tables, then re-aggregates per document. Neither
+    explode is persisted (round 14): a token-scale MEMORY_AND_DISK
+    cache costs more than the recompute it saves at every measured
+    decade (see bigram_surprisal; guide §5). Count tables are never
+    broadcast by default (vocabulary**2 is unbounded); the type total T
+    rides as a broadcast 1-row frame. Head-bigram skew is probe-side
+    skew against unique build keys — the AQE skew-join shape. Shuffles
+    carry (token, token, count), never documents.
 
     ``model_cap`` is the at-scale knob, and it is what CCNet itself
     does — the KenLM it scores with is PRUNED, not the raw corpus
@@ -830,20 +848,21 @@ def kn_bigram_surprisal(
     count (ties broken on (w1, w2) so the model is deterministic);
     everything outside the kept model scores through the same backoff
     branches as genuinely-unseen text. The capped count tables are
-    bounded, so they are explicitly broadcast and the token-scale probe
-    side crosses ZERO exchanges before the per-doc re-aggregate —
+    bounded, so they are explicitly broadcast and the probe side
+    crosses ZERO further exchanges before the per-doc re-aggregate —
     measured at sf100 (5M docs, 275M bigram occurrences) the exact
-    default pays three vocabulary-keyed sort-merge probes (171.1s)
+    default paid three vocabulary-keyed sort-merge probes (171.1s,
+    round 13 — since cut further by dropping the token-scale persist)
     while the capped model scores map-side (SCALING.md round-13
     addendum). Exact result when model_cap >= the true bigram type
     count."""
-    from baker_spark.session import fan_out, managed_persist
+    from baker_spark.session import fan_out
 
     pairs = F.expr(
         "transform(slice(_ws, 1, greatest(size(_ws) - 1, 0)), "
         "(x, i) -> struct(x AS w1, element_at(_ws, i + 2) AS w2))"
     )
-    bg = managed_persist(
+    bg = (
         fan_out(df, by=id_col)
         .select(id_col, target.alias("_tgt"), words(text_col).alias("_ws"))
         .select(id_col, "_tgt", F.explode(pairs).alias("_bg"))

@@ -285,9 +285,9 @@ class KnPerplexityDrop(Operator):
     quantiles); the default 400 (4 bits/bigram) is a loose gate meant
     to be overridden from the TOML.
 
-    Scale shape: the kn_bigram_surprisal plan (one persisted bigram
-    explode, vocabulary-keyed count tables — never broadcast — three
-    probe joins) plus one id semi-join back to the batch. A WIDE
+    Scale shape: the kn_bigram_surprisal plan (an unpersisted bigram
+    explode per pass, vocabulary-keyed count tables — never broadcast —
+    three probe joins) plus one id semi-join back to the batch. A WIDE
     operator and cross-row by definition (the LM is trained on the
     batch itself), hence writes=None: a topology barrier, in-batch
     semantics like NearDupDrop."""
@@ -313,7 +313,7 @@ class KnPerplexityDrop(Operator):
         self.invert = invert
         # LM pruning (the CCNet/KenLM regime): bound the model at the
         # top ModelCap bigram types so the score tables broadcast and
-        # the token-scale probe side crosses zero exchanges — the
+        # the probe side crosses zero further exchanges — the
         # 100 TB setting (measured 3.2x at sf100, SCALING.md r13)
         self.model_cap = None if model_cap is None else int(model_cap)
         self.reads = [field, id_field, target_field]

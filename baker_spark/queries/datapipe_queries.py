@@ -672,10 +672,13 @@ def dp_bigram_surprisal(spark, sf_dir):
     per document, the summed/mean floor(log2 c(w1·)) - floor(log2
     c(w1 w2)) over its adjacent word pairs — the word-ORDER-aware
     counterpart of dp_unigram_logprob (scrambled boilerplate scores
-    ordinary on unigrams but surprising on bigrams). One persisted
-    bigram explode, two count aggs, one (w1,w2) equi-join; nothing
-    broadcast (vocabulary² is unbounded); see text.bigram_surprisal
-    for the AQE skew-join rationale on head bigrams."""
+    ordinary on unigrams but surprising on bigrams). One map-side
+    count aggregation straight off the explode, c(w1 ·) derived from
+    the type table, one (w1,w2) equi-join probe pass — no token-scale
+    persist (round 14; cache cost exceeded its recompute savings at
+    every measured decade); nothing broadcast by hint (vocabulary² is
+    unbounded); see text.bigram_surprisal for the shape rationale and
+    the AQE skew-join note on head bigrams."""
     return text.bigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 

@@ -113,9 +113,20 @@ def configure(spark: SparkSession) -> SparkSession:
     load_table calls through here, so an unguarded configure re-issued 9
     conf.set py4j round trips per table load (~25ms; a 6-table join paid
     ~0.15s per build). The confs are only ever set to the same pinned
-    values, so first-application semantics are identical."""
+    values, so first-application semantics are identical. One sentinel
+    conf is re-checked on the fast path (round 14, ADVICE r13): if a
+    test fixture or user code flipped a correctness-bearing conf
+    mid-session (ansi mode decides null-vs-error semantics), the whole
+    set is re-pinned — one conf.get per call instead of nine conf.sets."""
     if getattr(spark, "_baker_configured", False):
-        return spark
+        try:
+            if spark.conf.get("spark.sql.ansi.enabled") == RUNTIME_CONFS[
+                "spark.sql.ansi.enabled"
+            ]:
+                return spark
+            spark._baker_configured = False  # drifted: re-pin everything
+        except Exception:
+            return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -238,6 +249,22 @@ def fan_out(df, multiple: int = 1, by: str | None = None):
 #: split counts of stamped table scans, keyed by (applicationId, path)
 #: — see fan_out; populated on first introspection per session+path.
 _SPLIT_COUNTS: dict = {}
+
+
+def carry_split_key(src, dst):
+    """Re-stamp ``dst`` with ``src``'s split-count cache key (round 14,
+    ADVICE r13). ONLY for narrow, partition-preserving derivations of
+    the stamped scan — filters and column projections. A derivation
+    that can change partitioning (limit, repartition, join, any
+    exchange) must NOT be re-stamped: the cache would serve the scan's
+    split count for a frame with a different one. Centralizing the
+    stamp keeps that invariant reviewable at one site instead of ad-hoc
+    attribute writes at call sites (bench.py's hoisted filter chain is
+    the canonical caller)."""
+    key = getattr(src, "_baker_split_key", None)
+    if key is not None:
+        dst._baker_split_key = key
+    return dst
 
 
 #: compiled Hadoop codec bridging zstd-jni (tools/build_zstd_codec.sh):

@@ -139,10 +139,13 @@ def serialize_line(columns: list[str], separator: str) -> F.Column:
     sampler, and the bench topology — they must emit identical bytes."""
     # one expr string, not a per-column Column chain: identical
     # expression, ~5 py4j round trips instead of ~5 per column (the
-    # bench chain serializes 16 columns per timed run — round 13)
+    # bench chain serializes 16 columns per timed run — round 13).
+    # Column names are backtick-escaped like transforms._q (round 14,
+    # ADVICE r13): a name containing ` must not break the expr parse.
     sep = separator.replace("\\", "\\\\").replace("'", "\\'")
     cols = ", ".join(
-        f"coalesce(cast(`{c}` as string), '')" for c in columns
+        "coalesce(cast(`" + c.replace("`", "``") + "` as string), '')"
+        for c in columns
     )
     return F.expr(f"concat_ws('{sep}', {cols})")
 

@@ -36,7 +36,7 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-#: parquet SCHEMA cache (metadata only — StructType per (sf_dir, table)).
+#: parquet SCHEMA cache (metadata only — StructType per table file).
 #: `spark.read.parquet` runs a 1-task footer-inference job on EVERY call
 #: (measured 0.18-0.24s per table at sf0.1); with the schema passed
 #: explicitly the reader skips it (0.04-0.10s). A catalog query builds
@@ -44,8 +44,31 @@ def default_sf_dir() -> str:
 #: repeated footer reads per run. This is the standard at-scale shape
 #: too: production tables carry their schema in a catalog (metastore /
 #: Iceberg manifest) precisely so readers never infer per query. No row
-#: data is cached — only the column list the footer declares.
+#: data is cached — only the column list the footer declares. Keyed by
+#: (path, mtime, size) — round 14, ADVICE r13: a file rewritten at the
+#: same path during the process lifetime (regenerated testdata, an
+#: output re-read as input) must re-infer its footer schema, not come
+#: back with stale columns reading as NULL.
 _SCHEMA_CACHE: dict = {}
+
+
+def _schema_key(path: str) -> tuple:
+    """(path, mtime_ns, size) for a file; for a directory table the
+    stats fold over the direct children too (a part file overwritten
+    in place changes its own mtime even when the dir inode keeps its
+    timestamp)."""
+    try:
+        st = os.stat(path)
+        key = [path, st.st_mtime_ns, st.st_size]
+        if os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                cst = os.stat(os.path.join(path, name))
+                key += [name, cst.st_mtime_ns, cst.st_size]
+        return tuple(key)
+    except OSError:
+        # unreadable/remote path: fall back to path-only keying (the
+        # reader itself will raise if the path truly doesn't exist)
+        return (path,)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,10 +82,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # this: load_table calls come first, persists after)
     release_caches()
     path = os.path.join(sf_dir, f"{name}.parquet")
-    schema = _SCHEMA_CACHE.get(path)
+    skey = _schema_key(path)
+    schema = _SCHEMA_CACHE.get(skey)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
+        _SCHEMA_CACHE[skey] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)
     for col in _NANOS_TS_COLS.get(name, []):

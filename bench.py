@@ -121,19 +121,27 @@ def baker_chain(spark, sf_dir):
             field="l_partkey", start_datetime=None, end_datetime=None
         ),  # parse-to-long predicate
     ]
-    li = load_table(spark, sf_dir, "lineitem")
-    split_key = getattr(li, "_baker_split_key", None)
+    from baker_spark.session import carry_split_key
+
+    li = src = load_table(spark, sf_dir, "lineitem")
     preds, rest = ops.split_chain(chain)
     for p in preds:
         li = li.filter(p)  # predicates run at the (native) scan
     # filters don't change scan splits — carry the split-count stamp
-    # through so fan_out's cache applies (see session.fan_out)
-    li._baker_split_key = split_key
+    # through so fan_out's cache applies (see session.carry_split_key
+    # for the narrow-derivations-only contract)
+    carry_split_key(src, li)
     li = fan_out(li, by="l_orderkey")  # ≈ [filterchain] procs — shuffles only survivors
     # one selectExpr call for the 16-column string cast: the Column
     # listcomp cost ~80 py4j round trips per build, paid on every one of
-    # the 6 timed chain runs (round 13; same projection either way)
-    df = li.selectExpr(*[f"cast(`{c}` as string) AS `{c}`" for c in li.columns])
+    # the 6 timed chain runs (round 13; same projection either way).
+    # Names backtick-escaped like transforms._q (ADVICE r13).
+    df = li.selectExpr(
+        *[
+            "cast(`{0}` as string) AS `{0}`".format(c.replace("`", "``"))
+            for c in li.columns
+        ]
+    )
     return ops.chain(df, rest)
 
 

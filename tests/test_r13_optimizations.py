@@ -94,10 +94,37 @@ def test_schema_cache_returns_same_schema(spark, sf_dir):
 
     T._SCHEMA_CACHE.clear()
     df1 = T.load_table(spark, sf_dir, "lineitem")  # populates
-    assert any(p.endswith("lineitem.parquet") for p in T._SCHEMA_CACHE)
+    assert any(k[0].endswith("lineitem.parquet") for k in T._SCHEMA_CACHE)
     df2 = T.load_table(spark, sf_dir, "lineitem")  # schema'd read
     assert df1.schema == df2.schema
     assert df1.count() == df2.count()
+
+
+def test_schema_cache_invalidates_on_rewrite(spark, tmp_path):
+    """ADVICE r13 (medium): a parquet file rewritten at the same path
+    with a different schema must re-infer — a stale cached schema would
+    silently read renamed columns back as NULL."""
+    import os
+    import shutil
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from baker_spark.sources import tables as T
+
+    sf = str(tmp_path)
+    path = os.path.join(sf, "documents.parquet")
+    pq.write_table(pa.table({"doc_id": [1, 2], "text": ["a", "b"]}), path)
+    df1 = T.load_table(spark, sf, "documents")
+    assert set(df1.columns) == {"doc_id", "text"}
+    # rewrite at the same path with a changed column set (mtime moves)
+    pq.write_table(
+        pa.table({"doc_id": [1], "text": ["a"], "lang": ["en"]}), path
+    )
+    os.utime(path, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    df2 = T.load_table(spark, sf, "documents")
+    assert set(df2.columns) == {"doc_id", "text", "lang"}, (
+        "rewritten file served with the stale cached schema"
+    )
+    shutil.rmtree(sf, ignore_errors=True)
 
 
 def test_exact_substring_hash_swap_results_pinned(spark, sf_dir):

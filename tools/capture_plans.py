@@ -40,10 +40,11 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("baker_spark_plan_capture")
     queries = all_queries()
-    names = list(bench.BENCH_QUERIES) + ["baker_filter_chain"]
+    # default: the bench rows. With explicit names, ANY catalog query can
+    # be captured (round 14 touches rows outside BENCH_QUERIES, e.g.
+    # dp_bigram_surprisal).
+    names = sorted(only) if only else list(bench.BENCH_QUERIES) + ["baker_filter_chain"]
     for name in names:
-        if only and name not in only:
-            continue
         df = (bench.baker_chain(spark, sf_dir) if name == "baker_filter_chain"
               else queries[name](spark, sf_dir))
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
