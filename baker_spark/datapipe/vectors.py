@@ -94,6 +94,25 @@ def spark_cosine_c4_sql(a: str, b: str) -> str:
     )
 
 
+def spark_dot_long_sql(a: str, b: str) -> str:
+    """Spark-SQL string twin of :func:`dot_long` (round 14): identical
+    sequential int64 fold, handed to the JVM as one expr string instead
+    of ~15 py4j Column round trips per dot."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
+def spark_quantize_sql(expr: str) -> str:
+    """Spark-SQL string twin of :func:`quantize`. ``1048576.0D`` is the
+    double literal 2^20 — exact, so the scaled floor is bit-identical to
+    the Column form's ``F.lit(float(Q_SCALE))``."""
+    return (
+        f"transform({expr}, x -> cast(floor(x * {float(Q_SCALE)!r}D) as bigint))"
+    )
+
+
 def cosine_c4(a: Column, b: Column) -> Column:
     """floor(cosine * 1e4) as long, with the zero-norm pin: an all-zero
     vector's cosine is undefined, and the engines disagree on what the
@@ -221,32 +240,34 @@ def cosine_pairs(
     floor(dot*1e4 / (sqrt(na)*sqrt(nb))) runs the same IEEE float64
     operation sequence in both engines. A lazy ``row_guard`` fails the
     job (not the build) past ``max_rows``."""
-    q = df.select(F.col(id_col).alias("id"), quantize(as_double(vec_col)).alias("q"))
+    # expr-string projections (round 14): quantize + self-norm + the
+    # pair c4 were Column/lambda chains (~40 py4j round trips per
+    # build); identical expressions as SQL strings
+    q = df.selectExpr(
+        f"`{id_col}` AS id",
+        spark_quantize_sql(f"cast(`{vec_col}` as array<double>)") + " AS q",
+    )
     # self-norm once per ROW, before the join — recomputing a 64-element
     # fold per candidate PAIR would cost O(n^2) folds instead of O(n)
-    qn = q.select("id", "q", dot_long(F.col("q"), F.col("q")).alias("n2"))
-    a = fan_out(qn, by="id").select(
-        F.col("id").alias("id_a"), F.col("q").alias("qa"), F.col("n2").alias("na")
-    )
+    qn = q.selectExpr("id", "q", spark_dot_long_sql("q", "q") + " AS n2")
+    a = fan_out(qn, by="id").selectExpr("id AS id_a", "q AS qa", "n2 AS na")
     # guard the broadcast side — that's where n^2 and executor memory bite
-    b = row_guard(qn, max_rows, "cosine_pairs_bucketed").select(
-        F.col("id").alias("id_b"), F.col("q").alias("qb"), F.col("n2").alias("nb")
+    b = row_guard(qn, max_rows, "cosine_pairs_bucketed").selectExpr(
+        "id AS id_b", "q AS qb", "n2 AS nb"
     )
-    d = dot_long(F.col("qa"), F.col("qb"))
+    d = spark_dot_long_sql("qa", "qb")
     # zero-norm guard, same pinned-0 rule as the bucketed/semdedup
     # kernels: an all-zero quantized vector has undefined cosine; both
     # engines must agree it is "not similar" rather than each handling
     # the NaN differently (Spark's NaN>=t is false, DuckDB's is true)
-    c4 = F.when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0)).otherwise(
-        F.floor(
-            d.cast("double")
-            * F.lit(10000.0)
-            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
-        )
+    c4 = (
+        "cast(CASE WHEN na = 0 OR nb = 0 THEN 0.0D "
+        f"ELSE floor(cast({d} as double) * 10000.0D / "
+        "(sqrt(cast(na as double)) * sqrt(cast(nb as double)))) END as bigint)"
     )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", c4.cast("long").alias("cosine_c4"))
+        .selectExpr("id_a", "id_b", c4 + " AS cosine_c4")
         .filter(F.col("cosine_c4") >= F.lit(threshold_c4))
     )
 
@@ -342,12 +363,25 @@ def lsh_buckets(
     already held."""
     planes = planes or hyperplanes()
     df = fan_out(df, by=id_col)  # 8 plane-dots per row: split the scan across cores
-    v = as_double(vec_col)
-    bucket = F.lit(0).cast("long")
+    # One expr string instead of the per-plane Column chain (round 14):
+    # the old form built n_planes * dim lit().cast() Columns plus a
+    # lambda-fold dot per plane — ~1.8 s of py4j round trips per build
+    # (12x this form, measured; bit-identical output pinned by
+    # test_r14_optimizations). CAST('0.123456' AS DOUBLE) parses the
+    # 6-dp decimal to the nearest double exactly like F.lit(float) and
+    # the DuckDB twin's ::DOUBLE[] literals — same bucket bits.
+    v = f"cast(`{vec_col}` as array<double>)"
+    terms = ["CAST(0 AS BIGINT)"]
     for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(x).cast("double") for x in plane])
-        bucket = bucket + F.when(dot(v, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return df.select(F.col(id_col), *[F.col(c) for c in keep], bucket.alias("bucket"))
+        arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane) + ")"
+        terms.append(
+            f"(CASE WHEN {spark_dot_sql(v, arr)} > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    bucket = " + ".join(terms)
+    return df.selectExpr(
+        f"`{id_col}`", *[f"`{c}`" for c in keep], f"({bucket}) AS bucket"
+    )
 
 
 def duck_lsh_buckets(
@@ -409,15 +443,17 @@ def ann_topk_bucketed(
     )
     if hamming:
         masks = [0] + [1 << j for j in range(N_PLANES)]
-        qb = qb.select(
-            F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("mask"),
-            "qbucket",
-            "qv",
-        ).select(F.col("qbucket").bitwiseXOR(F.col("mask")).alias("qbucket"), "qv")
+        arr = "array(" + ", ".join(f"CAST({m} AS BIGINT)" for m in masks) + ")"
+        qb = qb.selectExpr(f"explode({arr}) AS mask", "qbucket", "qv").selectExpr(
+            "(qbucket ^ mask) AS qbucket", "qv"
+        )
     cands = with_b.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
-    scored = cands.select(
-        F.col(id_col),
-        cosine_c4(as_double(vec_col), F.col("qv")).alias("cosine_c4"),
+    # expr-string c4 twin (round 14): the Column cosine_c4 costs ~75
+    # py4j round trips per build (5 lambda-fold dots); same expression
+    scored = cands.selectExpr(
+        f"`{id_col}`",
+        spark_cosine_c4_sql(f"cast(`{vec_col}` as array<double>)", "qv")
+        + " AS cosine_c4",
     )
     return scored.orderBy(F.desc("cosine_c4"), F.col(id_col)).limit(k)
 
@@ -491,8 +527,10 @@ def cosine_pairs_bucketed(
         # caller-supplied partition (e.g. k-means cells): the join is
         # the contract — buckets may come from anywhere
         with_b = df.join(buckets, id_col)
-    q = with_b.select(
-        F.col(id_col), F.col("bucket"), quantize(as_double(vec_col)).alias("q")
+    q = with_b.selectExpr(
+        f"`{id_col}`",
+        "bucket",
+        spark_quantize_sql(f"cast(`{vec_col}` as array<double>)") + " AS q",
     )
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -562,7 +600,10 @@ def kmeans_train(
     """
     import pandas as pd
 
-    q = df.select(F.col(id_col).alias("_id"), quantize(as_double(vec_col)).alias("q"))
+    q = df.selectExpr(
+        f"`{id_col}` AS _id",
+        spark_quantize_sql(f"cast(`{vec_col}` as array<double>)") + " AS q",
+    )
     from baker_spark.session import managed_persist
 
     q = managed_persist(fan_out(q, by="_id"))
@@ -888,8 +929,8 @@ def _pq_subspaces(q: DataFrame, m: int, dim: int) -> DataFrame:
         # truncated approximation while reporting itself full-dimension
         raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
     d = dim // m
-    slices = F.array(*[F.slice("q", s * d + 1, d) for s in range(m)])
-    return q.select("_id", F.posexplode(slices).alias("sub", "v"))
+    slices = "array(" + ", ".join(f"slice(q, {s * d + 1}, {d})" for s in range(m)) + ")"
+    return q.selectExpr("_id", f"posexplode({slices}) AS (sub, v)")
 
 
 def pq_train_encode(
@@ -920,7 +961,10 @@ def pq_train_encode(
     from baker_spark.session import managed_persist
 
     d = dim // m
-    q = df.select(F.col(id_col).alias("_id"), quantize(as_double(vec_col)).alias("q"))
+    q = df.selectExpr(
+        f"`{id_col}` AS _id",
+        spark_quantize_sql(f"cast(`{vec_col}` as array<double>)") + " AS q",
+    )
     sub = managed_persist(fan_out(_pq_subspaces(q, m, dim), by="_id"))
 
     # seeds: ksub rows -> m*ksub subspace centroids, one bounded collect
@@ -1030,7 +1074,9 @@ def pq_adc_topk(
     d = dim // m
     qrow = (
         df.filter(F.col(id_col) == query_id)
-        .select(quantize(as_double(vec_col)).alias("q"))
+        .selectExpr(
+            spark_quantize_sql(f"cast(`{vec_col}` as array<double>)") + " AS q"
+        )
         .collect()
     )
     if not qrow:
@@ -1230,7 +1276,9 @@ def ivfpq_topk(
         return spark.createDataFrame([], empty_schema)
     qrow = (
         df.filter(F.col(id_col) == query_id)
-        .select(quantize(as_double(vec_col)).alias("q"))
+        .selectExpr(
+            spark_quantize_sql(f"cast(`{vec_col}` as array<double>)") + " AS q"
+        )
         .collect()
     )
     if not qrow:
@@ -1376,9 +1424,10 @@ def ivf_topk(
         .crossJoin(F.broadcast(qdf))
     )
     return (
-        cands.select(
-            F.col(id_col),
-            cosine_c4(as_double(vec_col), F.col("qv")).alias("cosine_c4"),
+        cands.selectExpr(
+            f"`{id_col}`",
+            spark_cosine_c4_sql(f"cast(`{vec_col}` as array<double>)", "qv")
+            + " AS cosine_c4",
         )
         .orderBy(F.desc("cosine_c4"), F.col(id_col))
         .limit(k)
