@@ -51,26 +51,30 @@ def parse_sexpr(text: str):
     return node
 
 
-def compile_clause(node, columns: list[str] | None = None) -> Column:
-    """Compile a parsed s-expression node to a Column predicate."""
+def compile_clause_sql(node, columns: list[str] | None = None) -> str:
+    """Compile a parsed s-expression node to a Spark-SQL predicate
+    string (round 14): one expr parse instead of ~5 py4j Column round
+    trips per atom. Identical expression — names backtick-escaped,
+    values single-quote/backslash-escaped, every combinator
+    parenthesized like the Column operators were."""
     if node is None:
-        return F.lit(True)
+        return "true"
     if not isinstance(node, list) or not node:
         raise ValueError(f"bad clause node: {node!r}")
     head = node[0]
     args = node[1:]
     if head == "and":
         if not args:
-            return F.lit(False)  # clausefilter.go:151-156 — '(and)' is false
-        return reduce(lambda a, b: a & b, (compile_clause(a, columns) for a in args))
+            return "false"  # clausefilter.go:151-156 — '(and)' is false
+        return "(" + " AND ".join(compile_clause_sql(a, columns) for a in args) + ")"
     if head == "or":
         if not args:
-            return F.lit(True)  # clausefilter.go:151-156 — '(or)' is true
-        return reduce(lambda a, b: a | b, (compile_clause(a, columns) for a in args))
+            return "true"  # clausefilter.go:151-156 — '(or)' is true
+        return "(" + " OR ".join(compile_clause_sql(a, columns) for a in args) + ")"
     if head == "not":
         if len(args) != 1:
             raise ValueError("'not' takes exactly one clause")
-        return ~compile_clause(args[0], columns)
+        return f"(NOT {compile_clause_sql(args[0], columns)})"
     # atom: (field value) — byte equality; empty field == null (baker
     # fidelity). The string cast makes the atom evaluate identically on a
     # natively-typed scan (predicate hoisting) and the all-string frame.
@@ -79,10 +83,16 @@ def compile_clause(node, columns: list[str] | None = None) -> Column:
     field, value = head, node[1]
     if columns is not None and field not in columns:
         raise KeyError(f"no such field: {field}")
-    col = F.col(field).cast("string")
+    col = f"cast(`{field.replace('`', '``')}` as string)"
     if value == "":
-        return col.isNull() | (col == F.lit(""))
-    return F.coalesce(col, F.lit("")) == F.lit(value)
+        return f"({col} IS NULL OR {col} = '')"
+    lit = "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return f"(coalesce({col}, '') = {lit})"
+
+
+def compile_clause(node, columns: list[str] | None = None) -> Column:
+    """Compile a parsed s-expression node to a Column predicate."""
+    return F.expr(compile_clause_sql(node, columns))
 
 
 def clause_fields(node) -> list[str]:

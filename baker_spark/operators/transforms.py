@@ -528,13 +528,19 @@ class RegexMatch(Operator):
 
     def keep_predicate(self) -> Column:
         # initializer: Fields=[] is legal in the reference — zero checks
-        # leave match vacuously true (keep; under invert, drop)
-        match = reduce(
-            lambda a, b: a & b,
-            (F.coalesce(F.col(f).cast("string"), F.lit("")).rlike(rx) for f, rx in self.pairs),
-            F.lit(True),
-        )
-        return ~match if self.invert else match
+        # leave match vacuously true (keep; under invert, drop). One
+        # expr string (round 14): the per-pair Column chain cost ~5 py4j
+        # round trips per regex; regex literals escaped so they survive
+        # the SQL parser byte-identical (same rule as text.sql_str).
+        if not self.pairs:
+            match = "true"
+        else:
+            match = "(" + " AND ".join(
+                f"(coalesce({_sq(f)}, '') rlike "
+                "'" + rx.replace("\\", "\\\\").replace("'", "\\'") + "')"
+                for f, rx in self.pairs
+            ) + ")"
+        return F.expr(f"(NOT {match})" if self.invert else match)
 
     def apply(self, df: DataFrame) -> DataFrame:
         return df.filter(self.keep_predicate())

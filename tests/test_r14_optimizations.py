@@ -86,3 +86,88 @@ def test_cosine_pairs_expr_matches_column_form(spark, emb):
         .collect()
     )
     assert old == new and len(old) > 0
+
+
+def test_clausefilter_expr_matches_column_form(spark):
+    """The expr-string clause compiler must keep every reference edge:
+    empty clause, (and)/(or), single-arg collapse, empty-value atom,
+    null fields, quotes/backslashes in values."""
+    from functools import reduce
+    from baker_spark.operators.clausefilter import (
+        ClauseFilter,
+        parse_sexpr,
+    )
+
+    df = spark.createDataFrame(
+        [("N", "O", None), ("A", "", "x'y"), (None, "F", "a\\b"), ("N", "F", "z")],
+        "f1 string, f2 string, f3 string",
+    )
+
+    def old_compile(node):
+        if node is None:
+            return F.lit(True)
+        head, args = node[0], node[1:]
+        if head == "and":
+            return (
+                reduce(lambda a, b: a & b, (old_compile(a) for a in args))
+                if args
+                else F.lit(False)
+            )
+        if head == "or":
+            return (
+                reduce(lambda a, b: a | b, (old_compile(a) for a in args))
+                if args
+                else F.lit(True)
+            )
+        if head == "not":
+            return ~old_compile(args[0])
+        f, v = head, node[1]
+        col = F.col(f).cast("string")
+        if v == "":
+            return col.isNull() | (col == F.lit(""))
+        return F.coalesce(col, F.lit("")) == F.lit(v)
+
+    for clause in [
+        "(and (f1 N) (or (f2 O) (not (f3 x'y))))",
+        "(or (and) (f3 a\\b))",
+        "(not (f2 F))",
+        "(f1 N)",
+        "(and (f1 N))",
+    ]:
+        ast = parse_sexpr(clause)
+        old = sorted(map(tuple, df.filter(old_compile(ast)).collect()), key=repr)
+        new = sorted(map(tuple, ClauseFilter(clause).apply(df).collect()), key=repr)
+        assert old == new, clause
+    # empty clause keeps everything
+    assert ClauseFilter("").apply(df).count() == 4
+
+
+def test_regexmatch_expr_matches_column_form(spark):
+    from functools import reduce
+    from baker_spark.operators.transforms import RegexMatch
+
+    df = spark.createDataFrame(
+        [("abc", "x1"), ("a'b", None), (None, "d\\e"), ("", "zz")],
+        "f1 string, f2 string",
+    )
+    pairs = [("f1", r"^a.*"), ("f2", r"[xz\d]|d\\e")]
+
+    def old_pred(pairs, invert):
+        m = reduce(
+            lambda a, b: a & b,
+            (
+                F.coalesce(F.col(f).cast("string"), F.lit("")).rlike(rx)
+                for f, rx in pairs
+            ),
+            F.lit(True),
+        )
+        return ~m if invert else m
+
+    for invert in (False, True):
+        old = sorted(map(tuple, df.filter(old_pred(pairs, invert)).collect()), key=repr)
+        op = RegexMatch([p[0] for p in pairs], [p[1] for p in pairs], invert_match=invert)
+        new = sorted(map(tuple, op.apply(df).collect()), key=repr)
+        assert old == new, invert
+    # Fields=[] keeps everything; inverted drops everything
+    assert RegexMatch([], []).apply(df).count() == 4
+    assert RegexMatch([], [], invert_match=True).apply(df).count() == 0
