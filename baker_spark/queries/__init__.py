@@ -53,22 +53,38 @@ from baker_spark.queries import (
 # dp_embedding_dedup, dp_sequence_packing) — all still swept at four
 # SFs every CI run by tests/test_oracle_parity.py.
 GATE_ORDER = [
-    # flagship + r11 carry (fresh enough to hold their slots)
+    # ROUND-14 ROTATION (VERDICT r13 "next round" #8; contract:
+    # COVERAGE.md §gate-rotation). Rotated IN (15): the fourteen plain
+    # §2.2/§2.5 ops whose newest driver receipt was r11 — now past the
+    # 3-round freshness horizon — plus q_stats_timestamps (also r11).
+    # Four of them (op_notnull / op_concatenate / op_hash /
+    # op_timestamp) re-receipt the round-13 expr-string predicate
+    # rewrites, and op_regexmatch re-receipts THIS round's expr-string
+    # RegexMatch compiler. Rotated OUT (15, every one >= 3 consecutive
+    # green driver rounds, machinery sibling-gated in-window):
+    # op_validation / op_sharding / op_explode / op_fieldselect
+    # (topology shapes; FileWriter/sharding e2e + CI four-SF sweep),
+    # q_stats_sizes / q_stats_report (stats facet stays gated via the
+    # rotated-in q_stats_timestamps), q_field_frequency (count+tag
+    # shape via the rotated-in op_countandtag), dp_gopher_quality /
+    # dp_c4_filters (quality-gate machinery via dp_gopher_repetition +
+    # dp_corpus_pipeline's quality stage), dp_image_phash_pairs /
+    # dp_audio_fp_pairs / dp_image_neardup_ingest (phash/audio-fp
+    # banding via dp_phash_band_saturation + dp_audio_band_saturation;
+    # ingest-ledger decision via dp_streaming_ingest_ledger),
+    # dp_dedup_clusters (4-green streak; pointer-jump machinery CI
+    # four-SF-swept), dp_streaming_running_counter /
+    # dp_streaming_sessions (streaming surface keeps dp_streaming_dedup
+    # + dp_streaming_ingest_ledger; stateful-session machinery also
+    # gated via the benched q_session_windows). All rotated-out rows
+    # remain value-exact-swept at four SFs by test_oracle_parity.
+    #
+    # flagship + headline bench rows (q1..dp_corpus_pipeline are
+    # BENCH_r14 rows — a perf number needs a fresh correctness receipt;
+    # dp_bigram_surprisal was restructured this round)
     "q1_pricing_summary",
     "dp_ann_search",
     "dp_bigram_surprisal",
-    # ROUND-13 ROTATION (VERDICT r12 "next round" #2): the benched rows
-    # come back in — dp_minhash_lsh_pairs / dp_simhash_pairs /
-    # dp_ann_topk / dp_dedup_exact / dp_corpus_pipeline /
-    # q5_local_supplier_volume / q_cube_rollup are headline BENCH_r13
-    # rows and their newest driver receipt was r11; a perf number whose
-    # correctness receipt is stale is half a number. Rotated OUT (7-for-
-    # 7): q_asof_join / q_set_ops / q_pivot / q_unpivot / q_range_join /
-    # q_scalar_subquery / q_grouping_sets — all r12-gated green on
-    # arrival-quality hashes, machinery swept four-SF by
-    # test_oracle_parity every CI run (grouping-set machinery also stays
-    # gated via the rotated-in q_cube_rollup). Rotation contract:
-    # COVERAGE.md §gate-rotation.
     "q5_local_supplier_volume",
     "q_cube_rollup",
     "dp_dedup_exact",
@@ -76,46 +92,22 @@ GATE_ORDER = [
     "dp_simhash_pairs",
     "dp_ann_topk",
     "dp_corpus_pipeline",
-    # r12 rotation carry: the kmeans/PQ/IVF family (rotated back in r12
-    # after the r11 window dropped it; keep — these are dp_ann_search's
-    # trainers/encoders and the family is the ANN flagship).
+    # ANN trainer/encoder family (2-round streak; expr-string builders
+    # landed this round — keep for a post-change receipt)
     "dp_kmeans_train",
     "dp_pq_codes",
     "dp_pq_adc_topk",
     "dp_ivfpq_topk",
+    # r12/r13 additions still inside their 3-round freshness horizon
     "dp_phash_band_saturation",
-    # ROUND-12 LATE ADDITIONS (contract rule 1: every NEW query enters
-    # the window its first round): the audio saturation leg and the
-    # full Gopher A1.2 repetition battery. Rotated OUT to hold 50:
-    # op_regexmatch (plain rlike; the same machinery runs driver-gated
-    # inside the bench chain and RegexMatch e2e) and op_countandtag
-    # (count+tag shape gated via q_field_frequency), both green
-    # r09-r11 and four-SF CI-swept.
     "dp_audio_band_saturation",
     "dp_gopher_repetition",
-    # dp_exact_substring_dedup (new: Lee et al. ExactSubstr — the
-    # within-document surgical tier) enters over q5_local_supplier_volume
-    # (green r09-r11; its broadcast-join machinery stays gated via
-    # q3_shipping_priority and the CI four-SF sweep);
-    # dp_token_frequency (new: corpus vocabulary tf/df top-200) enters
-    # over q_cube_rollup (green r09-r11; grouping-set machinery now
-    # gated via the rotated-in q_grouping_sets); dp_url_dedup (new:
-    # canonical-URL dedup tier) enters over q_stats_timestamps (green
-    # r09-r11; the Stats time facet's machinery stays gated via
-    # q_stats_sizes/quantiles/report).
     "dp_exact_substring_dedup",
     "dp_token_frequency",
     "dp_url_dedup",
-    # ROUND-13 ADDITION (contract rule 1): dp_kn_perplexity — the
-    # CCNet-style cross-slice KN-smoothed bigram perplexity filter
-    # (train on lang='en', score all; the reference-distribution tier
-    # the corpus-self MLE rows can't express) — enters over
-    # q_stats_quantiles (green r09-r12, 4-round streak; the identical
-    # exact-percentile machinery stays driver-gated inside
-    # q_stats_report's combined report, and the facet is swept four-SF
-    # by test_oracle_parity every CI run).
     "dp_kn_perplexity",
     # §2.2 filters with reference-quirk semantics — kept gated
+    # (op_clausefilter's s-expression compiler was expr-ized this round)
     "op_clausefilter",
     "op_crypt",
     "op_dedup",
@@ -125,50 +117,28 @@ GATE_ORDER = [
     "op_metadata",            # graceful missing-metadata
     "op_timestamprange",      # ParseInt strictness
     "op_urlparam",            # URL-decoded values
-    # §2.5 topology ops, newest rows r07
-    "op_validation",
-    "op_sharding",
-    "op_explode",
-    "op_fieldselect",
-    # analytics / stats surface, newest rows r07
+    # ROUND-14 IN-ROTATION: the plain §2.2 set, newest receipts r11
+    "op_clearfields",
+    "op_concatenate",
+    "op_countandtag",
+    "op_expandlist",
+    "op_hash",
+    "op_notnull",
+    "op_partialclone",
+    "op_regexmatch",
+    "op_replacefields",
+    "op_setstringfromurl",
+    "op_slice",
+    "op_stringmatch",
+    "op_timestamp",
+    "op_urlescape",
+    "q_stats_timestamps",
+    # benched analytics rows (fresh receipts ride the bench)
     "q3_shipping_priority",
     "q_topk_per_group",
     "q_session_windows",
-    "q_stats_sizes",
-    "q_stats_report",
-    "q_field_frequency",
-    # dp tail, newest rows r07
-    "dp_dedup_clusters",
-    # ROUND-11 ADDITIONS (published filter sets): never driver-gated,
-    # rotated in over dp_token_counts / q_percentile_by_group (both
-    # green in r10; token_counts' arithmetic underlies several
-    # still-gated dp rows, q_percentile_by_group's quantile machinery
-    # stays gated through q_stats_quantiles, and both are swept four-SF
-    # by test_oracle_parity every CI run).
-    "dp_gopher_quality",
-    "dp_c4_filters",
-    # ROUND-11 ADDITIONS (multimodal near-dup + observability): never
-    # driver-gated, rotated in over q_anti_join / q_window_funcs /
-    # q_salted_agg (all green r10; the anti-join shape stays gated via
-    # op_externalmatch, window machinery via q_session_windows +
-    # q_topk_per_group, and the salted-agg demo is swept four-SF like
-    # everything outside the window). dp_image_phash_pairs drives the
-    # full encode -> pixel-decode -> phash -> banded-hamming chain;
-    # dp_audio_fp_pairs gates the audio leg of the same engine;
-    # dp_image_neardup_ingest gates the verified-band ingest decision.
-    "dp_image_phash_pairs",
-    "dp_audio_fp_pairs",
-    "dp_image_neardup_ingest",
-    # ROUND-11 ROTATION (VERDICT r10 "next round" #5): the streaming
-    # surface enters the driver gate — real Structured Streaming runs
-    # (ordered micro-batch replay) hash-compared to batch oracles.
-    # Rotated OUT: dp_kmeans_train / dp_pq_codes / dp_pq_adc_topk /
-    # dp_ivfpq_topk (1 round fresh; the same trainers/encoders are
-    # driver-gated through dp_ann_search + swept four-SF by
-    # tests/test_oracle_parity.py every CI run).
+    # streaming surface representatives (ordered micro-batch replay)
     "dp_streaming_dedup",
-    "dp_streaming_running_counter",
-    "dp_streaming_sessions",
     "dp_streaming_ingest_ledger",
 ]
 
