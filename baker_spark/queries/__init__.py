@@ -54,8 +54,8 @@ from baker_spark.queries import (
 # SFs every CI run by tests/test_oracle_parity.py.
 GATE_ORDER = [
     # ROUND-14 ROTATION (VERDICT r13 "next round" #8; contract:
-    # COVERAGE.md §gate-rotation). Rotated IN (15): the fourteen plain
-    # §2.2/§2.5 ops whose newest driver receipt was r11 — now past the
+    # COVERAGE.md §gate-rotation). Rotated IN (12): eleven of the
+    # fourteen plain §2.2 ops whose newest driver receipt was r11 — now past the
     # 3-round freshness horizon — plus q_stats_timestamps (also r11).
     # Four of them (op_notnull / op_concatenate / op_hash /
     # op_timestamp) re-receipt the round-13 expr-string predicate
@@ -72,12 +72,8 @@ GATE_ORDER = [
     # dp_audio_fp_pairs / dp_image_neardup_ingest (phash/audio-fp
     # banding via dp_phash_band_saturation + dp_audio_band_saturation;
     # ingest-ledger decision via dp_streaming_ingest_ledger),
-    # dp_dedup_clusters (4-green streak; pointer-jump machinery CI
-    # four-SF-swept), dp_streaming_running_counter /
-    # dp_streaming_sessions (streaming surface keeps dp_streaming_dedup
-    # + dp_streaming_ingest_ledger; stateful-session machinery also
-    # gated via the benched q_session_windows). All rotated-out rows
-    # remain value-exact-swept at four SFs by test_oracle_parity.
+    # All rotated-out rows remain value-exact-swept at four SFs by
+    # test_oracle_parity.
     #
     # flagship + headline bench rows (q1..dp_corpus_pipeline are
     # BENCH_r14 rows — a perf number needs a fresh correctness receipt;
@@ -118,27 +114,30 @@ GATE_ORDER = [
     "op_timestamprange",      # ParseInt strictness
     "op_urlparam",            # URL-decoded values
     # ROUND-14 IN-ROTATION: the plain §2.2 set, newest receipts r11
-    "op_clearfields",
     "op_concatenate",
     "op_countandtag",
     "op_expandlist",
     "op_hash",
     "op_notnull",
-    "op_partialclone",
     "op_regexmatch",
     "op_replacefields",
     "op_setstringfromurl",
     "op_slice",
     "op_stringmatch",
     "op_timestamp",
-    "op_urlescape",
     "q_stats_timestamps",
     # benched analytics rows (fresh receipts ride the bench)
     "q3_shipping_priority",
     "q_topk_per_group",
     "q_session_windows",
-    # streaming surface representatives (ordered micro-batch replay)
+    # flagship scale paths (pinned in-gate by tests/test_gate_window.py:
+    # iterative propagation and the stateful streaming machinery have no
+    # true in-window sibling)
+    "dp_dedup_clusters",
+    # streaming surface (ordered micro-batch replay)
     "dp_streaming_dedup",
+    "dp_streaming_running_counter",
+    "dp_streaming_sessions",
     "dp_streaming_ingest_ledger",
 ]
 
