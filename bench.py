@@ -383,6 +383,21 @@ def orchestrate(run_pass, n_jvms: int = N_JVMS, min_clean: int = MIN_CLEAN,
             "canary_bw_relative_factor": CANARY_BW_RELATIVE_FACTOR,
         }
     )
+    if len(clean) < min_clean:
+        # VERDICT r13 #2 fallback, recorded IN the artifact: when this
+        # host's burst throttling denies the clean-pass quota (the
+        # r12/r13/r14 driver captures all hit this), cross-round
+        # per-query comparisons should prefer interleaved same-JVM A/B
+        # measurements (old and new shapes alternating in one session —
+        # robust to weather; methodology + numbers in
+        # OPTIMIZATION_r{13,14}.md). All absolute per-pass stamps above
+        # are retained so an artifact-tail comparison stays possible.
+        out["clean_quota_note"] = (
+            "clean-pass quota unmet (burst-throttled host); prefer "
+            "interleaved same-JVM A/B for cross-round per-query claims "
+            "- see OPTIMIZATION_r14.md methodology; per-pass canary "
+            "stamps retained"
+        )
     return out
 
 
