@@ -36,6 +36,12 @@ def as_double(col: Column | str) -> Column:
     return c.cast("array<double>")
 
 
+def _q(name: str) -> str:
+    """Backtick-quote a column name for an expr string (a name holding
+    a backtick must not break the parse — same rule as transforms._q)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
@@ -244,8 +250,8 @@ def cosine_pairs(
     # pair c4 were Column/lambda chains (~40 py4j round trips per
     # build); identical expressions as SQL strings
     q = df.selectExpr(
-        f"`{id_col}` AS id",
-        spark_quantize_sql(f"cast(`{vec_col}` as array<double>)") + " AS q",
+        _q(id_col) + " AS id",
+        spark_quantize_sql(f"cast({_q(vec_col)} as array<double>)") + " AS q",
     )
     # self-norm once per ROW, before the join — recomputing a 64-element
     # fold per candidate PAIR would cost O(n^2) folds instead of O(n)
@@ -314,8 +320,8 @@ def ann_topk(
     if max_rows is not None:
         q = row_guard(q, max_rows, "ann_topk_bucketed", count_of=df)
     scored = fan_out(df, by=id_col).crossJoin(F.broadcast(q)).selectExpr(
-        f"`{id_col}`",
-        spark_cosine_c4_sql(f"cast(`{vec_col}` as array<double>)", "qv")
+        _q(id_col),
+        spark_cosine_c4_sql(f"cast({_q(vec_col)} as array<double>)", "qv")
         + " AS cosine_c4",
     )
     return scored.orderBy(F.desc("cosine_c4"), F.col(id_col)).limit(k)
@@ -370,7 +376,7 @@ def lsh_buckets(
     # test_r14_optimizations). CAST('0.123456' AS DOUBLE) parses the
     # 6-dp decimal to the nearest double exactly like F.lit(float) and
     # the DuckDB twin's ::DOUBLE[] literals — same bucket bits.
-    v = f"cast(`{vec_col}` as array<double>)"
+    v = f"cast({_q(vec_col)} as array<double>)"
     terms = ["CAST(0 AS BIGINT)"]
     for j, plane in enumerate(planes):
         arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane) + ")"
@@ -380,7 +386,7 @@ def lsh_buckets(
         )
     bucket = " + ".join(terms)
     return df.selectExpr(
-        f"`{id_col}`", *[f"`{c}`" for c in keep], f"({bucket}) AS bucket"
+        _q(id_col), *[_q(c) for c in keep], f"({bucket}) AS bucket"
     )
 
 
@@ -451,8 +457,8 @@ def ann_topk_bucketed(
     # expr-string c4 twin (round 14): the Column cosine_c4 costs ~75
     # py4j round trips per build (5 lambda-fold dots); same expression
     scored = cands.selectExpr(
-        f"`{id_col}`",
-        spark_cosine_c4_sql(f"cast(`{vec_col}` as array<double>)", "qv")
+        _q(id_col),
+        spark_cosine_c4_sql(f"cast({_q(vec_col)} as array<double>)", "qv")
         + " AS cosine_c4",
     )
     return scored.orderBy(F.desc("cosine_c4"), F.col(id_col)).limit(k)
@@ -528,9 +534,9 @@ def cosine_pairs_bucketed(
         # the contract — buckets may come from anywhere
         with_b = df.join(buckets, id_col)
     q = with_b.selectExpr(
-        f"`{id_col}`",
+        _q(id_col),
         "bucket",
-        spark_quantize_sql(f"cast(`{vec_col}` as array<double>)") + " AS q",
+        spark_quantize_sql(f"cast({_q(vec_col)} as array<double>)") + " AS q",
     )
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -601,8 +607,8 @@ def kmeans_train(
     import pandas as pd
 
     q = df.selectExpr(
-        f"`{id_col}` AS _id",
-        spark_quantize_sql(f"cast(`{vec_col}` as array<double>)") + " AS q",
+        _q(id_col) + " AS _id",
+        spark_quantize_sql(f"cast({_q(vec_col)} as array<double>)") + " AS q",
     )
     from baker_spark.session import managed_persist
 
@@ -962,8 +968,8 @@ def pq_train_encode(
 
     d = dim // m
     q = df.selectExpr(
-        f"`{id_col}` AS _id",
-        spark_quantize_sql(f"cast(`{vec_col}` as array<double>)") + " AS q",
+        _q(id_col) + " AS _id",
+        spark_quantize_sql(f"cast({_q(vec_col)} as array<double>)") + " AS q",
     )
     sub = managed_persist(fan_out(_pq_subspaces(q, m, dim), by="_id"))
 
@@ -1075,7 +1081,7 @@ def pq_adc_topk(
     qrow = (
         df.filter(F.col(id_col) == query_id)
         .selectExpr(
-            spark_quantize_sql(f"cast(`{vec_col}` as array<double>)") + " AS q"
+            spark_quantize_sql(f"cast({_q(vec_col)} as array<double>)") + " AS q"
         )
         .collect()
     )
@@ -1277,7 +1283,7 @@ def ivfpq_topk(
     qrow = (
         df.filter(F.col(id_col) == query_id)
         .selectExpr(
-            spark_quantize_sql(f"cast(`{vec_col}` as array<double>)") + " AS q"
+            spark_quantize_sql(f"cast({_q(vec_col)} as array<double>)") + " AS q"
         )
         .collect()
     )
@@ -1425,8 +1431,8 @@ def ivf_topk(
     )
     return (
         cands.selectExpr(
-            f"`{id_col}`",
-            spark_cosine_c4_sql(f"cast(`{vec_col}` as array<double>)", "qv")
+            _q(id_col),
+            spark_cosine_c4_sql(f"cast({_q(vec_col)} as array<double>)", "qv")
             + " AS cosine_c4",
         )
         .orderBy(F.desc("cosine_c4"), F.col(id_col))

@@ -16,7 +16,6 @@ optimizer instead of the reference's hand-rolled tree walk.
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, functions as F
 

@@ -10,7 +10,6 @@ StringType (the reference's records are untyped strings, empty == null,
 from __future__ import annotations
 
 from datetime import datetime, timezone
-from functools import reduce
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F

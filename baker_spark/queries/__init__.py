@@ -55,23 +55,29 @@ from baker_spark.queries import (
 GATE_ORDER = [
     # ROUND-14 ROTATION (VERDICT r13 "next round" #8; contract:
     # COVERAGE.md §gate-rotation). Rotated IN (12): eleven of the
-    # fourteen plain §2.2 ops whose newest driver receipt was r11 — now past the
-    # 3-round freshness horizon — plus q_stats_timestamps (also r11).
-    # Four of them (op_notnull / op_concatenate / op_hash /
+    # fourteen plain §2.2 ops whose newest driver receipt was r11 —
+    # now at the 3-round freshness horizon — plus q_stats_timestamps
+    # (also r11). Four of them (op_notnull / op_concatenate / op_hash /
     # op_timestamp) re-receipt the round-13 expr-string predicate
     # rewrites, and op_regexmatch re-receipts THIS round's expr-string
-    # RegexMatch compiler. Rotated OUT (15, every one >= 3 consecutive
-    # green driver rounds, machinery sibling-gated in-window):
-    # op_validation / op_sharding / op_explode / op_fieldselect
-    # (topology shapes; FileWriter/sharding e2e + CI four-SF sweep),
-    # q_stats_sizes / q_stats_report (stats facet stays gated via the
-    # rotated-in q_stats_timestamps), q_field_frequency (count+tag
-    # shape via the rotated-in op_countandtag), dp_gopher_quality /
-    # dp_c4_filters (quality-gate machinery via dp_gopher_repetition +
-    # dp_corpus_pipeline's quality stage), dp_image_phash_pairs /
-    # dp_audio_fp_pairs / dp_image_neardup_ingest (phash/audio-fp
-    # banding via dp_phash_band_saturation + dp_audio_band_saturation;
-    # ingest-ledger decision via dp_streaming_ingest_ledger),
+    # RegexMatch compiler. The remaining three plain ops
+    # (op_clearfields / op_partialclone / op_urlescape — trivial
+    # string-column transforms covered by the eleven siblings) DEFER
+    # to r15: the flagship-scale-path pin (tests/test_gate_window.py)
+    # keeps dp_dedup_clusters and the full streaming quartet in-gate,
+    # and the window holds exactly 50. Rotated OUT (12, every one
+    # >= 3 consecutive green driver rounds, machinery sibling-gated
+    # in-window): op_validation / op_sharding / op_explode /
+    # op_fieldselect (topology shapes; FileWriter/sharding e2e + CI
+    # four-SF sweep), q_stats_sizes / q_stats_report (stats facet
+    # stays gated via the rotated-in q_stats_timestamps),
+    # q_field_frequency (count+tag shape via the rotated-in
+    # op_countandtag), dp_gopher_quality / dp_c4_filters (quality-gate
+    # machinery via dp_gopher_repetition + dp_corpus_pipeline's
+    # quality stage), dp_image_phash_pairs / dp_audio_fp_pairs /
+    # dp_image_neardup_ingest (phash/audio-fp banding via
+    # dp_phash_band_saturation + dp_audio_band_saturation;
+    # ingest-ledger decision via dp_streaming_ingest_ledger).
     # All rotated-out rows remain value-exact-swept at four SFs by
     # test_oracle_parity.
     #

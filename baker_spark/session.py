@@ -32,6 +32,11 @@ RUNTIME_CONFS = {
     # default EXCEPTION policy throws mid-job for inputs the legacy
     # parser MIGHT have handled differently (e.g. "Sun Jan  2 ...")
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+    # the expr-string compilers (clausefilter, RegexMatch, text.sql_str
+    # regex literals) escape backslashes for the DEFAULT parser; the
+    # Hive-compat raw-literal mode would silently double them (round 14:
+    # pin the dependency instead of assuming the default)
+    "spark.sql.parser.escapedStringLiterals": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -113,11 +118,15 @@ def configure(spark: SparkSession) -> SparkSession:
     load_table calls through here, so an unguarded configure re-issued 9
     conf.set py4j round trips per table load (~25ms; a 6-table join paid
     ~0.15s per build). The confs are only ever set to the same pinned
-    values, so first-application semantics are identical. One sentinel
-    conf is re-checked on the fast path (round 14, ADVICE r13): if a
-    test fixture or user code flipped a correctness-bearing conf
-    mid-session (ansi mode decides null-vs-error semantics), the whole
-    set is re-pinned — one conf.get per call instead of nine conf.sets."""
+    values, so first-application semantics are identical. ONE sentinel
+    conf (ansi mode — the conf test fixtures actually flip) is
+    re-checked on the fast path (round 14, ADVICE r13): an ansi drift
+    re-pins the whole set at the cost of one conf.get per call instead
+    of nine conf.sets. The contract is deliberately narrow: a flip of
+    a DIFFERENT pinned conf that leaves ansi untouched is NOT sensed —
+    sensing all nine would cost what the guard saves. Code that
+    mutates other RUNTIME_CONFS mid-session must call configure() with
+    a cleared ``_baker_configured`` flag itself."""
     if getattr(spark, "_baker_configured", False):
         try:
             if spark.conf.get("spark.sql.ansi.enabled") == RUNTIME_CONFS[

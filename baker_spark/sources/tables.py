@@ -44,31 +44,43 @@ def default_sf_dir() -> str:
 #: repeated footer reads per run. This is the standard at-scale shape
 #: too: production tables carry their schema in a catalog (metastore /
 #: Iceberg manifest) precisely so readers never infer per query. No row
-#: data is cached — only the column list the footer declares. Keyed by
-#: (path, mtime, size) — round 14, ADVICE r13: a file rewritten at the
-#: same path during the process lifetime (regenerated testdata, an
-#: output re-read as input) must re-infer its footer schema, not come
-#: back with stale columns reading as NULL.
+#: data is cached — only the column list the footer declares. One
+#: entry PER PATH, holding (stat-key, schema) — round 14, ADVICE r13:
+#: a file rewritten at the same path during the process lifetime
+#: (regenerated testdata, an output re-read as input) must re-infer
+#: its footer schema, not come back with stale columns reading as
+#: NULL; keying the dict by path (with the stat tuple INSIDE the
+#: value) also means a rewrite replaces the entry instead of leaking
+#: one stale entry per rewrite forever. Honest limitation: the stat
+#: key folds the path and its DIRECT children only, so a part file
+#: rewritten in place one directory level down (name.parquet/part=x/
+#: part-0.parquet) is not sensed — directory mtimes move on entry
+#: create/delete, not on grandchild content. Every writer in this
+#: repo (and Spark's own commit protocol) creates new part files
+#: rather than rewriting them in place, which DOES move the child
+#: dir's mtime; a deployment layering an in-place rewriter under a
+#: partitioned table must clear the cache itself (release point:
+#: _SCHEMA_CACHE.clear()).
 _SCHEMA_CACHE: dict = {}
 
 
 def _schema_key(path: str) -> tuple:
-    """(path, mtime_ns, size) for a file; for a directory table the
-    stats fold over the direct children too (a part file overwritten
-    in place changes its own mtime even when the dir inode keeps its
+    """(mtime_ns, size) of the path; for a directory table the stats
+    fold over the direct children too (a part file overwritten in
+    place changes its own mtime even when the dir inode keeps its
     timestamp)."""
     try:
         st = os.stat(path)
-        key = [path, st.st_mtime_ns, st.st_size]
+        key = [st.st_mtime_ns, st.st_size]
         if os.path.isdir(path):
             for name in sorted(os.listdir(path)):
                 cst = os.stat(os.path.join(path, name))
                 key += [name, cst.st_mtime_ns, cst.st_size]
         return tuple(key)
     except OSError:
-        # unreadable/remote path: fall back to path-only keying (the
+        # unreadable/remote path: fall back to a constant key (the
         # reader itself will raise if the path truly doesn't exist)
-        return (path,)
+        return ()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -83,12 +95,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     release_caches()
     path = os.path.join(sf_dir, f"{name}.parquet")
     skey = _schema_key(path)
-    schema = _SCHEMA_CACHE.get(skey)
-    if schema is None:
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is None or cached[0] != skey:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[skey] = df.schema
+        _SCHEMA_CACHE[path] = (skey, df.schema)
     else:
-        df = spark.read.schema(schema).parquet(path)
+        df = spark.read.schema(cached[1]).parquet(path)
     for col in _NANOS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
             # integer-divide nanos->micros (DuckDB truncates identically);

@@ -94,7 +94,7 @@ def test_schema_cache_returns_same_schema(spark, sf_dir):
 
     T._SCHEMA_CACHE.clear()
     df1 = T.load_table(spark, sf_dir, "lineitem")  # populates
-    assert any(k[0].endswith("lineitem.parquet") for k in T._SCHEMA_CACHE)
+    assert any(k.endswith("lineitem.parquet") for k in T._SCHEMA_CACHE)
     df2 = T.load_table(spark, sf_dir, "lineitem")  # schema'd read
     assert df1.schema == df2.schema
     assert df1.count() == df2.count()

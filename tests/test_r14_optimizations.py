@@ -171,3 +171,22 @@ def test_regexmatch_expr_matches_column_form(spark):
     # Fields=[] keeps everything; inverted drops everything
     assert RegexMatch([], []).apply(df).count() == 4
     assert RegexMatch([], [], invert_match=True).apply(df).count() == 0
+
+
+def test_schema_cache_one_entry_per_path(spark, tmp_path):
+    """A rewritten file REPLACES its cache entry (no per-rewrite leak)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from baker_spark.sources import tables as T
+
+    sf = str(tmp_path)
+    path = os.path.join(sf, "documents.parquet")
+    pq.write_table(pa.table({"doc_id": [1], "text": ["a"]}), path)
+    T.load_table(spark, sf, "documents")
+    n0 = len(T._SCHEMA_CACHE)
+    pq.write_table(pa.table({"doc_id": [1], "lang": ["en"]}), path)
+    os.utime(path, ns=(1, 1))
+    df = T.load_table(spark, sf, "documents")
+    assert set(df.columns) == {"doc_id", "lang"}
+    assert len(T._SCHEMA_CACHE) == n0, "rewrite leaked a stale cache entry"

@@ -32,9 +32,15 @@ ROWS = [
 def main() -> None:
     args = sys.argv[1:]
     cpus = int(args[args.index("--cpus") + 1]) if "--cpus" in args else 32
-    sf_dir = (
-        args[args.index("--sf-dir") + 1] if "--sf-dir" in args else "testdata/sf1"
+    # default resolves against the REPO ROOT, not the CWD (the big-SF
+    # ladders live in <repo>/testdata, gitignored; /root/testdata holds
+    # only the driver's small SFs), and $SPARK_GRAFT_SF_DIR wins like
+    # everywhere else
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    default_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", os.path.join(repo, "testdata", "sf1")
     )
+    sf_dir = args[args.index("--sf-dir") + 1] if "--sf-dir" in args else default_dir
     from baker_spark.session import get_spark
     from baker_spark.queries import all_queries
 
